@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** One declared operator: the Spark query plus (optionally) its DuckDB
+  * oracle SQL twin. Oracle SQL uses bare table names (`lineitem`, `events`,
+  * ...) per the driver contract; the driver binds them to the sf-dir parquet.
+  *
+  * Determinism rules (SURVEY.md §7.4): every oracled query ends in ORDER BY
+  * over a unique key set; money/double sums go through DECIMAL(18,4) and are
+  * cast back to DOUBLE; computed integers are cast to BIGINT in both engines;
+  * `events.ts` (parquet ns) is never emitted raw — only bucketed/derived.
+  */
+final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+object Q {
+  def apply(fn: (SparkSession, String) => DataFrame, oracle: String): Q =
+    Q(fn, Some(oracle))
+}
+
+/** Table loader: one parquet file per table under the sf dir. */
+object T {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright;
+    // read it as raw nanos and truncate to a µs TimestampType — the same
+    // truncation every oracle assumes (SURVEY §7.4.2). `div` keeps the math
+    // in exact integer space (1.7e18 ns overflows double precision).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}
+
+/** Shared determinism helpers (SURVEY.md §7.4). */
+object Dsl {
+  val Money: DecimalType = DecimalType(18, 4)
+
+  /** Cast a double money/measure column to exact decimal before summing. */
+  def dec(c: Column): Column = c.cast(Money)
+
+  /** Deterministic SUM over a double column: exact decimal sum → double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Deterministic AVG: exact decimal sum / count, computed in double.
+    * Oracle twin: CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*). */
+  def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+
+  /** Computed ints are BIGINT in both engines (DuckDB fns return BIGINT). */
+  def big(c: Column): Column = c.cast(LongType)
+}

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{Q, T}
+import graft.Dsl._
+
+/** SURVEY.md §2.H — scalar function suites reproducing the reference's
+  * mutate-style instructions [PK]: grok (regex extract), date (parse/bucket),
+  * split (fan-out), replace (string rewrite), json field access.
+  *
+  * Dialect traps handled per SURVEY §7.4: DuckDB regexp_replace needs the
+  * 'g' flag for replace-all; Spark ceil/floor(double) return BIGINT (cast in
+  * DuckDB); weekday()+1 == DuckDB isodow; round only after DECIMAL cast;
+  * date math on DATE-cast values in both engines.
+  */
+object FnOps {
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    "fn_string_suite" -> Q(
+      (s, d) => T(s, d, "part")
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          trim(lit("  pad  ")).as("trimmed"),
+          big(length(col("p_name"))).as("name_len"))
+        .orderBy(col("p_partkey")),
+      "SELECT p_partkey, lower(p_name) AS name_lc, upper(p_brand) AS brand_uc, " +
+        "substring(p_type, 1, 5) AS type5, concat_ws('-', p_brand, p_type) AS brand_type, " +
+        "regexp_replace(p_name, ' ', '_', 'g') AS name_snake, " +
+        "trim('  pad  ') AS trimmed, length(p_name)::BIGINT AS name_len " +
+        "FROM part ORDER BY p_partkey"),
+
+    "fn_grok_extract" -> Q(
+      (s, d) => T(s, d, "part")
+        .select(col("p_partkey"), col("p_type"),
+          regexp_extract(col("p_type"), "^(\\w+) (\\w+)", 1).as("type_word1"),
+          regexp_extract(col("p_type"), "^(\\w+) (\\w+)", 2).as("type_word2"))
+        .orderBy(col("p_partkey")),
+      "SELECT p_partkey, p_type, " +
+        "regexp_extract(p_type, '^(\\w+) (\\w+)', 1) AS type_word1, " +
+        "regexp_extract(p_type, '^(\\w+) (\\w+)', 2) AS type_word2 " +
+        "FROM part ORDER BY p_partkey"),
+
+    "fn_date_suite" -> Q(
+      (s, d) => T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          big(year(col("o_orderdate"))).as("yr"),
+          big(month(col("o_orderdate"))).as("mo"),
+          big(weekday(col("o_orderdate")) + 1).as("isodow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          big(datediff(lit("1998-01-01").cast("date"),
+            col("o_orderdate").cast("date"))).as("days_to_1998"))
+        .orderBy(col("o_orderkey")),
+      "SELECT o_orderkey, o_orderdate, year(o_orderdate)::BIGINT AS yr, " +
+        "month(o_orderdate)::BIGINT AS mo, isodow(o_orderdate)::BIGINT AS isodow, " +
+        "date_trunc('month', o_orderdate) AS month_start, " +
+        "date_diff('day', o_orderdate::DATE, DATE '1998-01-01')::BIGINT AS days_to_1998 " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "fn_math_suite" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("value"),
+          abs(col("value")).as("abs_v"),
+          big(ceil(col("value"))).as("ceil_v"),
+          big(floor(col("value"))).as("floor_v"),
+          sqrt(abs(col("value"))).as("sqrt_v"),
+          round(dec(col("value")), 2).cast("double").as("round_v"),
+          (col("value") * col("value")).as("sq_v"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, value, abs(value) AS abs_v, ceil(value)::BIGINT AS ceil_v, " +
+        "floor(value)::BIGINT AS floor_v, sqrt(abs(value)) AS sqrt_v, " +
+        "CAST(round(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS round_v, " +
+        "value * value AS sq_v FROM events ORDER BY event_id"),
+
+    // One document → one row per word. Output ordered by (doc_id, word):
+    // duplicate words make identical rows, so the order is still total.
+    "fn_split_explode" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .orderBy(col("doc_id"), col("word")),
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents " +
+        "ORDER BY doc_id, word"),
+
+    "fn_array_suite" -> Q(
+      (s, d) => T(s, d, "embeddings")
+        .select(col("vec_id"),
+          big(size(col("embedding"))).as("n_dims"),
+          element_at(col("embedding"), 1).cast("double").as("e1"),
+          element_at(col("embedding"), 64).cast("double").as("e64"),
+          array_min(col("embedding")).cast("double").as("emin"),
+          array_max(col("embedding")).cast("double").as("emax"),
+          (element_at(col("embedding"), 1).cast("double") * 2.0).as("e1_x2"))
+        .orderBy(col("vec_id")),
+      "SELECT vec_id, len(embedding)::BIGINT AS n_dims, " +
+        "embedding[1]::DOUBLE AS e1, embedding[64]::DOUBLE AS e64, " +
+        "list_min(embedding)::DOUBLE AS emin, list_max(embedding)::DOUBLE AS emax, " +
+        "embedding[1]::DOUBLE * 2.0 AS e1_x2 FROM embeddings ORDER BY vec_id"),
+
+    // Map build + access. DuckDB map extraction returns a LIST, so the oracle
+    // states the equivalent scalar values directly.
+    "fn_map_entries" -> Q(
+      (s, d) => {
+        val m = map(lit("v"), col("value"), lit("v2"), col("value") * 2.0)
+        T(s, d, "events")
+          .select(col("event_id"),
+            element_at(m, "v").as("mv"),
+            element_at(m, "v2").as("mv2"),
+            concat_ws(",", map_keys(m)).as("keys_csv"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT event_id, value AS mv, value * 2.0 AS mv2, 'v,v2' AS keys_csv " +
+        "FROM events ORDER BY event_id"),
+
+    "fn_json_extract" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("props"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, props, json_extract_string(props, '$.k')::BIGINT AS k " +
+        "FROM events ORDER BY event_id"),
+
+    "fn_case_when" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("value") > 200, "high")
+            .when(col("value") > 50, "mid")
+            .otherwise("low").as("value_band"),
+          when(col("event_type") === "purchase", lit(2L))
+            .when(col("event_type") === "signup", lit(1L))
+            .otherwise(lit(0L)).as("type_code"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, event_type, value, " +
+        "CASE WHEN value > 200 THEN 'high' WHEN value > 50 THEN 'mid' ELSE 'low' END AS value_band, " +
+        "CASE WHEN event_type = 'purchase' THEN 2 WHEN event_type = 'signup' THEN 1 " +
+        "ELSE 0 END::BIGINT AS type_code " +
+        "FROM events ORDER BY event_id"),
+  )
+}

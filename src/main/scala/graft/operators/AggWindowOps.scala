@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, T}
+import graft.Dsl._
+
+/** SURVEY.md §2.D aggregations + §2.E window functions.
+  *
+  * Reference semantics ([PK]): gauge rollups, unique-key gauges, top-N
+  * gauges, delta-between-events and running-gauge signals. All map to Spark
+  * hash aggregates (partial+final, map-side combine free) and window execs.
+  * Determinism: decimal-cast double sums, unique tie-breakers in every
+  * window ORDER BY (SURVEY §7.4).
+  */
+object AggWindowOps {
+
+  // Per-user event window, deterministically ordered (event_id tiebreak).
+  private def userW = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ---- §2.D aggregations --------------------------------------------
+    // TPC-H Q1 shape — also the flagship `entry` query.
+    "agg_group_sums" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "agg_global" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .agg(
+          dsum(col("l_extendedprice")).as("total_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n_rows")),
+      "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price, " +
+        "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, COUNT(*) AS n_rows " +
+        "FROM lineitem"),
+
+    "agg_count_distinct" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // HLL++ sketch — non-portable across engines, so no oracle (SURVEY §2.D).
+    "agg_approx_distinct" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(big(approx_count_distinct(col("user_id"))).as("approx_users"))
+        .orderBy(col("event_type")),
+      None),
+
+    "agg_grouping_sets" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+          big(grouping(col("l_returnflag"))).as("g_rf"),
+          big(grouping(col("l_linestatus"))).as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+
+    "agg_having" -> Q(
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey")),
+      "SELECT o_custkey, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend " +
+        "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey"),
+
+    "agg_distinct_rows" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem " +
+        "ORDER BY l_returnflag, l_linestatus"),
+
+    // Ordered per-user event trail, emitted as a CSV string so the cross-
+    // engine compare avoids array-type hashing differences.
+    "agg_collect_sorted" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("trail"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id")),
+      "SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS trail, " +
+        "COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // ---- §2.E window functions ----------------------------------------
+    "win_rank_topk_group" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("rn", big(row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("value").desc, col("event_id")))))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+        .orderBy(col("event_type"), col("rn")),
+      "SELECT event_type, rn, event_id, value FROM (" +
+        "SELECT event_type, event_id, value, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY value DESC, event_id)::BIGINT AS rn " +
+        "FROM events) t WHERE rn <= 3 ORDER BY event_type, rn"),
+
+    "win_rank_dense" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          big(rank().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("value").desc, col("event_id")))).as("rnk"),
+          big(dense_rank().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("value").desc, col("event_id")))).as("drnk"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, event_type, value, " +
+        "rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id)::BIGINT AS rnk, " +
+        "dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id)::BIGINT AS drnk " +
+        "FROM events ORDER BY event_id"),
+
+    "win_lag_lead" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(userW).as("prev_value"),
+          lead(col("value"), 1).over(userW).as("next_value"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, user_id, value, " +
+        "lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value, " +
+        "lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value " +
+        "FROM events ORDER BY event_id"),
+
+    "win_running_sum" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          sum(dec(col("value"))).over(userW.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_value"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, user_id, value, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS DOUBLE) AS running_value FROM events ORDER BY event_id"),
+
+    // 3-event moving average = exact decimal sum over the frame / frame count.
+    "win_moving_avg" -> Q(
+      (s, d) => {
+        val frame = userW.rowsBetween(-2, 0)
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            (sum(dec(col("value"))).over(frame).cast("double") /
+              count(lit(1)).over(frame)).as("mavg"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT event_id, user_id, value, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mavg " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+
+    "win_ntile_first_last" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          big(ntile(4).over(userW)).as("tile"),
+          first(col("value")).over(userW.rowsBetween(Window.unboundedPreceding, 0))
+            .as("first_value"),
+          last(col("value")).over(
+            userW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("last_value"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, user_id, value, " +
+        "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS tile, " +
+        "first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value, " +
+        "last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value " +
+        "FROM events ORDER BY event_id"),
+  )
+}

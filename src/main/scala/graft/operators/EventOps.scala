@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Q, T}
+import graft.Dsl._
+
+/** SURVEY.md §2.I event-analytics composites + §2.J streaming batch twins.
+  *
+  * The reference's reason to exist [PK]: session correlation, multi-stage
+  * funnel signals, gauge time buckets. Batch formulations here are pure
+  * window/agg compositions; the true Structured Streaming versions live in
+  * graft.streaming.StreamOps and are asserted stream≡batch in the test
+  * suite (SURVEY §2.J strategy note).
+  *
+  * Session rule (SURVEY §7.4.5): gap > 30 minutes splits; gap <= 30 min
+  * keeps the session open.
+  */
+object EventOps {
+
+  private def arrivalW = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** Per-user sessionization: lag-gap flag → running sum = session seq. */
+  def sessionized(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(arrivalW))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(arrivalW.rowsBetween(Window.unboundedPreceding, 0)))
+
+  private val sessionizeSql: String =
+    "SELECT user_id, session_seq::BIGINT AS session_seq, COUNT(*) AS n_events, " +
+      "MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value " +
+      "FROM (SELECT user_id, event_id, value, " +
+      " SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+      "  THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq " +
+      " FROM (SELECT user_id, event_id, value, ts, " +
+      "  lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
+      "  FROM events) x) y " +
+      "GROUP BY user_id, session_seq ORDER BY user_id, session_seq"
+
+  private def sessionAgg(s: SparkSession, d: String): DataFrame =
+    sessionized(s, d)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  /** Tumbling 1h event-time buckets; window start == date_trunc('hour'). */
+  private def tumbling(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"),
+        col("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  private val tumblingSql: String =
+    "SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ---- §2.I composites ---------------------------------------------
+    "evt_sessionize_batch" -> Q(sessionAgg _, sessionizeSql),
+
+    "evt_funnel" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("signup_ts"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase_ts"))
+        .select(col("user_id"),
+          col("signup_ts").isNotNull.as("did_signup"),
+          (col("signup_ts").isNotNull && col("last_purchase_ts").isNotNull &&
+            col("last_purchase_ts") >= col("signup_ts")).as("converted"))
+        .orderBy(col("user_id")),
+      "SELECT user_id, signup_ts IS NOT NULL AS did_signup, " +
+        "(signup_ts IS NOT NULL AND last_purchase_ts IS NOT NULL AND " +
+        "last_purchase_ts >= signup_ts) AS converted FROM " +
+        "(SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts, " +
+        "MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts " +
+        "FROM events GROUP BY user_id) t ORDER BY user_id"),
+
+    "evt_tumbling_window_batch" -> Q(tumbling _, tumblingSql),
+
+    // 1h window sliding by 15m: each event lands in 4 epoch-aligned windows,
+    // exactly Spark's window(ts, '1 hour', '15 minutes') semantics.
+    "evt_sliding_window_batch" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+        .orderBy(col("wstart"), col("event_type")),
+      "SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts) / 900) * 900 - k.k * 900 " +
+        "AS BIGINT) * INTERVAL 1 SECOND AS wstart, event_type, COUNT(*) AS n " +
+        "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k " +
+        "GROUP BY 1, 2 ORDER BY wstart, event_type"),
+
+    // ---- §2.J streaming batch twins ----------------------------------
+    // Same aggregation the streaming tumbling query emits after watermark
+    // close; stream≡batch equivalence asserted in StreamingSpec.
+    "stream_tumbling_agg" -> Q(tumbling _, tumblingSql),
+
+    "stream_session_window" -> Q(sessionAgg _, sessionizeSql),
+
+    // Exactly-once twin: earliest event per (user_id, event_type) — the
+    // deterministic formulation of streaming dropDuplicates.
+    "stream_dedup" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type")),
+      "SELECT user_id, event_type, event_id, value FROM (" +
+        "SELECT user_id, event_type, event_id, value, row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY event_id) AS rn FROM events) t " +
+        "WHERE rn = 1 ORDER BY user_id, event_type"),
+
+    // Alert on 3 consecutive errors per user (arrival order = ts, event_id).
+    // Streaming twin: flatMapGroupsWithState state machine in StreamOps.
+    "stream_stateful_alert" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("p1", lag(col("event_type"), 1).over(arrivalW))
+        .withColumn("p2", lag(col("event_type"), 2).over(arrivalW))
+        .filter(col("event_type") === "error" && col("p1") === "error" &&
+          col("p2") === "error")
+        .select(col("user_id"), col("event_id"))
+        .orderBy(col("user_id"), col("event_id")),
+      "SELECT user_id, event_id FROM (" +
+        "SELECT user_id, event_id, event_type, " +
+        "lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1, " +
+        "lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2 " +
+        "FROM events) t WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error' " +
+        "ORDER BY user_id, event_id"),
+
+    // Out-of-order arrivals per user: ts behind the running max in arrival
+    // (event_id) order — what a watermark would count as late.
+    "stream_late_data" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("max_prev_ts", max(col("ts")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("ts") < col("max_prev_ts"), 1L).otherwise(0L)).as("n_late"))
+        .orderBy(col("user_id")),
+      "SELECT user_id, COUNT(*) AS n_events, " +
+        "SUM(CASE WHEN ts < max_prev_ts THEN 1 ELSE 0 END)::BIGINT AS n_late FROM " +
+        "(SELECT user_id, ts, max(ts) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_ts " +
+        "FROM events) t GROUP BY user_id ORDER BY user_id"),
+  )
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, T}
+import graft.Dsl._
+
+/** SURVEY.md §2.K — LLM-training-data pipeline operators over `documents`
+  * and `embeddings` (mandated beyond the reference surface).
+  *
+  * Scale notes (100 TB design rule): dedup shuffles on content hash / band
+  * key only; MinHash banding turns the quadratic near-dup search into an
+  * equi-join on band signatures; cosine top-k broadcasts the smaller side of
+  * the pair join and keeps the dot product in a tight primitive loop (no
+  * row explosion); tf-idf is pure relational algebra (no driver collect).
+  */
+object LlmOps {
+
+  // Native codegen dot product (graft.functions.DotProductF): sequential
+  // double fold — bit-identical to DuckDB list_inner_product over ::DOUBLE[].
+  import graft.functions.VectorExpressions.dotF
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // Exact dedup on content hash: keep the lowest doc_id per sha256(text).
+    "llm_exact_dedup" -> Q(
+      (s, d) => T(s, d, "documents")
+        .withColumn("text_sha", sha2(col("text"), 256))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("text_sha")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("text_sha"))
+        .orderBy(col("doc_id")),
+      "SELECT doc_id, text_sha FROM (SELECT doc_id, sha256(text) AS text_sha, " +
+        "row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn " +
+        "FROM documents) t WHERE rn = 1 ORDER BY doc_id"),
+
+    // MinHash + LSH near-dup: 3-word shingles → 8 minhash signatures (seeded
+    // xxhash64) → 4 bands of 2 → candidate pairs via band equi-join.
+    // Non-oracle-able (DuckDB has no xxhash64, SURVEY §7.4.4); golden-tested.
+    "llm_near_dedup_minhash" -> Q(
+      (s, d) => {
+        val nSig = 8
+        val nBands = 4
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .filter(size(col("words")) >= 3)
+          .withColumn("shingles", expr(
+            "transform(sequence(0, size(words) - 3), " +
+              "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"))
+        val sigCols = (0 until nSig).map { k =>
+          array_min(transform(col("shingles"),
+            x => xxhash64(concat(lit(s"seed$k#"), x)))).as(s"sig$k")
+        }
+        val signed = docs.select(col("doc_id") +: sigCols: _*)
+        val bandCol = explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
+        }: _*)).as("bk")
+        val bands = signed.select(col("doc_id"), bandCol)
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        val x = bands.withColumnRenamed("doc_id", "doc_a")
+        val y = bands.withColumnRenamed("doc_id", "doc_b")
+        x.join(y, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // Brute-force k-NN (k=3) by cosine over 64-dim float vectors. Baseline
+    // for the LSH/IVF scale path; sim rounded to 4dp and ranked with vec_id
+    // tie-break so both engines rank identical values (SURVEY §7.4).
+    "llm_cosine_topk" -> Q(
+      (s, d) => {
+        val dot = dotF(s) _
+        val e = T(s, d, "embeddings")
+          .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+        // The query side is a single tiny parquet split locally — spread it
+        // across all cores so the pair loop parallelizes (on a real cluster
+        // the 100 TB side arrives already partitioned; this is a no-op cost).
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("norm").as("a_norm"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+          col("norm").as("b_norm"))
+        a.join(broadcast(b), col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"), round(
+            dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 4)
+            .as("sim"))
+          // embeddings are dropped BEFORE the rank shuffle: only 24 bytes/row
+          // cross the exchange, and InferWindowGroupLimit keeps top-3/group.
+          .withColumn("rn", big(row_number().over(
+            Window.partitionBy(col("a_id"))
+              .orderBy(col("sim").desc, col("b_id")))))
+          .filter(col("rn") <= 3)
+          .select(col("a_id"), col("rn"), col("b_id"), col("sim"))
+          .orderBy(col("a_id"), col("rn"))
+      },
+      "SELECT a_id, rn, b_id, sim FROM (SELECT a_id, b_id, sim, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id)::BIGINT AS rn " +
+        "FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+        "(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+        "sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) x) y " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
+
+    // Language/corpus profile: doc counts, token totals, char stats per lang.
+    "llm_text_stats" -> Q(
+      (s, d) => T(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(big(size(split(col("text"), " ")))).as("total_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang")),
+      "SELECT lang, COUNT(*) AS n_docs, " +
+        "SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens, " +
+        "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars, " +
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+
+    // Top-5 terms per language by tf * N/df. The score is exact integer math
+    // plus ONE double division — bit-identical cross-engine (no ln()).
+    "llm_tfidf_terms" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val words = docs.select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        val tf = words.groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = words.select(col("doc_id"), col("word")).distinct()
+          .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val total = docs.agg(count(lit(1)).as("n"))
+        tf.join(dfreq, "word").crossJoin(broadcast(total))
+          .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+          .withColumn("rn", big(row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("score").desc, col("word")))))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("rn"), col("word"), col("tf"), col("df"),
+            col("score"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      "SELECT lang, rn, word, tf, df, score FROM (" +
+        "SELECT lang, word, tf, df, score, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY score DESC, word)::BIGINT AS rn FROM (" +
+        "SELECT t.lang, t.word, t.tf, d.df, " +
+        "CAST(t.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / d.df AS score " +
+        "FROM (SELECT lang, word, COUNT(*) AS tf FROM (SELECT lang, " +
+        "unnest(string_split(text, ' ')) AS word FROM documents) w GROUP BY 1, 2) t " +
+        "JOIN (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, " +
+        "unnest(string_split(text, ' ')) AS word FROM documents) u GROUP BY 1) d " +
+        "ON t.word = d.word) x) y WHERE rn <= 5 ORDER BY lang, rn"),
+
+    // Per-label centroid per dimension. The mean is a SORTED sequential
+    // double fold in both engines: decimal casts are out (DuckDB rounds cast
+    // ties half-even, Spark half-up, and float32 values ARE exact decimal
+    // ties), while an identically-ordered IEEE fold is bit-deterministic.
+    "llm_embedding_agg" -> Q(
+      (s, d) => T(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), big(col("pos") + 1).as("dim"),
+          col("x").cast("double").as("xd"))
+        .groupBy(col("label"), col("dim"))
+        .agg((aggregate(sort_array(collect_list(col("xd"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1))).as("centroid"))
+        .orderBy(col("label"), col("dim")),
+      "SELECT label, dim, list_reduce(list(xd ORDER BY xd), (a, b) -> a + b) " +
+        "/ COUNT(*) AS centroid FROM (SELECT label, r.range::BIGINT AS dim, " +
+        "embedding[r.range]::DOUBLE AS xd FROM embeddings CROSS JOIN range(1, 65) r) t " +
+        "GROUP BY label, dim ORDER BY label, dim"),
+  )
+}

@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, T}
+import graft.Dsl._
+
+/** SURVEY.md §2.A scans/sources/sinks, §2.B projection/filter, §2.C joins,
+  * §2.F sorts/limits, §2.G set operations.
+  *
+  * Reference semantics ([PK], tree empty — see SURVEY.md §0): gate replay,
+  * field whitelist, enrich/replace mutate instructions, flow branch
+  * conditions, enrich-from-table joins. Each re-expressed as a declarative
+  * Spark plan so Catalyst handles pushdown/pruning/join selection.
+  */
+object RelationalOps {
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ---- §2.A scans --------------------------------------------------
+    "scan_parquet" -> Q(
+      (s, d) => T(s, d, "lineitem").orderBy(col("l_orderkey"), col("l_linenumber")),
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+
+    "scan_projected" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+    // Batch replay twin of the streaming rate/gate source (real streaming
+    // ingestion lives in graft.streaming and its specs).
+    "source_rate_stream" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"),
+
+    // Durable sink: write to a temp parquet dir, read it back (round-trip).
+    "sink_parquet" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sink").resolve("events").toString
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).orderBy(col("event_id"))
+      },
+      "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"),
+
+    // Batch twin of the foreachBatch sink: the per-batch rollup it would emit.
+    "sink_foreachbatch" -> Q(
+      (s, d) => T(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type")),
+      "SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // ---- §2.B projection / filter -----------------------------------
+    "project_compute" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, " +
+        "l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+    "filter_predicate" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_quantity") > 24 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem " +
+        "WHERE l_quantity > 24 AND l_returnflag = 'R' " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+    "filter_regex" -> Q(
+      (s, d) => T(s, d, "part")
+        .filter(col("p_type").rlike("^PROMO"))
+        .select(col("p_partkey"), col("p_type"))
+        .orderBy(col("p_partkey")),
+      "SELECT p_partkey, p_type FROM part WHERE regexp_matches(p_type, '^PROMO') " +
+        "ORDER BY p_partkey"),
+
+    "filter_in_null" -> Q(
+      (s, d) => T(s, d, "events")
+        .filter(col("event_type").isin("click", "view") && col("props").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, event_type, value, props FROM events " +
+        "WHERE event_type IN ('click','view') AND props IS NOT NULL " +
+        "ORDER BY event_id"),
+
+    "drop_rename" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .drop("l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_tax", "l_shipdate", "l_linestatus")
+        .withColumnRenamed("l_orderkey", "order_id")
+        .withColumnRenamed("l_quantity", "qty")
+        .orderBy(col("order_id"), col("l_linenumber")),
+      "SELECT l_orderkey AS order_id, l_linenumber, qty, l_returnflag FROM " +
+        "(SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_returnflag " +
+        "FROM lineitem) t ORDER BY order_id, l_linenumber"),
+
+    // ---- §2.C joins ---------------------------------------------------
+    "join_inner_hash" -> Q(
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val o = T(s, d, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("o_orderstatus"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      "SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus, " +
+        "l.l_quantity FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "ORDER BY l.l_orderkey, l.l_linenumber"),
+
+    "join_left_outer" -> Q(
+      (s, d) => {
+        val c = T(s, d, "customer")
+        val o = T(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+      },
+      "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "ORDER BY c.c_custkey ASC, o.o_orderkey ASC NULLS FIRST"),
+
+    // Full outer over two per-status rollups so BOTH sides have unmatched keys.
+    "join_full_outer" -> Q(
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val a = o.filter(col("o_orderstatus") === "O").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("o_cnt")).withColumnRenamed("o_custkey", "ck_o")
+        val b = o.filter(col("o_orderstatus") === "F").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("f_cnt")).withColumnRenamed("o_custkey", "ck_f")
+        a.join(b, a("ck_o") === b("ck_f"), "full")
+          .orderBy(coalesce(col("ck_o"), col("ck_f")))
+      },
+      "SELECT a.ck_o, a.o_cnt, b.ck_f, b.f_cnt FROM " +
+        "(SELECT o_custkey AS ck_o, COUNT(*) AS o_cnt FROM orders " +
+        " WHERE o_orderstatus = 'O' GROUP BY 1) a FULL JOIN " +
+        "(SELECT o_custkey AS ck_f, COUNT(*) AS f_cnt FROM orders " +
+        " WHERE o_orderstatus = 'F' GROUP BY 1) b ON a.ck_o = b.ck_f " +
+        "ORDER BY COALESCE(a.ck_o, b.ck_f)"),
+
+    "join_semi" -> Q(
+      (s, d) => {
+        val c = T(s, d, "customer")
+        val o = T(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+        "ORDER BY c_custkey"),
+
+    "join_anti" -> Q(
+      (s, d) => {
+        val c = T(s, d, "customer")
+        val o = T(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+        "ORDER BY c_custkey"),
+
+    "join_broadcast" -> Q(
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val p = T(s, d, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+            col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      "SELECT l.l_orderkey, l.l_linenumber, p.p_brand, l.l_quantity " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "ORDER BY l.l_orderkey, l.l_linenumber"),
+
+    // Band self-join: same user, strictly-later event within one hour.
+    // Equi-key user_id keeps it a hash/SMJ join with a range residual, not BNLJ.
+    "join_theta_range" -> Q(
+      (s, d) => {
+        val e = T(s, d, "events")
+        val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+        val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+          col("ts").as("b_ts"))
+        a.join(b, col("user_id") === col("b_user") &&
+            col("b_ts") > col("a_ts") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("a_id"), col("b_id"))
+          .orderBy(col("user_id"), col("a_id"), col("b_id"))
+      },
+      "SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR " +
+        "ORDER BY a.user_id, a_id, b_id"),
+
+    // As-of enrich: carry the latest preceding 'error' value per user onto
+    // every event (window formulation, identical in both engines).
+    "join_asof" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Long.MinValue, 0)
+        T(s, d, "events")
+          .withColumn("last_error_value",
+            last(when(col("event_type") === "error", col("value")), ignoreNulls = true)
+              .over(w))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("last_error_value"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT event_id, user_id, event_type, " +
+        "last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value " +
+        "FROM events ORDER BY event_id"),
+
+    // TPC-H Q3-shaped star join: customer ⋈ orders ⋈ lineitem.
+    "join_multiway" -> Q(
+      (s, d) => {
+        val c = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = T(s, d, "orders")
+        val li = T(s, d, "lineitem")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      "SELECT o.o_orderkey, CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) " +
+        "AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE c.c_mktsegment = 'BUILDING' GROUP BY o.o_orderkey " +
+        "ORDER BY revenue DESC, o.o_orderkey LIMIT 10"),
+
+    // ---- §2.F sorts / limits -----------------------------------------
+    "sort_multi_key" -> Q(
+      (s, d) => T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderpriority").asc_nulls_last,
+          col("o_totalprice").desc_nulls_last, col("o_orderkey").asc),
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders " +
+        "ORDER BY o_orderpriority ASC NULLS LAST, o_totalprice DESC NULLS LAST, " +
+        "o_orderkey ASC"),
+
+    "topk_limit" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(20),
+      "SELECT event_id, event_type, value FROM events " +
+        "ORDER BY value DESC, event_id LIMIT 20"),
+
+    // ---- §2.G set operations ------------------------------------------
+    "set_union_all" -> Q(
+      (s, d) => {
+        val e = T(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+        e.filter(col("event_type") === "click")
+          .unionByName(e.filter(col("event_type") === "view"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT * FROM (" +
+        "SELECT event_id, event_type, value FROM events WHERE event_type = 'click' " +
+        "UNION ALL " +
+        "SELECT event_id, event_type, value FROM events WHERE event_type = 'view') t " +
+        "ORDER BY event_id"),
+
+    "set_intersect" -> Q(
+      (s, d) => {
+        val o = T(s, d, "orders")
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      "SELECT * FROM (" +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t " +
+        "ORDER BY o_custkey"),
+
+    "set_except" -> Q(
+      (s, d) => {
+        val o = T(s, d, "orders")
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+          .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      "SELECT * FROM (" +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "EXCEPT " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t " +
+        "ORDER BY o_custkey"),
+  )
+}
