@@ -129,22 +129,31 @@ object EventOps {
         "(PARTITION BY user_id, event_type ORDER BY event_id) AS rn FROM events) t " +
         "WHERE rn = 1 ORDER BY user_id, event_type"),
 
-    // Alert on 3 consecutive errors per user (arrival order = ts, event_id).
-    // Streaming twin: flatMapGroupsWithState state machine in StreamOps.
+    // Alert on 3 consecutive errors per user (order = ts, event_id), where
+    // an event-time gap > 24h resets the run — identical semantics to the
+    // flatMapGroupsWithState machine in StreamOps.statefulAlert (its state
+    // timeout doubles as this gap rule). Gap math in epoch seconds.
     "stream_stateful_alert" -> Q(
       (s, d) => T(s, d, "events")
         .withColumn("p1", lag(col("event_type"), 1).over(arrivalW))
         .withColumn("p2", lag(col("event_type"), 2).over(arrivalW))
+        .withColumn("g1",
+          col("ts").cast("double") - lag(col("ts"), 1).over(arrivalW).cast("double"))
+        .withColumn("g2",
+          lag(col("ts"), 1).over(arrivalW).cast("double") -
+            lag(col("ts"), 2).over(arrivalW).cast("double"))
         .filter(col("event_type") === "error" && col("p1") === "error" &&
-          col("p2") === "error")
+          col("p2") === "error" && col("g1") <= 86400.0 && col("g2") <= 86400.0)
         .select(col("user_id"), col("event_id"))
         .orderBy(col("user_id"), col("event_id")),
       "SELECT user_id, event_id FROM (" +
         "SELECT user_id, event_id, event_type, " +
-        "lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1, " +
-        "lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2 " +
-        "FROM events) t WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error' " +
-        "ORDER BY user_id, event_id"),
+        "lag(event_type, 1) OVER w AS p1, lag(event_type, 2) OVER w AS p2, " +
+        "epoch(ts) - epoch(lag(ts, 1) OVER w) AS g1, " +
+        "epoch(lag(ts, 1) OVER w) - epoch(lag(ts, 2) OVER w) AS g2 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t " +
+        "WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error' " +
+        "AND g1 <= 86400.0 AND g2 <= 86400.0 ORDER BY user_id, event_id"),
 
     // Out-of-order arrivals per user: ts behind the running max in arrival
     // (event_id) order — what a watermark would count as late.

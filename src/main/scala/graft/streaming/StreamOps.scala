@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Dsl._
+
+/** SURVEY.md §2.J — the true Structured Streaming formulations.
+  *
+  * The reference is an event-stream processor [PK]: gates (acknowledged
+  * ingress), flows (per-event instruction chains), signals (stateful
+  * alerting). Here each maps to Structured Streaming over an unbounded
+  * DataFrame of events; the batch twins registered in SparkEntry share the
+  * same aggregation bodies, and StreamingSpec asserts stream ≡ batch on the
+  * events table replayed through a streaming source.
+  *
+  * Scale notes: all operators are keyed by user_id/window so state is
+  * partitioned across executors; watermarks bound state growth; no
+  * driver-side materialization anywhere.
+  */
+object StreamOps {
+
+  /** One event as a typed row (for stateful ops). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Emitted alert: user raised N consecutive errors. */
+  case class Alert(user_id: Long, event_id: Long, run_length: Int)
+
+  /** Per-user state for the consecutive-error machine. */
+  case class ErrorRun(count: Int, lastTsMillis: Long)
+
+  /** Tumbling 1h gauge with late-data tolerance (watermark). */
+  def tumblingAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Session gauge: 30-min inactivity gap, keyed by user. */
+  def sessionAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        dsum(col("value")).as("session_value"))
+      .select(col("user_id"), col("n_events"), col("first_event_id"),
+        col("last_event_id"), col("session_value"))
+
+  /** At-least-once → exactly-once: drop replayed event_ids inside the
+    * watermark horizon (gate ack/dedup semantics). */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Signal state machine: raise an alert on every 3rd-and-beyond
+    * consecutive 'error' per user. A non-error event OR an event-time gap
+    * over 24 hours clears the run (the gap rule makes the semantics
+    * deterministic and lets the 24h state timeout double as a pure GC —
+    * after removal the next event starts at run 0, exactly what the gap
+    * rule dictates). The reference's signal levels [PK] re-expressed as
+    * flatMapGroupsWithState with event-time timeout. */
+  val GapResetMillis: Long = 24 * 3600 * 1000L
+
+  def statefulAlert(events: Dataset[Event], threshold: Int = 3): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ErrorRun, Alert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[ErrorRun]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // Events inside one micro-batch group arrive unordered — impose
+            // deterministic (ts, event_id) order before running the machine.
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var (run, lastTs) = state.getOption
+              .map(s => (s.count, s.lastTsMillis)).getOrElse((0, Long.MinValue))
+            val out = Seq.newBuilder[Alert]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (lastTs != Long.MinValue && t - lastTs > GapResetMillis) run = 0
+              if (e.event_type == "error") {
+                run += 1
+                if (run >= threshold) out += Alert(e.user_id, e.event_id, run)
+              } else run = 0
+              lastTs = t
+            }
+            state.update(ErrorRun(run, lastTs))
+            // GC: once the watermark passes lastTs + gap, the run is dead
+            // by the gap rule anyway — removal is semantically free.
+            state.setTimeoutTimestamp(lastTs + GapResetMillis)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Watermark drop semantics, observable: rows older than the watermark at
+    * arrival are dropped by the streaming aggregation. */
+  def lateDataCounts(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+}

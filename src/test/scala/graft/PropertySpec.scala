@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §5.4 property tests: structural invariants that must hold for ANY
+  * event set. Cases are generated from fixed seeds (no scalatest/scalacheck
+  * bridge in the offline dep set, so generation is hand-rolled but still
+  * covers many random shapes deterministically). */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def genEvents(seed: Int): Seq[(Long, java.sql.Timestamp, Long, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    val n = 1 + rnd.nextInt(60)
+    var t = 1704067200000L
+    (0 until n).map { i =>
+      t += (rnd.nextInt(120) * 60L + rnd.nextInt(60)) * 1000L
+      (i.toLong, new java.sql.Timestamp(t), rnd.nextInt(4).toLong,
+        rnd.nextInt(10000) / 100.0)
+    }
+  }
+
+  test("sessionize invariants hold across 20 generated event sets") {
+    (1 to 20).foreach { seed =>
+      val df = genEvents(seed).toDF("event_id", "ts", "user_id", "value")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tagged = df
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("gap", $"ts".cast("double") - $"prev_ts".cast("double"))
+        .withColumn("new_session",
+          when($"prev_ts".isNull || $"gap" > 1800.0, 1L).otherwise(0L))
+        .withColumn("session_seq", sum($"new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .collect()
+      // a row opens a session iff it has no predecessor or gap > 30min
+      tagged.foreach { r =>
+        val gap = Option(r.getAs[Any]("gap")).map(_.asInstanceOf[Double])
+        assert((r.getAs[Long]("new_session") == 1L) == gap.forall(_ > 1800.0),
+          s"seed=$seed row=$r")
+      }
+      // session_seq advances by 0 or 1 per user in event order
+      tagged.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+        val seqs = rs.sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+          r.getAs[Long]("event_id"))).map(_.getAs[Long]("session_seq")).toSeq
+        assert(seqs.headOption.forall(_ == 1L), s"seed=$seed")
+        assert(seqs.zip(seqs.drop(1)).forall { case (a, b) => b == a || b == a + 1 },
+          s"seed=$seed seqs=$seqs")
+      }
+    }
+  }
+
+  test("dedup is idempotent and keeps one row per key") {
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val keys = Seq.fill(1 + rnd.nextInt(50))(rnd.nextInt(20).toLong)
+      val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "seq")
+      val once = df.dropDuplicates("k")
+      assert(once.count() == keys.distinct.size.toLong, s"seed=$seed")
+      assert(once.dropDuplicates("k").count() == once.count(), s"seed=$seed")
+    }
+  }
+
+  test("final running window sum equals group total per user") {
+    (1 to 10).foreach { seed =>
+      val df = genEvents(seed).toDF("event_id", "ts", "user_id", "value")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val lastRunning = df
+        .withColumn("run", sum(Dsl.dec($"value")).over(w).cast("double"))
+        .withColumn("rn", row_number().over(Window.partitionBy($"user_id")
+          .orderBy($"ts".desc, $"event_id".desc)))
+        .filter($"rn" === 1).select($"user_id", $"run")
+      val grouped = df.groupBy($"user_id").agg(Dsl.dsum($"value").as("total"))
+      val mismatches = lastRunning.join(grouped, "user_id")
+        .filter($"run" =!= $"total").count()
+      assert(mismatches == 0, s"seed=$seed")
+    }
+  }
+
+  test("union/except algebra: (a union b) except b == a when disjoint") {
+    val a = (1 to 50).map(i => (i.toLong, "a")).toDF("id", "tag")
+    val b = (100 to 140).map(i => (i.toLong, "b")).toDF("id", "tag")
+    val roundTrip = a.unionByName(b).except(b)
+    assert(roundTrip.orderBy($"id").collect().toSeq ==
+      a.orderBy($"id").collect().toSeq)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Alert, Event}
+
+/** SURVEY §2.J strategy: every streaming op's final state must equal its
+  * batch twin on the same events (stream ≡ batch). Events are fed through
+  * MemoryStream; results read from the memory sink after
+  * processAllAvailable() (final state only, SURVEY §7.4.6). */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val batchEvents: DataFrame =
+    T(spark, sf001, "events").select($"event_id", $"ts", $"user_id",
+      $"event_type", $"value")
+
+  private lazy val typedEvents: Seq[Event] =
+    batchEvents.as[Event].collect().toSeq.sortBy(_.event_id)
+
+  /** Runs a streaming transform over the events fed in `chunks` batches and
+    * returns the final memory-sink table. */
+  private def runStream(name: String, chunks: Int, complete: Boolean = true)(
+      build: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = build(mem.toDF())
+      .writeStream
+      .outputMode(if (complete) "complete" else "append")
+      .format("memory").queryName(name)
+      .start()
+    val size = math.max(1, typedEvents.size / chunks)
+    typedEvents.grouped(size).foreach(mem.addData(_))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("stream tumbling agg == batch tumbling agg (3 batches)") {
+    val got = runStream("t_tumb", 3)(df => StreamOps.tumblingAgg(df))
+      .orderBy($"bucket", $"event_type").collect()
+    val want = SparkEntry.queries("evt_tumbling_window_batch")(spark, sf001).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("stream session window == batch sessionize (3 batches)") {
+    val got = runStream("t_sess", 3)(df => StreamOps.sessionAgg(df))
+      .groupBy($"user_id").agg(
+        count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .orderBy($"user_id").collect()
+    val want = SparkEntry.queries("evt_sessionize_batch")(spark, sf001)
+      .groupBy($"user_id").agg(
+        count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .orderBy($"user_id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("stream dedup drops exact replays (at-least-once -> exactly-once)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.dedup(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("t_dedup").start()
+    val sample = typedEvents.take(200)
+    mem.addData(sample)
+    mem.addData(sample) // replay the whole gate buffer
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t_dedup").count() == 200)
+  }
+
+  test("stateful alert machine == batch twin (single batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.statefulAlert(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_alert").start()
+    mem.addData(typedEvents)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_alert").as[Alert].collect()
+      .map(a => (a.user_id, a.event_id)).sorted.toSeq
+    val want = SparkEntry.queries("stream_stateful_alert")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should produce at least one alert")
+  }
+
+  test("stateful alert run persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01 UTC
+    def ev(id: Long, minute: Long, typ: String) =
+      Event(id, new java.sql.Timestamp(base + minute * 60000L), 7L, typ, 1.0)
+    val mem = MemoryStream[Event]
+    val q = StreamOps.statefulAlert(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_alert2").start()
+    mem.addData(Seq(ev(1, 0, "error"), ev(2, 1, "error")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(3, 2, "error"), ev(4, 3, "view"), ev(5, 4, "error")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_alert2").as[Alert].collect().map(_.event_id).sorted
+    assert(got.toSeq == Seq(3L)) // run of 3 completes across the batch seam
+  }
+
+  test("late rows beyond the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def ev(id: Long, minute: Long) =
+      Event(id, new java.sql.Timestamp(base + minute * 60000L), 1L, "click", 1.0)
+    val mem = MemoryStream[Event]
+    val q = StreamOps.lateDataCounts(mem.toDF(), "10 minutes").writeStream
+      .outputMode("append").format("memory").queryName("t_late").start()
+    mem.addData(Seq(ev(1, 0), ev(2, 30), ev(3, 59)))   // hour 0 open
+    q.processAllAvailable()
+    mem.addData(Seq(ev(4, 200)))                        // watermark -> 190min
+    q.processAllAvailable()
+    mem.addData(Seq(ev(5, 20)))                         // 20min < watermark: late
+    q.processAllAvailable()
+    mem.addData(Seq(ev(6, 400)))                        // close hour-3 window
+    q.processAllAvailable()
+    q.stop()
+    val hour0 = spark.table("t_late")
+      .filter($"bucket" === new java.sql.Timestamp(base)).select($"n").collect()
+    assert(hour0.map(_.getLong(0)).toSeq == Seq(3L),
+      "late event must not be counted in the closed hour-0 window")
+  }
+}
