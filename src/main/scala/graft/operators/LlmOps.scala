@@ -37,34 +37,10 @@ object LlmOps {
 
     // MinHash + LSH near-dup: 3-word shingles → 8 minhash signatures (seeded
     // xxhash64) → 4 bands of 2 → candidate pairs via band equi-join.
-    // Non-oracle-able (DuckDB has no xxhash64, SURVEY §7.4.4); golden-tested.
+    // Non-oracle-able (DuckDB has no xxhash64, SURVEY §7.4.4); golden-tested
+    // in DedupSpec. Implementation shared in DedupOps.minhashPairs.
     "llm_near_dedup_minhash" -> Q(
-      (s, d) => {
-        val nSig = 8
-        val nBands = 4
-        val docs = T(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("words"))
-          .filter(size(col("words")) >= 3)
-          .withColumn("shingles", expr(
-            "transform(sequence(0, size(words) - 3), " +
-              "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"))
-        val sigCols = (0 until nSig).map { k =>
-          array_min(transform(col("shingles"),
-            x => xxhash64(concat(lit(s"seed$k#"), x)))).as(s"sig$k")
-        }
-        val signed = docs.select(col("doc_id") +: sigCols: _*)
-        val bandCol = explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
-        }: _*)).as("bk")
-        val bands = signed.select(col("doc_id"), bandCol)
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-        val x = bands.withColumnRenamed("doc_id", "doc_a")
-        val y = bands.withColumnRenamed("doc_id", "doc_b")
-        x.join(y, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => DedupOps.minhashPairs(T(s, d, "documents")),
       None),
 
     // Brute-force k-NN (k=3) by cosine over 64-dim float vectors. Baseline

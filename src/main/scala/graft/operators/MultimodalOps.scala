@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, T}
+import graft.Dsl._
+
+/** Multimodal-column plumbing (north star mandate): media payloads live as
+  * opaque `binary` columns with typed metadata beside them. No image/audio
+  * codecs exist in this environment, so the DECODE STEP IS A DETERMINISTIC
+  * STUB (clearly marked below) — the Spark-side plumbing (schema, typed
+  * Dataset batch shape, partition-parallel extraction, binary slicing) is
+  * real and tested.
+  *
+  * The synthetic payload is the document text's UTF-8 bytes (all-ASCII,
+  * verified: octet_length == n_chars at every sf), standing in for an
+  * image/audio blob.
+  */
+object MultimodalOps {
+
+  /** One media row: id + opaque payload (the mapInPandas-style batch shape
+    * is Dataset[MediaRow] → mapPartitions over iterator batches). */
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted features per media row. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Double,
+      head: Seq[Int])
+
+  /** STUB DECODER — deterministic fake. A real build links an image/audio
+    * codec here; everything downstream (schema, partitioning, batch shape)
+    * is production-shaped. */
+  def stubDecode(payload: Array[Byte]): MediaFeatures = {
+    var s = 0L
+    payload.foreach(b => s += (b & 0xFF))
+    MediaFeatures(-1L, payload.length,
+      if (payload.isEmpty) 0.0 else s.toDouble / payload.length,
+      payload.take(8).map(_ & 0xFF).toSeq)
+  }
+
+  /** Partition-parallel feature extraction over the typed batch shape. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      stubDecode(row.payload).copy(doc_id = row.doc_id)
+    })
+  }
+
+  def mediaOf(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    T(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // Decode metadata: payload size, content hash, and stub-decoded
+    // dimensions/format derived from the byte length (deterministic fake).
+    "mm_decode_meta" -> Q(
+      (s, d) => T(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          big(length(col("payload"))).as("n_bytes"),
+          sha2(col("payload"), 256).as("content_sha"),
+          big(length(col("payload")) % 640 + 1).as("width"),
+          big((length(col("payload")) * 7) % 480 + 1).as("height"),
+          when(length(col("payload")) % 3 === 0, "jpeg")
+            .when(length(col("payload")) % 3 === 1, "png")
+            .otherwise("webp").as("format"))
+        .orderBy(col("doc_id")),
+      // ASCII corpus: octet_length(encode(text)) == n bytes of the blob, and DuckDB
+      // sha256(VARCHAR) hashes the same UTF-8 bytes Spark's sha2(binary) does.
+      "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS content_sha, " +
+        "(octet_length(encode(text)) % 640 + 1)::BIGINT AS width, " +
+        "(octet_length(encode(text)) * 7 % 480 + 1)::BIGINT AS height, " +
+        "CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' " +
+        "ELSE 'webp' END AS format " +
+        "FROM documents ORDER BY doc_id"),
+
+    // Frame sampling: slice 4 fixed-stride 16-byte "frames" out of each
+    // payload (video keyframe shape) and hash each frame.
+    "mm_frame_sample" -> Q(
+      (s, d) => T(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("stride", expr("length(payload) div 4"))
+        .select(col("doc_id"), col("stride"),
+          posexplode(expr(
+            "transform(sequence(0, 3), i -> substring(payload, i * stride + 1, 16))"))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), big(col("frame_idx")).as("frame_idx"),
+          sha2(col("frame"), 256).as("frame_sha"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      "SELECT doc_id, k.k::BIGINT AS frame_idx, " +
+        "sha256(substring(text, (k.k * (octet_length(encode(text)) // 4) + 1)::INT, 16)) AS frame_sha " +
+        "FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k " +
+        "ORDER BY doc_id, frame_idx"),
+
+    // Feature extraction through the typed mapPartitions batch path. The
+    // head bytes + mean are exact integer math (single division), so the
+    // stub IS oracle-able — the plumbing gets a correctness gate too.
+    "mm_feature_extract" -> Q(
+      (s, d) => {
+        import s.implicits._
+        extractFeatures(mediaOf(s, d))
+          .select(col("doc_id"), big(col("n_bytes")).as("n_bytes"),
+            col("mean_byte"),
+            concat_ws(",", transform(col("head"), c => c.cast("string"))).as("head_csv"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, " +
+        "CAST(list_sum(list_transform(string_to_array(text, ''), c -> ord(c))) AS DOUBLE) " +
+        "/ octet_length(encode(text)) AS mean_byte, " +
+        "array_to_string(list_transform(string_to_array(text, '')[:8], c -> ord(c)), ',') AS head_csv " +
+        "FROM documents ORDER BY doc_id"),
+  )
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, T}
+import graft.Dsl._
+
+/** Text-analysis operators for the LLM-data pipeline (north star mandate):
+  * language-ID (lexicon heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish subword estimate), document fingerprinting.
+  *
+  * Determinism: all scores are exact integer arithmetic plus single double
+  * divisions with identical expression trees in both engines (no ln/round
+  * on accumulated doubles). All hashes are md5/sha256 (hex in both).
+  */
+object TextOps {
+
+  /** Marker lexicon for the language-ID heuristic. The corpus is synthetic
+    * word soup, so markers are drawn from its shared vocabulary — the
+    * operator shape (dictionary join → per-lang scores → argmax) is what a
+    * real lexicon/n-gram classifier uses at scale. */
+  private val lexicon: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "table" -> "en",
+    "slow" -> "es", "agg" -> "es", "merge" -> "es",
+    "customer" -> "de", "hash" -> "de", "big" -> "de",
+    "scan" -> "fr", "data" -> "fr", "batch" -> "fr",
+    "join" -> "zh", "small" -> "zh", "row" -> "zh")
+
+  private val lexiconSqlValues: String =
+    lexicon.map { case (w, l) => s"('$w','$l')" }.mkString(", ")
+
+  // 3-word shingles from the single-space tokenized text.
+  private val shingleExpr =
+    "transform(sequence(0, size(words) - 3), " +
+      "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
+
+  // DuckDB twin: words + lead() window == the i/i+1/i+2 shingle.
+  private val shingleCte =
+    "WITH w AS (SELECT doc_id, text, unnest(string_split(text, ' ')) AS word, " +
+      "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
+      "sh AS (SELECT doc_id, text, word || ' ' || lead(word, 1) OVER dw || ' ' || " +
+      "lead(word, 2) OVER dw AS s FROM w " +
+      "WINDOW dw AS (PARTITION BY doc_id ORDER BY pos) " +
+      "QUALIFY lead(word, 2) OVER dw IS NOT NULL) "
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // Dictionary-join language ID: hit counts per candidate lang, argmax
+    // with lang tie-break; docs with zero hits classify as 'und'.
+    "llm_lang_id" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val words = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        val lex = s.createDataFrame(lexicon).toDF("word", "cand_lang")
+        val scores = words.join(broadcast(lex), "word")
+          .groupBy(col("doc_id"), col("cand_lang"))
+          .agg(count(lit(1)).as("score"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("cand_lang"))))
+          .filter(col("rn") === 1)
+        docs.select(col("doc_id"), col("lang").as("actual_lang"))
+          .join(scores, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("actual_lang"),
+            coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+            coalesce(col("score"), lit(0L)).as("score"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT d.doc_id, d.lang AS actual_lang, " +
+        "COALESCE(s.cand_lang, 'und') AS pred_lang, COALESCE(s.score, 0) AS score " +
+        "FROM documents d LEFT JOIN (" +
+        "SELECT doc_id, cand_lang, score FROM (" +
+        "SELECT doc_id, cand_lang, COUNT(*) AS score, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY COUNT(*) DESC, cand_lang) AS rn " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w " +
+        s"JOIN (VALUES $lexiconSqlValues) lex(word, cand_lang) ON w.word = lex.word " +
+        "GROUP BY doc_id, cand_lang) t WHERE rn = 1) s ON d.doc_id = s.doc_id " +
+        "ORDER BY d.doc_id"),
+
+    // Quality profile: token counts, mean token length, stopword ratio and
+    // a blended score — exact ints + single-division doubles throughout.
+    "llm_quality_score" -> Q(
+      (s, d) => T(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), col("n_chars"),
+          big(size(col("words"))).as("n_tokens"),
+          big(size(filter(col("words"),
+            w => w === "a" || w === "the"))).as("stop_hits"))
+        .withColumn("avg_token_len",
+          (col("n_chars") - col("n_tokens") + lit(1L)).cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+        .withColumn("quality",
+          col("avg_token_len") - lit(10.0) * col("stop_ratio"))
+        .orderBy(col("doc_id")),
+      "SELECT doc_id, n_chars, n_tokens, stop_hits, avg_token_len, stop_ratio, " +
+        "avg_token_len - 10.0 * stop_ratio AS quality FROM (" +
+        "SELECT doc_id, n_chars, n_tokens, stop_hits, " +
+        "CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len, " +
+        "CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio FROM (" +
+        "SELECT doc_id, n_chars, " +
+        "len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+        "len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))::BIGINT AS stop_hits " +
+        "FROM documents) a) b ORDER BY doc_id"),
+
+    // Token counting: whitespace words + a BPE-ish subword estimate
+    // (ceil(len/4) per word, exact integer math).
+    "llm_token_count" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(big(expr("(length(word) + 3) div 4"))).as("n_subwords"))
+        .orderBy(col("doc_id")),
+      "SELECT doc_id, COUNT(*) AS n_words, " +
+        "SUM((length(word) + 3) // 4)::BIGINT AS n_subwords " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+        "FROM documents) w GROUP BY doc_id ORDER BY doc_id"),
+
+    // Fingerprinting: whole-text md5 plus min/max shingle md5 (the
+    // winnowing-style selection a rolling-hash fingerprinter keeps).
+    "llm_fingerprint" -> Q(
+      (s, d) => T(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .withColumn("fps", expr(s"transform($shingleExpr, s -> md5(s))"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          array_min(col("fps")).as("min_shingle_md5"),
+          array_max(col("fps")).as("max_shingle_md5"))
+        .orderBy(col("doc_id")),
+      shingleCte +
+        "SELECT doc_id, md5(min(text)) AS text_md5, min(md5(s)) AS min_shingle_md5, " +
+        "max(md5(s)) AS max_shingle_md5 FROM sh GROUP BY doc_id ORDER BY doc_id"),
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden/recall tests for the non-oracle-able dedup & ANN operators
+  * (SimHash, MinHash pair extraction, LSH ANN) and the multimodal stub. */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("simhash: near-duplicate texts land within small hamming distance") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tonight") // 1 of 13 words changed
+    val unrelated = "completely different content about database engines and shuffles"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val simhashed = graft.operators.DedupOps.simhashOf(df)
+    val m = simhashed.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(2L)) <= 8, s"near-dups too far: ${hamming(m(1L), m(2L))}")
+    assert(hamming(m(1L), m(3L)) > 12, s"unrelated too close: ${hamming(m(1L), m(3L))}")
+  }
+
+  test("minhash banding surfaces planted near-duplicates") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 38).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val others = (1 to 20).map(k => (k + 10L,
+      (1 to 40).map(i => s"u${k}_$i").mkString(" ")))
+    val docs = (Seq((1L, words), (2L, nearDup)) ++ others).toDF("doc_id", "text")
+    val pairs = graft.operators.DedupOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair missed; got $pairs")
+    assert(pairs.size <= 3, s"too many spurious pairs: $pairs")
+  }
+
+  test("lsh ann recall@3 against brute force is useful and plan stays bucketed") {
+    val brute = SparkEntry.queries("llm_cosine_topk")(spark, sf001)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("llm_ann_lsh")(spark, sf001)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@3 = $recall%.3f (bucketed candidates only)")
+    assert(recall > 0.15, f"recall collapsed: $recall%.3f")
+    assert(lsh.nonEmpty)
+  }
+
+  test("multimodal stub decode: typed batch path equals SQL path") {
+    val viaTyped = SparkEntry.queries("mm_feature_extract")(spark, sf001).collect()
+    assert(viaTyped.length == 500)
+    val first = viaTyped.head
+    assert(first.getAs[Long]("n_bytes") > 0)
+    assert(first.getAs[String]("head_csv").split(",").length == 8)
+  }
+}
