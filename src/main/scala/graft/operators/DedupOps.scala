@@ -50,20 +50,34 @@ object DedupOps {
       .select(col("doc_id"), simhash64(col("words")).as("simhash"))
 
   /** MinHash+LSH candidate pairs over any (doc_id, text) corpus: 3-word
-    * shingles → 8 seeded xxhash64 min-signatures → 4 bands of 2 → pairs via
-    * band equi-join (the keyed shuffle that replaces all-pairs). */
+    * shingles → 8 min-signatures → 4 bands of 2 → pairs via band equi-join
+    * (the keyed shuffle that replaces all-pairs).
+    *
+    * Shingles are exploded and hashed ONCE (xxhash64), then the 8 signature
+    * functions are cheap affine mixes of that hash inside one codegen'd
+    * hash aggregate — a single pass over the shingle stream, which is the
+    * shape that scales (and ~8× less hashing than per-signature rehashing). */
   def minhashPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val nSig = 8
     val nBands = 4
-    val base = docs
+    // Rotate-XOR mixes: bijective on Long (so each min is a valid
+    // independent minhash ordering) and free of ANSI overflow semantics —
+    // wrapping multiplication throws under Spark 4's default ANSI mode.
+    val rot = Array(5, 11, 17, 23, 29, 37, 43, 53)
+    val mixC = Array(0x9E3779B97F4A7C15L, 0xBF58476D1CE4E5B9L, 0x94D049BB133111EBL,
+      0xD6E8FEB86659FD93L, 0xA5A5A5A5A5A5A5A5L, 0xC2B2AE3D27D4EB4FL,
+      0x165667B19E3779F9L, 0x27D4EB2F165667C5L)
+    val hashed = docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-      .withColumn("shingles", expr(shingleExpr))
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val sigCols = (0 until nSig).map { k =>
-      array_min(transform(col("shingles"),
-        x => xxhash64(concat(lit(s"seed$k#"), x)))).as(s"sig$k")
+      val rotated = shiftrightunsigned(col("h"), rot(k))
+        .bitwiseOR(shiftleft(col("h"), 64 - rot(k)))
+      min(rotated.bitwiseXOR(lit(mixC(k)))).as(s"sig$k")
     }
-    val signed = base.select(col("doc_id") +: sigCols: _*)
+    val signed = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandCol = explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
