@@ -147,5 +147,21 @@ object LlmOps {
         "/ COUNT(*) AS centroid FROM (SELECT label, r.range::BIGINT AS dim, " +
         "embedding[r.range]::DOUBLE AS xd FROM embeddings CROSS JOIN range(1, 65) r) t " +
         "GROUP BY label, dim ORDER BY label, dim"),
+
+    // Same centroid through the typed Aggregator UDAF (SURVEY §2.L surface):
+    // map-side partial (sums, count) buffers — only 64 doubles/group cross
+    // the shuffle. Summation order is partition-dependent (±1 ulp), so no
+    // SQL oracle; EmbeddingAggSpec pins it to the oracled twin at 1e-9.
+    "llm_embedding_agg_typed" -> Q(
+      (s, d) => {
+        val mean = udaf(new graft.functions.VectorMeanAgg(64))
+        T(s, d, "embeddings")
+          .groupBy(col("label"))
+          .agg(mean(col("embedding")).as("centroid"))
+          .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "c")))
+          .select(col("label"), big(col("pos") + 1).as("dim"), col("c").as("centroid"))
+          .orderBy(col("label"), col("dim"))
+      },
+      None),
   )
 }

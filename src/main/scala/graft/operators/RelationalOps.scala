@@ -57,6 +57,66 @@ object RelationalOps {
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    // CSV source surface: schema-explicit read-back of a written extract
+    // (the reference's file-tailing agent reads delimited logs [PK]).
+    "source_csv_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_csv").resolve("nation").toString
+        T(s, d, "nation").write.mode("overwrite")
+          .option("header", "true").csv(tmp)
+        s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .option("header", "true").csv(tmp)
+          .orderBy(col("n_nationkey"))
+      },
+      "SELECT * FROM nation ORDER BY n_nationkey"),
+
+    // JSON-lines source surface (the reference's native event encoding).
+    // Doubles survive: Spark writes shortest round-trip representations.
+    "source_json_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_json").resolve("part").toString
+        T(s, d, "part").write.mode("overwrite").json(tmp)
+        s.read.schema("p_partkey LONG, p_name STRING, p_brand STRING, " +
+            "p_type STRING, p_size INT, p_retailprice DOUBLE").json(tmp)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            col("p_type"), col("p_size"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice " +
+        "FROM part ORDER BY p_partkey"),
+
+    // SQL-text entry path: the same engine via spark.sql over temp views
+    // (TPC-H Q5 shape — local-supplier revenue per nation).
+    "sql_text_star_join" -> Q(
+      (s, d) => {
+        Seq("region", "nation", "customer", "orders", "lineitem", "supplier")
+          .foreach(t => T(s, d, t).createOrReplaceTempView(s"v_$t"))
+        s.sql(
+          """SELECT n.n_name,
+            |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+            |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+            |  COUNT(*) AS n_lineitems
+            |FROM v_customer c
+            |JOIN v_orders o ON c.c_custkey = o.o_custkey
+            |JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+            |JOIN v_supplier s ON l.l_suppkey = s.s_suppkey
+            |JOIN v_nation n ON s.s_nationkey = n.n_nationkey
+            |JOIN v_region r ON n.n_regionkey = r.r_regionkey
+            |WHERE r.r_name = 'ASIA'
+            |GROUP BY n.n_name
+            |ORDER BY revenue DESC, n.n_name""".stripMargin)
+      },
+      "SELECT n.n_name, CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) " +
+        "AS DECIMAL(18,4))) AS DOUBLE) AS revenue, COUNT(*) AS n_lineitems " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"),
+
     // ---- §2.B projection / filter -----------------------------------
     "project_compute" -> Q(
       (s, d) => T(s, d, "lineitem")
