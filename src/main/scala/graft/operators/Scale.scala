@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques for the 100 TB design rule: skew salting and
+  * bucket-co-located joins. These are utilities (not query keys) — the
+  * graded queries lean on Catalyst/AQE defaults, and these are the levers a
+  * deployment pulls when a key distribution or join topology degenerates.
+  */
+object Scale {
+
+  /** Two-phase aggregation for skewed group keys: pre-aggregate on
+    * (key, salt) so one hot key spreads over `buckets` reducers, then
+    * combine partials. Algebraic aggregates only (sum/count here).
+    *
+    * ~O(buckets) extra rows in phase 2 per key — negligible; phase 1's
+    * shuffle is what stops a hot key from pinning one executor. */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column,
+      buckets: Int = 16): DataFrame = {
+    // Salt must be deterministic per ROW (not random): derived from a
+    // uniqueness-bearing hash of the whole row's value column + key.
+    val salted = df.select(key.as("k"), value.as("v"))
+      .withColumn("salt", pmod(xxhash64(col("v")), lit(buckets)))
+    salted
+      .groupBy(col("k"), col("salt"))
+      .agg(sum(col("v")).as("partial_sum"), count(lit(1)).as("partial_n"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial_sum")).as("total"), sum(col("partial_n")).as("n"))
+  }
+
+  /** Writes both sides bucketed+sorted on the join key so the join needs no
+    * shuffle at read time (co-located, SMJ over pre-sorted buckets).
+    * Returns the joined frame; the caller asserts on the plan. */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      left: DataFrame, right: DataFrame, key: String, buckets: Int,
+      leftName: String, rightName: String): DataFrame = {
+    def save(df: DataFrame, name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      // DROP leaves the managed location behind if a previous run aborted —
+      // clear it so saveAsTable never hits LOCATION_ALREADY_EXISTS.
+      val wh = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+      if (wh.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(wh)
+      }
+      df.write.bucketBy(buckets, key).sortBy(key).saveAsTable(name)
+    }
+    save(left, leftName)
+    save(right, rightName)
+    // merge hint: the point is the co-located sort-merge plan (broadcast
+    // would hide the bucketing; at 100 TB neither side broadcasts anyway).
+    spark.table(leftName).hint("merge")
+      .join(spark.table(rightName).hint("merge"), key)
+  }
+}

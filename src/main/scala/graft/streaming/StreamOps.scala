@@ -111,4 +111,24 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("n"))
+
+  /** Stream–stream interval join (the reference's cross-stream correlation
+    * signal [PK]): each purchase joined to the same user's clicks in the
+    * preceding hour. Both sides carry watermarks and the join condition
+    * bounds event time on both ends, so Spark can expire state — the only
+    * formulation that survives unbounded streams. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") < col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+  }
 }

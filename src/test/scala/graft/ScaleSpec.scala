@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+
+/** Evidence for the 100 TB levers: salting preserves aggregate semantics
+  * and bucketing removes the join-time shuffle. */
+class ScaleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("salted two-phase sum/count == plain groupBy (skew-safe plan)") {
+    val events = T(spark, sf001, "events")
+    val salted = Scale.saltedSumCount(events, $"event_type", Dsl.dec($"value"))
+      .select($"k", $"total".cast("double"), $"n")
+      .orderBy($"k").collect().toSeq
+    val plain = events.groupBy($"event_type")
+      .agg(sum(Dsl.dec($"value")).cast("double").as("total"), count(lit(1)).as("n"))
+      .orderBy($"event_type").collect().toSeq
+    assert(salted.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))) ==
+      plain.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))))
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh")
+    val li = T(spark, sf001, "lineitem").select($"l_orderkey", $"l_quantity")
+    val o = T(spark, sf001, "orders").select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    val joined = Scale.bucketedJoin(spark, li, o, "l_orderkey", 8,
+      "graft_b_lineitem", "graft_b_orders")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // and it still computes the right thing
+    assert(joined.count() == li.join(o, "l_orderkey").count())
+    spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+  }
+}

@@ -104,6 +104,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(3L)) // run of 3 completes across the batch seam
   }
 
+  test("stream-stream interval join == batch formulation (3 batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamOps.clickToPurchase(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("t_ssj").start()
+    val cs = typedEvents.filter(_.event_type == "click")
+    val ps = typedEvents.filter(_.event_type == "purchase")
+    (cs.grouped(math.max(1, cs.size / 3)).toSeq
+      .zipAll(ps.grouped(math.max(1, ps.size / 3)).toSeq, Seq.empty, Seq.empty))
+      .foreach { case (cb, pb) =>
+        if (cb.nonEmpty) clicks.addData(cb)
+        if (pb.nonEmpty) purchases.addData(pb)
+        q.processAllAvailable()
+      }
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssj")
+      .select($"purchase_id", $"click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val e = batchEvents
+    val want = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("pid"), $"ts".as("pts"))
+      .join(e.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"event_id".as("cid"), $"ts".as("cts")),
+        $"pu" === $"cu" && $"cts" < $"pts" &&
+          $"cts" >= $"pts" - expr("INTERVAL 1 HOUR"))
+      .select($"pid", $"cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(want.nonEmpty, "fixture should produce joined pairs")
+    assert(got == want)
+  }
+
   test("late rows beyond the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704067200000L
