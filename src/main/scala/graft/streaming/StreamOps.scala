@@ -112,6 +112,52 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("n"))
 
+  /** The same consecutive-error machine on the Spark 4.x arbitrary-state
+    * API (`transformWithState` + `StatefulProcessor` + typed ValueState).
+    * Requires the RocksDB state store provider — the state backend a real
+    * deployment runs anyway (spillable, snapshot/changelog checkpointing).
+    * Semantics are identical to [[statefulAlert]]; StreamingSpec pins both
+    * to the batch twin. */
+  class AlertProcessor(threshold: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Alert] {
+    @transient private var runState:
+      org.apache.spark.sql.streaming.ValueState[ErrorRun] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      runState = getHandle.getValueState[ErrorRun]("run",
+        org.apache.spark.sql.Encoders.product[ErrorRun],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Alert] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var (run, lastTs) = Option(runState.get())
+        .map(s => (s.count, s.lastTsMillis)).getOrElse((0, Long.MinValue))
+      val out = Seq.newBuilder[Alert]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (lastTs != Long.MinValue && t - lastTs > GapResetMillis) run = 0
+        if (e.event_type == "error") {
+          run += 1
+          if (run >= threshold) out += Alert(e.user_id, e.event_id, run)
+        } else run = 0
+        lastTs = t
+      }
+      runState.update(ErrorRun(run, lastTs))
+      out.result().iterator
+    }
+  }
+
+  def statefulAlertTws(events: Dataset[Event], threshold: Int = 3): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new AlertProcessor(threshold),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stream–stream interval join (the reference's cross-stream correlation
     * signal [PK]): each purchase joined to the same user's clicks in the
     * preceding hour. Both sides carry watermarks and the join condition
