@@ -116,6 +116,47 @@ object AggWindowOps {
       "SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS trail, " +
         "COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id"),
 
+    // Exact interpolated median per group: midpoint of the two middle
+    // values — (a+b)/2 is exact IEEE in both engines.
+    "agg_percentile_median" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("median_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      "SELECT event_type, median(value) AS median_value, COUNT(*) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // Pivot: per-user event-type rollup to columns (ref: dashboard gauge
+    // matrix). Oracle uses the portable CASE formulation.
+    "agg_pivot" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .agg(sum(dec(col("value"))).cast("double"))
+        .na.fill(0.0)
+        .orderBy(col("user_id")),
+      "SELECT user_id, " +
+        Seq("click", "view", "purchase", "error", "signup").map(t =>
+          s"COALESCE(CAST(SUM(CAST(CASE WHEN event_type = '$t' THEN value END " +
+            s"AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS $t").mkString(", ") +
+        " FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // Null-handling suite: coalesce / nullif / fill on a sparsified column.
+    "fn_null_handling" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("v_or_null", when(col("value") > 100.0, col("value")))
+        .select(col("event_id"),
+          col("v_or_null"),
+          coalesce(col("v_or_null"), lit(-1.0)).as("v_coalesced"),
+          nullif(col("event_type"), lit("error")).as("type_nullif"),
+          col("v_or_null").isNull.as("was_null"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, v_or_null, COALESCE(v_or_null, -1.0) AS v_coalesced, " +
+        "NULLIF(event_type, 'error') AS type_nullif, v_or_null IS NULL AS was_null " +
+        "FROM (SELECT event_id, event_type, CASE WHEN value > 100.0 THEN value END " +
+        "AS v_or_null FROM events) t ORDER BY event_id"),
+
     // ---- §2.E window functions ----------------------------------------
     "win_rank_topk_group" -> Q(
       (s, d) => T(s, d, "events")

@@ -342,6 +342,27 @@ object RelationalOps {
         "SELECT event_id, event_type, value FROM events WHERE event_type = 'view') t " +
         "ORDER BY event_id"),
 
+    "set_union_distinct" -> Q(
+      (s, d) => {
+        val o = T(s, d, "orders")
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+          .union(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .distinct()
+          .orderBy(col("o_custkey"))
+      },
+      "SELECT * FROM (" +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "UNION " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t " +
+        "ORDER BY o_custkey"),
+
+    "join_cross" -> Q(
+      (s, d) => T(s, d, "region").crossJoin(T(s, d, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name")),
+      "SELECT r_name, n_name FROM region CROSS JOIN nation " +
+        "ORDER BY r_name, n_name"),
+
     "set_intersect" -> Q(
       (s, d) => {
         val o = T(s, d, "orders")

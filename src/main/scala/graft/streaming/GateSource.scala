@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -89,20 +89,23 @@ private case class GateRange(start: Long, end: Long, users: Long,
     baseMicros: Long) extends InputPartition
 
 private class GateStream(rowsPerBatch: Long, maxRows: Long, numPartitions: Int,
-    users: Long, baseMicros: Long) extends MicroBatchStream {
+    users: Long, baseMicros: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = GateOffset(0L)
 
-  // Admit one more batch per poll until the cap — the test-friendly analogue
-  // of a gate's bounded replay buffer. Progression must not depend on
-  // commit() timing (polls can observe a pre-commit snapshot), so the
-  // high-water mark advances here, monotonically.
-  private var planned: Long = 0L
+  // Admission control: one bounded batch per trigger, computed FROM the
+  // engine-supplied start offset. Stateless, so checkpoint restarts resume
+  // exactly where the previous run committed (the recovered start simply
+  // flows in here) — a mutable high-water mark cannot get this right.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    GateOffset(math.min(start.asInstanceOf[GateOffset].rows + rowsPerBatch, maxRows))
 
-  override def latestOffset(): Offset = synchronized {
-    planned = math.min(planned + rowsPerBatch, maxRows)
-    GateOffset(planned)
-  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
 
   override def deserializeOffset(json: String): Offset = GateOffset(json.toLong)
 

@@ -57,6 +57,23 @@ class GateSourceSpec extends SparkSpec {
     assert(written.select($"event_id").distinct().count() == 300)
   }
 
+  test("checkpoint restart resumes the gate without replay or loss") {
+    val out = Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val q1 = Sinks.foreachBatchParquet(gate(300), out)
+      .option("checkpointLocation", ckpt).start()
+    q1.processAllAvailable()
+    q1.stop()
+    // second run: same checkpoint, higher cap — must continue at row 300
+    val q2 = Sinks.foreachBatchParquet(gate(600), out)
+      .option("checkpointLocation", ckpt).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(s"$out/batch_*")
+    assert(rows.count() == 600, "lost or duplicated rows across restart")
+    assert(rows.select($"event_id").distinct().count() == 600)
+  }
+
   test("foreach row sink delivers every row") {
     val key = s"t_${System.nanoTime()}"
     val q = gate(120).writeStream
