@@ -45,6 +45,53 @@ object FnOps {
         "regexp_extract(p_type, '^(\\w+) (\\w+)', 2) AS type_word2 " +
         "FROM part ORDER BY p_partkey"),
 
+    "fn_string_suite2" -> Q(
+      (s, d) => T(s, d, "part")
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+          rpad(col("p_brand"), 12, ".").as("brand_rpad"),
+          reverse(col("p_name")).as("name_rev"),
+          expr("repeat(p_brand, 2)").as("brand_x2"),
+          expr("left(p_type, 4)").as("type_left4"),
+          expr("right(p_type, 4)").as("type_right4"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_vowels_uc"))
+        .orderBy(col("p_partkey")),
+      "SELECT p_partkey, lpad(p_brand, 12, '*') AS brand_lpad, " +
+        "rpad(p_brand, 12, '.') AS brand_rpad, reverse(p_name) AS name_rev, " +
+        "repeat(p_brand, 2) AS brand_x2, left(p_type, 4) AS type_left4, " +
+        "right(p_type, 4) AS type_right4, " +
+        "translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_uc " +
+        "FROM part ORDER BY p_partkey"),
+
+    "fn_bitwise" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(lit(0xFFL)).as("lo_byte"),
+          col("event_id").bitwiseOR(lit(1L)).as("set_lsb"),
+          col("event_id").bitwiseXOR(col("user_id")).as("xored"),
+          shiftleft(col("event_id"), 2).as("shl2"),
+          shiftright(col("event_id"), 3).as("shr3"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, event_id & 255 AS lo_byte, event_id | 1 AS set_lsb, " +
+        "xor(event_id, user_id) AS xored, event_id << 2 AS shl2, " +
+        "event_id >> 3 AS shr3 FROM events ORDER BY event_id"),
+
+    "fn_date_arith" -> Q(
+      (s, d) => T(s, d, "orders")
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("plus_30d"),
+          (col("o_orderdate") - expr("INTERVAL 1 HOUR")).as("minus_1h"),
+          // emit TIMESTAMP not DATE: engines' DATE types hash differently
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+          greatest(col("o_orderdate").cast("date"), lit("1998-01-01").cast("date"))
+            .cast("timestamp").as("clamped"))
+        .orderBy(col("o_orderkey")),
+      "SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS plus_30d, " +
+        "o_orderdate - INTERVAL 1 HOUR AS minus_1h, " +
+        "last_day(o_orderdate::DATE)::TIMESTAMP AS month_end, " +
+        "greatest(o_orderdate::DATE, DATE '1998-01-01')::TIMESTAMP AS clamped " +
+        "FROM orders ORDER BY o_orderkey"),
+
     "fn_date_suite" -> Q(
       (s, d) => T(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderdate"),

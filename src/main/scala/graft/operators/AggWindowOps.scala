@@ -221,6 +221,55 @@ object AggWindowOps {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
 
+    // RANGE frame over event-time seconds: per-user 1h trailing sum — the
+    // time-based sibling of the ROWS running sum.
+    "win_range_frame" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("epoch_s"))
+          .rangeBetween(-3600L, 0L)
+        T(s, d, "events")
+          .withColumn("epoch_s", expr("unix_micros(ts) div 1000000"))
+          .select(col("event_id"), col("user_id"), col("epoch_s"),
+            sum(dec(col("value"))).over(w).cast("double").as("trailing_1h"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT event_id, user_id, epoch_s, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+        "AS DOUBLE) AS trailing_1h FROM " +
+        "(SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS epoch_s " +
+        "FROM events) t ORDER BY event_id"),
+
+    // percent_rank/cume_dist: exact rationals — single divisions of ints.
+    "win_percent_rank" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        T(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"),
+            percent_rank().over(w).as("prank"),
+            cume_dist().over(w).as("cdist"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT event_id, event_type, value, " +
+        "percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) " +
+        "ORDER BY event_id"),
+
+    // Keep-best selection: value of each type's latest event (unique order
+    // key => deterministic arg_max in both engines).
+    "agg_arg_max" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(max_by(col("value"), col("event_id")).as("latest_value"),
+          min_by(col("value"), col("event_id")).as("first_value"),
+          max(col("event_id")).as("last_event_id"))
+        .orderBy(col("event_type")),
+      "SELECT event_type, arg_max(value, event_id) AS latest_value, " +
+        "arg_min(value, event_id) AS first_value, MAX(event_id) AS last_event_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
     "win_ntile_first_last" -> Q(
       (s, d) => T(s, d, "events")
         .select(col("event_id"), col("user_id"), col("value"),
