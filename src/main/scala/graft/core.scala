@@ -57,4 +57,14 @@ object Dsl {
 
   /** Computed ints are BIGINT in both engines (DuckDB fns return BIGINT). */
   def big(c: Column): Column = c.cast(LongType)
+
+  /** SURVEY §7.4.2: Spark reads events.ts µs-truncated (see T), so every
+    * oracle whose semantics touch ts must compare µs-truncated values too —
+    * DuckDB otherwise keeps the parquet ns precision and a comparison can
+    * flip within 1µs of a boundary. Rewrites the oracle to read from a
+    * µs-truncated CTE of the events table. */
+  def usEvents(sql: String): String =
+    "WITH events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, " +
+      "user_id, event_type, value, props FROM events) " +
+      sql.replace("FROM events", "FROM events_us").replace("JOIN events", "JOIN events_us")
 }

@@ -190,10 +190,10 @@ object AggWindowOps {
           lag(col("value"), 1).over(userW).as("prev_value"),
           lead(col("value"), 1).over(userW).as("next_value"))
         .orderBy(col("event_id")),
-      "SELECT event_id, user_id, value, " +
+      usEvents("SELECT event_id, user_id, value, " +
         "lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value, " +
         "lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value " +
-        "FROM events ORDER BY event_id"),
+        "FROM events ORDER BY event_id")),
 
     "win_running_sum" -> Q(
       (s, d) => T(s, d, "events")
@@ -201,10 +201,10 @@ object AggWindowOps {
           sum(dec(col("value"))).over(userW.rowsBetween(Window.unboundedPreceding, 0))
             .cast("double").as("running_value"))
         .orderBy(col("event_id")),
-      "SELECT event_id, user_id, value, " +
+      usEvents("SELECT event_id, user_id, value, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id " +
         "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-        "AS DOUBLE) AS running_value FROM events ORDER BY event_id"),
+        "AS DOUBLE) AS running_value FROM events ORDER BY event_id")),
 
     // 3-event moving average = exact decimal sum over the frame / frame count.
     "win_moving_avg" -> Q(
@@ -216,10 +216,10 @@ object AggWindowOps {
               count(lit(1)).over(frame)).as("mavg"))
           .orderBy(col("event_id"))
       },
-      "SELECT event_id, user_id, value, " +
+      usEvents("SELECT event_id, user_id, value, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mavg " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY event_id")),
 
     // RANGE frame over event-time seconds: per-user 1h trailing sum — the
     // time-based sibling of the ROWS running sum.
@@ -234,12 +234,12 @@ object AggWindowOps {
             sum(dec(col("value"))).over(w).cast("double").as("trailing_1h"))
           .orderBy(col("event_id"))
       },
-      "SELECT event_id, user_id, epoch_s, " +
+      usEvents("SELECT event_id, user_id, epoch_s, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
         "AS DOUBLE) AS trailing_1h FROM " +
         "(SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS epoch_s " +
-        "FROM events) t ORDER BY event_id"),
+        "FROM events) t ORDER BY event_id")),
 
     // percent_rank/cume_dist: exact rationals — single divisions of ints.
     "win_percent_rank" -> Q(
@@ -280,12 +280,12 @@ object AggWindowOps {
             userW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
             .as("last_value"))
         .orderBy(col("event_id")),
-      "SELECT event_id, user_id, value, " +
+      usEvents("SELECT event_id, user_id, value, " +
         "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS tile, " +
         "first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value, " +
         "last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value " +
-        "FROM events ORDER BY event_id"),
+        "FROM events ORDER BY event_id")),
   )
 }

@@ -17,17 +17,8 @@ import graft.functions.VectorExpressions.dotF
   */
 object DedupOps {
 
-  private val shingleExpr =
-    "transform(sequence(0, size(words) - 3), " +
-      "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
-
-  private val shingleCte =
-    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
-      "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
-      "sh AS (SELECT DISTINCT doc_id, word || ' ' || lead(word, 1) OVER dw || ' ' || " +
-      "lead(word, 2) OVER dw AS s FROM w " +
-      "WINDOW dw AS (PARTITION BY doc_id ORDER BY pos) " +
-      "QUALIFY lead(word, 2) OVER dw IS NOT NULL) "
+  private val shingleExpr = Shingles.sparkExpr
+  private val shingleCte = Shingles.duckCte(distinct = true)
 
   /** Deterministic 64-bit SimHash over a word multiset (stable across JVMs:
     * String.hashCode is specified; byteswap64 mixes it). */
@@ -147,22 +138,9 @@ object DedupOps {
     // Embedding-cosine near-dup: all pairs above a similarity threshold.
     // Same exact-fold dot product + rounding discipline as llm_cosine_topk.
     "llm_emb_near_dedup" -> Q(
-      (s, d) => {
-        val dot = dotF(s) _
-        val e = T(s, d, "embeddings")
-          .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-          col("norm").as("a_norm"))
-          .repartition(s.sparkContext.defaultParallelism)
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-          col("norm").as("b_norm"))
-        a.join(broadcast(b), col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), round(
-            dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 4)
-            .as("sim"))
-          .filter(col("sim") >= 0.35)
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, d) => VectorSim.pairs(s, d, col("a_id") < col("b_id"))
+        .filter(col("sim") >= 0.35)
+        .orderBy(col("a_id"), col("b_id")),
       "SELECT a_id, b_id, sim FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
         "round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
         "(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +

@@ -33,7 +33,7 @@ object EventOps {
       .withColumn("session_seq",
         sum(col("new_session")).over(arrivalW.rowsBetween(Window.unboundedPreceding, 0)))
 
-  private val sessionizeSql: String =
+  private val sessionizeSql: String = usEvents(
     "SELECT user_id, session_seq::BIGINT AS session_seq, COUNT(*) AS n_events, " +
       "MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id, " +
       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value " +
@@ -44,7 +44,7 @@ object EventOps {
       " FROM (SELECT user_id, event_id, value, ts, " +
       "  lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
       "  FROM events) x) y " +
-      "GROUP BY user_id, session_seq ORDER BY user_id, session_seq"
+      "GROUP BY user_id, session_seq ORDER BY user_id, session_seq")
 
   private def sessionAgg(s: SparkSession, d: String): DataFrame =
     sessionized(s, d)
@@ -64,10 +64,10 @@ object EventOps {
         col("total_value"))
       .orderBy(col("bucket"), col("event_type"))
 
-  private val tumblingSql: String =
+  private val tumblingSql: String = usEvents(
     "SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type, COUNT(*) AS n, " +
       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
-      "FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"
+      "FROM events GROUP BY 1, 2 ORDER BY bucket, event_type")
 
   val defs: Seq[(String, Q)] = Seq(
 
@@ -85,12 +85,12 @@ object EventOps {
           (col("signup_ts").isNotNull && col("last_purchase_ts").isNotNull &&
             col("last_purchase_ts") >= col("signup_ts")).as("converted"))
         .orderBy(col("user_id")),
-      "SELECT user_id, signup_ts IS NOT NULL AS did_signup, " +
+      usEvents("SELECT user_id, signup_ts IS NOT NULL AS did_signup, " +
         "(signup_ts IS NOT NULL AND last_purchase_ts IS NOT NULL AND " +
         "last_purchase_ts >= signup_ts) AS converted FROM " +
         "(SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts, " +
         "MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts " +
-        "FROM events GROUP BY user_id) t ORDER BY user_id"),
+        "FROM events GROUP BY user_id) t ORDER BY user_id")),
 
     "evt_tumbling_window_batch" -> Q(tumbling _, tumblingSql),
 
@@ -102,10 +102,10 @@ object EventOps {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("wstart"), col("event_type"), col("n"))
         .orderBy(col("wstart"), col("event_type")),
-      "SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts) / 900) * 900 - k.k * 900 " +
+      usEvents("SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts) / 900) * 900 - k.k * 900 " +
         "AS BIGINT) * INTERVAL 1 SECOND AS wstart, event_type, COUNT(*) AS n " +
         "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k " +
-        "GROUP BY 1, 2 ORDER BY wstart, event_type"),
+        "GROUP BY 1, 2 ORDER BY wstart, event_type")),
 
     // ---- §2.J streaming batch twins ----------------------------------
     // Same aggregation the streaming tumbling query emits after watermark
@@ -132,28 +132,29 @@ object EventOps {
     // Alert on 3 consecutive errors per user (order = ts, event_id), where
     // an event-time gap > 24h resets the run — identical semantics to the
     // flatMapGroupsWithState machine in StreamOps.statefulAlert (its state
-    // timeout doubles as this gap rule). Gap math in epoch seconds.
+    // timeout doubles as this gap rule). Gap math in exact integer µs so
+    // machine, batch twin, and oracle share one arithmetic domain.
     "stream_stateful_alert" -> Q(
       (s, d) => T(s, d, "events")
+        .withColumn("ts_us", expr("unix_micros(ts)"))
         .withColumn("p1", lag(col("event_type"), 1).over(arrivalW))
         .withColumn("p2", lag(col("event_type"), 2).over(arrivalW))
-        .withColumn("g1",
-          col("ts").cast("double") - lag(col("ts"), 1).over(arrivalW).cast("double"))
-        .withColumn("g2",
-          lag(col("ts"), 1).over(arrivalW).cast("double") -
-            lag(col("ts"), 2).over(arrivalW).cast("double"))
+        .withColumn("g1", col("ts_us") - lag(col("ts_us"), 1).over(arrivalW))
+        .withColumn("g2", lag(col("ts_us"), 1).over(arrivalW) -
+          lag(col("ts_us"), 2).over(arrivalW))
         .filter(col("event_type") === "error" && col("p1") === "error" &&
-          col("p2") === "error" && col("g1") <= 86400.0 && col("g2") <= 86400.0)
+          col("p2") === "error" &&
+          col("g1") <= 86400000000L && col("g2") <= 86400000000L)
         .select(col("user_id"), col("event_id"))
         .orderBy(col("user_id"), col("event_id")),
-      "SELECT user_id, event_id FROM (" +
+      usEvents("SELECT user_id, event_id FROM (" +
         "SELECT user_id, event_id, event_type, " +
         "lag(event_type, 1) OVER w AS p1, lag(event_type, 2) OVER w AS p2, " +
-        "epoch(ts) - epoch(lag(ts, 1) OVER w) AS g1, " +
-        "epoch(lag(ts, 1) OVER w) - epoch(lag(ts, 2) OVER w) AS g2 " +
+        "epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS g1, " +
+        "epoch_us(lag(ts, 1) OVER w) - epoch_us(lag(ts, 2) OVER w) AS g2 " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t " +
         "WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error' " +
-        "AND g1 <= 86400.0 AND g2 <= 86400.0 ORDER BY user_id, event_id"),
+        "AND g1 <= 86400000000 AND g2 <= 86400000000 ORDER BY user_id, event_id")),
 
     // Out-of-order arrivals per user: ts behind the running max in arrival
     // (event_id) order — what a watermark would count as late.
@@ -166,10 +167,10 @@ object EventOps {
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("ts") < col("max_prev_ts"), 1L).otherwise(0L)).as("n_late"))
         .orderBy(col("user_id")),
-      "SELECT user_id, COUNT(*) AS n_events, " +
+      usEvents("SELECT user_id, COUNT(*) AS n_events, " +
         "SUM(CASE WHEN ts < max_prev_ts THEN 1 ELSE 0 END)::BIGINT AS n_late FROM " +
         "(SELECT user_id, ts, max(ts) OVER (PARTITION BY user_id ORDER BY event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_ts " +
-        "FROM events) t GROUP BY user_id ORDER BY user_id"),
+        "FROM events) t GROUP BY user_id ORDER BY user_id")),
   )
 }

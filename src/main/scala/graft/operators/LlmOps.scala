@@ -47,31 +47,17 @@ object LlmOps {
     // for the LSH/IVF scale path; sim rounded to 4dp and ranked with vec_id
     // tie-break so both engines rank identical values (SURVEY §7.4).
     "llm_cosine_topk" -> Q(
-      (s, d) => {
-        val dot = dotF(s) _
-        val e = T(s, d, "embeddings")
-          .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-        // The query side is a single tiny parquet split locally — spread it
-        // across all cores so the pair loop parallelizes (on a real cluster
-        // the 100 TB side arrives already partitioned; this is a no-op cost).
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-          col("norm").as("a_norm"))
-          .repartition(s.sparkContext.defaultParallelism)
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-          col("norm").as("b_norm"))
-        a.join(broadcast(b), col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id"), round(
-            dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 4)
-            .as("sim"))
-          // embeddings are dropped BEFORE the rank shuffle: only 24 bytes/row
-          // cross the exchange, and InferWindowGroupLimit keeps top-3/group.
+      (s, d) =>
+        // embeddings are dropped BEFORE the rank shuffle (VectorSim emits
+        // only ids + sim: 24 bytes/row cross the exchange) and
+        // InferWindowGroupLimit keeps top-3 per group below it.
+        VectorSim.pairs(s, d, col("a_id") =!= col("b_id"))
           .withColumn("rn", big(row_number().over(
             Window.partitionBy(col("a_id"))
               .orderBy(col("sim").desc, col("b_id")))))
           .filter(col("rn") <= 3)
           .select(col("a_id"), col("rn"), col("b_id"), col("sim"))
-          .orderBy(col("a_id"), col("rn"))
-      },
+          .orderBy(col("a_id"), col("rn")),
       "SELECT a_id, rn, b_id, sim FROM (SELECT a_id, b_id, sim, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id)::BIGINT AS rn " +
         "FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +

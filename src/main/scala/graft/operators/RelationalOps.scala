@@ -262,10 +262,10 @@ object RelationalOps {
           .select(col("user_id"), col("a_id"), col("b_id"))
           .orderBy(col("user_id"), col("a_id"), col("b_id"))
       },
-      "SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id " +
+      usEvents("SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id " +
         "FROM events a JOIN events b ON a.user_id = b.user_id " +
         "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR " +
-        "ORDER BY a.user_id, a_id, b_id"),
+        "ORDER BY a.user_id, a_id, b_id")),
 
     // As-of enrich: carry the latest preceding 'error' value per user onto
     // every event (window formulation, identical in both engines).
@@ -282,11 +282,11 @@ object RelationalOps {
             col("last_error_value"))
           .orderBy(col("event_id"))
       },
-      "SELECT event_id, user_id, event_type, " +
+      usEvents("SELECT event_id, user_id, event_type, " +
         "last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) " +
         "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value " +
-        "FROM events ORDER BY event_id"),
+        "FROM events ORDER BY event_id")),
 
     // TPC-H Q3-shaped star join: customer ⋈ orders ⋈ lineitem.
     "join_multiway" -> Q(

@@ -18,10 +18,11 @@ object Scale {
     * shuffle is what stops a hot key from pinning one executor. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
       buckets: Int = 16): DataFrame = {
-    // Salt must be deterministic per ROW (not random): derived from a
-    // uniqueness-bearing hash of the whole row's value column + key.
+    // The salt must spread a hot key even when every value is identical
+    // (the classic count-skew case), so it comes from a per-row unique id —
+    // never from the data columns.
     val salted = df.select(key.as("k"), value.as("v"))
-      .withColumn("salt", pmod(xxhash64(col("v")), lit(buckets)))
+      .withColumn("salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     salted
       .groupBy(col("k"), col("salt"))
       .agg(sum(col("v")).as("partial_sum"), count(lit(1)).as("partial_n"))

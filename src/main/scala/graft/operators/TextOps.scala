@@ -28,19 +28,9 @@ object TextOps {
   private val lexiconSqlValues: String =
     lexicon.map { case (w, l) => s"('$w','$l')" }.mkString(", ")
 
-  // 3-word shingles from the single-space tokenized text.
-  private val shingleExpr =
-    "transform(sequence(0, size(words) - 3), " +
-      "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
-
-  // DuckDB twin: words + lead() window == the i/i+1/i+2 shingle.
-  private val shingleCte =
-    "WITH w AS (SELECT doc_id, text, unnest(string_split(text, ' ')) AS word, " +
-      "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
-      "sh AS (SELECT doc_id, text, word || ' ' || lead(word, 1) OVER dw || ' ' || " +
-      "lead(word, 2) OVER dw AS s FROM w " +
-      "WINDOW dw AS (PARTITION BY doc_id ORDER BY pos) " +
-      "QUALIFY lead(word, 2) OVER dw IS NOT NULL) "
+  // 3-word shingles from the single-space tokenized text (shared machinery).
+  private val shingleExpr = Shingles.sparkExpr
+  private val shingleCte = Shingles.duckCte(distinct = false, carryText = true)
 
   val defs: Seq[(String, Q)] = Seq(
 

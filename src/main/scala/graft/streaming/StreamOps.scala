@@ -27,8 +27,14 @@ object StreamOps {
   /** Emitted alert: user raised N consecutive errors. */
   case class Alert(user_id: Long, event_id: Long, run_length: Int)
 
-  /** Per-user state for the consecutive-error machine. */
-  case class ErrorRun(count: Int, lastTsMillis: Long)
+  /** Per-user state for the consecutive-error machine (event time in µs —
+    * the same precision Spark's ts column carries, so the machine, the
+    * batch twin, and the oracle share one arithmetic domain). */
+  case class ErrorRun(count: Int, lastTsMicros: Long)
+
+  /** Timestamp → exact epoch µs (getTime alone truncates to ms). */
+  def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
   /** Tumbling 1h gauge with late-data tolerance (watermark). */
   def tumblingAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
@@ -65,7 +71,7 @@ object StreamOps {
     * after removal the next event starts at run 0, exactly what the gap
     * rule dictates). The reference's signal levels [PK] re-expressed as
     * flatMapGroupsWithState with event-time timeout. */
-  val GapResetMillis: Long = 24 * 3600 * 1000L
+  val GapResetMicros: Long = 24L * 3600L * 1000000L
 
   def statefulAlert(events: Dataset[Event], threshold: Int = 3): Dataset[Alert] = {
     import events.sparkSession.implicits._
@@ -81,13 +87,13 @@ object StreamOps {
           } else {
             // Events inside one micro-batch group arrive unordered — impose
             // deterministic (ts, event_id) order before running the machine.
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var (run, lastTs) = state.getOption
-              .map(s => (s.count, s.lastTsMillis)).getOrElse((0, Long.MinValue))
+              .map(s => (s.count, s.lastTsMicros)).getOrElse((0, Long.MinValue))
             val out = Seq.newBuilder[Alert]
             sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (lastTs != Long.MinValue && t - lastTs > GapResetMillis) run = 0
+              val t = micros(e.ts)
+              if (lastTs != Long.MinValue && t - lastTs > GapResetMicros) run = 0
               if (e.event_type == "error") {
                 run += 1
                 if (run >= threshold) out += Alert(e.user_id, e.event_id, run)
@@ -97,7 +103,7 @@ object StreamOps {
             state.update(ErrorRun(run, lastTs))
             // GC: once the watermark passes lastTs + gap, the run is dead
             // by the gap rule anyway — removal is semantically free.
-            state.setTimeoutTimestamp(lastTs + GapResetMillis)
+            state.setTimeoutTimestamp(lastTs / 1000L + GapResetMicros / 1000L)
             out.result().iterator
           }
       }
@@ -131,13 +137,13 @@ object StreamOps {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Alert] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var (run, lastTs) = Option(runState.get())
-        .map(s => (s.count, s.lastTsMillis)).getOrElse((0, Long.MinValue))
+        .map(s => (s.count, s.lastTsMicros)).getOrElse((0, Long.MinValue))
       val out = Seq.newBuilder[Alert]
       sorted.foreach { e =>
-        val t = e.ts.getTime
-        if (lastTs != Long.MinValue && t - lastTs > GapResetMillis) run = 0
+        val t = micros(e.ts)
+        if (lastTs != Long.MinValue && t - lastTs > GapResetMicros) run = 0
         if (e.event_type == "error") {
           run += 1
           if (run >= threshold) out += Alert(e.user_id, e.event_id, run)
@@ -145,7 +151,24 @@ object StreamOps {
         lastTs = t
       }
       runState.update(ErrorRun(run, lastTs))
+      // GC timer (event-time ms): once the watermark passes lastTs + gap the
+      // run is dead by the gap rule, so removal is semantically free.
+      getHandle.registerTimer(lastTs / 1000L + GapResetMicros / 1000L)
       out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Alert] = {
+      // Stale timers from earlier batches fire too — only clear state when
+      // THIS timer is at/after the live run's expiry.
+      Option(runState.get()).foreach { s =>
+        if (expiredTimerInfo.getExpiryTimeInMs() >=
+            s.lastTsMicros / 1000L + GapResetMicros / 1000L) {
+          runState.clear()
+        }
+      }
+      Iterator.empty
     }
   }
 

@@ -58,6 +58,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  // SURVEY §7.4.5 boundary pin: at a gap of EXACTLY 30:00.000 Spark's
+  // session_window still MERGES (measured here — its close condition is
+  // next > prev + gap, not the half-open [start, start+gap) the survey
+  // hypothesized), which matches the batch rule "split only on gap > 30min"
+  // exactly. stream ≡ batch therefore holds at the knife-edge too.
+  test("session boundary at exactly 30min: batch and session_window both keep") {
+    val base = 1704067200000L
+    def ev(id: Long, sec: Long) =
+      Event(id, new java.sql.Timestamp(base + sec * 1000L), 5L, "click", 1.0)
+    val three = Seq(ev(1, 0), ev(2, 1800), ev(3, 3600))
+    // batch rule: gaps == 1800.0 keep the session open -> 1 session
+    val batchDf = three.toDF()
+      .withColumn("prev_ts", lag($"ts", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy($"ts", $"event_id")))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          $"ts".cast("double") - $"prev_ts".cast("double") > 1800.0, 1L).otherwise(0L))
+    assert(batchDf.agg(sum($"new_session")).head().getLong(0) == 1L)
+    // streaming session_window merges events landing exactly at prev+gap
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionAgg(mem.toDF()).writeStream
+      .outputMode("complete").format("memory").queryName("t_boundary").start()
+    mem.addData(three)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t_boundary").count() == 1L)
+  }
+
   test("stream dedup drops exact replays (at-least-once -> exactly-once)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
