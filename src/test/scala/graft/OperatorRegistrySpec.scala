@@ -20,6 +20,25 @@ class OperatorRegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY.md §2 inventory and SparkEntry stay in sync") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")))
+    // every backticked key in the §2 tables that looks like an operator key
+    val keyPattern = """`([a-z]+(?:_[a-z0-9]+)+)`""".r
+    val prefixes = Seq("scan_", "source_", "sink_", "sql_", "project_",
+      "filter_", "drop_", "join_", "sort_", "topk_", "set_", "agg_", "win_",
+      "fn_", "evt_", "stream_", "llm_", "mm_")
+    val surveyKeys = keyPattern.findAllMatchIn(survey).map(_.group(1))
+      .filter(k => prefixes.exists(k.startsWith)).toSet -
+      // narrative function mentions that are not declared keys
+      "sort_array"
+    val declared = SparkEntry.queries.keySet
+    val undeclared = surveyKeys -- declared
+    assert(undeclared.isEmpty, s"in SURVEY §2 but not implemented: $undeclared")
+    val undocumented = declared -- surveyKeys
+    assert(undocumented.isEmpty, s"implemented but missing from SURVEY: $undocumented")
+  }
+
   // Every declared query must execute; join_anti legitimately returns 0
   // rows at sf0.001 (all customers have orders).
   private val mayBeEmpty = Set("join_anti")
