@@ -40,6 +40,28 @@ object DedupOps {
     docs.withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), simhash64(col("words")).as("simhash"))
 
+  /** SimHash near-dup pairs: 4×16-bit LSH bands make candidates (two docs
+    * within hamming distance 3 of 64 bits must agree on >= 1 band), then the
+    * exact hamming filter runs on native bit_count — no UDF in the filter. */
+  def simhashPairs(docs: org.apache.spark.sql.DataFrame,
+      maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sigs = simhashOf(docs)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bkey")))
+    val x = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("band"), col("bkey"))
+    val y = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("band"), col("bkey"))
+    x.join(y, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash+LSH candidate pairs over any (doc_id, text) corpus: 3-word
     * shingles → 8 min-signatures → 4 bands of 2 → pairs via band equi-join
     * (the keyed shuffle that replaces all-pairs).

@@ -19,6 +19,10 @@ class DedupSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(m(1L), m(2L)) <= 8, s"near-dups too far: ${hamming(m(1L), m(2L))}")
     assert(hamming(m(1L), m(3L)) > 12, s"unrelated too close: ${hamming(m(1L), m(3L))}")
+    // end-to-end pair extraction: band join + native bit_count filter
+    val pairs = graft.operators.DedupOps.simhashPairs(df, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly the planted pair, got $pairs")
   }
 
   test("minhash banding surfaces planted near-duplicates") {
