@@ -187,17 +187,20 @@ object StreamOps {
     * bounds event time on both ends, so Spark can expire state — the only
     * formulation that survives unbounded streams. */
   def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes", joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
     val p = purchases.withWatermark("ts", watermark)
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
+    // leftOuter: an unmatched purchase is emitted null-padded once the
+    // watermark guarantees no matching click can still arrive.
     p.join(c,
       col("p_user") === col("c_user") &&
         col("click_ts") < col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 }

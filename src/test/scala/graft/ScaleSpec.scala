@@ -21,6 +21,27 @@ class ScaleSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))))
   }
 
+  test("dynamic partition pruning reaches a partitioned fact scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val o = T(spark, sf001, "orders").withColumn("o_year", year($"o_orderdate"))
+    o.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP wants a FILTERED, file-backed dim side (the filter becomes the
+    // runtime partition-pruning subquery on the fact scan; local relations
+    // are skipped by the benefit estimator).
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    (1990 to 2005).map(y => (y, s"era_${y / 2 * 2}")).toDF("dy", "label")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.hint("broadcast").filter($"label" === "era_1996"),
+      $"o_year" === $"dy")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery in partition filters:\n$plan")
+    assert(joined.count() ==
+      o.filter($"o_year".isin(1996, 1997)).count())
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     val li = T(spark, sf001, "lineitem").select($"l_orderkey", $"l_quantity")

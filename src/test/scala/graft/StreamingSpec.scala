@@ -189,6 +189,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream LEFT OUTER join null-pads unmatched once watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def ev(id: Long, minute: Long, typ: String, user: Long = 3L) =
+      Event(id, new java.sql.Timestamp(base + minute * 60000L), user, typ, 1.0)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickToPurchase(clicks.toDF(), purchases.toDF(),
+      joinType = "leftOuter").writeStream
+      .outputMode("append").format("memory").queryName("t_ssj_lo").start()
+    clicks.addData(Seq(ev(1, 0, "click")))
+    purchases.addData(Seq(
+      ev(10, 30, "purchase"),        // matched: click 30min before
+      ev(11, 200, "purchase", 9L)))  // no click for user 9 -> null-padded
+    q.processAllAvailable()
+    // push the watermark far past purchase 11 + 1h so its join state closes
+    clicks.addData(Seq(ev(2, 600, "click")))
+    purchases.addData(Seq(ev(12, 600, "purchase", 7L)))
+    q.processAllAvailable()
+    clicks.addData(Seq(ev(3, 2000, "click")))
+    purchases.addData(Seq(ev(13, 2000, "purchase", 8L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_ssj_lo")
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toMap
+    assert(rows(10L).contains(1L), s"matched purchase lost: $rows")
+    assert(rows.contains(11L) && rows(11L).isEmpty,
+      s"unmatched purchase not null-padded after watermark close: $rows")
+  }
+
   test("late rows beyond the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704067200000L
