@@ -63,6 +63,17 @@ object AggWindowOps {
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    // KMV raw-buffer sketch (TypedImperativeAggregate, SURVEY §2.L): exact
+    // below k=256 distinct, bounded-error above; partition-order-independent.
+    // Engine-specific sketch, so no oracle; KmvSpec pins it to exact counts.
+    "agg_kmv_distinct" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvDistinct.kmvDistinct(s)(col("user_id"))
+          .as("kmv_users"))
+        .orderBy(col("event_type")),
+      None),
+
     // HLL++ sketch — non-portable across engines, so no oracle (SURVEY §2.D).
     "agg_approx_distinct" -> Q(
       (s, d) => T(s, d, "events")
