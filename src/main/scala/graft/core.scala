@@ -63,8 +63,15 @@ object Dsl {
     * DuckDB otherwise keeps the parquet ns precision and a comparison can
     * flip within 1µs of a boundary. Rewrites the oracle to read from a
     * µs-truncated CTE of the events table. */
-  def usEvents(sql: String): String =
-    "WITH events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, " +
-      "user_id, event_type, value, props FROM events) " +
+  def usEvents(sql: String): String = {
+    val rewritten =
       sql.replace("FROM events", "FROM events_us").replace("JOIN events", "JOIN events_us")
+    // Fail loudly at registry-construction time rather than silently keeping
+    // ns-precision reads: a spacing/casing/comma-join variant that dodges the
+    // replace would produce a subtly wrong oracle, not an error.
+    require(rewritten != sql,
+      s"usEvents: no 'FROM events'/'JOIN events' occurrence rewritten in: $sql")
+    "WITH events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, " +
+      "user_id, event_type, value, props FROM events) " + rewritten
+  }
 }

@@ -96,10 +96,12 @@ object KmvDistinct {
       java.lang.Long.compareUnsigned(a, b)
   }
 
-  private val fnName = "graft_kmv_distinct"
-
-  /** Column handle via the function registry (like VectorExpressions). */
+  /** Column handle via the function registry (like VectorExpressions).
+    * k is encoded in the registered name: two aggregations built with
+    * different k before analysis would otherwise both bind to whichever
+    * registration ran last. */
   def kmvDistinct(spark: SparkSession, k: Int = 256)(c: Column): Column = {
+    val fnName = s"graft_kmv_distinct_$k"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => KmvDistinct(exprs.head, k).toAggregateExpression(),
       "built-in")

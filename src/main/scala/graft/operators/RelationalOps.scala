@@ -14,6 +14,12 @@ import graft.Dsl._
   */
 object RelationalOps {
 
+  /** Fixed per-query scratch path, overwritten each run — repeated
+    * bench/verify invocations must not accumulate temp copies in /tmp. */
+  private def scratch(name: String): String =
+    new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_scratch"), name).toString
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ---- §2.A scans --------------------------------------------------
@@ -39,8 +45,7 @@ object RelationalOps {
     // Durable sink: write to a temp parquet dir, read it back (round-trip).
     "sink_parquet" -> Q(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_sink").resolve("events").toString
+        val tmp = scratch("sink_parquet_events")
         T(s, d, "events")
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .write.mode("overwrite").parquet(tmp)
@@ -61,8 +66,7 @@ object RelationalOps {
     // (the reference's file-tailing agent reads delimited logs [PK]).
     "source_csv_roundtrip" -> Q(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_csv").resolve("nation").toString
+        val tmp = scratch("source_csv_nation")
         T(s, d, "nation").write.mode("overwrite")
           .option("header", "true").csv(tmp)
         s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -75,8 +79,7 @@ object RelationalOps {
     // Doubles survive: Spark writes shortest round-trip representations.
     "source_json_roundtrip" -> Q(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_json").resolve("part").toString
+        val tmp = scratch("source_json_part")
         T(s, d, "part").write.mode("overwrite").json(tmp)
         s.read.schema("p_partkey LONG, p_name STRING, p_brand STRING, " +
             "p_type STRING, p_size INT, p_retailprice DOUBLE").json(tmp)

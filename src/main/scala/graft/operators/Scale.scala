@@ -40,8 +40,12 @@ object Scale {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       // DROP leaves the managed location behind if a previous run aborted —
       // clear it so saveAsTable never hits LOCATION_ALREADY_EXISTS.
-      val wh = new java.io.File(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+      // URI.getPath is null for opaque/relative warehouse configs — fall
+      // back to the raw string rather than NPE inside new File(null, name).
+      val whConf = spark.conf.get("spark.sql.warehouse.dir")
+      val whPath = Option(new java.net.URI(whConf).getPath)
+        .filter(_.nonEmpty).getOrElse(whConf)
+      val wh = new java.io.File(whPath, name)
       if (wh.exists()) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
