@@ -185,5 +185,47 @@ object FnOps {
         "CASE WHEN event_type = 'purchase' THEN 2 WHEN event_type = 'signup' THEN 1 " +
         "ELSE 0 END::BIGINT AS type_code " +
         "FROM events ORDER BY event_id"),
+
+    // Higher-order-function suite: filter/exists/forall/aggregate lambdas
+    // over the embedding arrays vs DuckDB list_* lambdas. Determinism: the
+    // fold sums exact BIGINTs (floor of the float scaled by 1000 — floor,
+    // not round: a float*1000 can land exactly on .5 and the engines break
+    // ties differently). HOFs don't codegen, which is why they live HERE
+    // and are banned from hot paths (PERF.md); this key is the semantics
+    // coverage for the occasional cold-path use.
+    "fn_hof_suite" -> Q(
+      (s, d) => T(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("cast(size(filter(embedding, x -> x > 0D)) as bigint)")
+            .as("n_pos"),
+          expr("exists(embedding, x -> x > 2D)").as("any_gt2"),
+          expr("forall(embedding, x -> abs(x) < 100D)").as("all_small"),
+          expr("aggregate(embedding, 0L, (acc, x) -> " +
+            "acc + cast(floor(cast(x as double) * 1000) as bigint))").as("isum"))
+        .orderBy(col("vec_id")),
+      "SELECT vec_id, " +
+        "len(list_filter(embedding::DOUBLE[], x -> x > 0))::BIGINT AS n_pos, " +
+        "(len(list_filter(embedding::DOUBLE[], x -> x > 2.0)) > 0) AS any_gt2, " +
+        "(len(list_filter(embedding::DOUBLE[], x -> NOT (abs(x) < 100))) = 0) AS all_small, " +
+        "list_sum(list_transform(embedding::DOUBLE[], x -> floor(x * 1000)::BIGINT))::BIGINT AS isum " +
+        "FROM embeddings ORDER BY vec_id"),
+
+    // Array generation: sequence/generate_series parity (the reference's
+    // synthetic-fanout instruction [PK]) — folded/joined to scalars so the
+    // comparison never ships raw array columns across engines.
+    "fn_sequence_array" -> Q(
+      (s, d) => T(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          expr("cast(size(sequence(0, n_regionkey)) as bigint)").as("seq_len"),
+          expr("cast(aggregate(sequence(0, n_regionkey + 2), 0L, " +
+            "(acc, x) -> acc + x) as bigint)").as("seq_sum"),
+          expr("array_join(transform(sequence(1, 3), x -> cast(x as string)), ',')")
+            .as("seq_str"))
+        .orderBy(col("n_nationkey")),
+      "SELECT n_nationkey, n_name, " +
+        "len(generate_series(0, n_regionkey))::BIGINT AS seq_len, " +
+        "list_sum(generate_series(0, n_regionkey + 2))::BIGINT AS seq_sum, " +
+        "array_to_string(generate_series(1, 3), ',') AS seq_str " +
+        "FROM nation ORDER BY n_nationkey"),
   )
 }

@@ -298,5 +298,103 @@ object AggWindowOps {
         "last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value " +
         "FROM events ORDER BY event_id")),
+
+    // IGNORE NULLS navigation: previous/first/2nd non-error value per user
+    // (the reference's carry-last-good-reading gauge [PK]). DuckDB spells
+    // IGNORE NULLS inside the call parens; frames pinned to ROWS in both.
+    "win_ignore_nulls" -> Q(
+      (s, d) => {
+        val okValue = when(col("event_type") === "error", lit(null))
+          .otherwise(col("value"))
+        val cum = userW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, d, "events")
+          .withColumn("ok_value", okValue)
+          .select(col("event_id"), col("user_id"), col("ok_value"),
+            lag(col("ok_value"), 1, null, ignoreNulls = true).over(userW)
+              .as("prev_ok"),
+            first(col("ok_value"), ignoreNulls = true).over(cum).as("first_ok"),
+            nth_value(col("ok_value"), 2, ignoreNulls = true).over(cum)
+              .as("second_ok"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, user_id, ok_value, " +
+        "lag(ok_value, 1 IGNORE NULLS) OVER w AS prev_ok, " +
+        "first_value(ok_value IGNORE NULLS) OVER wc AS first_ok, " +
+        "nth_value(ok_value, 2 IGNORE NULLS) OVER wc AS second_ok " +
+        "FROM (SELECT event_id, user_id, ts, " +
+        "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS ok_value " +
+        "FROM events) e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), " +
+        "wc AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id")),
+
+    // Correlation / covariance / stddev per group from EXACT integer moment
+    // sums (quantity is integral; price becomes exact cents; the y² sum
+    // needs 128-bit — DECIMAL(38,0) in both engines). The final formulas run
+    // on identical IEEE-double expression trees over identical inputs, so
+    // results are bit-exact cross-engine — no accumulation-order drift, no
+    // rounding fudge. Integer-valued (scale-0) decimals convert to double
+    // identically; fractional-scale decimals would not (SURVEY §7.4).
+    "agg_corr_regr" -> Q(
+      (s, d) => {
+        val moments = T(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("xq"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("yc"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("xq")).as("sx"), sum(col("yc")).as("sy"),
+            sum(col("xq") * col("xq")).as("sxx"),
+            sum(col("xq") * col("yc")).as("sxy"),
+            sum(col("yc").cast("decimal(19,0)") * col("yc").cast("decimal(19,0)"))
+              .as("syy"))
+        moments.select(col("l_returnflag"), col("n"),
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")).as("cov_num"),
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")).as("var_x"),
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double")).as("var_y"))
+          .select(col("l_returnflag"), col("n"),
+            (col("cov_num") / (sqrt(col("var_x")) * sqrt(col("var_y"))))
+              .as("corr_qty_price"),
+            (col("cov_num") / (col("n").cast("double") *
+              (col("n").cast("double") - 1.0))).as("covar_samp_cents"),
+            sqrt(col("var_x") / (col("n").cast("double") *
+              (col("n").cast("double") - 1.0))).as("stddev_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      "SELECT l_returnflag, n, " +
+        "cov_num / (sqrt(var_x) * sqrt(var_y)) AS corr_qty_price, " +
+        "cov_num / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS covar_samp_cents, " +
+        "sqrt(var_x / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty " +
+        "FROM (SELECT l_returnflag, n, " +
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_num, " +
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x, " +
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y " +
+        "FROM (SELECT l_returnflag, COUNT(*) AS n, SUM(xq) AS sx, SUM(yc) AS sy, " +
+        "SUM(xq * xq) AS sxx, SUM(xq * yc) AS sxy, " +
+        "SUM(yc19 * yc19) AS syy " +
+        "FROM (SELECT l_returnflag, l_quantity::BIGINT AS xq, " +
+        "round(l_extendedprice * 100, 0)::BIGINT AS yc, " +
+        "round(l_extendedprice * 100, 0)::DECIMAL(19,0) AS yc19 " +
+        "FROM lineitem) t GROUP BY l_returnflag) m) f ORDER BY l_returnflag"),
+
+    // Boolean and bitwise aggregates per event type (ref: all-healthy /
+    // any-alarm gauge rollups plus permission-mask folds [PK]).
+    "agg_bool_bit" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("bool_and(value > 1)").as("all_gt1"),
+          expr("bool_or(value > 500)").as("any_gt500"),
+          expr("bit_and(user_id)").as("uid_and"),
+          expr("bit_or(user_id)").as("uid_or"),
+          expr("bit_xor(user_id)").as("uid_xor"))
+        .orderBy(col("event_type")),
+      "SELECT event_type, bool_and(value > 1) AS all_gt1, " +
+        "bool_or(value > 500) AS any_gt500, bit_and(user_id) AS uid_and, " +
+        "bit_or(user_id) AS uid_or, bit_xor(user_id) AS uid_xor " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }

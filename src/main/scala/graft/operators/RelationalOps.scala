@@ -23,16 +23,24 @@ object RelationalOps {
   val defs: Seq[(String, Q)] = Seq(
 
     // ---- §2.A scans --------------------------------------------------
+    // NOTE on lineitem ordering, here and below: (l_orderkey, l_linenumber)
+    // is NOT unique in the synthetic data (~24% dup pairs, all sfs);
+    // (l_orderkey, l_linenumber, l_quantity, l_extendedprice) IS (verified
+    // at sf0.001/0.01/0.1). Sorts below append enough keys that any
+    // remaining tie is between identical emitted rows — round-1 passes
+    // relied on both engines' sorts happening to be stable.
     "scan_parquet" -> Q(
-      (s, d) => T(s, d, "lineitem").orderBy(col("l_orderkey"), col("l_linenumber")),
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+      (s, d) => T(s, d, "lineitem").orderBy(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+      "SELECT * FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"),
 
     "scan_projected" -> Q(
       (s, d) => T(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
-        "ORDER BY l_orderkey, l_linenumber"),
+        "ORDER BY l_orderkey, l_linenumber, l_quantity"),
 
     // Batch replay twin of the streaming rate/gate source (real streaming
     // ingestion lives in graft.streaming and its specs).
@@ -126,20 +134,21 @@ object RelationalOps {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
         .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice")),
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, " +
         "l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem " +
-        "ORDER BY l_orderkey, l_linenumber"),
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"),
 
     "filter_predicate" -> Q(
       (s, d) => T(s, d, "lineitem")
         .filter(col("l_quantity") > 24 && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem " +
         "WHERE l_quantity > 24 AND l_returnflag = 'R' " +
-        "ORDER BY l_orderkey, l_linenumber"),
+        "ORDER BY l_orderkey, l_linenumber, l_quantity"),
 
     "filter_regex" -> Q(
       (s, d) => T(s, d, "part")
@@ -164,10 +173,11 @@ object RelationalOps {
           "l_tax", "l_shipdate", "l_linestatus")
         .withColumnRenamed("l_orderkey", "order_id")
         .withColumnRenamed("l_quantity", "qty")
-        .orderBy(col("order_id"), col("l_linenumber")),
+        .orderBy(col("order_id"), col("l_linenumber"), col("qty"),
+          col("l_returnflag")),
       "SELECT l_orderkey AS order_id, l_linenumber, qty, l_returnflag FROM " +
         "(SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_returnflag " +
-        "FROM lineitem) t ORDER BY order_id, l_linenumber"),
+        "FROM lineitem) t ORDER BY order_id, l_linenumber, qty, l_returnflag"),
 
     // ---- §2.C joins ---------------------------------------------------
     "join_inner_hash" -> Q(
@@ -177,11 +187,11 @@ object RelationalOps {
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
             col("o_orderstatus"), col("l_quantity"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       },
       "SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus, " +
         "l.l_quantity FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
-        "ORDER BY l.l_orderkey, l.l_linenumber"),
+        "ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity"),
 
     "join_left_outer" -> Q(
       (s, d) => {
@@ -245,11 +255,12 @@ object RelationalOps {
         li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
           .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
             col("l_quantity"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+            col("l_quantity"))
       },
       "SELECT l.l_orderkey, l.l_linenumber, p.p_brand, l.l_quantity " +
         "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
-        "ORDER BY l.l_orderkey, l.l_linenumber"),
+        "ORDER BY l.l_orderkey, l.l_linenumber, p.p_brand, l.l_quantity"),
 
     // Band self-join: same user, strictly-later event within one hour.
     // Equi-key user_id keeps it a hash/SMJ join with a range residual, not BNLJ.
