@@ -172,5 +172,55 @@ object EventOps {
         "(SELECT user_id, ts, max(ts) OVER (PARTITION BY user_id ORDER BY event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_ts " +
         "FROM events) t GROUP BY user_id ORDER BY user_id")),
+
+    // Cohort retention: users bucketed by first-active day, counted on each
+    // later active day (ref: the engagement dashboard a gauge feeds [PK]).
+    // Two keyed aggregations + one equi-join — the per-(cohort, offset)
+    // matrix is tiny at any scale; the user-day distinct is the only
+    // data-sized shuffle. Day-level buckets are immune to the ns→µs
+    // truncation (an event within 1µs below midnight truncates to the
+    // same day in both engines).
+    "evt_retention_cohort" -> Q(
+      (s, d) => {
+        val act = T(s, d, "events")
+          .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+          .distinct()
+        val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        act.join(first, "user_id")
+          .groupBy(
+            // DATE round-trips as python date from Spark parquet but as a
+            // Timestamp from DuckDB's .df() — emit TIMESTAMP in both
+            // (same convention as fn_date_arith).
+            col("cohort_day").cast("timestamp").as("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      "WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day " +
+        "FROM events), " +
+        "fst AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id) " +
+        "SELECT f.cohort_day::TIMESTAMP AS cohort_day, " +
+        "date_diff('day', f.cohort_day, a.day)::BIGINT AS day_offset, " +
+        "count(DISTINCT a.user_id)::BIGINT AS n_users " +
+        "FROM act a JOIN fst f ON a.user_id = f.user_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Event-type transition counts (path bigrams): the 2-step funnel matrix
+    // a path-analysis view renders. One window pass + one small aggregate.
+    "evt_path_bigrams" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_type"),
+          lag(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+            .as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("prev_type"), col("curr_type")),
+      usEvents("SELECT prev_type, event_type AS curr_type, COUNT(*)::BIGINT AS n " +
+        "FROM (SELECT event_type, lag(event_type, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) t " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2 " +
+        "ORDER BY n DESC, prev_type, curr_type")),
   )
 }

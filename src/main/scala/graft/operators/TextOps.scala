@@ -129,5 +129,102 @@ object TextOps {
       shingleCte +
         "SELECT doc_id, md5(min(text)) AS text_md5, min(md5(s)) AS min_shingle_md5, " +
         "max(md5(s)) AS max_shingle_md5 FROM sh GROUP BY doc_id ORDER BY doc_id"),
+
+    // Repetition score: 1 - distinct/total 3-gram shingles — the repeated-
+    // n-gram quality filter an LLM-data pipeline runs before training.
+    // One explode + one hash aggregate; ratio is a single double division
+    // over exact counts.
+    "llm_repetition" -> Q(
+      (s, d) => T(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct(col("s")).as("n_distinct"))
+        .withColumn("repetition", lit(1.0) -
+          col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+        .orderBy(col("doc_id")),
+      Shingles.duckCte(distinct = false) +
+        "SELECT doc_id, COUNT(*)::BIGINT AS n_shingles, " +
+        "COUNT(DISTINCT s)::BIGINT AS n_distinct, " +
+        "1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+        "AS repetition FROM sh GROUP BY doc_id ORDER BY doc_id"),
+
+    // Benchmark-contamination check: fraction of each candidate doc's
+    // distinct shingles that appear anywhere in the benchmark slice
+    // (doc_id < 25 stands in for the held-out eval set). The shingle
+    // equi-join (semi) is the keyed shuffle that replaces scanning the
+    // benchmark per candidate — the shape that survives a 100 TB corpus
+    // against a fixed benchmark set (which would broadcast).
+    "llm_contamination" -> Q(
+      (s, d) => {
+        val sh = T(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 3)
+          .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+          .distinct()
+        val bench = sh.filter(col("doc_id") < 25).select(col("s")).distinct()
+        val cand = sh.filter(col("doc_id") >= 25)
+        val tot = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        val hits = cand.join(bench, Seq("s"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+        tot.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+          .withColumn("contamination",
+            col("n_contam").cast("double") / col("n_shingles").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Shingles.duckCte(distinct = true) +
+        ", b AS (SELECT DISTINCT s FROM sh WHERE doc_id < 25), " +
+        "c AS (SELECT doc_id, s FROM sh WHERE doc_id >= 25), " +
+        "tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM c GROUP BY 1), " +
+        "hit AS (SELECT doc_id, COUNT(*) AS n_contam FROM c " +
+        "WHERE s IN (SELECT s FROM b) GROUP BY 1) " +
+        "SELECT t.doc_id, t.n_shingles::BIGINT AS n_shingles, " +
+        "COALESCE(h.n_contam, 0)::BIGINT AS n_contam, " +
+        "CAST(COALESCE(h.n_contam, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) " +
+        "AS contamination FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id " +
+        "ORDER BY t.doc_id"),
+
+    // Stratified deterministic sampling: EXACTLY ceil(25%) of every lang
+    // stratum, chosen by md5 rank — reproducible across engines,
+    // partitionings, and reruns (rand()/TABLESAMPLE are none of these).
+    // One window pass per stratum; no collect, no global sort.
+    "llm_stratified_sample" -> Q(
+      (s, d) => {
+        val byLang = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+        T(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("rn", row_number().over(byLang))
+          .withColumn("n_lang", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+          .filter(col("rn") <= expr("(n_lang + 3) div 4"))
+          .select(col("doc_id"), col("lang"), big(col("rn")).as("rn"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, lang, rn FROM (" +
+        "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS n_lang FROM documents) t " +
+        "WHERE rn <= (n_lang + 3) // 4 ORDER BY doc_id"),
+
+    // PII-style redaction: digit runs masked, hit counts kept (the scrub +
+    // audit-trail pair). Runs on the JSON props column — the dynamic-schema
+    // payload a real pipeline scrubs before training.
+    "llm_pii_redact" -> Q(
+      (s, d) => T(s, d, "events")
+        .filter(col("props").isNotNull)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("redacted"),
+          expr("cast(size(regexp_extract_all(props, '[0-9]+', 0)) as bigint)")
+            .as("n_hits"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS redacted, " +
+        "len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_hits " +
+        "FROM events WHERE props IS NOT NULL ORDER BY event_id"),
   )
 }
