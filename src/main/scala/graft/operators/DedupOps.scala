@@ -104,34 +104,39 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Exact Jaccard over candidate pairs sharing >= 1 distinct shingle: the
+    * equi-join on the shingle key is what keeps this far from all-pairs.
+    * Returns (doc_a, doc_b, inter, jaccard); score is one double division
+    * over exact ints. Shared by the top-k report and the cluster builder. */
+  private def jaccardScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val sh = T(s, d, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.withColumnRenamed("doc_id", "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b"), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Exact n-gram Jaccard on candidate pairs that share >= 1 shingle —
-    // the candidate equi-join keeps it far from all-pairs. Top-50 by
-    // similarity; the score is one double division over exact ints.
+    // top-50 by similarity.
     "llm_ngram_jaccard" -> Q(
-      (s, d) => {
-        val sh = T(s, d, "documents")
-          .withColumn("words", split(col("text"), " "))
-          .filter(size(col("words")) >= 3)
-          .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
-          .distinct()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val inter = sh.withColumnRenamed("doc_id", "doc_a")
-          .join(sh.withColumnRenamed("doc_id", "doc_b"), "s")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "doc_a")
-            .withColumnRenamed("n_sh", "na"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("n_sh", "nb"), "doc_b")
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-          .limit(50)
-      },
+      (s, d) => jaccardScored(s, d)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(50),
       shingleCte +
         "SELECT doc_a, doc_b, inter, jaccard FROM (" +
         "SELECT i.doc_a, i.doc_b, i.inter, " +
@@ -223,5 +228,130 @@ object DedupOps {
           .orderBy(col("a_id"), col("rn"))
       },
       None),
+
+    // Dedup cluster assignment: connected components over the jaccard≥0.5
+    // near-dup edge set via iterative min-label propagation — every doc gets
+    // the min doc_id of its component as cluster_id (the canonical
+    // representative a dedup pipeline keeps). Each round is one keyed
+    // shuffle (neighbor-min aggregate + left join); lineage is cut per
+    // round with localCheckpoint so plans stay O(1) deep. Converges in
+    // O(component diameter) rounds — near-dup clusters are shallow; a
+    // web-scale graph would switch to the large-star/small-star variant
+    // of the same loop. Oracle: DuckDB recursive CTE reachability.
+    "llm_dedup_clusters" -> Q(
+      (s, d) => {
+        val pairs = jaccardScored(s, d).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = pairs
+          .union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst").cache()
+        var labels = T(s, d, "documents")
+          .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+        var changed = true
+        var iter = 0
+        while (changed && iter < 25) {
+          val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+            .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+          val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+            .select(labels("doc_id"),
+              least(col("label"), coalesce(col("nbr_label"), col("label")))
+                .as("label"))
+            .localCheckpoint()
+          changed = next.as("n")
+            .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+            .filter(col("n.label") =!= col("p.label"))
+            .limit(1).count() > 0
+          labels = next
+          iter += 1
+        }
+        edges.unpersist(false)
+        labels.select(col("doc_id"), col("label").as("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      "WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, word || ' ' || lead(word, 1) OVER dw || ' ' || " +
+        "lead(word, 2) OVER dw AS s FROM w " +
+        "WINDOW dw AS (PARTITION BY doc_id ORDER BY pos) " +
+        "QUALIFY lead(word, 2) OVER dw IS NOT NULL), " +
+        "pairs AS (SELECT i.doc_a, i.doc_b FROM " +
+        "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i " +
+        "JOIN (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1) sa ON sa.doc_id = i.doc_a " +
+        "JOIN (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1) sb ON sb.doc_id = i.doc_b " +
+        "WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5), " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "walk(doc_id, label) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT e.a, w2.label FROM edges e JOIN walk w2 ON w2.doc_id = e.b) " +
+        "SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id " +
+        "ORDER BY doc_id"),
+
+    // IVF-style ANN: a 10-vector coarse codebook (vec_id < 10 — fixed, so
+    // fully deterministic and oracle-able), each vector assigned to its
+    // nearest cell, each query probing its top-2 cells. Exact cosine ranks
+    // only the probed cells' members: candidates drop from n² to
+    // n·(cells probed / cells) — the scale path when LSH recall is not
+    // enough. Codebook and corpus sides broadcast; the candidate join is
+    // keyed on cell.
+    "llm_ivf_ann" -> Q(
+      (s, d) => {
+        val dot = dotF(s) _
+        val e = T(s, d, "embeddings")
+          .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+        val cents = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+            col("norm").as("cnorm"))
+        val ranked = e.select(col("vec_id"), col("embedding"), col("norm"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
+              .as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
+        val assign = ranked.filter(col("rn") === 1)
+          .select(col("vec_id").as("t_id"), col("cid").as("cell"))
+        val probes = ranked.filter(col("rn") <= 2)
+          .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+        val cand = probes.join(assign, Seq("cell"))
+          .filter(col("q_id") =!= col("t_id"))
+          .select(col("q_id"), col("t_id")).distinct()
+        val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))
+        val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+          col("norm").as("t_norm"))
+        cand.join(broadcast(qs), "q_id").join(broadcast(ts), "t_id")
+          .select(col("q_id"), col("t_id"),
+            (dot(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+              .as("rawsim"))
+          .withColumn("rn", big(row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("rawsim").desc, col("t_id")))))
+          .filter(col("rn") <= 3)
+          .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
+            round(col("rawsim"), 4).as("sim"))
+          .orderBy(col("a_id"), col("rn"))
+      },
+      "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "asim AS (SELECT v.vec_id, c.cid, list_inner_product(v.emb, c.cemb) / " +
+        "(sqrt(list_inner_product(v.emb, v.emb)) * " +
+        "sqrt(list_inner_product(c.cemb, c.cemb))) AS sim FROM v CROSS JOIN c), " +
+        "ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY sim DESC, cid) AS rn FROM asim), " +
+        "assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1), " +
+        "probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2), " +
+        "cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS t_id " +
+        "FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id), " +
+        "scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
+        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
+        "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +
+        "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id) " +
+        "SELECT q_id AS a_id, rn, t_id AS b_id, round(rawsim, 4) AS sim FROM " +
+        "(SELECT q_id, t_id, rawsim, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY rawsim DESC, t_id)::BIGINT AS rn FROM scored) z " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, T}
+import graft.Dsl._
+import graft.streaming.StreamOps
+
+/** Declared query keys for the 100 TB scale levers in [[Scale]] and the
+  * stream–stream join in [[graft.streaming.StreamOps]]: each key's RESULT is
+  * oracle-checked against the plain formulation, proving the scale technique
+  * is a pure physical rewrite; the PLAN properties (no exchange under the
+  * bucketed join, salted two-phase shape, partition pruning) are asserted in
+  * ScaleSpec.
+  */
+object ScaleOps {
+
+  private def scratch(name: String): String =
+    new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_scratch"), name).toString
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // Co-located join: both sides written bucketed+sorted on the join key,
+    // so the join itself needs NO shuffle at read time — at 100 TB this is
+    // the lever that turns a nightly fact-to-fact join into a map-side
+    // merge. Result == plain join (the oracle proves it).
+    "scale_bucketed_join" -> Q(
+      (s, d) => {
+        val li = T(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        val o = T(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        Scale.bucketedJoin(s, li, o, "l_orderkey", 8,
+            "graft_scale_li", "graft_scale_o")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_orderkey"))
+      },
+      "SELECT l.l_orderkey, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    // Skew-safe two-phase aggregation: 5 hot group keys spread over 16
+    // salts before combining. Result == plain GROUP BY; decimal partials
+    // keep the two-phase double sum exact.
+    "scale_salted_agg" -> Q(
+      (s, d) => Scale.saltedSumCount(T(s, d, "events"),
+          col("event_type"), dec(col("value")), 16)
+        .select(col("k").as("event_type"),
+          col("total").cast("double").as("total_value"), col("n"))
+        .orderBy(col("event_type")),
+      "SELECT event_type, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value, " +
+        "COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"),
+
+    // Partition pruning: events written partitioned by event_type, read
+    // back with a partition filter — the scan touches 1/5 of the files
+    // (plan-asserted in ScaleSpec). Result == plain filtered scan.
+    "scan_partition_pruned" -> Q(
+      (s, d) => {
+        val p = scratch("scan_partitioned_events")
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(p)
+        s.read.parquet(p)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT event_id, user_id, value FROM events " +
+        "WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    // Batch twin of the watermarked stream–stream interval join
+    // (StreamOps.clickToPurchase; stream ≡ batch asserted in
+    // StreamingSpec): purchases joined to same-user clicks in the
+    // preceding hour. withWatermark is a no-op on batch frames.
+    "stream_join_interval" -> Q(
+      (s, d) => {
+        val e = T(s, d, "events")
+        StreamOps.clickToPurchase(
+            e.filter(col("event_type") === "click"),
+            e.filter(col("event_type") === "purchase"))
+          .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+      },
+      usEvents("SELECT p.user_id, p.event_id AS purchase_id, " +
+        "c.event_id AS click_id FROM events p JOIN events c " +
+        "ON p.user_id = c.user_id AND c.ts < p.ts " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR " +
+        "WHERE p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "ORDER BY p.user_id, purchase_id, click_id")),
+  )
+}
