@@ -227,5 +227,48 @@ object FnOps {
         "list_sum(generate_series(0, n_regionkey + 2))::BIGINT AS seq_sum, " +
         "array_to_string(generate_series(1, 3), ',') AS seq_str " +
         "FROM nation ORDER BY n_nationkey"),
+
+    // URL parsing (the reference's log-pipeline URL/useragent filters
+    // [PK]): host / path / query-param extraction. Spark has parse_url,
+    // but identical regexes in both engines keep the oracle portable —
+    // and the regexes ARE the semantics being claimed.
+    "fn_url_suite" -> Q(
+      (s, d) => T(s, d, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/"), col("doc_id"),
+          lit("?q="), col("lang"), lit("&n="), col("n_chars")))
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+          regexp_extract(col("url"), "^https?://[^/]+(/[^?]*)", 1).as("path"),
+          regexp_extract(col("url"), "[?&]q=([^&]*)", 1).as("q_param"))
+        .orderBy(col("doc_id")),
+      "SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS host, " +
+        "regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path, " +
+        "regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param " +
+        "FROM (SELECT doc_id, 'https://' || source || '.example.com/' || lang " +
+        "|| '/' || doc_id || '?q=' || lang || '&n=' || n_chars AS url " +
+        "FROM documents) t ORDER BY doc_id"),
+
+    // Key=value parsing (the Logstash-class kv filter [PK]): build a kv
+    // string, parse it back. Spark uses the native str_to_map; the oracle
+    // parses with regexes — equal results prove the map semantics. Doubles
+    // rendered to text round-trip on shortest-representation in both
+    // engines (same guarantee source_json_roundtrip relies on).
+    "fn_kv_parse" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("kv", concat(lit("user="), col("user_id"),
+          lit(" type="), col("event_type"), lit(" val="), col("value")))
+        .select(col("event_id"), col("kv"),
+          expr("cast(element_at(str_to_map(kv, ' ', '='), 'user') as bigint)")
+            .as("user_parsed"),
+          expr("element_at(str_to_map(kv, ' ', '='), 'type')").as("type_parsed"),
+          expr("cast(element_at(str_to_map(kv, ' ', '='), 'val') as double)")
+            .as("val_parsed"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, kv, regexp_extract(kv, 'user=([0-9]+)', 1)::BIGINT AS user_parsed, " +
+        "regexp_extract(kv, 'type=([a-z]+)', 1) AS type_parsed, " +
+        "regexp_extract(kv, 'val=([-0-9.]+)', 1)::DOUBLE AS val_parsed " +
+        "FROM (SELECT event_id, 'user=' || user_id || ' type=' || event_type " +
+        "|| ' val=' || value AS kv FROM events) t ORDER BY event_id"),
   )
 }

@@ -138,6 +138,22 @@ object AggWindowOps {
       "SELECT event_type, median(value) AS median_value, COUNT(*) AS n " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    // Quartile spread per group: exact interpolated p25/p75 + IQR (Spark
+    // percentile == DuckDB quantile_cont linear interpolation).
+    "agg_percentile_multi" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.75)").as("p75"),
+          (expr("percentile(value, 0.75)") - expr("percentile(value, 0.25)"))
+            .as("iqr"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      "SELECT event_type, quantile_cont(value, 0.25) AS p25, " +
+        "quantile_cont(value, 0.75) AS p75, " +
+        "quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr, " +
+        "COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
+
     // Pivot: per-user event-type rollup to columns (ref: dashboard gauge
     // matrix). Oracle uses the portable CASE formulation.
     "agg_pivot" -> Q(

@@ -222,5 +222,42 @@ object EventOps {
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) t " +
         "WHERE prev_type IS NOT NULL GROUP BY 1, 2 " +
         "ORDER BY n DESC, prev_type, curr_type")),
+
+    // Z-score anomaly flags (ref: threshold *signal* with a learned
+    // baseline [PK]): events more than 3 population-stddevs from their
+    // type's mean. Values are quantized to exact 0.1-cent integers so the
+    // moment sums are exact and the z expression evaluates bit-identically
+    // in both engines (same discipline as agg_corr_regr — the per-type
+    // stats frame is 5 rows and broadcasts back onto the stream).
+    "evt_anomaly_zscore" -> Q(
+      (s, d) => {
+        val q = T(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 10000).cast("long").as("vq"))
+        val m = q.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vq")).as("sx"),
+            sum(col("vq").cast("decimal(19,0)") * col("vq").cast("decimal(19,0)"))
+              .as("sxx"))
+        val z = (col("vq").cast("double") -
+          col("sx").cast("double") / col("n").cast("double")) /
+          sqrt((col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("n").cast("double")) / col("n").cast("double"))
+        q.join(broadcast(m), "event_type")
+          .withColumn("z", z)
+          .filter(abs(col("z")) > 3)
+          .select(col("event_id"), col("event_type"), col("z"))
+          .orderBy(col("event_id"))
+      },
+      "WITH q AS (SELECT event_id, event_type, floor(value*10000)::BIGINT AS vq " +
+        "FROM events), " +
+        "m AS (SELECT event_type, COUNT(*) AS n, SUM(vq) AS sx, " +
+        "SUM(vq::DECIMAL(19,0) * vq::DECIMAL(19,0)) AS sxx FROM q GROUP BY 1), " +
+        "s AS (SELECT q.event_id, q.event_type, " +
+        "(CAST(q.vq AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)) / " +
+        "sqrt((CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / " +
+        "CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE)) AS z " +
+        "FROM q JOIN m ON q.event_type = m.event_type) " +
+        "SELECT event_id, event_type, z FROM s WHERE abs(z) > 3 ORDER BY event_id"),
   )
 }

@@ -226,5 +226,35 @@ object TextOps {
       "SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS redacted, " +
         "len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_hits " +
         "FROM events WHERE props IS NOT NULL ORDER BY event_id"),
+
+    // Sequence packing (concat-and-chop): assign each doc its token span in
+    // a per-lang packed token stream and the 2048-token context window its
+    // span starts in — the greedy packing step of an LLM pretraining
+    // pipeline. One running-sum window per stratum; packing per lang (not
+    // globally) is the keyed shape that scales — a global pack order would
+    // be a single-partition window.
+    "llm_pack_sequences" -> Q(
+      (s, d) => {
+        val byLang = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        T(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            big(size(split(col("text"), " "))).as("n_tokens"))
+          .withColumn("start_tok",
+            coalesce(sum(col("n_tokens")).over(byLang), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_tok"),
+            expr("start_tok div 2048").as("pack_id"),
+            expr("start_tok % 2048").as("pack_pos"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, lang, n_tokens, start_tok::BIGINT AS start_tok, " +
+        "(start_tok // 2048)::BIGINT AS pack_id, " +
+        "(start_tok % 2048)::BIGINT AS pack_pos FROM (" +
+        "SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+        "COALESCE(SUM(len(string_split(text, ' '))::BIGINT) OVER (" +
+        "PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok " +
+        "FROM documents) t ORDER BY doc_id"),
   )
 }
