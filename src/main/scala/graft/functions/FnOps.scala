@@ -270,5 +270,24 @@ object FnOps {
         "regexp_extract(kv, 'val=([-0-9.]+)', 1)::DOUBLE AS val_parsed " +
         "FROM (SELECT event_id, 'user=' || user_id || ' type=' || event_type " +
         "|| ' val=' || value AS kv FROM events) t ORDER BY event_id"),
+
+    // Encoding suite (the reference's codec mutate instructions [PK]):
+    // base64 round-trip, hex (both engines emit uppercase A–F), ascii
+    // codes, chr.
+    "fn_encode_suite" -> Q(
+      (s, d) => T(s, d, "part")
+        .select(col("p_partkey"),
+          base64(col("p_name").cast("binary")).as("name_b64"),
+          hex(col("p_partkey")).as("key_hex"),
+          ascii(col("p_name")).as("first_code"),
+          expr("chr(65 + p_size % 26)").as("size_chr"),
+          expr("decode(unbase64(base64(cast(p_name as binary))), 'UTF-8')")
+            .as("roundtrip"))
+        .orderBy(col("p_partkey")),
+      "SELECT p_partkey, base64(p_name::BLOB) AS name_b64, " +
+        "to_hex(p_partkey) AS key_hex, ascii(p_name) AS first_code, " +
+        "chr(65 + (p_size % 26)) AS size_chr, " +
+        "decode(from_base64(base64(p_name::BLOB))) AS roundtrip " +
+        "FROM part ORDER BY p_partkey"),
   )
 }

@@ -259,5 +259,31 @@ object EventOps {
         "CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE)) AS z " +
         "FROM q JOIN m ON q.event_type = m.event_type) " +
         "SELECT event_id, event_type, z FROM s WHERE abs(z) > 3 ORDER BY event_id"),
+
+    // Top-2 busiest sessions per user: sessionization composed with the
+    // ranked-window top-k pattern (ref: "worst incidents per host" view).
+    "evt_top_sessions" -> Q(
+      (s, d) => sessionAgg(s, d)
+        .withColumn("rn", big(row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("n_events").desc, col("session_seq")))))
+        .filter(col("rn") <= 2)
+        .select(col("user_id"), col("rn"), col("session_seq"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("rn")),
+      usEvents("SELECT user_id, rn, session_seq, n_events, session_value FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY n_events DESC, session_seq)::BIGINT AS rn FROM (" +
+        "SELECT user_id, session_seq::BIGINT AS session_seq, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value " +
+        "FROM (SELECT user_id, event_id, value, " +
+        " SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "  THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq " +
+        " FROM (SELECT user_id, event_id, value, ts, " +
+        "  lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
+        "  FROM events) x) y " +
+        "GROUP BY user_id, session_seq) sess) z " +
+        "WHERE rn <= 2 ORDER BY user_id, rn")),
   )
 }

@@ -88,5 +88,35 @@ object ScaleOps {
         "AND c.ts >= p.ts - INTERVAL 1 HOUR " +
         "WHERE p.event_type = 'purchase' AND c.event_type = 'click' " +
         "ORDER BY p.user_id, purchase_id, click_id")),
+
+    // Interval join as a bucketed EQUI-join: probe side explodes to its
+    // hour bucket and the next one, build side keys on its own bucket, so
+    // the (0, 1h] range residual rides a hash join on (user_id, bucket)
+    // instead of a sort-merge with an unbounded range frontier. Probe
+    // amplification is exactly 2×; each qualifying pair matches in exactly
+    // one bucket (the build row's own), so no dedup is needed. At 100 TB
+    // this bounds both the shuffle key space and per-task match windows.
+    // Result ≡ join_theta_range (same oracle text).
+    "scale_range_bucket_join" -> Q(
+      (s, d) => {
+        val e = T(s, d, "events")
+          .withColumn("bk", expr("unix_micros(ts) div 3600000000"))
+        val probe = e
+          .select(col("user_id"), col("event_id").as("a_id"),
+            col("ts").as("a_ts"), col("bk"))
+          .withColumn("bk", explode(array(col("bk"), col("bk") + 1)))
+        val build = e.select(col("user_id").as("b_user"),
+          col("event_id").as("b_id"), col("ts").as("b_ts"), col("bk").as("b_bk"))
+        probe.join(build,
+            col("user_id") === col("b_user") && col("bk") === col("b_bk") &&
+              col("b_ts") > col("a_ts") &&
+              col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("a_id"), col("b_id"))
+          .orderBy(col("user_id"), col("a_id"), col("b_id"))
+      },
+      usEvents("SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR " +
+        "ORDER BY a.user_id, a_id, b_id")),
   )
 }
