@@ -412,5 +412,17 @@ object AggWindowOps {
         "bool_or(value > 500) AS any_gt500, bit_and(user_id) AS uid_and, " +
         "bit_or(user_id) AS uid_or, bit_xor(user_id) AS uid_xor " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // Conditional counting without a pre-filter (one scan, many gauges).
+    "agg_count_if" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("count_if(value > 100)").as("n_gt100"),
+          expr("count_if(props IS NULL)").as("n_noprops"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      "SELECT event_type, count_if(value > 100)::BIGINT AS n_gt100, " +
+        "count_if(props IS NULL)::BIGINT AS n_noprops, COUNT(*) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }

@@ -229,6 +229,50 @@ object DedupOps {
       },
       None),
 
+    // MinHash+LSH with md5-derived signatures: functionally the same
+    // candidate-pair machinery as llm_near_dedup_minhash, but the hash
+    // family (min over md5('k:' || shingle) per seed k) exists in BOTH
+    // engines, so THIS variant is fully DuckDB-oracled — the xxhash64
+    // variant stays as the fast path (md5 costs ~8 digests per shingle;
+    // xxhash64+rotate-mix costs one). Same one-pass shape: explode distinct
+    // shingles once, 8 mins in a single codegen'd hash aggregate, band on
+    // signature pairs, equi-join bands.
+    "llm_minhash_md5" -> Q(
+      (s, d) => {
+        val nSig = 8
+        val sigCols = (0 until nSig).map { k =>
+          min(md5(concat(lit(s"$k:"), col("s")))).as(s"sig$k")
+        }
+        val signed = T(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 3)
+          .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+          .distinct()
+          .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        val bandCol = explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
+        }: _*)).as("bk")
+        val bands = signed.select(col("doc_id"), bandCol)
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        bands.withColumnRenamed("doc_id", "doc_a")
+          .join(bands.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Shingles.duckCte(distinct = true) +
+        ", sigs AS (SELECT doc_id, " +
+        (0 until 8).map(k => s"min(md5('$k:' || s)) AS sig$k").mkString(", ") +
+        " FROM sh GROUP BY doc_id), " +
+        "bands AS (" +
+        (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, sig${2 * b} || '_' || sig${2 * b + 1} AS bkey FROM sigs")
+          .mkString(" UNION ALL ") + ") " +
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b"),
+
     // Dedup cluster assignment: connected components over the jaccard≥0.5
     // near-dup edge set via iterative min-label propagation — every doc gets
     // the min doc_id of its component as cluster_id (the canonical

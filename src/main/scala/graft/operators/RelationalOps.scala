@@ -402,5 +402,34 @@ object RelationalOps {
         "EXCEPT " +
         "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t " +
         "ORDER BY o_custkey"),
+
+    // Bag (multiset) semantics: duplicates preserved per multiplicity —
+    // ties under the sort are identical single-column rows, so the order
+    // is total for hashing purposes.
+    "set_intersect_all" -> Q(
+      (s, d) => {
+        val o = T(s, d, "orders")
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+          .intersectAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      "SELECT * FROM (" +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "INTERSECT ALL " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t " +
+        "ORDER BY o_custkey"),
+
+    "set_except_all" -> Q(
+      (s, d) => {
+        val o = T(s, d, "orders")
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+          .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      "SELECT * FROM (" +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "EXCEPT ALL " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t " +
+        "ORDER BY o_custkey"),
   )
 }

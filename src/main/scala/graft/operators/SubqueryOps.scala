@@ -85,6 +85,21 @@ object SubqueryOps {
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t " +
         "ORDER BY c.c_custkey, t.o_orderkey"),
 
+    // EXISTS in the projection (existence FLAG, not filter) — Catalyst
+    // plans it as an ExistenceJoin that preserves every probe row.
+    "sub_exists_project" -> Q(
+      (s, d) => {
+        views(s, d, "customer", "orders")
+        s.sql("""SELECT c_custkey, c_name,
+          |  EXISTS (SELECT 1 FROM v_orders o
+          |          WHERE o.o_custkey = c.c_custkey
+          |            AND o.o_totalprice > 400000) AS has_big
+          |FROM v_customer c ORDER BY c_custkey""".stripMargin)
+      },
+      "SELECT c_custkey, c_name, EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) AS has_big " +
+        "FROM customer c ORDER BY c_custkey"),
+
     // Wide→long melt (the reference's metric-fanout shape: one gauge event
     // per measure). Spark unpivot == DuckDB UNPIVOT.
     "agg_unpivot" -> Q(
