@@ -1,0 +1,82 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.{GateSink, GateStreamingWrite}
+
+/** Custom DSv2 streaming SINK: epoch-commit protocol — every row lands in
+  * exactly one committed epoch directory, and a replayed epoch commit is a
+  * no-op (exactly-once on storage from an at-least-once upstream). */
+class GateSinkSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("gate source -> gate sink end-to-end, content matches the source") {
+    val out = tmpDir("gate_sink_out")
+    val cp = tmpDir("gate_sink_cp")
+    val q = spark.readStream.format("graft.streaming.GateSource")
+      .option("rowsPerBatch", 50).option("maxRows", 200)
+      .option("numPartitions", 4).load()
+      .writeStream.format("graft.streaming.GateSink")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val markers = new File(out).listFiles().filter(_.getName.endsWith(".commit"))
+    assert(markers.nonEmpty, "no committed epochs")
+    val back = spark.read
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("sep", "\t")
+      .csv(markers.map(m => new File(out,
+        s"epoch=${m.getName.stripPrefix("epoch_").stripSuffix(".commit")}").getPath): _*)
+    assert(back.count() == 200)
+    assert(back.agg(countDistinct(col("event_id"))).head().getLong(0) == 200)
+    // content equals a fresh replay of the same deterministic source
+    val replay = spark.readStream.format("graft.streaming.GateSource")
+      .option("rowsPerBatch", 200).option("maxRows", 200)
+      .option("numPartitions", 4).load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sink_replay").start()
+    replay.processAllAvailable()
+    replay.stop()
+    val expected = spark.table("sink_replay")
+      .select(col("event_id"), expr("unix_micros(ts)").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id")).collect().toSeq
+    val got = back.orderBy(col("event_id")).collect().toSeq
+    assert(got == expected)
+  }
+
+  test("replayed epoch commit is a no-op (exactly-once on storage)") {
+    val out = tmpDir("gate_sink_replay")
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val write = new GateStreamingWrite(out, schema)
+
+    def partFile(body: String): GateSink.PartFile = {
+      val tmp = new File(new File(out, "_tmp"), s"replay-${body.hashCode}.tsv")
+      tmp.getParentFile.mkdirs()
+      Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+      GateSink.PartFile(tmp.getAbsolutePath, body.linesIterator.size.toLong)
+    }
+
+    write.commit(7L, Array(partFile("1\n2\n")))
+    val epochDir = new File(out, "epoch=7")
+    assert(epochDir.listFiles().length == 1)
+    assert(new File(out, "epoch_7.commit").exists())
+
+    // upstream replays epoch 7: same data arrives again
+    write.commit(7L, Array(partFile("1\n2\n")))
+    assert(epochDir.listFiles().length == 1, "replay must not add part files")
+    assert(!new File(out, "_tmp").listFiles().exists(_.getName.startsWith("replay-")),
+      "replayed temp parts must be cleaned up")
+  }
+}
