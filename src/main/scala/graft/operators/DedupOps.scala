@@ -95,8 +95,11 @@ object DedupOps {
       struct(lit(b).as("band"),
         concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
     }: _*)).as("bk")
+    // Both self-join sides read the band frame: one materialization, not
+    // two runs of the signature aggregation.
     val bands = signed.select(col("doc_id"), bandCol)
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .localCheckpoint()
     val x = bands.withColumnRenamed("doc_id", "doc_a")
     val y = bands.withColumnRenamed("doc_id", "doc_b")
     x.join(y, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
@@ -110,11 +113,16 @@ object DedupOps {
     * over exact ints. Shared by the top-k report and the cluster builder. */
   private def jaccardScored(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    // The distinct-shingle frame feeds BOTH self-join sides AND both size
+    // lookups — materialize once (eager localCheckpoint) instead of
+    // re-exploding the corpus four times (diamond reuse; ReuseExchange
+    // doesn't fire across the differing rename/filter branches).
     val sh = T(s, d, "documents")
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
       .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.withColumnRenamed("doc_id", "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b"), "s")
@@ -206,6 +214,7 @@ object DedupOps {
         val e = T(s, d, "embeddings")
         val buckets = e
           .select(col("vec_id"), posexplode(sigs(col("embedding"))).as(Seq("tbl", "bucket")))
+          .localCheckpoint() // one UDF pass feeds both self-join sides
         val cand = buckets.withColumnRenamed("vec_id", "a_id")
           .join(buckets.withColumnRenamed("vec_id", "b_id"), Seq("tbl", "bucket"))
           .filter(col("a_id") =!= col("b_id"))
@@ -255,6 +264,7 @@ object DedupOps {
         }: _*)).as("bk")
         val bands = signed.select(col("doc_id"), bandCol)
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+          .localCheckpoint() // reused by both self-join sides
         bands.withColumnRenamed("doc_id", "doc_a")
           .join(bands.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
           .filter(col("doc_a") < col("doc_b"))
@@ -348,16 +358,21 @@ object DedupOps {
         val cents = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
             col("norm").as("cnorm"))
-        val ranked = e.select(col("vec_id"), col("embedding"), col("norm"))
+        // top-2 cells per vector, materialized ONCE: probes = rn<=2,
+        // assignment = its rn=1 subset (a second plan branch would re-run
+        // the codebook BNLJ + rank).
+        val top2 = e.select(col("vec_id"), col("embedding"), col("norm"))
           .crossJoin(broadcast(cents))
           .select(col("vec_id"), col("cid"),
             (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
               .as("sim"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
-        val assign = ranked.filter(col("rn") === 1)
+          .filter(col("rn") <= 2)
+          .localCheckpoint()
+        val assign = top2.filter(col("rn") === 1)
           .select(col("vec_id").as("t_id"), col("cid").as("cell"))
-        val probes = ranked.filter(col("rn") <= 2)
+        val probes = top2
           .select(col("vec_id").as("q_id"), col("cid").as("cell"))
         val cand = probes.join(assign, Seq("cell"))
           .filter(col("q_id") =!= col("t_id"))

@@ -86,4 +86,63 @@ class PropertySpec extends SparkSpec {
     assert(roundTrip.orderBy($"id").collect().toSeq ==
       a.orderBy($"id").collect().toSeq)
   }
+
+  test("dedup clusters: edge endpoints co-clustered, label = component min") {
+    val labels = SparkEntry.queries("llm_dedup_clusters")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster label never exceeds the member id (it is a component MIN)
+    assert(labels.forall { case (doc, label) => label <= doc })
+    // every near-dup pair (the jaccard>=0.5 edges, recomputed via the
+    // oracled top-50 report) shares a cluster
+    val edges = SparkEntry.queries("llm_ngram_jaccard")(spark, sf001)
+      .filter($"jaccard" >= 0.5).select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+    // a label is itself a member of its own cluster (canonical rep exists)
+    labels.values.toSet.foreach((l: Long) => assert(labels(l) == l))
+  }
+
+  test("sequence packing: spans are contiguous and non-overlapping per lang") {
+    val rows = SparkEntry.queries("llm_pack_sequences")(spark, sf001)
+      .select($"lang", $"doc_id", $"n_tokens", $"start_tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val sorted = docs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, n1, s1), (_, d2, _, s2)) =>
+          assert(s2 == s1 + n1, s"$lang: doc $d2 span not contiguous")
+        case _ => ()
+      }
+      assert(sorted.head._4 == 0L, s"$lang: first span must start at 0")
+    }
+  }
+
+  test("stratified sample takes exactly ceil(25%) of every stratum") {
+    val docs = graft.T(spark, sf001, "documents")
+    val perLang = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = SparkEntry.queries("llm_stratified_sample")(spark, sf001)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(sampled(lang) == (n + 3) / 4, s"$lang: $n -> ${sampled.get(lang)}")
+    }
+  }
+
+  test("z-score flags agree with Spark's built-in population stddev") {
+    val e = graft.T(spark, sf001, "events")
+      .select($"event_id", $"event_type",
+        floor($"value" * 10000).cast("long").as("vq"))
+    val stats = e.groupBy($"event_type")
+      .agg(avg($"vq").as("mu"), stddev_pop($"vq").as("sd"))
+    val expected = e.join(stats, "event_type")
+      .filter(abs(($"vq" - $"mu") / $"sd") > 3)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("evt_anomaly_zscore")(spark, sf001)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
 }
