@@ -413,6 +413,20 @@ object AggWindowOps {
         "bit_or(user_id) AS uid_or, bit_xor(user_id) AS uid_xor " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    // t-digest-style approximate percentile (sketch family, like
+    // agg_approx_distinct): mergeable across partitions — the shape that
+    // answers quantile gauges at 100 TB without a global sort. Not
+    // oracle-able (sketch internals are engine-specific); accuracy is
+    // pinned against the exact percentile in PropertySpec.
+    "agg_approx_percentile" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("approx_median"),
+          expr("approx_percentile(value, 0.95, 1000)").as("approx_p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      None),
+
     // Conditional counting without a pre-filter (one scan, many gauges).
     "agg_count_if" -> Q(
       (s, d) => T(s, d, "events")

@@ -95,11 +95,10 @@ object DedupOps {
       struct(lit(b).as("band"),
         concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
     }: _*)).as("bk")
-    // Both self-join sides read the band frame: one materialization, not
-    // two runs of the signature aggregation.
+    // Symmetric self-join: ReuseExchange shares the band exchange across
+    // both sides — no materialization needed.
     val bands = signed.select(col("doc_id"), bandCol)
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .localCheckpoint()
     val x = bands.withColumnRenamed("doc_id", "doc_a")
     val y = bands.withColumnRenamed("doc_id", "doc_b")
     x.join(y, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
@@ -113,16 +112,14 @@ object DedupOps {
     * over exact ints. Shared by the top-k report and the cluster builder. */
   private def jaccardScored(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    // The distinct-shingle frame feeds BOTH self-join sides AND both size
-    // lookups — materialize once (eager localCheckpoint) instead of
-    // re-exploding the corpus four times (diamond reuse; ReuseExchange
-    // doesn't fire across the differing rename/filter branches).
+    // The self-join sides are SYMMETRIC (rename-only projections), so
+    // ReuseExchange already computes the shingle exchange once — measured:
+    // an eager localCheckpoint here only added a job + a codegen compile.
     val sh = T(s, d, "documents")
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
       .distinct()
-      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.withColumnRenamed("doc_id", "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b"), "s")
@@ -264,7 +261,6 @@ object DedupOps {
         }: _*)).as("bk")
         val bands = signed.select(col("doc_id"), bandCol)
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-          .localCheckpoint() // reused by both self-join sides
         bands.withColumnRenamed("doc_id", "doc_a")
           .join(bands.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
           .filter(col("doc_a") < col("doc_b"))

@@ -164,7 +164,6 @@ object TextOps {
           .filter(size(col("words")) >= 3)
           .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
           .distinct()
-          .localCheckpoint() // feeds benchmark slice, totals, and hit join
         val bench = sh.filter(col("doc_id") < 25).select(col("s")).distinct()
         val cand = sh.filter(col("doc_id") >= 25)
         val tot = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))

@@ -132,6 +132,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tracks the exact percentile within 5%") {
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.T(spark, sf001, "events").groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("m"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (t, (m, p95)) =>
+      assert(math.abs(approx(t)._1 - m) <= 0.05 * math.max(1.0, m.abs), s"$t median")
+      assert(math.abs(approx(t)._2 - p95) <= 0.05 * math.max(1.0, p95.abs), s"$t p95")
+    }
+  }
+
   test("z-score flags agree with Spark's built-in population stddev") {
     val e = graft.T(spark, sf001, "events")
       .select($"event_id", $"event_type",
