@@ -35,6 +35,19 @@ object StreamDemo {
     q2.processAllAvailable()
     q2.stop()
     println("SINK_ROWS=" + spark.read.parquet(s"$out/batch_*").count())
+
+    // custom DSv2 sink: gate → epoch-committed TSV parts (exactly-once)
+    val out2 = java.nio.file.Files.createTempDirectory("demo_gatesink").toString
+    val cp = java.nio.file.Files.createTempDirectory("demo_gatesink_cp").toString
+    val q3 = spark.readStream.format("graft.streaming.GateSource")
+      .option("rowsPerBatch", 250).option("maxRows", 750).load()
+      .writeStream.format("graft.streaming.GateSink")
+      .option("path", out2).option("checkpointLocation", cp).start()
+    q3.processAllAvailable()
+    q3.stop()
+    val epochs = new java.io.File(out2).listFiles()
+      .count(_.getName.endsWith(".commit"))
+    println("GATESINK_EPOCHS=" + epochs)
     spark.stop()
   }
 }
