@@ -294,9 +294,14 @@ object DedupOps {
           .select(col("doc_a"), col("doc_b"))
         val edges = pairs
           .union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst").cache()
-        var labels = T(s, d, "documents")
-          .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+          .toDF("src", "dst").localCheckpoint()
+        // The iteration runs ONLY over edge-involved docs (near-dups are a
+        // small fraction of any corpus); singletons rejoin at the end with
+        // themselves as cluster_id. At 100 TB this is the difference
+        // between iterating over the candidate subgraph and re-shuffling
+        // the whole corpus every round.
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id")).localCheckpoint()
         var changed = true
         var iter = 0
         while (changed && iter < 25) {
@@ -314,8 +319,10 @@ object DedupOps {
           labels = next
           iter += 1
         }
-        edges.unpersist(false)
-        labels.select(col("doc_id"), col("label").as("cluster_id"))
+        T(s, d, "documents").select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster_id"))
           .orderBy(col("doc_id"))
       },
       "WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
