@@ -223,6 +223,28 @@ object EventOps {
         "WHERE prev_type IS NOT NULL GROUP BY 1, 2 " +
         "ORDER BY n DESC, prev_type, curr_type")),
 
+    // Markov transition matrix: bigram counts normalized per source state
+    // (exact counts, one division, identical trees — bit-exact p).
+    "evt_markov_transition" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_type"),
+          lag(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+            .as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+        .orderBy(col("prev_type"), col("curr_type")),
+      usEvents("SELECT prev_type, curr_type, n, " +
+        "CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p FROM (" +
+        "SELECT prev_type, event_type AS curr_type, COUNT(*)::BIGINT AS n FROM (" +
+        "SELECT event_type, lag(event_type, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) t " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2) c " +
+        "ORDER BY prev_type, curr_type")),
+
     // Z-score anomaly flags (ref: threshold *signal* with a learned
     // baseline [PK]): events more than 3 population-stddevs from their
     // type's mean. Values are quantized to exact 0.1-cent integers so the

@@ -98,6 +98,40 @@ object RelationalOps {
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice " +
         "FROM part ORDER BY p_partkey"),
 
+    // Line-oriented text source (the reference's file-tailing agent reads
+    // raw log lines [PK]): write "id<TAB>text" lines, read them back with
+    // spark.read.text, re-split on the first tab. Corpus is tab-free
+    // single-line text (verified: round-trip is identity).
+    "source_text_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = scratch("source_text_documents")
+        T(s, d, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(
+            split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+            split(col("value"), "\t", 2).getItem(1).as("text"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, text FROM documents ORDER BY doc_id"),
+
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    // each other instead of dropping (ref: enrich on an optional field).
+    // nullif folds one region key to NULL on both sides so the NULL↔NULL
+    // match path is actually exercised.
+    "join_null_safe" -> Q(
+      (s, d) => {
+        val n = T(s, d, "nation")
+        val r = T(s, d, "region")
+        n.join(r, nullif(n("n_regionkey"), lit(2)) <=> nullif(r("r_regionkey"), lit(2)))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+          .orderBy(col("n_nationkey"), col("r_name"))
+      },
+      "SELECT n.n_nationkey, n.n_name, r.r_name FROM nation n JOIN region r " +
+        "ON nullif(n.n_regionkey, 2) IS NOT DISTINCT FROM nullif(r.r_regionkey, 2) " +
+        "ORDER BY n_nationkey, r_name"),
+
     // SQL-text entry path: the same engine via spark.sql over temp views
     // (TPC-H Q5 shape — local-supplier revenue per nation).
     "sql_text_star_join" -> Q(
