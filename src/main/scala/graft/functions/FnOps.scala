@@ -289,5 +289,17 @@ object FnOps {
         "chr(65 + (p_size % 26)) AS size_chr, " +
         "decode(from_base64(base64(p_name::BLOB))) AS roundtrip " +
         "FROM part ORDER BY p_partkey"),
+
+    // Edit-distance fuzzy matching (dedup/entity-resolution primitive;
+    // both engines implement the same Wagner–Fischer distance).
+    "fn_fuzzy_levenshtein" -> Q(
+      (s, d) => T(s, d, "nation").crossJoin(T(s, d, "region"))
+        .select(col("n_nationkey"), col("r_regionkey"), col("n_name"),
+          col("r_name"),
+          levenshtein(col("n_name"), col("r_name")).cast("long").as("dist"))
+        .orderBy(col("n_nationkey"), col("r_regionkey")),
+      "SELECT n_nationkey, r_regionkey, n_name, r_name, " +
+        "levenshtein(n_name, r_name)::BIGINT AS dist " +
+        "FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey"),
   )
 }

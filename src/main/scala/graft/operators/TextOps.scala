@@ -257,6 +257,34 @@ object TextOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok " +
         "FROM documents) t ORDER BY doc_id"),
 
+    // BPE training, first merge step: the top-5 most frequent adjacent
+    // character pairs per lang stratum (what byte-pair encoding would
+    // merge first). One explode chain + keyed count + ranked top-k —
+    // each BPE iteration at corpus scale is exactly this shape.
+    "llm_bpe_pairs" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy(col("lang"), col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", big(row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("n").desc, col("pair")))))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("pair"), col("n"), col("rn"))
+        .orderBy(col("lang"), col("rn")),
+      "SELECT lang, pair, n, rn FROM (" +
+        "SELECT lang, pair, n, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY n DESC, pair)::BIGINT AS rn FROM (" +
+        "SELECT lang, substring(word, i::INT, 2) AS pair, COUNT(*)::BIGINT AS n " +
+        "FROM (SELECT lang, word, unnest(generate_series(1, length(word) - 1)) AS i " +
+        "FROM (SELECT lang, unnest(string_split(text, ' ')) AS word " +
+        "FROM documents) w WHERE length(word) >= 2) p GROUP BY 1, 2) c) r " +
+        "WHERE rn <= 5 ORDER BY lang, rn"),
+
     // Gopher-style rule filter: per-document quality gates (token count
     // band, mean-word-length band, stopword presence) and the combined
     // keep flag — the rule-based pre-filter of a training-data pipeline.
