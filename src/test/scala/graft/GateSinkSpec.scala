@@ -56,6 +56,35 @@ class GateSinkSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("checkpoint restart resumes epochs without duplicating rows") {
+    val out = tmpDir("gate_sink_restart")
+    val cp = tmpDir("gate_sink_restart_cp")
+    def run(maxRows: Long): Unit = {
+      val q = spark.readStream.format("graft.streaming.GateSource")
+        .option("rowsPerBatch", 100).option("maxRows", maxRows)
+        .option("numPartitions", 4).load()
+        .writeStream.format("graft.streaming.GateSink")
+        .option("path", out).option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run(300)  // first run: epochs for rows 0..299
+    run(600)  // restart from the SAME checkpoint: must continue at row 300
+    val committed = new File(out).listFiles()
+      .filter(_.getName.endsWith(".commit"))
+      .map(m => new File(out,
+        s"epoch=${m.getName.stripPrefix("epoch_").stripSuffix(".commit")}").getPath)
+    val back = spark.read
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("sep", "\t").csv(committed: _*)
+    assert(back.count() == 600, "restart must not duplicate or drop rows")
+    assert(back.agg(countDistinct(col("event_id"))).head().getLong(0) == 600)
+  }
+
   test("replayed epoch commit is a no-op (exactly-once on storage)") {
     val out = tmpDir("gate_sink_replay")
     val schema = StructType(Seq(StructField("x", LongType)))
