@@ -149,5 +149,35 @@ object LlmOps {
           .orderBy(col("label"), col("dim"))
       },
       None),
+
+    // Int8-style embedding quantization summary: per-vector min/max range
+    // and the sum of floor-quantized codes (floor, not round — a scaled
+    // float can land exactly on .5 and the engines break ties
+    // differently). One explode + two keyed aggregates; the quantized sum
+    // pins every code bit-exactly without shipping 64 codes per row
+    // through the comparator.
+    "llm_embedding_quantize" -> Q(
+      (s, d) => {
+        val x = T(s, d, "embeddings")
+          .select(col("vec_id"),
+            explode(col("embedding").cast("array<double>")).as("v"))
+        val mm = x.groupBy(col("vec_id"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        x.join(mm, "vec_id")
+          .groupBy(col("vec_id"), col("mn"), col("mx"))
+          .agg(sum(when(col("mx") === col("mn"), 0L).otherwise(
+            floor((col("v") - col("mn")) * 255.0 / (col("mx") - col("mn")))
+              .cast("long"))).as("qsum"),
+            count(lit(1)).as("dim"))
+          .orderBy(col("vec_id"))
+      },
+      "WITH x AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v FROM embeddings), " +
+        "mm AS (SELECT vec_id, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1) " +
+        "SELECT x.vec_id, mm.mn, mm.mx, " +
+        "SUM(CASE WHEN mm.mx = mm.mn THEN 0 " +
+        "ELSE floor((x.v - mm.mn) * 255.0 / (mm.mx - mm.mn)) END)::BIGINT AS qsum, " +
+        "COUNT(*)::BIGINT AS dim " +
+        "FROM x JOIN mm ON x.vec_id = mm.vec_id " +
+        "GROUP BY 1, 2, 3 ORDER BY 1"),
   )
 }
