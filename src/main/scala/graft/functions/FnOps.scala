@@ -301,5 +301,52 @@ object FnOps {
       "SELECT n_nationkey, r_regionkey, n_name, r_name, " +
         "levenshtein(n_name, r_name)::BIGINT AS dist " +
         "FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey"),
+
+    // Delimited-line parsing (the reference's csv filter [PK]): build a
+    // CSV line, parse it back through Spark's native from_csv; the oracle
+    // re-splits with string ops. Doubles round-trip on shortest repr.
+    "fn_csv_parse" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("line",
+          concat_ws(",", col("user_id"), col("event_type"), col("value")))
+        .withColumn("parsed",
+          from_csv(col("line"), org.apache.spark.sql.types.StructType.fromDDL(
+            "uid BIGINT, etype STRING, val DOUBLE"), Map.empty[String, String]))
+        .select(col("event_id"), col("line"), col("parsed.uid").as("uid"),
+          col("parsed.etype").as("etype"), col("parsed.val").as("val"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, line, string_split(line, ',')[1]::BIGINT AS uid, " +
+        "string_split(line, ',')[2] AS etype, " +
+        "string_split(line, ',')[3]::DOUBLE AS val " +
+        "FROM (SELECT event_id, user_id || ',' || event_type || ',' || value " +
+        "AS line FROM events) t ORDER BY event_id"),
+
+    // IP/CIDR handling (the reference's cidr filter [PK]): /24 subnet mask
+    // and the packed 32-bit integer form of a synthesized dotted quad.
+    "fn_ip_mask" -> Q(
+      (s, d) => {
+        val ipped = T(s, d, "events")
+          .withColumn("ip", concat_ws(".",
+            col("user_id") % 224, col("event_id") % 256,
+            (col("user_id") * 7) % 256, (col("event_id") * 13) % 256))
+          .withColumn("oct", split(col("ip"), "\\."))
+        ipped.select(col("event_id"), col("ip"),
+          concat(regexp_extract(col("ip"), "^([0-9]+\\.[0-9]+\\.[0-9]+)\\.", 1),
+            lit(".0/24")).as("subnet"),
+          (col("oct").getItem(0).cast("long") * 16777216L +
+            col("oct").getItem(1).cast("long") * 65536L +
+            col("oct").getItem(2).cast("long") * 256L +
+            col("oct").getItem(3).cast("long")).as("ip_int"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT event_id, ip, " +
+        "regexp_extract(ip, '^([0-9]+\\.[0-9]+\\.[0-9]+)\\.', 1) || '.0/24' AS subnet, " +
+        "(string_split(ip, '.')[1]::BIGINT * 16777216 + " +
+        "string_split(ip, '.')[2]::BIGINT * 65536 + " +
+        "string_split(ip, '.')[3]::BIGINT * 256 + " +
+        "string_split(ip, '.')[4]::BIGINT) AS ip_int " +
+        "FROM (SELECT event_id, (user_id % 224) || '.' || (event_id % 256) || " +
+        "'.' || ((user_id * 7) % 256) || '.' || ((event_id * 13) % 256) AS ip " +
+        "FROM events) t ORDER BY event_id"),
   )
 }

@@ -223,6 +223,21 @@ object EventOps {
         "WHERE prev_type IS NOT NULL GROUP BY 1, 2 " +
         "ORDER BY n DESC, prev_type, curr_type")),
 
+    // Elapsed time between consecutive events per user (the reference's
+    // elapsed filter [PK]): timestamp→double is µs-exact in both engines.
+    "evt_elapsed" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("ts").cast("double") -
+            lag(col("ts"), 1).over(
+              Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+              .cast("double")).as("elapsed_s"))
+        .orderBy(col("event_id")),
+      usEvents("SELECT event_id, user_id, " +
+        "epoch(ts) - epoch(lag(ts, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id)) AS elapsed_s " +
+        "FROM events ORDER BY event_id")),
+
     // Markov transition matrix: bigram counts normalized per source state
     // (exact counts, one division, identical trees — bit-exact p).
     "evt_markov_transition" -> Q(
