@@ -57,4 +57,16 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
     spark.sql("DROP TABLE IF EXISTS graft_b_orders")
   }
+
+  test("range-bucket join rides a HASH join keyed on (user_id, bucket)") {
+    val plan = SparkEntry.queries("scale_range_bucket_join")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the point of the rewrite: the interval residual hangs off an
+    // equi-join whose key includes the time bucket, not a nested loop
+    assert(!plan.contains("NestedLoop"), s"range join fell back to BNLJ:\n$plan")
+    val hashJoinLine = plan.linesIterator
+      .find(l => l.contains("HashJoin") && l.contains("bk"))
+    assert(hashJoinLine.isDefined,
+      s"no hash join keyed on the time bucket:\n$plan")
+  }
 }
