@@ -336,6 +336,29 @@ object RelationalOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value " +
         "FROM events ORDER BY event_id")),
 
+    // Same as-of semantics through the NATIVE custom operator
+    // (graft.plans.AsOfJoin: custom LogicalPlan + planner Strategy +
+    // one-pass merge SparkPlan — no union, no window exec; plan asserted
+    // in AsOfJoinSpec). Same oracle as join_asof: the two formulations
+    // are interchangeable by construction.
+    "join_asof_native" -> Q(
+      (s, d) => {
+        val e = T(s, d, "events")
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+            col("event_id").as("r_tie"), col("value").as("r_value"))
+        graft.plans.AsOfJoin(e, errors, "user_id", "ts", "event_id",
+            "r_user", "r_ts", "r_tie")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("r_value").as("last_error_value"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, user_id, event_type, " +
+        "last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value " +
+        "FROM events ORDER BY event_id")),
+
     // TPC-H Q3-shaped star join: customer ⋈ orders ⋈ lineitem.
     "join_multiway" -> Q(
       (s, d) => {

@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSeq, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native AS-OF JOIN — the one operator in the inventory whose semantics
+  * Spark's built-ins cannot express as a single efficient operator, so it
+  * gets the full custom-operator treatment (SURVEY §2.C `join_asof` notes;
+  * custom-op preference ladder tier (c)): a logical node
+  * ([[AsOfJoinNode]]), a planner strategy ([[AsOfJoinStrategy]], injected
+  * via the public `spark.experimental.extraStrategies` hook), and a
+  * physical operator ([[AsOfJoinExec]]).
+  *
+  * Semantics: for every left row, attach the LATEST right row of the same
+  * key with `(right.ts, right.tie) <= (left.ts, left.tie)` lexicographically
+  * (null-padded when none) — identical to the window/last_value(IGNORE
+  * NULLS) formulation used by the `join_asof` query key and its DuckDB
+  * oracle, including self-match and equal-timestamp tie behavior.
+  *
+  * Why a custom operator: the window formulation must union both streams
+  * and run every row through a window exec carrying the union's full
+  * payload; this exec declares `ClusteredDistribution(key)` +
+  * `(key, ts, tie)` child orderings and then streams BOTH sides through
+  * ONE forward-only merge pass per partition — no union materialization,
+  * no window state, right side held one row at a time. At 100 TB that is
+  * one co-partitioned shuffle per side (exactly what a sort-merge join
+  * pays) with O(1) memory in the merge.
+  *
+  * v1 restrictions (enforced by the caller, `AsOfJoin.apply`): key is a
+  * non-null integral column; ts is a TIMESTAMP/long; tie is a non-null
+  * integral column unique per (key, ts) group on both sides.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTs: Expression, leftTie: Expression,
+    rightKey: Expression, rightTs: Expression, rightTie: Expression)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(planLater(n.left), planLater(n.right),
+        n.leftKey, n.leftTs, n.leftTie, n.rightKey, n.rightTs, n.rightTie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, leftTs: Expression, leftTie: Expression,
+    rightKey: Expression, rightTs: Expression, rightTie: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // Co-partition on the key (one exchange per side, same price as SMJ)…
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // …and sort each partition so the merge is a single forward pass.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending),
+      SortOrder(leftTie, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending),
+      SortOrder(leftTie, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val (lk, lt, lc) = (leftKey, leftTs, leftTie)
+    val (rk, rt, rc) = (rightKey, rightTs, rightTie)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKey = BindReferences.bindReference(lk, AttributeSeq(lOut))
+      val lTs = BindReferences.bindReference(lt, AttributeSeq(lOut))
+      val lTie = BindReferences.bindReference(lc, AttributeSeq(lOut))
+      val rKey = BindReferences.bindReference(rk, AttributeSeq(rOut))
+      val rTs = BindReferences.bindReference(rt, AttributeSeq(rOut))
+      val rTie = BindReferences.bindReference(rc, AttributeSeq(rOut))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+      val rBuf = rIter.buffered
+      // Last right row consumed by the forward pass (rows are reused by
+      // the iterator, so the held row must be a copy).
+      var held: InternalRow = null
+      var heldKey = 0L
+      def longOf(e: Expression, row: InternalRow): Long =
+        e.eval(row).asInstanceOf[java.lang.Number].longValue()
+      lIter.map { l =>
+        val lkv = longOf(lKey, l)
+        val ltv = longOf(lTs, l)
+        val lcv = longOf(lTie, l)
+        var advance = true
+        while (advance && rBuf.hasNext) {
+          val h = rBuf.head
+          val rkv = longOf(rKey, h)
+          val eligible = rkv < lkv || (rkv == lkv && {
+            val rtv = longOf(rTs, h)
+            rtv < ltv || (rtv == ltv && longOf(rTie, h) <= lcv)
+          })
+          if (eligible) {
+            held = rBuf.next().copy()
+            heldKey = rkv
+          } else advance = false
+        }
+        if (held != null && heldKey == lkv) joined(l, held)
+        else joined(l, nullRight)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** As-of join two frames. Column names must be distinct across sides
+    * (rename the right side first); key/tie integral non-null, ts a
+    * timestamp. Registers the planner strategy idempotently via the
+    * public experimental-methods hook. */
+  def apply(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, leftTs: String, leftTie: String,
+      rightKey: String, rightTs: String, rightTie: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    GraftSqlBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(lPlan, leftTs), attr(lPlan, leftTie),
+      attr(rPlan, rightKey), attr(rPlan, rightTs), attr(rPlan, rightTie)))
+  }
+}

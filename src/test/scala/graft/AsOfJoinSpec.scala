@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoin
+
+/** Native as-of join (custom LogicalPlan + Strategy + SparkPlan): result
+  * parity with the window formulation, physical-plan shape, and
+  * null-padding semantics. */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def native() = {
+    val e = T(spark, sf001, "events")
+    val errors = e.filter($"event_type" === "error")
+      .select($"user_id".as("r_user"), $"ts".as("r_ts"),
+        $"event_id".as("r_tie"), $"value".as("r_value"))
+    AsOfJoin(e, errors, "user_id", "ts", "event_id", "r_user", "r_ts", "r_tie")
+  }
+
+  test("native as-of join == window last_value(IGNORE NULLS) formulation") {
+    val got = native()
+      .select($"event_id", $"user_id", $"event_type",
+        $"r_value".as("last_error_value"))
+      .orderBy($"event_id").collect().toSeq
+    val expected = SparkEntry.queries("join_asof")(spark, sf001)
+      .collect().toSeq
+    assert(got == expected)
+  }
+
+  test("physical plan is the custom exec: one merge pass, no window, no union") {
+    val s = native().queryExecution.executedPlan.toString
+    // AQE wraps the tree, so match on the exec's nodeName in the string
+    assert(s.contains("AsOfJoin"), s"no AsOfJoinExec:\n$s")
+    assert(!s.contains("Window"), s"window exec crept in:\n$s")
+    assert(!s.contains("Union"), s"union materialization crept in:\n$s")
+  }
+
+  test("left rows with no eligible right row are null-padded") {
+    val e = T(spark, sf001, "events")
+    // a right side that can never match: errors shifted 100 years forward
+    val future = e.filter($"event_type" === "error")
+      .select($"user_id".as("r_user"),
+        ($"ts" + expr("INTERVAL 36500 DAYS")).as("r_ts"),
+        $"event_id".as("r_tie"), $"value".as("r_value"))
+    val joined = AsOfJoin(e, future, "user_id", "ts", "event_id",
+      "r_user", "r_ts", "r_tie")
+    assert(joined.filter($"r_value".isNotNull).count() == 0)
+    assert(joined.count() == e.count())
+  }
+}
