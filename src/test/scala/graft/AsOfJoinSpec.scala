@@ -36,6 +36,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!s.contains("Union"), s"union materialization crept in:\n$s")
   }
 
+  test("custom Rule pushes left-side filters through the node into the scan") {
+    val filtered = native().filter($"event_type" === "click")
+    val s = filtered.queryExecution.executedPlan.toString
+    assert(s.contains("EqualTo(event_type,click)"),
+      s"filter did not reach the left parquet scan's PushedFilters:\n$s")
+    // and pushing preserves semantics
+    val expected = SparkEntry.queries("join_asof")(spark, sf001)
+      .filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"event_type", $"last_error_value")
+      .orderBy($"event_id").collect().toSeq
+    val got = filtered
+      .select($"event_id", $"user_id", $"event_type",
+        $"r_value".as("last_error_value"))
+      .orderBy($"event_id").collect().toSeq
+    assert(got == expected)
+  }
+
   test("left rows with no eligible right row are null-padded") {
     val e = T(spark, sf001, "events")
     // a right side that can never match: errors shifted 100 years forward
