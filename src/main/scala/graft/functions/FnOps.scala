@@ -321,6 +321,25 @@ object FnOps {
         "FROM (SELECT event_id, user_id || ',' || event_type || ',' || value " +
         "AS line FROM events) t ORDER BY event_id"),
 
+    // XML parsing (the reference's xml filter [PK]): build an XML
+    // fragment, parse it back through Spark's native from_xml; the oracle
+    // extracts the same fields with regexes.
+    "fn_xml_parse" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("xml", concat(lit("<e><u>"), col("user_id"),
+          lit("</u><t>"), col("event_type"), lit("</t></e>")))
+        .withColumn("parsed", from_xml(col("xml"),
+          org.apache.spark.sql.types.StructType.fromDDL("u BIGINT, t STRING"),
+          new java.util.HashMap[String, String]()))
+        .select(col("event_id"), col("xml"), col("parsed.u").as("u_parsed"),
+          col("parsed.t").as("t_parsed"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, xml, " +
+        "regexp_extract(xml, '<u>([0-9]+)</u>', 1)::BIGINT AS u_parsed, " +
+        "regexp_extract(xml, '<t>([a-z]+)</t>', 1) AS t_parsed " +
+        "FROM (SELECT event_id, '<e><u>' || user_id || '</u><t>' || " +
+        "event_type || '</t></e>' AS xml FROM events) t ORDER BY event_id"),
+
     // IP/CIDR handling (the reference's cidr filter [PK]): /24 subnet mask
     // and the packed 32-bit integer form of a synthesized dotted quad.
     "fn_ip_mask" -> Q(
