@@ -58,6 +58,41 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_b_orders")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying ~90% of the left side
+      val left = spark.range(200000)
+        .select(when($"id" % 10 === 0, lit(7L)).otherwise($"id").as("k"),
+          $"id".as("payload"))
+      val right = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("dim"))
+      val joined = left.join(right, "k")
+      // collect() (not count(), which plans its own aggregate) so THIS
+      // QueryExecution runs and its adaptive plan finalizes.
+      // hot key 7: 20000 (id%10==0) + id==7 itself = 20001 rows; plus
+      // ids 1..999 excluding multiples of 10 and 7 = 899 rows
+      assert(joined.collect().length == 20001 + 899)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew-split in final AQE plan:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("range-bucket join rides a HASH join keyed on (user_id, bucket)") {
     val plan = SparkEntry.queries("scale_range_bucket_join")(spark, sf001)
       .queryExecution.executedPlan.toString
