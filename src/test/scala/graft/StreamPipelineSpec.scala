@@ -1,0 +1,87 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The full reference topology in ONE streaming query — gate (custom DSv2
+  * source) → mutate (derived fields) → enrich (stream–static broadcast
+  * join) → windowed gauge (watermark + tumbling agg) → alert filter →
+  * custom DSv2 sink with epoch commits — asserted equal to the same
+  * pipeline run as a batch plan over the same deterministic rows. This is
+  * the "a reference user could switch" proof for the streaming path. */
+class StreamPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = Seq(
+    ("click", "engagement"), ("view", "engagement"), ("signup", "conversion"),
+    ("purchase", "conversion"), ("error", "ops"))
+
+  /** The pipeline's transform chain, identical for stream and batch. */
+  private def pipeline(events: DataFrame): DataFrame = {
+    val cats = events.sparkSession.createDataFrame(dim)
+      .toDF("event_type", "category")
+    events
+      // mutate: derived fields (value band + minute bucket key)
+      .withColumn("value_band",
+        when($"value" > 75, "high").otherwise("normal"))
+      // enrich: stream–static broadcast join
+      .join(broadcast(cats), "event_type")
+      // gauge: watermarked 5-minute tumbling rollup per category
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"category")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value_band" === "high", 1L).otherwise(0L)).as("n_high"))
+      // alert: only buckets where high-value events cluster
+      .filter($"n_high" >= 2)
+      .select($"window.start".as("bucket"), $"category", $"n", $"n_high")
+  }
+
+  test("gate -> mutate -> enrich -> gauge -> alert -> custom sink == batch twin") {
+    val out = Files.createTempDirectory("pipe_out").toString
+    val cp = Files.createTempDirectory("pipe_cp").toString
+    val stream = spark.readStream.format("graft.streaming.GateSource")
+      .option("rowsPerBatch", 200).option("maxRows", 1000)
+      .option("numPartitions", 4).load()
+    val q = pipeline(stream)
+      .writeStream.outputMode("append")
+      .format("graft.streaming.GateSink")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val committed = new File(out).listFiles()
+      .filter(_.getName.endsWith(".commit"))
+      .map(m => new File(out,
+        s"epoch=${m.getName.stripPrefix("epoch_").stripSuffix(".commit")}").getPath)
+      .filter(p => new File(p).exists())
+    val got = spark.read
+      .schema(StructType(Seq(
+        StructField("bucket", LongType), StructField("category", StringType),
+        StructField("n", LongType), StructField("n_high", LongType))))
+      .option("sep", "\t").csv(committed: _*)
+      .orderBy($"bucket", $"category")
+      .collect().toSeq
+
+    // batch twin over the identical deterministic rows
+    val replay = spark.readStream.format("graft.streaming.GateSource")
+      .option("rowsPerBatch", 1000).option("maxRows", 1000)
+      .option("numPartitions", 4).load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pipe_replay").start()
+    replay.processAllAvailable()
+    replay.stop()
+    val expected = pipeline(spark.table("pipe_replay"))
+      .select(expr("unix_micros(bucket)").as("bucket"), $"category", $"n", $"n_high")
+      .orderBy($"bucket", $"category")
+      .collect().toSeq
+
+    assert(expected.nonEmpty, "batch twin produced no alert buckets")
+    assert(got == expected)
+  }
+}
