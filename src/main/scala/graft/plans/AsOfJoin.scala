@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeSeq, BindReferences, Expression, GenericInternalRow, JoinedRow, PredicateHelper, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeSeq, BindReferences, Expression, GenericInternalRow, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -109,12 +109,12 @@ case class AsOfJoinExec(
     val (lk, lt, lc) = (leftKey, leftTs, leftTie)
     val (rk, rt, rc) = (rightKey, rightTs, rightTie)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKey = BindReferences.bindReference(lk, AttributeSeq(lOut))
-      val lTs = BindReferences.bindReference(lt, AttributeSeq(lOut))
-      val lTie = BindReferences.bindReference(lc, AttributeSeq(lOut))
-      val rKey = BindReferences.bindReference(rk, AttributeSeq(rOut))
-      val rTs = BindReferences.bindReference(rt, AttributeSeq(rOut))
-      val rTie = BindReferences.bindReference(rc, AttributeSeq(rOut))
+      // codegen'd 3-column (key, ts, tie) extractors — one generated
+      // projection call per row instead of three interpreted evals
+      val lProj = UnsafeProjection.create(
+        Seq(lk, lt, lc).map(BindReferences.bindReference(_, AttributeSeq(lOut))))
+      val rProj = UnsafeProjection.create(
+        Seq(rk, rt, rc).map(BindReferences.bindReference(_, AttributeSeq(rOut))))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
       val rBuf = rIter.buffered
@@ -122,19 +122,18 @@ case class AsOfJoinExec(
       // the iterator, so the held row must be a copy).
       var held: InternalRow = null
       var heldKey = 0L
-      def longOf(e: Expression, row: InternalRow): Long =
-        e.eval(row).asInstanceOf[java.lang.Number].longValue()
       lIter.map { l =>
-        val lkv = longOf(lKey, l)
-        val ltv = longOf(lTs, l)
-        val lcv = longOf(lTie, l)
+        val lKeys = lProj(l)
+        val lkv = lKeys.getLong(0)
+        val ltv = lKeys.getLong(1)
+        val lcv = lKeys.getLong(2)
         var advance = true
         while (advance && rBuf.hasNext) {
-          val h = rBuf.head
-          val rkv = longOf(rKey, h)
+          val rKeys = rProj(rBuf.head)
+          val rkv = rKeys.getLong(0)
           val eligible = rkv < lkv || (rkv == lkv && {
-            val rtv = longOf(rTs, h)
-            rtv < ltv || (rtv == ltv && longOf(rTie, h) <= lcv)
+            val rtv = rKeys.getLong(1)
+            rtv < ltv || (rtv == ltv && rKeys.getLong(2) <= lcv)
           })
           if (eligible) {
             held = rBuf.next().copy()

@@ -53,6 +53,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("randomized parity with the window formulation (20 generated sets)") {
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(300)
+      val rows = (0 until n).map { i =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L +
+          rnd.nextInt(120) * 1000L), // narrow range => frequent ts ties
+          rnd.nextInt(8).toLong, rnd.nextInt(3) == 0, rnd.nextDouble() * 100)
+      }
+      val e = rows.toDF("event_id", "ts", "user_id", "is_err", "value")
+      val right = e.filter($"is_err")
+        .select($"user_id".as("r_user"), $"ts".as("r_ts"),
+          $"event_id".as("r_tie"), $"value".as("r_value"))
+      val nativeRes = AsOfJoin(e, right, "user_id", "ts", "event_id",
+          "r_user", "r_ts", "r_tie")
+        .select($"event_id", $"r_value")
+        .orderBy($"event_id").collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Long.MinValue, 0)
+      val windowRes = e
+        .withColumn("r_value",
+          last(when($"is_err", $"value"), ignoreNulls = true).over(w))
+        .select($"event_id", $"r_value")
+        .orderBy($"event_id").collect().toSeq
+      assert(nativeRes == windowRes, s"seed=$seed")
+    }
+  }
+
   test("left rows with no eligible right row are null-padded") {
     val e = T(spark, sf001, "events")
     // a right side that can never match: errors shifted 100 years forward
