@@ -397,6 +397,68 @@ object AggWindowOps {
         "round(l_extendedprice * 100, 0)::DECIMAL(19,0) AS yc19 " +
         "FROM lineitem) t GROUP BY l_returnflag) m) f ORDER BY l_returnflag"),
 
+    // Skewness / excess kurtosis per group from exact integer raw moments
+    // (same discipline as agg_corr_regr: scale-0 decimal sums of the
+    // quantized values' powers are exact, convert to double identically in
+    // both engines, and the combining formulas are written as the same
+    // left-associated tree on both sides — bit-exact, no accumulation-
+    // order drift). PropertySpec cross-checks against Spark's built-in
+    // skewness/kurtosis within 1e-6.
+    "agg_moments_skew" -> Q(
+      (s, d) => {
+        val vq19 = col("vq").cast("decimal(19,0)")
+        val m = T(s, d, "events")
+          .select(col("event_type"), floor(col("value") * 10000).cast("long").as("vq"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vq")).as("sx"),
+            sum(vq19 * vq19).as("sxx"),
+            sum(vq19 * vq19 * vq19).as("sxxx"),
+            sum(vq19 * vq19 * vq19 * vq19).as("sxxxx"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double")
+        val sxxD = col("sxx").cast("double")
+        val sxxxD = col("sxxx").cast("double")
+        val sxxxxD = col("sxxxx").cast("double")
+        val var0 = sxxD - sxD * sxD / nD
+        // pow() is NOT correctly rounded and differs between Math.pow and
+        // libm — compose from * and sqrt (both correctly rounded):
+        // var^1.5 = var*sqrt(var), var^2 = var*var.
+        m.select(col("event_type"), col("n"),
+            (sxD / nD).as("mean_q"),
+            (sqrt(nD) * (sxxxD - lit(3.0) * sxD * sxxD / nD +
+              lit(2.0) * sxD * sxD * sxD / (nD * nD)) / (var0 * sqrt(var0)))
+              .as("skew"),
+            (nD * (sxxxxD - lit(4.0) * sxD * sxxxD / nD +
+              lit(6.0) * sxD * sxD * sxxD / (nD * nD) -
+              lit(3.0) * sxD * sxD * sxD * sxD / (nD * nD * nD)) /
+              (var0 * var0) - lit(3.0)).as("kurt"))
+          .orderBy(col("event_type"))
+      },
+      "WITH q AS (SELECT event_type, floor(value*10000)::BIGINT AS vq FROM events), " +
+        "m AS (SELECT event_type, COUNT(*) AS n, SUM(vq) AS sx, " +
+        "SUM(vq::HUGEINT * vq) AS sxx, SUM(vq::HUGEINT * vq * vq) AS sxxx, " +
+        "SUM(vq::HUGEINT * vq * vq * vq) AS sxxxx FROM q GROUP BY 1) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q, " +
+        "sqrt(CAST(n AS DOUBLE)) * (CAST(sxxx AS DOUBLE) - " +
+        "3.0 * CAST(sx AS DOUBLE) * CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) + " +
+        "2.0 * CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / " +
+        "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)) * sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS skew, " +
+        "CAST(n AS DOUBLE) * (CAST(sxxxx AS DOUBLE) - " +
+        "4.0 * CAST(sx AS DOUBLE) * CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE) + " +
+        "6.0 * CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) * CAST(sxx AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) - " +
+        "3.0 * CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) * " +
+        "CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +
+        "CAST(n AS DOUBLE))) / " +
+        "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)) * (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0 AS kurt " +
+        "FROM m ORDER BY event_type"),
+
     // Boolean and bitwise aggregates per event type (ref: all-healthy /
     // any-alarm gauge rollups plus permission-mask folds [PK]).
     "agg_bool_bit" -> Q(

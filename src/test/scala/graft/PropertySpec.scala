@@ -132,6 +132,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("moment-formula skew/kurtosis match Spark's built-ins within 1e-6") {
+    val got = SparkEntry.queries("agg_moments_skew")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val builtin = graft.T(spark, sf001, "events")
+      .select($"event_type", floor($"value" * 10000).cast("long").as("vq"))
+      .groupBy($"event_type")
+      .agg(skewness($"vq").as("s"), kurtosis($"vq").as("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    builtin.foreach { case (t, (s, k)) =>
+      assert(math.abs(got(t)._1 - s) < 1e-6, s"$t skew: ${got(t)._1} vs $s")
+      assert(math.abs(got(t)._2 - k) < 1e-6, s"$t kurt: ${got(t)._2} vs $k")
+    }
+  }
+
   test("approx_percentile tracks the exact percentile within 5%") {
     val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
