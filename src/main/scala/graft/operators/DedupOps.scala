@@ -133,6 +133,75 @@ object DedupOps {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
   }
 
+  /** Connected components over an undirected edge set via the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14): converges in O(log n) rounds
+    * regardless of component diameter — a 1M-node chain takes ~20 rounds
+    * where min-label propagation takes 1M.
+    *
+    * Scale shape per round: two keyed aggregates + two keyed joins (all on
+    * node ids), lineage cut with localCheckpoint, and convergence detected
+    * by an `observe()` checksum folded into the SAME checkpoint job — no
+    * extra driver-blocking action per round (the per-round `limit(1).count()`
+    * of the v1 label-propagation loop is gone).
+    *
+    * @param pairs undirected edges as (doc_a, doc_b) with doc_a < doc_b
+    * @return (doc_id, label) for every edge-involved node; label = min
+    *         doc_id of its component (roots map to themselves)
+    */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Invariant: edges stored as (hi, lo) with hi > lo throughout; both
+    // star operations provably preserve it.
+    var e = pairs.select(col("doc_b").as("hi"), col("doc_a").as("lo"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var iter = 0
+    var prevSig = (-1L, -1L)
+    val maxIter = 25
+    while (!converged && iter < maxIter) {
+      // Large-star: key every edge at BOTH endpoints; connect each
+      // strictly-larger neighbor v of u to m(u) = min(Γ(u) ∪ {u}).
+      val adj = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mu = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = adj.join(mu, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")) // v > u ≥ m ⇒ hi > lo
+        .distinct()
+      // Small-star: key each edge at its LARGER endpoint u; connect every
+      // smaller neighbor (and u itself) to m(u) = min of those neighbors.
+      val mh = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withM = large.join(mh, "hi")
+      val out = withM.select(col("lo").as("hi"), col("m").as("lo"))
+        .union(withM.select(col("hi"), col("m").as("lo")).distinct())
+        .filter(col("hi") > col("lo")) // drops the (m, m) self-loop
+        .distinct()
+      // Fixed point ⇔ the edge set stopped changing. (count, hash-xor) is
+      // a set checksum (xor, unlike sum, can't hit ANSI long overflow);
+      // observe() rides the checkpoint job, so detecting convergence costs
+      // zero extra Spark jobs.
+      val ob = org.apache.spark.sql.Observation(s"graft_cc_$iter")
+      val next = out.observe(ob, count(lit(1)).as("cnt"),
+        bit_xor(xxhash64(col("hi"), col("lo"))).as("sig")).localCheckpoint()
+      val m = ob.get
+      val sig = (m("cnt").asInstanceOf[Long],
+        Option(m("sig")).collect { case l: Long => l }.getOrElse(0L))
+      converged = sig == prevSig
+      prevSig = sig
+      e = next.select(col("hi"), col("lo"))
+      iter += 1
+    }
+    // A silent cap-exit would return wrong cluster ids — fail loudly
+    // instead (25 alternating rounds covers any realistic n at O(log n)).
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds")
+    // Converged state is a union of stars rooted at each component min:
+    // every non-root points straight at its root; roots label themselves.
+    e.select(col("hi").as("doc_id"), col("lo").as("label"))
+      .union(e.select(col("lo").as("doc_id"), col("lo").as("label")).distinct())
+      .distinct()
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Exact n-gram Jaccard on candidate pairs that share >= 1 shingle —
@@ -280,47 +349,21 @@ object DedupOps {
         "AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b"),
 
     // Dedup cluster assignment: connected components over the jaccard≥0.5
-    // near-dup edge set via iterative min-label propagation — every doc gets
-    // the min doc_id of its component as cluster_id (the canonical
-    // representative a dedup pipeline keeps). Each round is one keyed
-    // shuffle (neighbor-min aggregate + left join); lineage is cut per
-    // round with localCheckpoint so plans stay O(1) deep. Converges in
-    // O(component diameter) rounds — near-dup clusters are shallow; a
-    // web-scale graph would switch to the large-star/small-star variant
-    // of the same loop. Oracle: DuckDB recursive CTE reachability.
+    // near-dup edge set via alternating large-star/small-star
+    // ([[connectedComponents]]) — every doc gets the min doc_id of its
+    // component as cluster_id (the canonical representative a dedup
+    // pipeline keeps). O(log n) rounds independent of component diameter;
+    // iteration runs ONLY over edge-involved docs (near-dups are a small
+    // fraction of any corpus); singletons rejoin at the end with
+    // themselves as cluster_id. At 100 TB this is the difference between
+    // iterating over the candidate subgraph and re-shuffling the whole
+    // corpus every round. Oracle: DuckDB recursive CTE reachability.
     "llm_dedup_clusters" -> Q(
       (s, d) => {
         val pairs = jaccardScored(s, d).filter(col("jaccard") >= 0.5)
           .select(col("doc_a"), col("doc_b"))
-        val edges = pairs
-          .union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst").localCheckpoint()
-        // The iteration runs ONLY over edge-involved docs (near-dups are a
-        // small fraction of any corpus); singletons rejoin at the end with
-        // themselves as cluster_id. At 100 TB this is the difference
-        // between iterating over the candidate subgraph and re-shuffling
-        // the whole corpus every round.
-        var labels = edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("label", col("doc_id")).localCheckpoint()
-        var changed = true
-        var iter = 0
-        while (changed && iter < 25) {
-          val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-            .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-          val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-            .select(labels("doc_id"),
-              least(col("label"), coalesce(col("nbr_label"), col("label")))
-                .as("label"))
-            .localCheckpoint()
-          changed = next.as("n")
-            .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-            .filter(col("n.label") =!= col("p.label"))
-            .limit(1).count() > 0
-          labels = next
-          iter += 1
-        }
         T(s, d, "documents").select(col("doc_id"))
-          .join(labels, Seq("doc_id"), "left")
+          .join(connectedComponents(pairs), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("label"), col("doc_id")).as("cluster_id"))
           .orderBy(col("doc_id"))

@@ -117,11 +117,17 @@ object MultimodalOps {
     // samples (stride = ceil-ish len/64) + the resize scale factor — the
     // 1-D analogue of an image thumbnail pass; a real build swaps the
     // sampler for a codec-backed scaler with the same schema.
+    //
+    // CHARACTER semantics on BOTH sides (Spark length/substring on string ≡
+    // DuckDB length/substring on VARCHAR), so the key stays correct on
+    // multibyte text — DuckDB 1.0 has no BLOB substring/md5, so byte
+    // semantics cannot be oracled; both md5s hash the UTF-8 of the SAME
+    // sampled character string, which is engine-independent.
     "mm_resize_stub" -> Q(
       (s, d) => T(s, d, "documents")
         .withColumn("k", expr("greatest(1L, length(text) div 64)"))
         .select(col("doc_id"),
-          big(length(col("text"))).as("n_bytes"),
+          big(length(col("text"))).as("n_chars"),
           big(col("k")).as("stride"),
           (length(col("text")).cast("double") / 64.0).as("scale"),
           md5(expr(
@@ -131,14 +137,14 @@ object MultimodalOps {
             "length(array_join(transform(sequence(0, 63), i -> substring(text, cast(i * k + 1 as int), 1)), ''))"))
             .as("n_sampled"))
         .orderBy(col("doc_id")),
-      "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, " +
-        "greatest(1, octet_length(encode(text)) // 64)::BIGINT AS stride, " +
-        "CAST(octet_length(encode(text)) AS DOUBLE) / 64.0 AS scale, " +
+      "SELECT doc_id, length(text)::BIGINT AS n_chars, " +
+        "greatest(1, length(text) // 64)::BIGINT AS stride, " +
+        "CAST(length(text) AS DOUBLE) / 64.0 AS scale, " +
         "md5(array_to_string(list_transform(generate_series(0, 63), " +
-        "i -> substring(text, (i * greatest(1, octet_length(encode(text)) // 64) + 1)::INT, 1)), '')) " +
+        "i -> substring(text, (i * greatest(1, length(text) // 64) + 1)::INT, 1)), '')) " +
         "AS resized_md5, " +
         "length(array_to_string(list_transform(generate_series(0, 63), " +
-        "i -> substring(text, (i * greatest(1, octet_length(encode(text)) // 64) + 1)::INT, 1)), ''))::BIGINT " +
+        "i -> substring(text, (i * greatest(1, length(text) // 64) + 1)::INT, 1)), ''))::BIGINT " +
         "AS n_sampled " +
         "FROM documents ORDER BY doc_id"),
   )

@@ -30,7 +30,7 @@ object ScaleOps {
         val o = T(s, d, "orders")
           .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
         Scale.bucketedJoin(s, li, o, "l_orderkey", 8,
-            "graft_scale_li", "graft_scale_o")
+            "graft_scale_li", "graft_scale_o", memoKey = d)
           .groupBy(col("l_orderkey"))
           .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
           .orderBy(col("l_orderkey"))
@@ -59,9 +59,11 @@ object ScaleOps {
     "scan_partition_pruned" -> Q(
       (s, d) => {
         val p = scratch("scan_partitioned_events")
-        T(s, d, "events")
-          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
-          .write.mode("overwrite").partitionBy("event_type").parquet(p)
+        Scale.writeOnce(s"partitioned|$d|$p") {
+          T(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+            .write.mode("overwrite").partitionBy("event_type").parquet(p)
+        }
         s.read.parquet(p)
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("value"))

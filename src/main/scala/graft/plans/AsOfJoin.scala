@@ -122,14 +122,23 @@ case class AsOfJoinExec(
       // the iterator, so the held row must be a copy).
       var held: InternalRow = null
       var heldKey = 0L
+      // getLong on a null slot silently reads 0 — reject nulls loudly
+      // instead of mis-joining (v1 restriction: key/ts/tie non-null).
+      def requireNoNulls(r: InternalRow, side: String): Unit =
+        if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+          throw new IllegalStateException(
+            s"AsOfJoin: null $side key/ts/tie value; v1 requires non-null " +
+              "join columns (filter or coalesce them first)")
       lIter.map { l =>
         val lKeys = lProj(l)
+        requireNoNulls(lKeys, "left")
         val lkv = lKeys.getLong(0)
         val ltv = lKeys.getLong(1)
         val lcv = lKeys.getLong(2)
         var advance = true
         while (advance && rBuf.hasNext) {
           val rKeys = rProj(rBuf.head)
+          requireNoNulls(rKeys, "right")
           val rkv = rKeys.getLong(0)
           val eligible = rkv < lkv || (rkv == lkv && {
             val rtv = rKeys.getLong(1)
@@ -171,8 +180,31 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    // The exec compares all three columns as raw longs (getLong on an
+    // UnsafeProjection), so anything not long-shaped must be widened or
+    // rejected HERE — an IntegerType key read as a long would silently
+    // zero-extend negatives into huge positives and mis-join.
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types._
+    def asKey(a: Attribute, what: String): Expression = a.dataType match {
+      case LongType => a
+      case ByteType | ShortType | IntegerType => Cast(a, LongType)
+      case other => throw new IllegalArgumentException(
+        s"AsOfJoin $what column '${a.name}' must be an integral type, got $other")
+    }
+    def asTs(a: Attribute, what: String): Expression = a.dataType match {
+      // TimestampType/NTZ store micros as a long; order-preserving as-is.
+      case LongType | TimestampType | TimestampNTZType => a
+      case ByteType | ShortType | IntegerType => Cast(a, LongType)
+      case other => throw new IllegalArgumentException(
+        s"AsOfJoin $what column '${a.name}' must be a timestamp or integral type, got $other")
+    }
+    val (lk, lt, lc) =
+      (attr(lPlan, leftKey), attr(lPlan, leftTs), attr(lPlan, leftTie))
+    val (rk, rt, rc) =
+      (attr(rPlan, rightKey), attr(rPlan, rightTs), attr(rPlan, rightTie))
     GraftSqlBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(lPlan, leftTs), attr(lPlan, leftTie),
-      attr(rPlan, rightKey), attr(rPlan, rightTs), attr(rPlan, rightTie)))
+      asKey(lk, "left key"), asTs(lt, "left ts"), asKey(lc, "left tie"),
+      asKey(rk, "right key"), asTs(rt, "right ts"), asKey(rc, "right tie")))
   }
 }

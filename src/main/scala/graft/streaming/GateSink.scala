@@ -78,6 +78,12 @@ private[graft] class GateStreamingWrite(dir: String, schema: StructType)
       return
     }
     val epochDir = new File(dir, s"epoch=$epochId")
+    // No marker ⇒ any existing epochDir contents are from an attempt that
+    // crashed mid-move. A replay with fewer partitions would otherwise
+    // leave the crashed attempt's extra part files in place and the marker
+    // below would commit them — duplicated rows. Readers never trust an
+    // unmarked dir, so clearing it here is safe.
+    Option(epochDir.listFiles()).foreach(_.foreach(f => Files.delete(f.toPath)))
     epochDir.mkdirs()
     parts.zipWithIndex.foreach { case (p, i) =>
       Files.move(Paths.get(p.tmpPath),

@@ -37,6 +37,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size <= 3, s"too many spurious pairs: $pairs")
   }
 
+  test("connected components: long chain + cycle + singletons (log-round star alg)") {
+    // A 101-node chain has diameter 100 — min-label propagation would need
+    // 100 rounds; large-star/small-star must finish well under the 25-round
+    // cap or throw. Plus a disjoint 4-cycle and an isolated pair.
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    val cycle = Seq((200L, 201L), (201L, 202L), (202L, 203L), (200L, 203L))
+    val pair = Seq((300L, 301L))
+    val edges = (chain ++ cycle ++ pair).toDF("doc_a", "doc_b")
+    val labels = graft.operators.DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 100L).foreach(n => assert(labels(n) == 0L, s"chain node $n -> ${labels(n)}"))
+    (200L to 203L).foreach(n => assert(labels(n) == 200L))
+    assert(labels(300L) == 300L && labels(301L) == 300L)
+    assert(labels.size == 107)
+  }
+
   test("lsh ann recall@3 against brute force is useful and plan stays bucketed") {
     val brute = SparkEntry.queries("llm_cosine_topk")(spark, sf001)
       .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
