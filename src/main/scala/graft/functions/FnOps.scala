@@ -15,6 +15,13 @@ import graft.Dsl._
   */
 object FnOps {
 
+  /** Grok expression for `fn_grok_patterns`: every major pattern family —
+    * ISO timestamp, log level, IPv4, username, typed int + float. */
+  private val GrokLogLine: String =
+    "%{TIMESTAMP_ISO8601:ts_str} %{LOGLEVEL:level} %{IP:client_ip} " +
+      "user=%{USERNAME:username} req_id=%{INT:req_id:int} " +
+      "took=%{NUMBER:took:float}"
+
   val defs: Seq[(String, Q)] = Seq(
 
     "fn_string_suite" -> Q(
@@ -44,6 +51,89 @@ object FnOps {
         "regexp_extract(p_type, '^(\\w+) (\\w+)', 1) AS type_word1, " +
         "regexp_extract(p_type, '^(\\w+) (\\w+)', 2) AS type_word2 " +
         "FROM part ORDER BY p_partkey"),
+
+    // The grok PATTERN LIBRARY (the reference's flagship instruction): a
+    // log line is synthesized from events columns, then parsed back through
+    // a %{NAME:field:type} expression compiled by graft.functions.Grok into
+    // one regex whose capture groups drive codegen'd regexp_extract —
+    // timestamp, log level, IPv4, username, typed int and float fields.
+    // The oracle runs the IDENTICAL compiled regex in DuckDB (RE2), so the
+    // dictionary, the compiler, and both engines' extraction semantics are
+    // all under the correctness gate.
+    "fn_grok_patterns" -> Q(
+      (s, d) => {
+        val lvl = when(col("event_type") === "click", "INFO")
+          .when(col("event_type") === "view", "DEBUG")
+          .when(col("event_type") === "purchase", "NOTICE")
+          .when(col("event_type") === "error", "ERROR").otherwise("WARN")
+        val msg = concat_ws(" ",
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lvl,
+          concat(lit("10."), (col("user_id") % 250).cast("string"),
+            lit(".0."), (col("event_id") % 250).cast("string")),
+          concat(lit("user=u"), col("user_id").cast("string")),
+          concat(lit("req_id="), col("event_id").cast("string")),
+          concat(lit("took="), (col("event_id") % 100).cast("string"),
+            lit("."), (col("user_id") % 10).cast("string")))
+        T(s, d, "events").withColumn("msg", msg)
+          .select(col("event_id") +: Grok.columns(col("msg"), GrokLogLine): _*)
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, " +
+        Grok.duckExprs(
+          "(strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' ' || " +
+            "CASE event_type WHEN 'click' THEN 'INFO' WHEN 'view' THEN 'DEBUG' " +
+            "WHEN 'purchase' THEN 'NOTICE' WHEN 'error' THEN 'ERROR' " +
+            "ELSE 'WARN' END || " +
+            "' 10.' || (user_id % 250) || '.0.' || (event_id % 250) || " +
+            "' user=u' || user_id || ' req_id=' || event_id || " +
+            "' took=' || (event_id % 100) || '.' || (user_id % 10))",
+          GrokLogLine).mkString(", ") +
+        " FROM events ORDER BY event_id")),
+
+    // Schema'd JSON parse (SURVEY §1.1/§1.2 `from_json(schema)` promise):
+    // a NESTED JSON document is synthesized per event (embedding the real
+    // `props` object), then parsed back through a typed StructType with
+    // PERMISSIVE corrupt-record capture — every 7th row is deliberately
+    // truncated mid-object, and must surface as is_corrupt=true with null
+    // fields rather than an error. Oracle: DuckDB json_extract twins per
+    // field, null-guarded by json_valid.
+    "fn_json_struct" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val good = concat(lit("{\"meta\":{\"src\":\""), col("event_type"),
+          lit("\",\"v\":"), (col("event_id") % 5).cast("string"),
+          lit("},\"user\":{\"id\":"), col("user_id").cast("string"),
+          lit("},\"orig\":"), col("props"), lit("}"))
+        val js = when(col("event_id") % 7 === 0,
+          concat(lit("{\"meta\": broken "), col("props"))).otherwise(good)
+        val schema = StructType(Seq(
+          StructField("meta", StructType(Seq(
+            StructField("src", StringType), StructField("v", LongType)))),
+          StructField("user", StructType(Seq(StructField("id", LongType)))),
+          StructField("orig", StructType(Seq(StructField("k", LongType)))),
+          StructField("_corrupt_record", StringType)))
+        T(s, d, "events").withColumn("js", js)
+          .withColumn("p", from_json(col("js"), schema,
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt_record")))
+          .select(col("event_id"),
+            col("p.meta.src").as("src"), col("p.meta.v").as("v"),
+            col("p.user.id").as("uid"), col("p.orig.k").as("k"),
+            col("p._corrupt_record").isNotNull.as("is_corrupt"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, " +
+        "CASE WHEN ok THEN json_extract_string(js, '$.meta.src') END AS src, " +
+        "CASE WHEN ok THEN TRY_CAST(json_extract_string(js, '$.meta.v') AS BIGINT) END AS v, " +
+        "CASE WHEN ok THEN TRY_CAST(json_extract_string(js, '$.user.id') AS BIGINT) END AS uid, " +
+        "CASE WHEN ok THEN TRY_CAST(json_extract_string(js, '$.orig.k') AS BIGINT) END AS k, " +
+        "NOT ok AS is_corrupt FROM (" +
+        "SELECT event_id, js, json_valid(js) AS ok FROM (" +
+        "SELECT event_id, CASE WHEN event_id % 7 = 0 " +
+        "THEN '{\"meta\": broken ' || props " +
+        "ELSE '{\"meta\":{\"src\":\"' || event_type || '\",\"v\":' || (event_id % 5) || " +
+        "'},\"user\":{\"id\":' || user_id || '},\"orig\":' || props || '}' END AS js " +
+        "FROM events) t) t2 ORDER BY event_id")),
 
     "fn_string_suite2" -> Q(
       (s, d) => T(s, d, "part")

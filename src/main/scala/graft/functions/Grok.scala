@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Grok pattern library (SURVEY §2.H [PK] — the reference's flagship
+  * field-extraction instruction): a named-pattern dictionary in the
+  * Logstash-compatible `%{NAME:field}` / `%{NAME:field:type}` syntax,
+  * compiled to ONE plain regex whose capture groups are exactly the named
+  * fields, in order. Extraction is then stock codegen'd `regexp_extract` —
+  * no UDF, scan-pushdown-friendly, and the identical regex string runs in
+  * DuckDB (RE2), which is what makes the operator oracle-able.
+  *
+  * Dictionary entries are authored with NON-capturing groups only, so the
+  * group numbering of a compiled expression is fully determined by the
+  * user's named references. Nested `%{NAME}` references inside dictionary
+  * entries expand recursively (also non-capturing).
+  *
+  * Supported coercions: `:int` → LongType, `:float` → DoubleType
+  * (grok's two standard coercions); default is string.
+  */
+object Grok {
+
+  /** Core pattern dictionary — the patterns a log pipeline uses daily.
+    * All groups non-capturing; RE2-safe (no backrefs, no lookaround). */
+  val patterns: Map[String, String] = Map(
+    "WORD" -> """\b\w+\b""",
+    "NOTSPACE" -> """\S+""",
+    "SPACE" -> """\s*""",
+    "DATA" -> """.*?""",
+    "GREEDYDATA" -> """.*""",
+    "INT" -> """[+-]?[0-9]+""",
+    "NONNEGINT" -> """[0-9]+""",
+    "BASE10NUM" -> """[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)""",
+    "NUMBER" -> """%{BASE10NUM}""",
+    "BASE16NUM" -> """(?:0[xX])?[0-9a-fA-F]+""",
+    "POSINT" -> """\b[1-9][0-9]*\b""",
+    "IPV4" -> ("""(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)""" +
+      """(?:\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}"""),
+    "IP" -> """%{IPV4}""",
+    "HOSTNAME" -> ("""\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})""" +
+      """(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b"""),
+    "IPORHOST" -> """(?:%{IP}|%{HOSTNAME})""",
+    "USERNAME" -> """[a-zA-Z0-9._-]+""",
+    "USER" -> """%{USERNAME}""",
+    "UUID" -> """[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}""",
+    "MAC" -> """(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}""",
+    "LOGLEVEL" -> ("""(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|""" +
+      """[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|""" +
+      """[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|""" +
+      """[Ff]atal|FATAL|[Ss]evere|SEVERE|[Ee]merg(?:ency)?|EMERG(?:ENCY)?)"""),
+    "YEAR" -> """(?:\d\d){1,2}""",
+    "MONTHNUM" -> """(?:0?[1-9]|1[0-2])""",
+    "MONTHDAY" -> """(?:0[1-9]|[12][0-9]|3[01]|[1-9])""",
+    "MONTH" -> ("""\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|""" +
+      """May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|""" +
+      """Nov(?:ember)?|Dec(?:ember)?)\b"""),
+    "HOUR" -> """(?:2[0123]|[01]?[0-9])""",
+    "MINUTE" -> """[0-5][0-9]""",
+    "SECOND" -> """(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?""",
+    "TIME" -> """%{HOUR}:%{MINUTE}(?::%{SECOND})?""",
+    "ISO8601_TIMEZONE" -> """(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))""",
+    "TIMESTAMP_ISO8601" -> ("""%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]""" +
+      """%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?"""),
+    "HTTPDATE" -> """%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}""",
+    "QUOTEDSTRING" -> """"[^"]*"""",
+    "UNIXPATH" -> """(?:/[\w_%!$@:.,+~-]*)+""",
+    "URIPROTO" -> """[A-Za-z](?:[A-Za-z0-9+\-.]+)*""")
+
+  /** One named field of a compiled expression: output name, optional
+    * coercion ("int" | "float"), and its regex capture-group index. */
+  final case class Field(name: String, coerce: Option[String], group: Int)
+
+  private val Ref =
+    """%\{(\w+)(?::([A-Za-z0-9_]+))?(?::(int|float))?\}""".r
+
+  /** Recursively expand a dictionary pattern (non-capturing). */
+  private def expand(name: String, seen: Set[String]): String = {
+    require(!seen(name), s"grok: cyclic pattern reference %{$name}")
+    val body = patterns.getOrElse(name,
+      throw new IllegalArgumentException(s"grok: unknown pattern %{$name}"))
+    Ref.replaceAllIn(body, m => java.util.regex.Matcher.quoteReplacement(
+      "(?:" + expand(m.group(1), seen + name) + ")"))
+  }
+
+  /** Compile a grok expression to (regex, fields). Named references become
+    * capture groups in order of appearance; anonymous references are
+    * non-capturing; everything outside `%{}` passes through as regex. */
+  def compile(expression: String): (String, Seq[Field]) = {
+    val fields = Seq.newBuilder[Field]
+    var g = 0
+    val regex = Ref.replaceAllIn(expression, m => {
+      val exp = expand(m.group(1), Set.empty)
+      val out = Option(m.group(2)) match {
+        case Some(f) =>
+          g += 1
+          fields += Field(f, Option(m.group(3)), g)
+          "(" + exp + ")"
+        case None => "(?:" + exp + ")"
+      }
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
+    (regex, fields.result())
+  }
+
+  /** Typed Spark columns — one `regexp_extract` (codegen'd) per named
+    * field of the grok expression. A non-matching line yields "" (and
+    * null after a numeric coercion via try-semantics below). */
+  def columns(c: Column, expression: String): Seq[Column] = {
+    val (re, fs) = compile(expression)
+    fs.map { f =>
+      val raw = regexp_extract(c, re, f.group)
+      (f.coerce match {
+        // A non-matching line extracts "" which must become null, not an
+        // ANSI cast error; matched text is castable by pattern construction.
+        case Some("int") => nullIfEmpty(raw).cast("long")
+        case Some("float") => nullIfEmpty(raw).cast("double")
+        case Some(other) => throw new IllegalArgumentException(
+          s"grok: unsupported coercion :$other")
+        case None => raw
+      }).as(f.name)
+    }
+  }
+
+  private def nullIfEmpty(c: Column): Column =
+    when(length(c) === 0, lit(null)).otherwise(c)
+
+  /** The SAME extraction as DuckDB SQL select-expressions (same compiled
+    * regex, same group indices, same coercions) — the oracle twin
+    * generator. DuckDB's regexp engine is RE2; the dictionary avoids
+    * constructs RE2 lacks. */
+  def duckExprs(colSql: String, expression: String): Seq[String] = {
+    val (re, fs) = compile(expression)
+    val reLit = "'" + re.replace("'", "''") + "'"
+    fs.map { f =>
+      val raw = s"regexp_extract($colSql, $reLit, ${f.group})"
+      val typed = f.coerce match {
+        case Some("int") => s"TRY_CAST($raw AS BIGINT)"
+        case Some("float") => s"TRY_CAST($raw AS DOUBLE)"
+        case Some(other) => throw new IllegalArgumentException(
+          s"grok: unsupported coercion :$other")
+        case None => raw
+      }
+      s"$typed AS ${f.name}"
+    }
+  }
+}

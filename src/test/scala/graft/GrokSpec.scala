@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Grok
+
+/** Grok pattern-library compiler + extraction semantics. */
+class GrokSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("compile: named refs become capture groups in order; types recorded") {
+    val (re, fields) = Grok.compile("%{INT:n:int} %{WORD:w} %{NUMBER:x:float}")
+    assert(fields.map(f => (f.name, f.coerce, f.group)) ==
+      Seq(("n", Some("int"), 1), ("w", None, 2), ("x", Some("float"), 3)))
+    val m = java.util.regex.Pattern.compile(re).matcher("-42 hello 3.14")
+    assert(m.find())
+    assert(m.group(1) == "-42" && m.group(2) == "hello" && m.group(3) == "3.14")
+  }
+
+  test("compile: nested dictionary refs expand non-capturing (NUMBER -> BASE10NUM)") {
+    val (re, fields) = Grok.compile("%{NUMBER:x}")
+    assert(fields == Seq(Grok.Field("x", None, 1)))
+    // exactly ONE capturing group: nested expansion must not shift indices
+    assert(java.util.regex.Pattern.compile(re).matcher("1.5").groupCount() == 1)
+  }
+
+  test("compile: unknown pattern throws") {
+    intercept[IllegalArgumentException](Grok.compile("%{NOPE:x}"))
+  }
+
+  test("apache-style access log line extracts typed fields end-to-end") {
+    val pat = "%{IPORHOST:client} %{USER:ident} %{USER:auth} " +
+      "\\[%{HTTPDATE:when}\\] \"%{WORD:verb} %{NOTSPACE:path} " +
+      "HTTP/%{NUMBER:httpver:float}\" %{INT:status:int} %{INT:bytes:int}"
+    val line = "203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] " +
+      "\"GET /apache_pb.gif HTTP/1.0\" 200 2326"
+    val row = Seq(line).toDF("msg")
+      .select(Grok.columns(col("msg"), pat): _*).collect().head
+    assert(row.getAs[String]("client") == "203.0.113.9")
+    assert(row.getAs[String]("auth") == "frank")
+    assert(row.getAs[String]("when") == "10/Oct/2000:13:55:36 -0700")
+    assert(row.getAs[String]("verb") == "GET")
+    assert(row.getAs[String]("path") == "/apache_pb.gif")
+    assert(row.getAs[Long]("status") == 200L)
+    assert(row.getAs[Long]("bytes") == 2326L)
+  }
+
+  test("non-matching line yields empty strings and null numerics, not errors") {
+    val row = Seq("no numbers here at all########")
+      .toDF("msg")
+      .select(Grok.columns(col("msg"), "q=%{INT:q:int} ip=%{IP:ip}"): _*)
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("q")))
+    assert(row.getAs[String]("ip") == "")
+  }
+
+  test("IPV4 rejects out-of-range octets") {
+    val (re, _) = Grok.compile("^%{IP:ip}$")
+    val p = java.util.regex.Pattern.compile(re)
+    assert(p.matcher("255.255.255.255").find())
+    assert(p.matcher("10.0.0.1").find())
+    assert(!p.matcher("256.1.1.1").find())
+    assert(!p.matcher("1.2.3").find())
+  }
+}
