@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Shared machine-state implementations for the SimHash and LSH-signer
+  * expressions: ONE definition serves both the interpreted `nullSafeEval`
+  * path and the generated code (via `ctx.addReferenceObj`), so the two
+  * paths cannot drift. Replaces the last two Scala UDFs in the dedup/ANN
+  * family — as native expressions they stay inside whole-stage codegen
+  * (no ScalaUDF boxing, no WrappedArray conversion per row).
+  */
+object SimHashImpl extends Serializable {
+  /** Deterministic 64-bit SimHash over a word multiset — bit-identical to
+    * the UDF it replaced (String.hashCode is specified; byteswap64 mixes). */
+  def compute(words: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = words.numElements()
+    var w = 0
+    while (w < n) {
+      val h = scala.util.hashing.byteswap64(
+        words.getUTF8String(w).toString.hashCode.toLong * 0x9E3779B97F4A7C15L)
+      var i = 0
+      while (i < 64) { acc(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      w += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+}
+
+/** Multi-table random-hyperplane LSH signer: `nTables` buckets of `bits`
+  * sign bits each, hyperplanes drawn once from a fixed seed (deterministic
+  * across executors — the plane matrix is broadcast inside the generated
+  * class as a reference object). */
+object LshSigsImpl extends Serializable {
+  val NTables = 8
+  val Bits = 6
+  private val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NTables * Bits, 64)(rnd.nextGaussian())
+  }
+
+  def compute(emb: ArrayData): ArrayData = {
+    val m = emb.numElements()
+    val out = new Array[Int](NTables)
+    var t = 0
+    while (t < NTables) {
+      var bucket = 0
+      var j = 0
+      while (j < Bits) {
+        val p = planes(t * Bits + j)
+        var dp = 0.0
+        var i = 0
+        val n = math.min(p.length, m)
+        while (i < n) { dp += emb.getFloat(i) * p(i); i += 1 }
+        if (dp > 0) bucket |= (1 << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** words array<string> → 64-bit SimHash signature (codegen'd). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any): Any =
+    SimHashImpl.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val impl = ctx.addReferenceObj("simhashImpl", SimHashImpl,
+        SimHashImpl.getClass.getName)
+      s"${ev.value} = $impl.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** embedding array<float> → array<int> of per-table LSH buckets (codegen'd). */
+case class LshSigs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    LshSigsImpl.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val impl = ctx.addReferenceObj("lshSigsImpl", LshSigsImpl,
+        LshSigsImpl.getClass.getName)
+      s"${ev.value} = $impl.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  /** Column handles via the session function registry (idempotent). */
+  def simhash64(spark: SparkSession)(words: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    org.apache.spark.sql.functions.call_function("graft_simhash64", words)
+  }
+
+  def lshSigs(spark: SparkSession)(emb: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_sigs", exprs => LshSigs(exprs.head), "built-in")
+    org.apache.spark.sql.functions.call_function("graft_lsh_sigs", emb)
+  }
+}

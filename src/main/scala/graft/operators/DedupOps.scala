@@ -20,25 +20,15 @@ object DedupOps {
   private val shingleExpr = Shingles.sparkExpr
   private val shingleCte = Shingles.duckCte(distinct = true)
 
-  /** Deterministic 64-bit SimHash over a word multiset (stable across JVMs:
-    * String.hashCode is specified; byteswap64 mixes it). */
-  private val simhash64 = udf((words: Seq[String]) => {
-    val acc = new Array[Int](64)
-    words.foreach { w =>
-      val h = scala.util.hashing.byteswap64(w.hashCode.toLong * 0x9E3779B97F4A7C15L)
-      var i = 0
-      while (i < 64) { acc(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
-    }
-    var sig = 0L
-    var i = 0
-    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
-    sig
-  })
-
-  /** SimHash signature per (doc_id, text) row — reusable over any corpus. */
+  /** SimHash signature per (doc_id, text) row — reusable over any corpus.
+    * The signature is a native codegen Expression
+    * ([[graft.functions.SimHash64]]), not a UDF: no boxing, stays inside
+    * whole-stage codegen. Bit-identical to the v1 UDF (same hash family). */
   def simhashOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), simhash64(col("words")).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.simhash64(docs.sparkSession)(
+          col("words")).as("simhash"))
 
   /** SimHash near-dup pairs: 4×16-bit LSH bands make candidates (two docs
     * within hamming distance 3 of 64 bits must agree on >= 1 band), then the
@@ -227,7 +217,8 @@ object DedupOps {
     "llm_simhash" -> Q(
       (s, d) => T(s, d, "documents")
         .withColumn("words", split(col("text"), " "))
-        .withColumn("simhash", simhash64(col("words")))
+        .withColumn("simhash",
+          graft.functions.HashExpressions.simhash64(s)(col("words")))
         .select(col("doc_id"), col("simhash"),
           col("simhash").bitwiseAND(lit(0xFFFFL)).as("band0"),
           shiftrightunsigned(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)).as("band1"),
@@ -253,34 +244,17 @@ object DedupOps {
     // signatures = 64 buckets each). Candidates = pairs sharing any
     // (table, bucket); exact cosine ranks only those. Recall/candidate
     // tradeoff measured in DedupSpec against the brute-force baseline.
-    // Hyperplanes are seeded and JVM-generated, hence no SQL oracle.
+    // Hyperplanes are seeded and JVM-generated, hence no SQL oracle. The
+    // signer is a native codegen Expression (graft.functions.LshSigs),
+    // not a UDF — same deterministic planes, no per-row boxing.
     "llm_ann_lsh" -> Q(
       (s, d) => {
-        val nTables = 8
-        val bits = 6
-        val planes: Array[Array[Double]] = {
-          val rnd = new scala.util.Random(42)
-          Array.fill(nTables * bits, 64)(rnd.nextGaussian())
-        }
-        val sigs = udf((emb: Seq[Float]) => {
-          (0 until nTables).map { t =>
-            var bucket = 0
-            var j = 0
-            while (j < bits) {
-              var dp = 0.0
-              var i = 0
-              val p = planes(t * bits + j)
-              while (i < p.length && i < emb.length) { dp += emb(i) * p(i); i += 1 }
-              if (dp > 0) bucket |= (1 << j)
-              j += 1
-            }
-            bucket
-          }
-        })
         val e = T(s, d, "embeddings")
         val buckets = e
-          .select(col("vec_id"), posexplode(sigs(col("embedding"))).as(Seq("tbl", "bucket")))
-          .localCheckpoint() // one UDF pass feeds both self-join sides
+          .select(col("vec_id"), posexplode(
+            graft.functions.HashExpressions.lshSigs(s)(col("embedding")))
+            .as(Seq("tbl", "bucket")))
+          .localCheckpoint() // one signer pass feeds both self-join sides
         val cand = buckets.withColumnRenamed("vec_id", "a_id")
           .join(buckets.withColumnRenamed("vec_id", "b_id"), Seq("tbl", "bucket"))
           .filter(col("a_id") =!= col("b_id"))

@@ -37,6 +37,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size <= 3, s"too many spurious pairs: $pairs")
   }
 
+  test("simhash + lsh signer are native expressions: no ScalaUDF in the plan") {
+    Seq("llm_simhash", "llm_ann_lsh").foreach { key =>
+      val plan = SparkEntry.queries(key)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batchevalpython"),
+        s"$key still plans a UDF:\n$plan")
+    }
+  }
+
   test("connected components: long chain + cycle + singletons (log-round star alg)") {
     // A 101-node chain has diameter 100 — min-label propagation would need
     // 100 rounds; large-star/small-star must finish well under the 25-round
