@@ -237,7 +237,8 @@ object DedupOps {
         "round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
         "(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
         "sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE a.vec_id < 20000 AND b.vec_id < 20000) t " +
         "WHERE sim >= 0.35 ORDER BY a_id, b_id"),
 
     // ANN scale path: multi-table random-hyperplane LSH (8 tables × 6-bit

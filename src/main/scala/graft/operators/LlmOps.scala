@@ -64,7 +64,8 @@ object LlmOps {
         "round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
         "(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
         "sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) x) y " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id " +
+        "WHERE a.vec_id < 20000 AND b.vec_id < 20000) x) y " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
 
     // Language/corpus profile: doc counts, token totals, char stats per lang.

@@ -32,9 +32,19 @@ object Shingles {
   * the corpus side, exact-fold dot product, sim rounded to 4dp (the same
   * rounding the DuckDB oracles apply). */
 object VectorSim {
+  /** DEMOTED-BASELINE CAP: the two all-pairs keys (`llm_cosine_topk`,
+    * `llm_emb_near_dedup`) are labeled correctness baselines for the
+    * LSH/IVF scale path, NOT the scale path itself. Their input is capped
+    * so a future testdata bump cannot turn n² pairs into the bench tail;
+    * the SAME predicate appears in their oracle SQL, so the keys stay
+    * oracle-green at any sf. 20k vectors ⇒ ≤4·10⁸ candidate pairs, the
+    * most a brute-force demo should ever pay. */
+  val BruteForceCap = 20000
+
   def pairs(s: SparkSession, d: String, cond: Column): DataFrame = {
     val dot = dotF(s) _
     val e = T(s, d, "embeddings")
+      .filter(col("vec_id") < BruteForceCap)
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("norm").as("a_norm"))
