@@ -106,6 +106,7 @@ case class AsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    val outAttrs = output // captured: closing over `this` isn't serializable
     val (lk, lt, lc) = (leftKey, leftTs, leftTie)
     val (rk, rt, rc) = (rightKey, rightTs, rightTie)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -116,6 +117,14 @@ case class AsOfJoinExec(
       val rProj = UnsafeProjection.create(
         Seq(rk, rt, rc).map(BindReferences.bindReference(_, AttributeSeq(rOut))))
       val joined = new JoinedRow
+      // SparkPlan's execute() contract expects UnsafeRow output (collect's
+      // getByteArrayRdd casts); JoinedRow alone only works when a project
+      // happens to sit above. One codegen'd projection per output row.
+      // MUST bind against `output` (right side nullability-adjusted), not
+      // the raw child attributes: BindReferences takes nullability from
+      // the INPUT schema, and a non-nullable slot skips the null check and
+      // writes 0 instead of null for the padded side.
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rOut.length)
       val rBuf = rIter.buffered
       // Last right row consumed by the forward pass (rows are reused by
@@ -149,8 +158,8 @@ case class AsOfJoinExec(
             heldKey = rkv
           } else advance = false
         }
-        if (held != null && heldKey == lkv) joined(l, held)
-        else joined(l, nullRight)
+        if (held != null && heldKey == lkv) outProj(joined(l, held))
+        else outProj(joined(l, nullRight))
       }
     }
   }

@@ -82,6 +82,33 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("type validation: non-integral key rejected, integer key widened") {
+    val l = Seq((1, 10L, 1L, "a")).toDF("k", "ts", "tie", "payload")
+    val r = Seq((1, 5L, 1L, 9.9)).toDF("rk", "rts", "rtie", "rv")
+    // IntegerType key/tie: must be widened via cast, not read raw
+    val joined = AsOfJoin(l, r, "k", "ts", "tie", "rk", "rts", "rtie")
+    assert(joined.collect().head.getAs[Double]("rv") == 9.9)
+    // string key: loud rejection, not silent garbage
+    val bad = l.withColumn("k", lit("oops"))
+    val ex = intercept[IllegalArgumentException](
+      AsOfJoin(bad, r, "k", "ts", "tie", "rk", "rts", "rtie"))
+    assert(ex.getMessage.contains("must be an integral type"))
+  }
+
+  test("runtime null in a join column fails loudly instead of mis-joining") {
+    val l = Seq((Some(1L), 10L, 1L), (None, 20L, 2L))
+      .toDF("k", "ts", "tie")
+    val r = Seq((1L, 5L, 1L)).toDF("rk", "rts", "rtie")
+    val ex = intercept[Exception](
+      AsOfJoin(l, r, "k", "ts", "tie", "rk", "rts", "rtie").collect())
+    assert(ex.getMessage != null)
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(_.contains("requires non-null")),
+      s"expected the null-rejection error, got: $ex")
+  }
+
   test("left rows with no eligible right row are null-padded") {
     val e = T(spark, sf001, "events")
     // a right side that can never match: errors shifted 100 years forward

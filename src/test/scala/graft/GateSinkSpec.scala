@@ -108,4 +108,38 @@ class GateSinkSpec extends SparkSpec {
     assert(!new File(out, "_tmp").listFiles().exists(_.getName.startsWith("replay-")),
       "replayed temp parts must be cleaned up")
   }
+
+  test("crashed unmarked epoch is cleared before a replay commits (no dup rows)") {
+    val out = tmpDir("gate_sink_crash")
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val write = new GateStreamingWrite(out, schema)
+
+    def partFile(name: String, body: String): GateSink.PartFile = {
+      val tmp = new File(new File(out, "_tmp"), name)
+      tmp.getParentFile.mkdirs()
+      Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+      GateSink.PartFile(tmp.getAbsolutePath, body.linesIterator.size.toLong)
+    }
+
+    // Simulate a crash mid-commit: 3 part files landed in epoch=9/ but the
+    // marker was never written.
+    val epochDir = new File(out, "epoch=9")
+    epochDir.mkdirs()
+    (0 until 3).foreach { i =>
+      Files.write(new File(epochDir, f"part-$i%05d.tsv").toPath,
+        s"$i\n".getBytes(StandardCharsets.UTF_8))
+    }
+
+    // The replay arrives with FEWER partitions (2). Without cleanup the
+    // crashed attempt's part-00002 would survive and be committed.
+    write.commit(9L, Array(partFile("c0", "10\n"), partFile("c1", "11\n12\n")))
+    assert(new File(out, "epoch_9.commit").exists())
+    val parts = epochDir.listFiles().map(_.getName).sorted
+    assert(parts.toSeq == Seq("part-00000.tsv", "part-00001.tsv"),
+      s"crashed parts must not leak into the committed epoch: ${parts.toSeq}")
+    val content = parts.flatMap(p =>
+      new String(Files.readAllBytes(new File(epochDir, p).toPath),
+        StandardCharsets.UTF_8).linesIterator).sorted.toSeq
+    assert(content == Seq("10", "11", "12"))
+  }
 }
