@@ -75,7 +75,8 @@ object FnOps {
           concat(lit("took="), (col("event_id") % 100).cast("string"),
             lit("."), (col("user_id") % 10).cast("string")))
         T(s, d, "events").withColumn("msg", msg)
-          .select(col("event_id") +: Grok.columns(col("msg"), GrokLogLine): _*)
+          .select(col("event_id") +:
+            Grok.columnsOnePass(s)(col("msg"), GrokLogLine): _*)
           .orderBy(col("event_id"))
       },
       usEvents("SELECT event_id, " +

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Grok pattern library (SURVEY §2.H [PK] — the reference's flagship
@@ -19,6 +19,57 @@ import org.apache.spark.sql.functions._
   * Supported coercions: `:int` → LongType, `:float` → DoubleType
   * (grok's two standard coercions); default is string.
   */
+/** Regex-once implementation shared by [[GrokCapture]]'s eval and codegen
+  * paths: first match's capture groups as an array<string> (unmatched
+  * groups and non-matching lines yield "" — regexp_extract semantics). */
+final class RegexGroupsImpl(regex: String) extends Serializable {
+  @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+  @transient private lazy val nGroups = pattern.matcher("").groupCount()
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = pattern.matcher(s.toString)
+    val out = new Array[Any](nGroups)
+    val found = m.find()
+    var i = 0
+    while (i < nGroups) {
+      val g = if (found) m.group(i + 1) else null
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(if (g == null) "" else g)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** string → array<string> of all capture groups from ONE regex pass. */
+case class GrokCapture(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    regex: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  @transient private lazy val impl = new RegexGroupsImpl(regex)
+
+  override protected def nullSafeEval(a: Any): Any =
+    impl.compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("grokCaptureImpl", impl,
+        classOf[RegexGroupsImpl].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}
+
 object Grok {
 
   /** Core pattern dictionary — the patterns a log pipeline uses daily.
@@ -124,6 +175,31 @@ object Grok {
 
   private def nullIfEmpty(c: Column): Column =
     when(length(c) === 0, lit(null)).otherwise(c)
+
+  /** One-pass extraction: ONE regex match per row via [[GrokCapture]]
+    * (all capture groups into an array<string>), each field then a cheap
+    * `element_at` + coercion. The shared capture subexpression is
+    * deduplicated by codegen subexpression elimination, so an N-field
+    * grok costs one Matcher.find instead of N — the difference shows on
+    * wide patterns (the 6-field log line runs ~6× less regex work).
+    * Field-level semantics are identical to [[columns]] (spec-pinned). */
+  def columnsOnePass(spark: SparkSession)(c: Column, expression: String): Seq[Column] = {
+    val (re, fs) = compile(expression)
+    val fname = "graft_grok_" + java.lang.Integer.toHexString(re.hashCode)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => GrokCapture(exprs.head, re), "built-in")
+    val groups = org.apache.spark.sql.functions.call_function(fname, c)
+    fs.map { f =>
+      val raw = element_at(groups, f.group)
+      (f.coerce match {
+        case Some("int") => nullIfEmpty(raw).cast("long")
+        case Some("float") => nullIfEmpty(raw).cast("double")
+        case Some(other) => throw new IllegalArgumentException(
+          s"grok: unsupported coercion :$other")
+        case None => raw
+      }).as(f.name)
+    }
+  }
 
   /** The SAME extraction as DuckDB SQL select-expressions (same compiled
     * regex, same group indices, same coercions) — the oracle twin

@@ -54,6 +54,20 @@ class GrokSpec extends SparkSpec {
     assert(row.getAs[String]("ip") == "")
   }
 
+  test("one-pass capture path == per-field regexp_extract path") {
+    val pat = "%{LOGLEVEL:level} %{IP:ip} n=%{INT:n:int} x=%{NUMBER:x:float}"
+    val lines = Seq(
+      "INFO 10.1.2.3 n=42 x=3.5",
+      "ERROR 255.0.0.1 n=-7 x=.25",
+      "garbage line with no fields").toDF("msg")
+    val perField = lines.select(
+      graft.functions.Grok.columns(col("msg"), pat): _*).collect().toSeq
+    val onePass = lines.select(
+      graft.functions.Grok.columnsOnePass(spark)(col("msg"), pat): _*)
+      .collect().toSeq
+    assert(onePass == perField)
+  }
+
   test("IPV4 rejects out-of-range octets") {
     val (re, _) = Grok.compile("^%{IP:ip}$")
     val p = java.util.regex.Pattern.compile(re)
