@@ -128,7 +128,9 @@ object FnOps {
         "CASE WHEN ok THEN TRY_CAST(json_extract_string(js, '$.meta.v') AS BIGINT) END AS v, " +
         "CASE WHEN ok THEN TRY_CAST(json_extract_string(js, '$.user.id') AS BIGINT) END AS uid, " +
         "CASE WHEN ok THEN TRY_CAST(json_extract_string(js, '$.orig.k') AS BIGINT) END AS k, " +
-        "NOT ok AS is_corrupt FROM (" +
+        // COALESCE: a NULL props row makes js NULL ⇒ json_valid NULL; Spark's
+        // _corrupt_record.isNotNull is false there, so false here too.
+        "COALESCE(NOT ok, FALSE) AS is_corrupt FROM (" +
         "SELECT event_id, js, json_valid(js) AS ok FROM (" +
         "SELECT event_id, CASE WHEN event_id % 7 = 0 " +
         "THEN '{\"meta\": broken ' || props " +

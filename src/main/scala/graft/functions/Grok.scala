@@ -151,7 +151,23 @@ object Grok {
       }
       java.util.regex.Matcher.quoteReplacement(out)
     })
-    (regex, fields.result())
+    val fs = fields.result()
+    // A malformed reference (bad coercion like :bool, or a field name with
+    // chars outside [A-Za-z0-9_]) fails Ref and would otherwise pass
+    // through as literal regex text — the whole pattern then never matches
+    // and every field silently extracts "". Fail loudly instead.
+    require(!regex.contains("%{"),
+      s"grok: malformed %{...} reference survives in compiled regex " +
+        s"(bad coercion or field name?): $regex")
+    // A raw '(' capture group written by the user would shift every
+    // subsequent field onto the wrong group index — on BOTH engines, so
+    // even the oracle couldn't catch it. Reject; (?:...) is fine.
+    val actualGroups =
+      java.util.regex.Pattern.compile(regex).matcher("").groupCount()
+    require(actualGroups == fs.length,
+      s"grok: expression contains ${actualGroups - fs.length} raw capture " +
+        "group(s); use non-capturing (?:...) for literal parentheses")
+    (regex, fs)
   }
 
   /** Typed Spark columns — one `regexp_extract` (codegen'd) per named
@@ -185,7 +201,10 @@ object Grok {
     * Field-level semantics are identical to [[columns]] (spec-pinned). */
   def columnsOnePass(spark: SparkSession)(c: Column, expression: String): Seq[Column] = {
     val (re, fs) = compile(expression)
-    val fname = "graft_grok_" + java.lang.Integer.toHexString(re.hashCode)
+    // Name by full MD5 of the regex: a 32-bit hashCode collision between
+    // two live patterns would silently rewire one to the other's regex.
+    val fname = "graft_grok_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(re.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname, exprs => GrokCapture(exprs.head, re), "built-in")
     val groups = org.apache.spark.sql.functions.call_function(fname, c)

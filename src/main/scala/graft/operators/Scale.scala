@@ -22,6 +22,16 @@ object Scale {
   def writeOnce(memoKey: String)(write: => Unit): Unit =
     scratchDone.computeIfAbsent(memoKey, _ => { write; true }): Unit
 
+  /** Stable short suffix tying a scratch resource NAME to its input: the
+    * memo is per (input, name), so the materialized table/path must be
+    * per-input too — otherwise a second input dir in the same JVM would
+    * overwrite the first's scratch tables and a later memo hit on the
+    * first dir would silently read the wrong data. */
+  def dirTag(input: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(input.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+
   /** Two-phase aggregation for skewed group keys: pre-aggregate on
     * (key, salt) so one hot key spreads over `buckets` reducers, then
     * combine partials. Algebraic aggregates only (sum/count here).
@@ -67,13 +77,18 @@ object Scale {
       }
       df.write.bucketBy(buckets, key).sortBy(key).saveAsTable(name)
     }
-    if (memoKey.isEmpty) { save(left, leftName); save(right, rightName) }
-    else writeOnce(s"bucketed|$memoKey|$leftName|$rightName") {
-      save(left, leftName); save(right, rightName)
+    // Memoized runs write to input-tagged table names so distinct inputs
+    // in one JVM cannot alias each other's scratch tables.
+    val (lName, rName) =
+      if (memoKey.isEmpty) (leftName, rightName)
+      else (s"${leftName}_${dirTag(memoKey)}", s"${rightName}_${dirTag(memoKey)}")
+    if (memoKey.isEmpty) { save(left, lName); save(right, rName) }
+    else writeOnce(s"bucketed|$memoKey|$lName|$rName") {
+      save(left, lName); save(right, rName)
     }
     // merge hint: the point is the co-located sort-merge plan (broadcast
     // would hide the bucketing; at 100 TB neither side broadcasts anyway).
-    spark.table(leftName).hint("merge")
-      .join(spark.table(rightName).hint("merge"), key)
+    spark.table(lName).hint("merge")
+      .join(spark.table(rName).hint("merge"), key)
   }
 }

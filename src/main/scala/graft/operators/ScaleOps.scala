@@ -58,7 +58,9 @@ object ScaleOps {
     // (plan-asserted in ScaleSpec). Result == plain filtered scan.
     "scan_partition_pruned" -> Q(
       (s, d) => {
-        val p = scratch("scan_partitioned_events")
+        // Input-tagged path: the memo is per input dir, so the scratch
+        // dataset must be too (a shared path would alias across dirs).
+        val p = scratch("scan_partitioned_events_" + Scale.dirTag(d))
         Scale.writeOnce(s"partitioned|$d|$p") {
           T(s, d, "events")
             .select(col("event_id"), col("user_id"), col("value"), col("event_type"))

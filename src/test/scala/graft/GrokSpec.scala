@@ -28,6 +28,23 @@ class GrokSpec extends SparkSpec {
     intercept[IllegalArgumentException](Grok.compile("%{NOPE:x}"))
   }
 
+  test("compile: malformed reference fails loudly, not silently-never-matching") {
+    // bad coercion: Ref can't parse it, so the %{...} would survive as
+    // literal text and kill the whole match — must throw instead
+    intercept[IllegalArgumentException](Grok.compile("%{INT:status:bool}"))
+    // bad field name (dash not allowed)
+    intercept[IllegalArgumentException](Grok.compile("%{WORD:ts-str}"))
+  }
+
+  test("compile: raw user capture group rejected (would shift field indices)") {
+    val ex = intercept[IllegalArgumentException](
+      Grok.compile("(foo|bar) %{INT:n:int}"))
+    assert(ex.getMessage.contains("non-capturing"))
+    // non-capturing literal group is fine
+    val (_, fs) = Grok.compile("(?:foo|bar) %{INT:n:int}")
+    assert(fs.map(_.group) == Seq(1))
+  }
+
   test("apache-style access log line extracts typed fields end-to-end") {
     val pat = "%{IPORHOST:client} %{USER:ident} %{USER:auth} " +
       "\\[%{HTTPDATE:when}\\] \"%{WORD:verb} %{NOTSPACE:path} " +

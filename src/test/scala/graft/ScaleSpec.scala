@@ -93,6 +93,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("memoized scratch tables are input-dir-distinct (no cross-dir aliasing)") {
+    // Same JVM, two input dirs, then BACK to the first: the third run's
+    // memo hit must still read the FIRST dir's data, not the second's.
+    def rows(d: String): Long =
+      SparkEntry.queries("scale_bucketed_join")(spark, d).count()
+    val a1 = rows(sf001)
+    val b = rows("/root/testdata/sf0.01")
+    val a2 = rows(sf001)
+    assert(a1 == a2, s"memo hit returned wrong-dir data: $a1 vs $a2")
+    assert(a1 != b, "sf0.001 and sf0.01 should differ (sanity)")
+
+    def pruned(d: String): Long =
+      SparkEntry.queries("scan_partition_pruned")(spark, d).count()
+    val p1 = pruned(sf001)
+    val pb = pruned("/root/testdata/sf0.01")
+    assert(pruned(sf001) == p1 && p1 != pb)
+  }
+
   test("range-bucket join rides a HASH join keyed on (user_id, bucket)") {
     val plan = SparkEntry.queries("scale_range_bucket_join")(spark, sf001)
       .queryExecution.executedPlan.toString
