@@ -82,6 +82,23 @@ object AggWindowOps {
         .orderBy(col("event_type")),
       None),
 
+    // RE-AGGREGATABLE sketch columns (DataSketches HLL, SURVEY §2.L): the
+    // 100 TB pattern is to persist per-(key, day) sketches and UNION them
+    // at query time instead of rescanning raw data — a lossless merge, so
+    // the two-level plan's estimate is BIT-EQUAL to the single-level one
+    // (pinned in PropertySpec). Binary sketches are engine-specific ⇒ no
+    // DuckDB oracle.
+    "agg_hll_sketch_union" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk")) // stage 1: daily sketch
+        .groupBy(col("event_type")) // stage 2: merge sketches, not rows
+        .agg(big(hll_sketch_estimate(hll_union_agg(col("sk"))))
+          .as("approx_users"))
+        .orderBy(col("event_type")),
+      None),
+
     "agg_grouping_sets" -> Q(
       (s, d) => T(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))

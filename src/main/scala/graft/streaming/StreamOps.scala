@@ -181,6 +181,122 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One finished session (the gate/flow sessionization signal). */
+  case class SessionOut(user_id: Long, n_events: Long, first_event_id: Long,
+      last_event_id: Long, session_value: Double)
+
+  /** Session windows on the arbitrary-state API: demonstrates the full
+    * `transformWithState` surface — a ListState event buffer PLUS a
+    * ValueState timer-bookkeeping var (multiple state variables per key),
+    * with event-time timers driving emission. A session closes when the
+    * watermark passes its last event + the 30-min gap; the buffer then
+    * splits on gaps, closed sessions emit, and the open tail stays
+    * buffered. Emission-time semantics match the built-in
+    * `session_window` aggregation (StreamingSpec pins stream ≡ batch).
+    *
+    * session_value replicates the batch twin's decimal discipline
+    * (Dsl.dsum: per-value DECIMAL(18,4) HALF_UP, exact decimal sum, one
+    * final cast to double) so the parity check is bit-exact. */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ListState[Event] = _
+    @transient private var timerAt:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[Event]("buf",
+        org.apache.spark.sql.Encoders.product[Event],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def sessionValue(events: Seq[Event]): Double =
+      events.foldLeft(java.math.BigDecimal.ZERO) { (acc, e) =>
+        // valueOf (shortest-decimal repr), NOT new BigDecimal(double):
+        // Spark's double→DECIMAL cast goes through Decimal(BigDecimal(d))
+        // which is toString-based — the exact-expansion constructor rounds
+        // 4dp ties the other way (SURVEY §7.4 decimal-tie rule).
+        acc.add(java.math.BigDecimal.valueOf(e.value)
+          .setScale(4, java.math.RoundingMode.HALF_UP))
+      }.doubleValue
+
+    /** Emit every session fully closed at `watermarkMs`; re-buffer the
+      * open tail and (re)arm a timer for its eventual close. */
+    private def flush(key: Long, watermarkMs: Long): Iterator[SessionOut] = {
+      val events = {
+        val it = buf.get()
+        val b = Seq.newBuilder[Event]
+        while (it.hasNext) b += it.next()
+        b.result().sortBy(e => (micros(e.ts), e.event_id))
+      }
+      if (events.isEmpty) return Iterator.empty
+      // split on >gap between consecutive events
+      val sessions = Seq.newBuilder[Seq[Event]]
+      var cur = Seq.newBuilder[Event]
+      var last = Long.MinValue
+      events.foreach { e =>
+        val t = micros(e.ts)
+        if (last != Long.MinValue && t - last > gapMs * 1000L) {
+          sessions += cur.result(); cur = Seq.newBuilder[Event]
+        }
+        cur += e
+        last = t
+      }
+      sessions += cur.result()
+      val all = sessions.result()
+      // <= so the session a fired timer targeted always closes (timers
+      // fire once watermark >= their timestamp)
+      val (closed, open) = all.partition(sess =>
+        micros(sess.last.ts) / 1000L + gapMs <= watermarkMs)
+      // keep open events (at most the tail session plus later stragglers)
+      buf.clear()
+      open.flatten.foreach(buf.appendValue)
+      val armAt = if (open.nonEmpty)
+        open.map(sess => micros(sess.last.ts) / 1000L + gapMs).min
+      else Long.MinValue
+      // timer bookkeeping via the second state var: drop the superseded
+      // pending timer, arm the new close time (0 = no timer recorded;
+      // event-time ms are never 0 for real data)
+      val prev = timerAt.get() // primitive decode: empty state reads as 0L
+      if (armAt == Long.MinValue) {
+        if (prev != 0L) { getHandle.deleteTimer(prev); timerAt.clear() }
+      } else if (prev != armAt) {
+        if (prev != 0L) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(armAt)
+        timerAt.update(armAt)
+      }
+      closed.iterator.map { sess =>
+        SessionOut(key, sess.length.toLong, sess.head.event_id,
+          sess.last.event_id, sessionValue(sess))
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      rows.foreach(buf.appendValue)
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  def sessionTws(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stream–stream interval join (the reference's cross-stream correlation
     * signal [PK]): each purchase joined to the same user's clicks in the
     * preceding hour. Both sides carry watermarks and the join condition

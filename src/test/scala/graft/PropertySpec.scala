@@ -159,6 +159,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hll sketch union: two-level merge == single-level sketch, near exact") {
+    // Lossless merge property: union of daily sketches must equal one
+    // sketch over all rows — same registers, same estimate, bit-equal.
+    val twoLevel = SparkEntry.queries("agg_hll_sketch_union")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneLevel = graft.T(spark, sf001, "events").groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoLevel == oneLevel, "sketch merge must be lossless")
+    val exact = graft.T(spark, sf001, "events").groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(twoLevel(t) - n) <= math.max(2.0, 0.05 * n),
+        s"$t: sketch ${twoLevel(t)} vs exact $n")
+    }
+  }
+
   test("z-score flags agree with Spark's built-in population stddev") {
     val e = graft.T(spark, sf001, "events")
       .select($"event_id", $"event_type",

@@ -155,6 +155,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessions (ListState + timers) == session_window batch") {
+    // multiple state variables = multiple column families ⇒ RocksDB store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionTws(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_sess_tws").start()
+    typedEvents.grouped(math.max(1, typedEvents.size / 3))
+      .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    // Event-time timers only fire once the watermark passes the last open
+    // session's close; push it with two far-future sentinel batches (the
+    // watermark computed from batch N applies in batch N+1).
+    val far = typedEvents.map(e => StreamOps.micros(e.ts)).max / 1000L +
+      7L * 24 * 3600 * 1000
+    mem.addData(Seq(Event(999901L, new java.sql.Timestamp(far), 999999L, "view", 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 999999L, "view", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_sess_tws")
+      .filter($"user_id" =!= 999999L)
+      .select($"user_id", $"n_events", $"first_event_id", $"last_event_id",
+        $"session_value")
+      .orderBy($"user_id", $"first_event_id").collect().toSeq
+    val want = SparkEntry.queries("stream_session_window")(spark, sf001)
+      .select($"user_id", $"n_events", $"first_event_id", $"last_event_id",
+        $"session_value")
+      .orderBy($"user_id", $"first_event_id").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join == batch formulation (3 batches)") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
