@@ -88,6 +88,30 @@ object AggWindowOps {
     // the two-level plan's estimate is BIT-EQUAL to the single-level one
     // (pinned in PropertySpec). Binary sketches are engine-specific ⇒ no
     // DuckDB oracle.
+    // Heavy hitters via Misra–Gries sketch + exact recount: the sketch
+    // pass holds O(k) counters per partition and guarantees every item
+    // with freq > n/(k+1) survives as a candidate; the recount join then
+    // filters candidates by the exact integer threshold (10·n > total for
+    // k=9), so the END RESULT is deterministic and equals the plain
+    // GROUP BY/HAVING — which is exactly what the oracle runs. At 100 TB
+    // the sketch is what makes the first pass bounded-memory.
+    "agg_heavy_hitters" -> Q(
+      (s, d) => {
+        val e = T(s, d, "events")
+        val cand = e
+          .agg(graft.functions.MisraGries.mgCandidates(s, 9)(col("event_type"))
+            .as("cands"))
+          .select(explode(col("cands")).as("event_type"))
+        e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .join(cand, "event_type")
+          .crossJoin(e.agg(count(lit(1)).as("total")))
+          .filter(col("n") * 10 > col("total"))
+          .select(col("event_type"), col("n"))
+          .orderBy(col("event_type"))
+      },
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 " +
+        "HAVING COUNT(*) * 10 > (SELECT COUNT(*) FROM events) ORDER BY 1"),
+
     "agg_hll_sketch_union" -> Q(
       (s, d) => T(s, d, "events")
         .withColumn("day", to_date(col("ts")))

@@ -159,6 +159,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("misra-gries: true heavy hitters always survive the candidate trim") {
+    // 3000 hot + 1500 warm + ~5500 cold over 100 cold keys; k=9 keeps any
+    // item with freq > n/10 = 1000 regardless of partitioning.
+    val rows = Seq.fill(3000)("hot") ++ Seq.fill(1500)("warm") ++
+      (0 until 5500).map(i => s"cold_${i % 100}")
+    val df = rows.toDF("item").repartition(7) // force cross-partition merges
+    val cands = df
+      .agg(graft.functions.MisraGries.mgCandidates(spark, 9)($"item").as("c"))
+      .head().getSeq[String](0).toSet
+    assert(cands.contains("hot") && cands.contains("warm"),
+      s"guaranteed heavy hitters missing from $cands")
+    assert(cands.size <= 9, s"sketch must hold at most k candidates: $cands")
+    // end-to-end key equals plain GROUP BY/HAVING at sf0.001
+    val got = SparkEntry.queries("agg_heavy_hitters")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = graft.T(spark, sf001, "events").groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(graft.T(spark, sf001, "events").agg(count(lit(1)).as("t")))
+      .filter($"n" * 10 > $"t").select($"event_type", $"n")
+      .orderBy($"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("hll sketch union: two-level merge == single-level sketch, near exact") {
     // Lossless merge property: union of daily sketches must equal one
     // sketch over all rows — same registers, same estimate, bit-equal.
