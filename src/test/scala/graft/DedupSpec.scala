@@ -62,6 +62,46 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 107)
   }
 
+  test("connected components: randomized parity with union-find (15 graphs)") {
+    (1 to 15).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 30 + rnd.nextInt(120)
+      val nEdges = rnd.nextInt(2 * nNodes)
+      val raw = (0 until nEdges).map { _ =>
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (raw.nonEmpty) {
+        // reference: plain union-find with path compression
+        val parent = Array.tabulate(nNodes)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        raw.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = raw.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+          .map(n => n -> {
+            // component min = min node id reachable; find() root is not
+            // necessarily the min, so normalize via grouping
+            find(n.toInt).toLong
+          }).toMap
+        val mins = want.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
+        val expected = want.map { case (n, root) => n -> mins(root) }
+        val got = graft.operators.DedupOps.connectedComponents(
+            raw.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed=$seed nodes=$nNodes edges=${raw.size}")
+      }
+    }
+  }
+
   test("lsh ann recall@3 against brute force is useful and plan stays bucketed") {
     val brute = SparkEntry.queries("llm_cosine_topk")(spark, sf001)
       .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
