@@ -1,0 +1,48 @@
+package graft
+
+/** The pure-SQL surface: registerAll makes every custom function callable
+  * from spark.sql, with results identical to the Column-API paths. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("registerAll exposes the full custom surface to pure SQL") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq(("a b c d e f", 1L)).toDF("text", "id").createOrReplaceTempView("gf_t")
+
+    val row = spark.sql(
+      """SELECT
+        |  graft_dot_f(array(cast(1.0 as float), cast(2.0 as float)),
+        |              array(cast(3.0 as float), cast(4.0 as float))) AS dot,
+        |  graft_simhash64(split(text, ' ')) AS sh,
+        |  element_at(graft_grok_capture('n=42 w=hi', 'n=%{INT:n} w=%{WORD:w}'), 1) AS n,
+        |  element_at(graft_grok_capture('n=42 w=hi', 'n=%{INT:n} w=%{WORD:w}'), 2) AS w
+        |FROM gf_t""".stripMargin).head()
+    assert(row.getAs[Double]("dot") == 11.0)
+    assert(row.getAs[String]("n") == "42" && row.getAs[String]("w") == "hi")
+    // SQL simhash == Column-API simhash
+    val viaApi = graft.operators.DedupOps
+      .simhashOf(Seq((1L, "a b c d e f")).toDF("doc_id", "text"))
+      .head().getAs[Long]("simhash")
+    assert(row.getAs[Long]("sh") == viaApi)
+
+    // sketch aggregates from SQL, with and without the k literal
+    spark.range(0, 1000).selectExpr("cast(id % 37 as string) AS s", "id % 37 AS v")
+      .createOrReplaceTempView("gf_agg")
+    val agg = spark.sql(
+      """SELECT graft_kmv_distinct(v) AS kmv,
+        |       graft_kmv_distinct(v, 16) AS kmv16,
+        |       graft_mg_candidates(s, 50) AS mg
+        |FROM gf_agg""".stripMargin).head()
+    assert(agg.getAs[Long]("kmv") == 37L) // below k=256 => exact
+    assert(agg.getAs[Long]("kmv16") > 0L)
+    assert(agg.getSeq[String](2).toSet == (0 until 37).map(_.toString).toSet)
+  }
+
+  test("malformed grok in SQL fails at analysis with a clear error") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val ex = intercept[Exception](
+      spark.sql("SELECT graft_grok_capture('x', '%{NOPE:y}')").head())
+    assert(ex.getMessage.contains("unknown pattern"))
+  }
+}
