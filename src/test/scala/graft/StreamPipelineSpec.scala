@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The full reference topology in ONE streaming query — gate (custom DSv2
-  * source) → mutate (derived fields) → enrich (stream–static broadcast
-  * join) → windowed gauge (watermark + tumbling agg) → alert filter →
-  * custom DSv2 sink with epoch commits — asserted equal to the same
-  * pipeline run as a batch plan over the same deterministic rows. This is
-  * the "a reference user could switch" proof for the streaming path. */
+  * source) → grok (pattern-library field extraction from a log line) →
+  * mutate (derived fields) → enrich (stream–static broadcast join ON THE
+  * GROK-EXTRACTED FIELD) → windowed gauge (watermark + tumbling agg) →
+  * alert filter → custom DSv2 sink with epoch commits — asserted equal to
+  * the same pipeline run as a batch plan over the same deterministic rows.
+  * This is the "a reference user could switch" proof for the streaming
+  * path, covering the reference's flagship grok instruction in-stream. */
 class StreamPipelineSpec extends SparkSpec {
 
   import spark.implicits._
@@ -23,14 +25,21 @@ class StreamPipelineSpec extends SparkSpec {
 
   /** The pipeline's transform chain, identical for stream and batch. */
   private def pipeline(events: DataFrame): DataFrame = {
-    val cats = events.sparkSession.createDataFrame(dim)
-      .toDF("event_type", "category")
-    events
+    val s = events.sparkSession
+    val cats = s.createDataFrame(dim).toDF("g_evt", "category")
+    val grokked = events
+      // the raw "log line" a gate would actually carry
+      .withColumn("msg", concat(lit("evt="), $"event_type",
+        lit(" user="), $"user_id".cast("string")))
+      // grok: one-pass pattern-library extraction (in-stream)
+      .withColumn("g_evt", graft.functions.Grok.columnsOnePass(s)(
+        $"msg", "evt=%{WORD:g_evt} user=%{INT:g_user:int}").head)
+    grokked
       // mutate: derived fields (value band + minute bucket key)
       .withColumn("value_band",
         when($"value" > 75, "high").otherwise("normal"))
-      // enrich: stream–static broadcast join
-      .join(broadcast(cats), "event_type")
+      // enrich: stream–static broadcast join on the grok-extracted field
+      .join(broadcast(cats), "g_evt")
       // gauge: watermarked 5-minute tumbling rollup per category
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "5 minutes"), $"category")
