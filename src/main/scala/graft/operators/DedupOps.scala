@@ -20,6 +20,29 @@ object DedupOps {
   private val shingleExpr = Shingles.sparkExpr
   private val shingleCte = Shingles.duckCte(distinct = true)
 
+  /** Shared DuckDB CTE for the jaccard≥0.5 component walk: `walk(doc_id,
+    * label)` = reachability closure over the near-dup edge set (the
+    * oracle twin of [[connectedComponents]] over [[jaccardScored]]). */
+  private val clustersWalkCte: String =
+    "WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+      "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, word || ' ' || lead(word, 1) OVER dw || ' ' || " +
+      "lead(word, 2) OVER dw AS s FROM w " +
+      "WINDOW dw AS (PARTITION BY doc_id ORDER BY pos) " +
+      "QUALIFY lead(word, 2) OVER dw IS NOT NULL), " +
+      "pairs AS (SELECT i.doc_a, i.doc_b FROM " +
+      "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i " +
+      "JOIN (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1) sa ON sa.doc_id = i.doc_a " +
+      "JOIN (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1) sb ON sb.doc_id = i.doc_b " +
+      "WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5), " +
+      "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+      "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      "walk(doc_id, label) AS (" +
+      "SELECT doc_id, doc_id FROM documents " +
+      "UNION " +
+      "SELECT e.a, w2.label FROM edges e JOIN walk w2 ON w2.doc_id = e.b) "
+
   /** SimHash signature per (doc_id, text) row — reusable over any corpus.
     * The signature is a native codegen Expression
     * ([[graft.functions.SimHash64]]), not a UDF: no boxing, stays inside
@@ -343,25 +366,28 @@ object DedupOps {
             coalesce(col("label"), col("doc_id")).as("cluster_id"))
           .orderBy(col("doc_id"))
       },
-      "WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
-        "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, word || ' ' || lead(word, 1) OVER dw || ' ' || " +
-        "lead(word, 2) OVER dw AS s FROM w " +
-        "WINDOW dw AS (PARTITION BY doc_id ORDER BY pos) " +
-        "QUALIFY lead(word, 2) OVER dw IS NOT NULL), " +
-        "pairs AS (SELECT i.doc_a, i.doc_b FROM " +
-        "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
-        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i " +
-        "JOIN (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1) sa ON sa.doc_id = i.doc_a " +
-        "JOIN (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1) sb ON sb.doc_id = i.doc_b " +
-        "WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5), " +
-        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "walk(doc_id, label) AS (" +
-        "SELECT doc_id, doc_id FROM documents " +
-        "UNION " +
-        "SELECT e.a, w2.label FROM edges e JOIN walk w2 ON w2.doc_id = e.b) " +
+      clustersWalkCte +
         "SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id " +
+        "ORDER BY doc_id"),
+
+    // The user-facing end of the dedup story: which documents SURVIVE.
+    // keep = doc is its component's canonical representative (min doc_id);
+    // a pipeline filters keep=true and discards the rest. Same CC
+    // machinery and recursive-CTE oracle as llm_dedup_clusters.
+    "llm_dedup_keep" -> Q(
+      (s, d) => {
+        val pairs = jaccardScored(s, d).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        T(s, d, "documents").select(col("doc_id"))
+          .join(connectedComponents(pairs), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster_id"))
+          .withColumn("keep", col("cluster_id") === col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      clustersWalkCte +
+        "SELECT doc_id, min(label) AS cluster_id, " +
+        "doc_id = min(label) AS keep FROM walk GROUP BY doc_id " +
         "ORDER BY doc_id"),
 
     // IVF-style ANN: a 10-vector coarse codebook (vec_id < 10 — fixed, so

@@ -322,5 +322,47 @@ object EventOps {
         "  FROM events) x) y " +
         "GROUP BY user_id, session_seq) sess) z " +
         "WHERE rn <= 2 ORDER BY user_id, rn")),
+
+    // RFM segmentation (recency/frequency/monetary quartiles) — the
+    // classic event-analytics cohort view. Recency in exact integer µs
+    // from the corpus max; ntile(4) ordered with a user_id tie-break so
+    // quartile assignment is deterministic in both engines; monetary
+    // through the decimal sum discipline. The quartile windows run over
+    // the PER-USER rollup (events already reduced by a keyed agg), but
+    // ntile's global ordering is still a single-task window — at ≫1e8
+    // users a deployment swaps it for approx_percentile boundary
+    // assignment (value-threshold quartiles), trading exact equal-count
+    // buckets for full parallelism.
+    "evt_rfm_segments" -> Q(
+      (s, d) => {
+        val perUser = T(s, d, "events").groupBy(col("user_id"))
+          .agg(max(col("ts")).as("last_ts"),
+            count(lit(1)).as("freq"),
+            dsum(col("value")).as("monetary"))
+        val gmax = perUser.agg(max(col("last_ts")).as("gmax"))
+        def quart(order: org.apache.spark.sql.Column) =
+          big(ntile(4).over(Window.orderBy(order, col("user_id"))))
+        perUser.crossJoin(gmax)
+          .withColumn("recency_us",
+            big(expr("unix_micros(gmax) - unix_micros(last_ts)")))
+          .withColumn("r_q", quart(col("recency_us")))
+          .withColumn("f_q", quart(col("freq").desc))
+          .withColumn("m_q", quart(col("monetary").desc))
+          .select(col("user_id"), col("recency_us"), col("freq"),
+            col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+            concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+          .orderBy(col("user_id"))
+      },
+      usEvents("SELECT user_id, recency_us, freq, monetary, r_q, f_q, m_q, " +
+        "(r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR) AS segment FROM (" +
+        "SELECT user_id, recency_us, freq, monetary, " +
+        "ntile(4) OVER (ORDER BY recency_us, user_id)::BIGINT AS r_q, " +
+        "ntile(4) OVER (ORDER BY freq DESC, user_id)::BIGINT AS f_q, " +
+        "ntile(4) OVER (ORDER BY monetary DESC, user_id)::BIGINT AS m_q FROM (" +
+        "SELECT user_id, " +
+        "(SELECT epoch_us(MAX(ts)) FROM events) - epoch_us(MAX(ts)) AS recency_us, " +
+        "COUNT(*) AS freq, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary " +
+        "FROM events GROUP BY user_id) b) q ORDER BY user_id")),
   )
 }
