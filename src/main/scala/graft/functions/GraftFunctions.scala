@@ -23,12 +23,16 @@ object GraftFunctions {
 
   private def intLit(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")
-    e.eval() match {
-      case i: Int => i
-      case l: Long => l.toInt
+    val v = e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
       case other => throw new IllegalArgumentException(
         s"$what must be a literal integer, got $other")
     }
+    // silent Long truncation would turn 2^33 into k=0 and break the
+    // sketch invariants without an error
+    require(v >= 1 && v <= Int.MaxValue, s"$what must be in [1, 2^31), got $v")
+    v.toInt
   }
 
   private def strLit(e: Expression, what: String): String = {

@@ -24,6 +24,9 @@ case class KmvDistinct(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  // k=0 would make eval read last() of an always-empty TreeSet; k=1 is
+  // the smallest coherent sketch.
+  require(k >= 1, s"KmvDistinct k must be >= 1, got $k")
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long](KmvDistinct.UnsignedOrd)

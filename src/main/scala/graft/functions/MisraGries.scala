@@ -31,6 +31,16 @@ case class MisraGries(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]] {
+  require(k >= 1, s"MisraGries k must be >= 1, got $k")
+
+  // Counters key on the string value itself; other types would silently
+  // group by Catalyst-internal toString forms — reject at analysis.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_mg_candidates requires a string column, got ${child.dataType}")
 
   override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
     new java.util.HashMap[String, java.lang.Long]()

@@ -102,9 +102,13 @@ object AggWindowOps {
           .agg(graft.functions.MisraGries.mgCandidates(s, 9)(col("event_type"))
             .as("cands"))
           .select(explode(col("cands")).as("event_type"))
+        // total = sum over the already-grouped counts (a window over a
+        // handful of post-agg rows) — NOT a third scan of events
         e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .withColumn("total",
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()))
           .join(cand, "event_type")
-          .crossJoin(e.agg(count(lit(1)).as("total")))
           .filter(col("n") * 10 > col("total"))
           .select(col("event_type"), col("n"))
           .orderBy(col("event_type"))

@@ -215,6 +215,21 @@ object DedupOps {
       .distinct()
   }
 
+  /** Shared Spark-side body of the cluster keys: every document joined to
+    * its jaccard≥0.5 component label (singletons label themselves). ONE
+    * definition so the threshold and labeling rules cannot drift between
+    * `llm_dedup_clusters` and `llm_dedup_keep` (their oracles already
+    * share [[clustersWalkCte]]). */
+  private def clusterAssignments(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pairs = jaccardScored(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    T(s, d, "documents").select(col("doc_id"))
+      .join(connectedComponents(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Exact n-gram Jaccard on candidate pairs that share >= 1 shingle —
@@ -357,15 +372,7 @@ object DedupOps {
     // iterating over the candidate subgraph and re-shuffling the whole
     // corpus every round. Oracle: DuckDB recursive CTE reachability.
     "llm_dedup_clusters" -> Q(
-      (s, d) => {
-        val pairs = jaccardScored(s, d).filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"))
-        T(s, d, "documents").select(col("doc_id"))
-          .join(connectedComponents(pairs), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("label"), col("doc_id")).as("cluster_id"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => clusterAssignments(s, d).orderBy(col("doc_id")),
       clustersWalkCte +
         "SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id " +
         "ORDER BY doc_id"),
@@ -375,16 +382,9 @@ object DedupOps {
     // a pipeline filters keep=true and discards the rest. Same CC
     // machinery and recursive-CTE oracle as llm_dedup_clusters.
     "llm_dedup_keep" -> Q(
-      (s, d) => {
-        val pairs = jaccardScored(s, d).filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"))
-        T(s, d, "documents").select(col("doc_id"))
-          .join(connectedComponents(pairs), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("label"), col("doc_id")).as("cluster_id"))
-          .withColumn("keep", col("cluster_id") === col("doc_id"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => clusterAssignments(s, d)
+        .withColumn("keep", col("cluster_id") === col("doc_id"))
+        .orderBy(col("doc_id")),
       clustersWalkCte +
         "SELECT doc_id, min(label) AS cluster_id, " +
         "doc_id = min(label) AS keep FROM walk GROUP BY doc_id " +

@@ -248,15 +248,20 @@ object StreamOps {
       }
       sessions += cur.result()
       val all = sessions.result()
-      // <= so the session a fired timer targeted always closes (timers
-      // fire once watermark >= their timestamp)
+      // Close in exact µs: a session ends at last-event + gap µs, and
+      // closes once the watermark (ms) has fully passed that instant —
+      // a floor-ms comparison would close up to 999µs early and split a
+      // session the batch session_window twin merges.
+      def closeUs(sess: Seq[Event]): Long = micros(sess.last.ts) + gapMs * 1000L
       val (closed, open) = all.partition(sess =>
-        micros(sess.last.ts) / 1000L + gapMs <= watermarkMs)
+        watermarkMs * 1000L >= closeUs(sess))
       // keep open events (at most the tail session plus later stragglers)
       buf.clear()
       open.flatten.foreach(buf.appendValue)
+      // arm at the CEILING ms of the earliest close so the timer fires
+      // only once the watermark truly covers it
       val armAt = if (open.nonEmpty)
-        open.map(sess => micros(sess.last.ts) / 1000L + gapMs).min
+        open.map(sess => (closeUs(sess) + 999L) / 1000L).min
       else Long.MinValue
       // timer bookkeeping via the second state var: drop the superseded
       // pending timer, arm the new close time (0 = no timer recorded;
@@ -270,15 +275,25 @@ object StreamOps {
         timerAt.update(armAt)
       }
       closed.iterator.map { sess =>
-        SessionOut(key, sess.length.toLong, sess.head.event_id,
-          sess.last.event_id, sessionValue(sess))
+        // min/max ids (not positional head/last): the batch twin reports
+        // min(event_id)/max(event_id), which differs when ids are not
+        // monotone with event time.
+        val ids = sess.map(_.event_id)
+        SessionOut(key, sess.length.toLong, ids.min, ids.max,
+          sessionValue(sess))
       }
     }
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
       rows.foreach(buf.appendValue)
-      flush(key, timerValues.getCurrentWatermarkInMs())
+      // Skip the O(N log N) buffer rewrite when nothing can close yet:
+      // the earliest close time is non-decreasing as events arrive, so if
+      // the watermark hasn't reached the armed timer there is nothing to
+      // emit — just append (the timer will drive the flush).
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val armed = timerAt.get()
+      if (armed == 0L || wm >= armed) flush(key, wm) else Iterator.empty
     }
 
     override def handleExpiredTimer(key: Long,

@@ -39,6 +39,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(agg.getSeq[String](2).toSet == (0 until 37).map(_.toString).toSet)
   }
 
+  test("sketch k and input types are validated, not silently wrong") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark.range(0, 10).selectExpr("cast(id as string) s", "id v")
+      .createOrReplaceTempView("gf_val")
+    // k=0 / out-of-range k rejected at plan build
+    intercept[Exception](spark.sql("SELECT graft_kmv_distinct(v, 0) FROM gf_val").head())
+    intercept[Exception](
+      spark.sql("SELECT graft_mg_candidates(s, 8589934592) FROM gf_val").head())
+    // non-string MG input rejected at analysis
+    intercept[Exception](
+      spark.sql("SELECT graft_mg_candidates(v) FROM gf_val").head())
+  }
+
   test("malformed grok in SQL fails at analysis with a clear error") {
     graft.functions.GraftFunctions.registerAll(spark)
     val ex = intercept[Exception](

@@ -159,13 +159,21 @@ class StreamingSpec extends SparkSpec {
     // multiple state variables = multiple column families ⇒ RocksDB store
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
     val q = StreamOps.sessionTws(mem.toDS()).writeStream
       .outputMode("append").format("memory").queryName("t_sess_tws").start()
+    try {
     typedEvents.grouped(math.max(1, typedEvents.size / 3))
       .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    // Out-of-order ids within one session: first/last must be min/max of
+    // event_id, not positional order by time (the fixture is ts-monotone,
+    // so this synthetic user is what actually exercises the rule).
+    val t0 = typedEvents.map(e => StreamOps.micros(e.ts)).max
+    def syn(id: Long, offsetMin: Long) = Event(id,
+      new java.sql.Timestamp(t0 / 1000L + offsetMin * 60000L), 888888L, "view", 1.0)
+    mem.addData(Seq(syn(500002L, 1), syn(500001L, 6))) // later ts, smaller id
+    q.processAllAvailable()
     // Event-time timers only fire once the watermark passes the last open
     // session's close; push it with two far-future sentinel batches (the
     // watermark computed from batch N applies in batch N+1).
@@ -175,9 +183,14 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 999999L, "view", 0.0)))
     q.processAllAvailable()
-    q.stop()
+    val synRow = spark.table("t_sess_tws").filter($"user_id" === 888888L)
+      .select($"n_events", $"first_event_id", $"last_event_id")
+      .collect().toSeq
+    assert(synRow.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      Seq((2L, 500001L, 500002L)),
+      s"out-of-order ids must report min/max: $synRow")
     val got = spark.table("t_sess_tws")
-      .filter($"user_id" =!= 999999L)
+      .filter($"user_id" =!= 999999L && $"user_id" =!= 888888L)
       .select($"user_id", $"n_events", $"first_event_id", $"last_event_id",
         $"session_value")
       .orderBy($"user_id", $"first_event_id").collect().toSeq
@@ -188,6 +201,9 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == want)
     } finally {
+      // stop in finally: a failed processAllAvailable must not leak a
+      // running RocksDB-backed query into later tests
+      q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
