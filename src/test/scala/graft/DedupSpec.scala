@@ -62,6 +62,11 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 107)
   }
 
+  test("connected components: empty edge set converges to empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.DedupOps.connectedComponents(empty).count() == 0)
+  }
+
   test("connected components: randomized parity with union-find (15 graphs)") {
     (1 to 15).foreach { seed =>
       val rnd = new scala.util.Random(seed)

@@ -85,6 +85,17 @@ class GrokSpec extends SparkSpec {
     assert(onePass == perField)
   }
 
+  test("null input line yields null fields in both extraction paths") {
+    val df = Seq[Option[String]](None, Some("n=5")).toDF("msg")
+    Seq(
+      df.select(Grok.columns(col("msg"), "n=%{INT:n:int}"): _*),
+      df.select(Grok.columnsOnePass(spark)(col("msg"), "n=%{INT:n:int}"): _*)
+    ).foreach { out =>
+      val rows = out.collect()
+      assert(rows.exists(_.isNullAt(0)) && rows.exists(r => !r.isNullAt(0)))
+    }
+  }
+
   test("IPV4 rejects out-of-range octets") {
     val (re, _) = Grok.compile("^%{IP:ip}$")
     val p = java.util.regex.Pattern.compile(re)
