@@ -39,9 +39,12 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val sorted = times.map(_._1).sorted
-      val median = sorted(sorted.length / 2)
-      (name, median, times.forall(_._2))
+      // Median over SUCCESSFUL reps only: a transient single-rep failure
+      // must neither mark a runnable key FAILED nor mix its fast-fail
+      // duration into the timing. FAILED = zero successful reps.
+      val okTimes = times.collect { case (t, true) => t }.sorted
+      if (okTimes.nonEmpty) (name, okTimes(okTimes.length / 2), true)
+      else (name, times.map(_._1).min, false)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -43,6 +43,12 @@ object T {
 
 /** Shared determinism helpers (SURVEY.md §7.4). */
 object Dsl {
+
+  /** Full MD5 hex of a string — shared by every place that needs a stable
+    * content tag (scratch-table dir tags, grok temp-function names). */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   val Money: DecimalType = DecimalType(18, 4)
 
   /** Cast a double money/measure column to exact decimal before summing. */

@@ -175,19 +175,21 @@ object Grok {
     * null after a numeric coercion via try-semantics below). */
   def columns(c: Column, expression: String): Seq[Column] = {
     val (re, fs) = compile(expression)
-    fs.map { f =>
-      val raw = regexp_extract(c, re, f.group)
-      (f.coerce match {
-        // A non-matching line extracts "" which must become null, not an
-        // ANSI cast error; matched text is castable by pattern construction.
-        case Some("int") => nullIfEmpty(raw).cast("long")
-        case Some("float") => nullIfEmpty(raw).cast("double")
-        case Some(other) => throw new IllegalArgumentException(
-          s"grok: unsupported coercion :$other")
-        case None => raw
-      }).as(f.name)
-    }
+    fs.map(f => coerced(regexp_extract(c, re, f.group), f))
   }
+
+  /** One definition of field coercion for BOTH extraction paths — they are
+    * spec-pinned identical and must not drift. */
+  private def coerced(raw: Column, f: Field): Column =
+    (f.coerce match {
+      // A non-matching line extracts "" which must become null, not an
+      // ANSI cast error; matched text is castable by pattern construction.
+      case Some("int") => nullIfEmpty(raw).cast("long")
+      case Some("float") => nullIfEmpty(raw).cast("double")
+      case Some(other) => throw new IllegalArgumentException(
+        s"grok: unsupported coercion :$other")
+      case None => raw
+    }).as(f.name)
 
   private def nullIfEmpty(c: Column): Column =
     when(length(c) === 0, lit(null)).otherwise(c)
@@ -203,21 +205,11 @@ object Grok {
     val (re, fs) = compile(expression)
     // Name by full MD5 of the regex: a 32-bit hashCode collision between
     // two live patterns would silently rewire one to the other's regex.
-    val fname = "graft_grok_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(re.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val fname = "graft_grok_" + graft.Dsl.md5Hex(re)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname, exprs => GrokCapture(exprs.head, re), "built-in")
     val groups = org.apache.spark.sql.functions.call_function(fname, c)
-    fs.map { f =>
-      val raw = element_at(groups, f.group)
-      (f.coerce match {
-        case Some("int") => nullIfEmpty(raw).cast("long")
-        case Some("float") => nullIfEmpty(raw).cast("double")
-        case Some(other) => throw new IllegalArgumentException(
-          s"grok: unsupported coercion :$other")
-        case None => raw
-      }).as(f.name)
-    }
+    fs.map(f => coerced(element_at(groups, f.group), f))
   }
 
   /** The SAME extraction as DuckDB SQL select-expressions (same compiled

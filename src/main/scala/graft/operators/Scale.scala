@@ -27,10 +27,7 @@ object Scale {
     * per-input too — otherwise a second input dir in the same JVM would
     * overwrite the first's scratch tables and a later memo hit on the
     * first dir would silently read the wrong data. */
-  def dirTag(input: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(input.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+  def dirTag(input: String): String = graft.Dsl.md5Hex(input).take(8)
 
   /** Two-phase aggregation for skewed group keys: pre-aggregate on
     * (key, salt) so one hot key spreads over `buckets` reducers, then

@@ -248,20 +248,21 @@ object StreamOps {
       }
       sessions += cur.result()
       val all = sessions.result()
-      // Close in exact µs: a session ends at last-event + gap µs, and
-      // closes once the watermark (ms) has fully passed that instant —
-      // a floor-ms comparison would close up to 999µs early and split a
-      // session the batch session_window twin merges.
+      // Close in exact µs, STRICTLY past the boundary: the session rule
+      // splits only on gap > 30min (equal-gap extends, matching the batch
+      // twin's `> 1800s`), so an on-time event may still arrive with
+      // ts == last + gap — the session closes only once the watermark is
+      // strictly beyond that instant. A floor-ms or >= comparison would
+      // close up to 1ms early and split a session the twin merges.
       def closeUs(sess: Seq[Event]): Long = micros(sess.last.ts) + gapMs * 1000L
       val (closed, open) = all.partition(sess =>
-        watermarkMs * 1000L >= closeUs(sess))
+        watermarkMs * 1000L > closeUs(sess))
       // keep open events (at most the tail session plus later stragglers)
       buf.clear()
       open.flatten.foreach(buf.appendValue)
-      // arm at the CEILING ms of the earliest close so the timer fires
-      // only once the watermark truly covers it
+      // arm at the first whole ms strictly past the earliest close
       val armAt = if (open.nonEmpty)
-        open.map(sess => (closeUs(sess) + 999L) / 1000L).min
+        open.map(sess => closeUs(sess) / 1000L + 1L).min
       else Long.MinValue
       // timer bookkeeping via the second state var: drop the superseded
       // pending timer, arm the new close time (0 = no timer recorded;
