@@ -72,6 +72,17 @@ object RelationalOps {
 
     // CSV source surface: schema-explicit read-back of a written extract
     // (the reference's file-tailing agent reads delimited logs [PK]).
+    // ORC source surface: Spark's second native columnar format. Unlike
+    // the csv/json text round-trips, every type here survives BINARY
+    // exact (doubles included) — the oracle is the original table.
+    "source_orc_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = scratch("source_orc_supplier")
+        T(s, d, "supplier").write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp).orderBy(col("s_suppkey"))
+      },
+      "SELECT * FROM supplier ORDER BY s_suppkey"),
+
     "source_csv_roundtrip" -> Q(
       (s, d) => {
         val tmp = scratch("source_csv_nation")
