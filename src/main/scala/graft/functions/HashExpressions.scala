@@ -41,13 +41,19 @@ object SimHashImpl extends Serializable {
 object LshSigsImpl extends Serializable {
   val NTables = 8
   val Bits = 6
+  val Dim = 64
   private val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NTables * Bits, 64)(rnd.nextGaussian())
+    Array.fill(NTables * Bits, Dim)(rnd.nextGaussian())
   }
 
   def compute(emb: ArrayData): ArrayData = {
     val m = emb.numElements()
+    // A mismatched embedding must fail loudly: silently hashing a prefix
+    // (or padding with zeros) would bucket vectors of different models
+    // together and the recall loss would be invisible.
+    if (m != Dim) throw new IllegalArgumentException(
+      s"LshSigs: expected $Dim-dim embedding, got $m")
     val out = new Array[Int](NTables)
     var t = 0
     while (t < NTables) {
@@ -57,8 +63,7 @@ object LshSigsImpl extends Serializable {
         val p = planes(t * Bits + j)
         var dp = 0.0
         var i = 0
-        val n = math.min(p.length, m)
-        while (i < n) { dp += emb.getFloat(i) * p(i); i += 1 }
+        while (i < Dim) { dp += emb.getFloat(i) * p(i); i += 1 }
         if (dp > 0) bucket |= (1 << j)
         j += 1
       }

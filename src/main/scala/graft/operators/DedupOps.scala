@@ -215,6 +215,93 @@ object DedupOps {
       .distinct()
   }
 
+  /** md5-family MinHash LSH bands over any (doc_id, text) corpus:
+    * (doc_id, band, bkey) — 8 signatures (min md5('k:'||shingle)), 4 bands
+    * of 2. The fully-oracled band machinery (DuckDB computes the identical
+    * digests), shared by `llm_minhash_md5`, the incremental-dedup key, and
+    * the streaming near-dedup batch twin. Docs with < 3 words produce no
+    * shingles and therefore no bands. */
+  def md5Bands(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nSig = 8
+    val sigCols = (0 until nSig).map { k =>
+      min(md5(concat(lit(s"$k:"), col("s")))).as(s"sig$k")
+    }
+    val signed = docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCol = explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
+    }: _*)).as("bk")
+    signed.select(col("doc_id"), bandCol)
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** DuckDB twin of [[md5Bands]]: CTEs `sigs(doc_id, sig0..sig7)` and
+    * `bands(doc_id, band, bkey)` over the `sh` shingle CTE. */
+  val md5BandsCte: String =
+    ", sigs AS (SELECT doc_id, " +
+      (0 until 8).map(k => s"min(md5('$k:' || s)) AS sig$k").mkString(", ") +
+      " FROM sh GROUP BY doc_id), " +
+      "bands AS (" +
+      (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, sig${2 * b} || '_' || sig${2 * b + 1} AS bkey FROM sigs")
+        .mkString(" UNION ALL ") + ") "
+
+  /** IVF candidate machinery shared by `llm_ivf_ann` and
+    * `llm_semantic_dedup_keep`: a 10-vector coarse codebook (vec_id < 10 —
+    * fixed, fully deterministic and oracle-able), each vector assigned to
+    * its nearest cell, each query probing its top-2 cells. Returns
+    * (candidate pairs (q_id, t_id), normed embeddings frame). The top-2
+    * cell frame is materialized ONCE (probes = rn<=2, assignment = its
+    * rn=1 subset — a second plan branch would re-run the codebook BNLJ +
+    * rank). */
+  private def ivfCandidates(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dot = dotF(s) _
+    val e = T(s, d, "embeddings")
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    val cents = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val top2 = e.select(col("vec_id"), col("embedding"), col("norm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
+          .as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") <= 2)
+      .localCheckpoint()
+    val assign = top2.filter(col("rn") === 1)
+      .select(col("vec_id").as("t_id"), col("cid").as("cell"))
+    val probes = top2
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val cand = probes.join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("t_id"))
+      .select(col("q_id"), col("t_id")).distinct()
+    (cand, e)
+  }
+
+  /** The shared DuckDB CTE chain for [[ivfCandidates]] (ends with
+    * `cand(q_id, t_id)` and `v(vec_id, emb)`). */
+  private val ivfCandCte: String =
+    "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb " +
+      "FROM embeddings WHERE vec_id < 10), " +
+      "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      "asim AS (SELECT v.vec_id, c.cid, list_inner_product(v.emb, c.cemb) / " +
+      "(sqrt(list_inner_product(v.emb, v.emb)) * " +
+      "sqrt(list_inner_product(c.cemb, c.cemb))) AS sim FROM v CROSS JOIN c), " +
+      "ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY sim DESC, cid) AS rn FROM asim), " +
+      "assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1), " +
+      "probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2), " +
+      "cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS t_id " +
+      "FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id)"
+
   /** Shared Spark-side body of the cluster keys: every document joined to
     * its jaccard≥0.5 component label (singletons label themselves). ONE
     * definition so the threshold and labeling rules cannot drift between
@@ -324,42 +411,71 @@ object DedupOps {
     // variant stays as the fast path (md5 costs ~8 digests per shingle;
     // xxhash64+rotate-mix costs one). Same one-pass shape: explode distinct
     // shingles once, 8 mins in a single codegen'd hash aggregate, band on
-    // signature pairs, equi-join bands.
+    // signature pairs, equi-join bands ([[md5Bands]] — shared with the
+    // incremental and streaming-twin keys).
     "llm_minhash_md5" -> Q(
       (s, d) => {
-        val nSig = 8
-        val sigCols = (0 until nSig).map { k =>
-          min(md5(concat(lit(s"$k:"), col("s")))).as(s"sig$k")
-        }
-        val signed = T(s, d, "documents")
-          .withColumn("words", split(col("text"), " "))
-          .filter(size(col("words")) >= 3)
-          .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
-          .distinct()
-          .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-        val bandCol = explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
-        }: _*)).as("bk")
-        val bands = signed.select(col("doc_id"), bandCol)
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        val bands = md5Bands(T(s, d, "documents"))
         bands.withColumnRenamed("doc_id", "doc_a")
           .join(bands.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b")).distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Shingles.duckCte(distinct = true) +
-        ", sigs AS (SELECT doc_id, " +
-        (0 until 8).map(k => s"min(md5('$k:' || s)) AS sig$k").mkString(", ") +
-        " FROM sh GROUP BY doc_id), " +
-        "bands AS (" +
-        (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, sig${2 * b} || '_' || sig${2 * b + 1} AS bkey FROM sigs")
-          .mkString(" UNION ALL ") + ") " +
+      Shingles.duckCte(distinct = true) + md5BandsCte +
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
         "AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b"),
+
+    // Incremental (delta) dedup — the shape a daily pipeline actually runs:
+    // the corpus splits deterministically into an existing KEEP-SET
+    // (doc_id % 10 < 8) and a NEW batch (doc_id % 10 >= 8); a new document
+    // survives iff NONE of its LSH band signatures collides with any
+    // keep-set band. One semi-join on (band, bkey) finds the collisions,
+    // one anti-join emits survivors — no full-corpus re-clustering, and the
+    // keep-set side is exactly the band table a production pipeline would
+    // persist between runs. Docs with < 3 words have no bands and survive
+    // by definition (nothing to collide on).
+    "llm_dedup_incremental" -> Q(
+      (s, d) => {
+        val bands = md5Bands(T(s, d, "documents")).localCheckpoint()
+        val keepBands = bands.filter(col("doc_id") % 10 < 8)
+          .select(col("band"), col("bkey")).distinct()
+        val dupIds = bands.filter(col("doc_id") % 10 >= 8)
+          .join(keepBands, Seq("band", "bkey"), "left_semi")
+          .select(col("doc_id")).distinct()
+        T(s, d, "documents").filter(col("doc_id") % 10 >= 8)
+          .join(dupIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Shingles.duckCte(distinct = true) + md5BandsCte +
+        "SELECT d.doc_id FROM documents d WHERE d.doc_id % 10 >= 8 " +
+        "AND NOT EXISTS (SELECT 1 FROM bands nb JOIN bands ob " +
+        "ON nb.band = ob.band AND nb.bkey = ob.bkey AND ob.doc_id % 10 < 8 " +
+        "WHERE nb.doc_id = d.doc_id) ORDER BY doc_id"),
+
+    // Streaming near-dedup BATCH TWIN (§2.J twin strategy): per LSH band
+    // bucket, the first document (min doc_id — arrival order in the
+    // streaming replay is doc_id order) is the bucket leader; every later
+    // document in the same bucket is a near-duplicate hit against that
+    // leader. StreamingSpec replays the same corpus through the
+    // transformWithState processor (StreamOps.nearDedupStream) and asserts
+    // stream ≡ batch, including out-of-order delivery within the
+    // watermark. The window is PARTITIONed by bucket — no global sort.
+    "stream_near_dedup" -> Q(
+      (s, d) => md5Bands(T(s, d, "documents"))
+        .withColumn("leader", min(col("doc_id")).over(
+          Window.partitionBy(col("band"), col("bkey"))))
+        .filter(col("doc_id") =!= col("leader"))
+        .select(big(col("band")).as("band"), col("bkey"), col("doc_id"),
+          col("leader"))
+        .orderBy(col("band"), col("bkey"), col("doc_id")),
+      Shingles.duckCte(distinct = true) + md5BandsCte +
+        "SELECT band::BIGINT AS band, bkey, doc_id, leader FROM (" +
+        "SELECT band, bkey, doc_id, " +
+        "min(doc_id) OVER (PARTITION BY band, bkey) AS leader FROM bands) t " +
+        "WHERE doc_id <> leader ORDER BY band, bkey, doc_id"),
 
     // Dedup cluster assignment: connected components over the jaccard≥0.5
     // near-dup edge set via alternating large-star/small-star
@@ -400,30 +516,7 @@ object DedupOps {
     "llm_ivf_ann" -> Q(
       (s, d) => {
         val dot = dotF(s) _
-        val e = T(s, d, "embeddings")
-          .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-        val cents = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-            col("norm").as("cnorm"))
-        // top-2 cells per vector, materialized ONCE: probes = rn<=2,
-        // assignment = its rn=1 subset (a second plan branch would re-run
-        // the codebook BNLJ + rank).
-        val top2 = e.select(col("vec_id"), col("embedding"), col("norm"))
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cid"),
-            (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
-              .as("sim"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
-          .filter(col("rn") <= 2)
-          .localCheckpoint()
-        val assign = top2.filter(col("rn") === 1)
-          .select(col("vec_id").as("t_id"), col("cid").as("cell"))
-        val probes = top2
-          .select(col("vec_id").as("q_id"), col("cid").as("cell"))
-        val cand = probes.join(assign, Seq("cell"))
-          .filter(col("q_id") =!= col("t_id"))
-          .select(col("q_id"), col("t_id")).distinct()
+        val (cand, e) = ivfCandidates(s, d)
         val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("norm").as("q_norm"))
         val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
@@ -439,19 +532,8 @@ object DedupOps {
             round(col("rawsim"), 4).as("sim"))
           .orderBy(col("a_id"), col("rn"))
       },
-      "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb " +
-        "FROM embeddings WHERE vec_id < 10), " +
-        "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
-        "asim AS (SELECT v.vec_id, c.cid, list_inner_product(v.emb, c.cemb) / " +
-        "(sqrt(list_inner_product(v.emb, v.emb)) * " +
-        "sqrt(list_inner_product(c.cemb, c.cemb))) AS sim FROM v CROSS JOIN c), " +
-        "ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY sim DESC, cid) AS rn FROM asim), " +
-        "assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1), " +
-        "probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2), " +
-        "cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS t_id " +
-        "FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id), " +
-        "scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
+      ivfCandCte +
+        ", scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
         "(sqrt(list_inner_product(x.emb, x.emb)) * " +
         "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +
         "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id) " +
@@ -459,5 +541,54 @@ object DedupOps {
         "(SELECT q_id, t_id, rawsim, row_number() OVER (PARTITION BY q_id " +
         "ORDER BY rawsim DESC, t_id)::BIGINT AS rn FROM scored) z " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
+
+    // End-to-end SEMANTIC (embedding-space) dedup keep-list: IVF candidate
+    // pairs (deterministic, oracle-able — unlike the seeded-hyperplane LSH
+    // signer) → exact cosine ≥ 0.35 edges → connected components → keep =
+    // vector is its component's min-id representative. The full pipeline a
+    // semantic dedup pass runs, with every stage under the oracle: the
+    // same recursive-CTE reachability pattern as the text-dedup keys walks
+    // the cosine edge set in DuckDB. Scale shape: candidates are keyed on
+    // IVF cell (no all-pairs), edges carry ids only, CC is the O(log n)
+    // star algorithm; swapping llm_ann_lsh candidates in for the IVF ones
+    // is a one-line change when recall demands multi-table LSH.
+    "llm_semantic_dedup_keep" -> Q(
+      (s, d) => {
+        val dot = dotF(s) _
+        val (cand, e) = ivfCandidates(s, d)
+        val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("norm").as("a_norm"))
+        val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+          col("norm").as("b_norm"))
+        val edges = cand
+          .select(least(col("q_id"), col("t_id")).as("a_id"),
+            greatest(col("q_id"), col("t_id")).as("b_id"))
+          .distinct()
+          .join(broadcast(ea), "a_id").join(broadcast(eb), "b_id")
+          .filter(round(
+            dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")),
+            4) >= 0.35)
+          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+        T(s, d, "embeddings").select(col("vec_id"))
+          .join(connectedComponents(edges)
+            .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("label"), col("vec_id")).as("cluster_id"))
+          .withColumn("keep", col("cluster_id") === col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      ivfCandCte.replace("WITH c AS", "WITH RECURSIVE c AS") +
+        ", pairs AS (SELECT least(q_id, t_id) AS a, greatest(q_id, t_id) AS b " +
+        "FROM cand JOIN v x ON x.vec_id = least(q_id, t_id) " +
+        "JOIN v y ON y.vec_id = greatest(q_id, t_id) " +
+        "WHERE round(list_inner_product(x.emb, y.emb) / " +
+        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
+        "sqrt(list_inner_product(y.emb, y.emb))), 4) >= 0.35), " +
+        "edges AS (SELECT DISTINCT a, b FROM pairs " +
+        "UNION SELECT b, a FROM pairs), " +
+        "walk(id, label) AS (SELECT vec_id, vec_id FROM embeddings " +
+        "UNION SELECT e.a, w.label FROM edges e JOIN walk w ON w.id = e.b) " +
+        "SELECT id AS vec_id, min(label) AS cluster_id, " +
+        "id = min(label) AS keep FROM walk GROUP BY id ORDER BY vec_id"),
   )
 }

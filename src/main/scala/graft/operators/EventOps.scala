@@ -69,6 +69,22 @@ object EventOps {
       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
       "FROM events GROUP BY 1, 2 ORDER BY bucket, event_type")
 
+  /** Shared RFM rollup: per-user (recency_us, freq, monetary). Recency is
+    * exact integer µs from the corpus max-ts; monetary goes through the
+    * decimal sum discipline. Shared by the exact-ntile and
+    * boundary-broadcast quartile keys so the rollup cannot drift. */
+  private def rfmBase(s: SparkSession, d: String): DataFrame = {
+    val perUser = T(s, d, "events").groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        dsum(col("value")).as("monetary"))
+    val gmax = perUser.agg(max(col("last_ts")).as("gmax"))
+    perUser.crossJoin(broadcast(gmax))
+      .withColumn("recency_us",
+        big(expr("unix_micros(gmax) - unix_micros(last_ts)")))
+      .select(col("user_id"), col("recency_us"), col("freq"), col("monetary"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ---- §2.I composites ---------------------------------------------
@@ -335,16 +351,9 @@ object EventOps {
     // buckets for full parallelism.
     "evt_rfm_segments" -> Q(
       (s, d) => {
-        val perUser = T(s, d, "events").groupBy(col("user_id"))
-          .agg(max(col("ts")).as("last_ts"),
-            count(lit(1)).as("freq"),
-            dsum(col("value")).as("monetary"))
-        val gmax = perUser.agg(max(col("last_ts")).as("gmax"))
         def quart(order: org.apache.spark.sql.Column) =
           big(ntile(4).over(Window.orderBy(order, col("user_id"))))
-        perUser.crossJoin(gmax)
-          .withColumn("recency_us",
-            big(expr("unix_micros(gmax) - unix_micros(last_ts)")))
+        rfmBase(s, d)
           .withColumn("r_q", quart(col("recency_us")))
           .withColumn("f_q", quart(col("freq").desc))
           .withColumn("m_q", quart(col("monetary").desc))
@@ -364,5 +373,78 @@ object EventOps {
         "COUNT(*) AS freq, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary " +
         "FROM events GROUP BY user_id) b) q ORDER BY user_id")),
+
+    // RFM segmentation at 100 TB shape: the exact key's ntile(4) is an
+    // ORDER BY window with no PARTITION BY — ONE task sorts the whole
+    // per-user rollup. This sibling computes the three quartile CUT POINTS
+    // with percentile_disc (SQL-standard discrete percentile: smallest
+    // value whose cume_dist >= q — an actual data value, so no
+    // cross-engine interpolation arithmetic) over a DETERMINISTIC ~1/8
+    // hash sample of users (the sample_hash_deterministic predicate, so
+    // the boundary stage's single merge buffer is bounded at any corpus
+    // size and both engines sample identically), broadcasts the 1-row
+    // bounds frame, and assigns quartiles with a CASE — full parallelism,
+    // no global sort, O(sample) boundary memory. Semantics vs exact
+    // ntile: value-threshold quartiles from sampled cut points — equal
+    // values land in the same quartile, bucket counts are approximate.
+    // Descending metrics (freq, monetary) are negated so one ascending
+    // boundary rule serves all three axes.
+    "evt_rfm_segments_approx" -> Q(
+      (s, d) => {
+        val base = rfmBase(s, d)
+        def pd(q: Double, c: String) =
+          expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $c)")
+        val bounds = base
+          .filter(md5(col("user_id").cast("string")) < "2")
+          .select(col("recency_us"), negate(col("freq")).as("nfreq"),
+            negate(col("monetary")).as("nmon"))
+          .agg(
+            pd(0.25, "recency_us").as("r1"), pd(0.5, "recency_us").as("r2"),
+            pd(0.75, "recency_us").as("r3"),
+            pd(0.25, "nfreq").as("f1"), pd(0.5, "nfreq").as("f2"),
+            pd(0.75, "nfreq").as("f3"),
+            pd(0.25, "nmon").as("m1"), pd(0.5, "nmon").as("m2"),
+            pd(0.75, "nmon").as("m3"))
+        def bucket(v: org.apache.spark.sql.Column, b1: String, b2: String,
+            b3: String) =
+          big(when(v <= col(b1), 1).when(v <= col(b2), 2)
+            .when(v <= col(b3), 3).otherwise(4))
+        base.crossJoin(broadcast(bounds))
+          .withColumn("r_q", bucket(col("recency_us"), "r1", "r2", "r3"))
+          .withColumn("f_q", bucket(negate(col("freq")), "f1", "f2", "f3"))
+          .withColumn("m_q", bucket(negate(col("monetary")), "m1", "m2", "m3"))
+          .select(col("user_id"), col("recency_us"), col("freq"),
+            col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+            concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+          .orderBy(col("user_id"))
+      },
+      "WITH events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, " +
+        "user_id, event_type, value FROM events), " +
+        "b AS (SELECT user_id, " +
+        "(SELECT epoch_us(MAX(ts)) FROM events_us) - epoch_us(MAX(ts)) AS recency_us, " +
+        "COUNT(*) AS freq, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary " +
+        "FROM events_us GROUP BY user_id), " +
+        "q AS (SELECT " +
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_us) AS r1, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY recency_us) AS r2, " +
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_us) AS r3, " +
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY -freq) AS f1, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY -freq) AS f2, " +
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY -freq) AS f3, " +
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY -monetary) AS m1, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY -monetary) AS m2, " +
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY -monetary) AS m3 " +
+        "FROM b WHERE md5(user_id::VARCHAR) < '2') " +
+        "SELECT user_id, recency_us, freq, monetary, r_q, f_q, m_q, " +
+        "(r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR) AS segment FROM (" +
+        "SELECT user_id, recency_us, freq, monetary, " +
+        "(CASE WHEN recency_us <= r1 THEN 1 WHEN recency_us <= r2 THEN 2 " +
+        "WHEN recency_us <= r3 THEN 3 ELSE 4 END)::BIGINT AS r_q, " +
+        "(CASE WHEN -freq <= f1 THEN 1 WHEN -freq <= f2 THEN 2 " +
+        "WHEN -freq <= f3 THEN 3 ELSE 4 END)::BIGINT AS f_q, " +
+        "(CASE WHEN -monetary <= m1 THEN 1 WHEN -monetary <= m2 THEN 2 " +
+        "WHEN -monetary <= m3 THEN 3 ELSE 4 END)::BIGINT AS m_q " +
+        "FROM b CROSS JOIN q) t ORDER BY user_id"),
   )
 }

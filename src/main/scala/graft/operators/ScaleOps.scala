@@ -122,5 +122,53 @@ object ScaleOps {
         "FROM events a JOIN events b ON a.user_id = b.user_id " +
         "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR " +
         "ORDER BY a.user_id, a_id, b_id")),
+
+    // AQE skew-join — the lever an operator flips FIRST at 100 TB before
+    // reaching for manual salting (scale_salted_agg is the by-hand twin).
+    // A quarter of the fact rows collapse onto one hot key, the join is
+    // forced to sort-merge (broadcast would hide the skew), and
+    // spark.sql.adaptive.skewJoin splits the hot partition at runtime,
+    // replicating the matching build rows to each split. Runs in a CLONED
+    // session (same SparkContext, isolated conf) because demonstrating a
+    // split at test scale needs tiny skew thresholds that must not leak
+    // into other keys' plans. Result ≡ the plain join+agg (the oracle
+    // proves the runtime rewrite is purely physical); ScaleSpec asserts
+    // the executed plan actually split the hot partition.
+    "scale_skew_join" -> Q(
+      (s0, d) => {
+        val s = s0.newSession()
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        // the agg above the join wants the join's hash partitioning back,
+        // which a skew split breaks — force the split anyway (the agg's
+        // extra exchange is the documented price of the lever)
+        s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val k = when(col("user_id") % 4 === 0, 0L).otherwise(col("user_id"))
+        // AQE splits a skewed partition at MAP-OUTPUT-BLOCK granularity, so
+        // the probe side must have >1 mapper feeding the join exchange — a
+        // single-file local parquet scan is one map task and nothing can
+        // split (a 100 TB fact has thousands of mappers; the round-robin
+        // repartition models that, same as VectorSim.pairs).
+        val fact = T(s, d, "events").select(k.as("k"), col("value"))
+          .repartition(s.sparkContext.defaultParallelism)
+        // localCheckpoint: OptimizeSkewedJoin pattern-matches SMJ whose
+        // children are Sort-over-ShuffleStage DIRECTLY; the distinct's
+        // HashAggregate between shuffle and sort would otherwise hide the
+        // build side from the rule.
+        val dim = T(s, d, "events").select(k.as("k")).distinct()
+          .withColumn("dim", pmod(col("k"), lit(7L)))
+          .localCheckpoint()
+        fact.join(dim.hint("merge"), "k")
+          .groupBy(col("k"), col("dim"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .orderBy(col("k"))
+      },
+      "SELECT k, k % 7 AS dim, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
+        "FROM (SELECT CASE WHEN user_id % 4 = 0 THEN 0 ELSE user_id END AS k, " +
+        "value FROM events) e GROUP BY k ORDER BY k"),
   )
 }

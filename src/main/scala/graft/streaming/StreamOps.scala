@@ -313,6 +313,151 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One document in flight through the streaming near-dedup pipeline. */
+  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** A document's membership in one LSH band bucket. */
+  case class BandDoc(band: Long, bkey: String, doc_id: Long,
+      ts: java.sql.Timestamp)
+
+  /** A streaming near-duplicate hit: `doc_id` collided with the bucket's
+    * leader (its first/minimal document) on LSH band `band`. */
+  case class DedupHit(band: Long, bkey: String, doc_id: Long, leader: Long)
+
+  private[streaming] case class PendingDoc(doc_id: Long, tsUs: Long)
+  private[streaming] case class BucketLeader(id: Long)
+
+  /** Stateless per-row twin of `DedupOps.md5Bands`: each document maps to
+    * its 4 MinHash LSH band keys with NO shuffle — signatures come from
+    * `array_min(transform(...))` over the in-row shingle array instead of
+    * the batch path's explode→groupBy (min over the multiset ≡ min over the
+    * distinct set). This is what makes the dedup streamable: band
+    * derivation is a map, all state lives keyed by (band, bkey). Docs with
+    * < 3 words produce no shingles and drop out (nothing to collide on),
+    * exactly as in the batch twin. */
+  def docBands(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until 8).map { k =>
+      array_min(transform(col("shingles"),
+        s => md5(concat(lit(s"$k:"), s)))).as(s"sig$k")
+    }
+    val signed = docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("shingles", expr(graft.operators.Shingles.sparkExpr))
+      .select(col("doc_id") +: col("ts") +: sigCols: _*)
+    val bandCol = explode(array((0 until 4).map { b =>
+      struct(lit(b.toLong).as("band"),
+        concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
+    }: _*)).as("bk")
+    signed.select(col("doc_id"), col("ts"), bandCol)
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("doc_id"), col("ts"))
+  }
+
+  /** Streaming near-duplicate dedup, keyed by LSH band bucket: the first
+    * document to arrive in a bucket (by event time, ties by doc_id) is the
+    * bucket LEADER; every later document in the same bucket emits a
+    * [[DedupHit]] against that leader. With ingest time monotone in doc_id
+    * (the replay contract — a production pipeline's doc ids are
+    * arrival-ordered), the final hit set equals the batch twin
+    * (`stream_near_dedup`: leader = min doc_id per bucket), including
+    * out-of-order delivery bounded by the watermark: a document only
+    * FINALIZES (becomes leader or emits a hit) once the watermark passes
+    * its event time, so an earlier-ts/smaller-id straggler still wins the
+    * bucket as long as it arrives inside the watermark.
+    *
+    * State per bucket: a ListState buffer of un-finalized docs + a
+    * ValueState leader + the timer-bookkeeping ValueState (the
+    * SessionProcessor pattern). The leader entry is the persistent
+    * keep-set — production bounds it with a TTL sized to the dedup
+    * horizon; compose [[dedup]] (dropDuplicatesWithinWatermark on doc_id)
+    * upstream for at-least-once replay of the same document. */
+  class NearDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), BandDoc, DedupHit] {
+    @transient private var pending:
+      org.apache.spark.sql.streaming.ListState[PendingDoc] = _
+    @transient private var leader:
+      org.apache.spark.sql.streaming.ValueState[BucketLeader] = _
+    @transient private var timerAt:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[PendingDoc]("pending",
+        org.apache.spark.sql.Encoders.product[PendingDoc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      leader = getHandle.getValueState[BucketLeader]("leader",
+        org.apache.spark.sql.Encoders.product[BucketLeader],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    /** Finalize every pending doc whose event time the watermark has
+      * strictly passed, in (tsUs, doc_id) order; first finalized doc in
+      * bucket lifetime becomes leader, the rest emit hits. */
+    private def flush(key: (Long, String), wmMs: Long): Iterator[DedupHit] = {
+      val wmUs = wmMs * 1000L
+      val all = {
+        val it = pending.get()
+        val b = Seq.newBuilder[PendingDoc]
+        while (it.hasNext) b += it.next()
+        // distinct: an at-least-once replay inside the watermark must not
+        // double-count a doc within one flush
+        b.result().distinct.sortBy(d => (d.tsUs, d.doc_id))
+      }
+      if (all.isEmpty) return Iterator.empty
+      val (fin, open) = all.partition(d => wmUs > d.tsUs)
+      var lead = Option(leader.get()).map(_.id).getOrElse(Long.MinValue)
+      val out = Seq.newBuilder[DedupHit]
+      fin.foreach { d =>
+        if (lead == Long.MinValue) lead = d.doc_id
+        else if (d.doc_id != lead) out += DedupHit(key._1, key._2, d.doc_id, lead)
+      }
+      if (lead != Long.MinValue) leader.update(BucketLeader(lead))
+      pending.clear()
+      open.foreach(pending.appendValue)
+      // (re)arm at the first whole ms strictly past the earliest open ts;
+      // same bookkeeping discipline as SessionProcessor (0 = none armed)
+      val armAt = if (open.nonEmpty) open.map(_.tsUs / 1000L + 1L).min
+        else Long.MinValue
+      val prev = timerAt.get()
+      if (armAt == Long.MinValue) {
+        if (prev != 0L) { getHandle.deleteTimer(prev); timerAt.clear() }
+      } else if (prev != armAt) {
+        if (prev != 0L) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(armAt)
+        timerAt.update(armAt)
+      }
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[BandDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DedupHit] = {
+      rows.foreach(r => pending.appendValue(PendingDoc(r.doc_id, micros(r.ts))))
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: (Long, String),
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[DedupHit] =
+      flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  def nearDedupStream(docs: DataFrame,
+      watermark: String = "10 minutes"): Dataset[DedupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docBands(docs)
+      .withWatermark("ts", watermark)
+      .as[BandDoc]
+      .groupByKey(b => (b.band, b.bkey))
+      .transformWithState(new NearDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stream–stream interval join (the reference's cross-stream correlation
     * signal [PK]): each purchase joined to the same user's clicks in the
     * preceding hour. Both sides carry watermarks and the join condition

@@ -46,6 +46,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lsh signer rejects non-64-dim embeddings loudly") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val impl = graft.functions.LshSigsImpl
+    // right dim: computes
+    assert(impl.compute(new GenericArrayData(Array.fill(64)(0.5f)))
+      .numElements() == impl.NTables)
+    // wrong dim: must throw, not silently hash a prefix
+    val e = intercept[IllegalArgumentException] {
+      impl.compute(new GenericArrayData(Array.fill(32)(0.5f)))
+    }
+    assert(e.getMessage.contains("expected 64-dim"))
+  }
+
   test("connected components: long chain + cycle + singletons (log-round star alg)") {
     // A 101-node chain has diameter 100 — min-label propagation would need
     // 100 rounds; large-star/small-star must finish well under the 25-round

@@ -122,4 +122,19 @@ class ScaleSpec extends SparkSpec {
     assert(hashJoinLine.isDefined,
       s"no hash join keyed on the time bucket:\n$plan")
   }
+
+  test("scale_skew_join key: AQE splits its hot partition in the final plan") {
+    // sf0.01: the hot key carries ~15k of 60k rows — well past the key's
+    // 8KB split threshold; sf0.001 partitions are too small to trip it.
+    val df = SparkEntry.queries("scale_skew_join")(spark, "/root/testdata/sf0.01")
+    // collect() (not count()) so THIS QueryExecution finalizes its
+    // adaptive plan and the skew reader is visible.
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"scale_skew_join's final AQE plan shows no skew split:\n$plan")
+    // and the isolated-session confs must not leak into the shared session
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "skew-key session conf leaked into the shared session")
+  }
 }

@@ -208,6 +208,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dedup (transformWithState) == batch band twin incl. out-of-order") {
+    // ListState + 2 ValueStates per key = multiple column families ⇒ RocksDB
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    // Ingest contract: ts monotone in doc_id (arrival-ordered ids), 1s apart
+    val docs = T(spark, sf001, "documents").select($"doc_id", $"text").collect()
+      .map(r => StreamOps.Doc(r.getLong(0), r.getString(1),
+        new java.sql.Timestamp(base + r.getLong(0) * 1000L)))
+      .sortBy(_.doc_id).toSeq
+    val mem = MemoryStream[StreamOps.Doc]
+    val q = StreamOps.nearDedupStream(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("t_ndd").start()
+    try {
+      // Out-of-order delivery, bounded by the 10-min watermark: each chunk
+      // arrives REVERSED (≈2.8 min of disorder inside one batch) and its 5
+      // smallest-id docs are deferred a full micro-batch (cross-batch
+      // stragglers that must still win their buckets as leaders).
+      var deferred = Seq.empty[StreamOps.Doc]
+      docs.grouped(math.max(1, docs.size / 3)).foreach { chunk =>
+        val (defer, now) = chunk.splitAt(5)
+        mem.addData(now.reverse ++ deferred)
+        deferred = defer
+        q.processAllAvailable()
+      }
+      if (deferred.nonEmpty) { mem.addData(deferred); q.processAllAvailable() }
+      // two far-future sentinels push the watermark past every real doc
+      // (the watermark computed from batch N applies in batch N+1)
+      val far = base + 10L * 24 * 3600 * 1000
+      mem.addData(Seq(StreamOps.Doc(9000001L, "sentinel doc alpha beta",
+        new java.sql.Timestamp(far))))
+      q.processAllAvailable()
+      mem.addData(Seq(StreamOps.Doc(9000002L, "sentinel doc gamma delta",
+        new java.sql.Timestamp(far + 1000L))))
+      q.processAllAvailable()
+      val got = spark.table("t_ndd").filter($"doc_id" < 9000000L)
+        .select($"band", $"bkey", $"doc_id", $"leader").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val want = SparkEntry.queries("stream_near_dedup")(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(want.nonEmpty, "fixture should produce near-dup hits")
+      assert(got == want)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join == batch formulation (3 batches)") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
