@@ -22,6 +22,21 @@ object FnOps {
       "user=%{USERNAME:username} req_id=%{INT:req_id:int} " +
       "took=%{NUMBER:took:float}"
 
+  /** Format list for `fn_grok_dispatch` — Logstash grok's multi-pattern
+    * first-match-wins mode. Anchored (`^…$`): both engines match regex as
+    * substrings, so anchors are what make "no format matched" decidable.
+    * `username` appears in two formats (same coercion — the union rule). */
+  private val GrokFormats: Seq[String] = Seq(
+    // access-log line: ip, user, request, status, bytes
+    "^%{IPV4:client_ip} - %{USER:username} " +
+      "\"%{WORD:method} %{UNIXPATH:path} HTTP/%{BASE10NUM}\" " +
+      "%{INT:status:int} %{INT:bytes:int}$",
+    // app-log line: iso ts, level, kv fields
+    "^%{TIMESTAMP_ISO8601:ts_str} %{LOGLEVEL:level} svc=%{WORD:svc} " +
+      "user=%{USERNAME:username} took=%{NUMBER:took:float}$",
+    // metric line: host, metric, value
+    "^host=%{NOTSPACE:host} metric=%{WORD:metric} value=%{NUMBER:value:float}$")
+
   val defs: Seq[(String, Q)] = Seq(
 
     "fn_string_suite" -> Q(
@@ -90,6 +105,69 @@ object FnOps {
             "' took=' || (event_id % 100) || '.' || (user_id % 10))",
           GrokLogLine).mkString(", ") +
         " FROM events ORDER BY event_id")),
+
+    // Multi-format grok dispatch (Logstash's pattern-LIST mode): a mixed
+    // corpus of three synthesized log formats PLUS a genuinely non-matching
+    // line class (every 4th row), dispatched first-match-wins to a
+    // format_id and the UNION of all formats' fields (null where the
+    // winning format doesn't define a field; all-null + format_id=-1 for
+    // no-match rows — the ""→null coercion path under the oracle). Each
+    // format extracts via its own one-pass GrokCapture, evaluated only on
+    // its winning rows; the oracle runs the identical compiled regexes.
+    "fn_grok_dispatch" -> Q(
+      (s, d) => {
+        val lvl = when(col("event_type") === "click", "INFO")
+          .when(col("event_type") === "view", "DEBUG")
+          .when(col("event_type") === "purchase", "NOTICE")
+          .when(col("event_type") === "error", "ERROR").otherwise("WARN")
+        val status = when(col("event_type") === "error", 500L).otherwise(200L)
+        val msg = when(col("event_id") % 4 === 0, concat(
+            lit("10."), (col("user_id") % 250).cast("string"),
+            lit(".0."), (col("event_id") % 250).cast("string"),
+            lit(" - u"), col("user_id").cast("string"),
+            lit(" \"GET /api/"), col("event_type"), lit(" HTTP/1.1\" "),
+            status.cast("string"), lit(" "),
+            (col("event_id") % 5000).cast("string")))
+          .when(col("event_id") % 4 === 1, concat(
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(" "), lvl,
+            lit(" svc="), col("event_type"),
+            lit(" user=u"), col("user_id").cast("string"),
+            lit(" took="), (col("event_id") % 100).cast("string"),
+            lit("."), (col("user_id") % 10).cast("string")))
+          .when(col("event_id") % 4 === 2, concat(
+            lit("host=h"), (col("user_id") % 50).cast("string"),
+            lit(" metric="), col("event_type"),
+            lit(" value="), (col("event_id") % 1000).cast("string"),
+            lit("."), (col("user_id") % 10).cast("string")))
+          .otherwise(concat(lit("!!corrupt record "),
+            col("event_id").cast("string"), lit("!!")))
+        T(s, d, "events").withColumn("msg", msg)
+          .withColumn("format_id", Grok.dispatchFormatId(GrokFormats)(col("msg")))
+          .select(col("event_id") +: col("format_id") +:
+            Grok.dispatchFields(s)(col("msg"), col("format_id"), GrokFormats): _*)
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, fmt::BIGINT AS format_id, " +
+        Grok.duckDispatchFields("msg", "fmt", GrokFormats).mkString(", ") +
+        " FROM (SELECT event_id, " +
+        Grok.duckDispatchFormatId("msg", GrokFormats) + " AS fmt, msg FROM (" +
+        "SELECT event_id, CASE " +
+        "WHEN event_id % 4 = 0 THEN '10.' || (user_id % 250) || '.0.' || " +
+        "(event_id % 250) || ' - u' || user_id || ' \"GET /api/' || " +
+        "event_type || ' HTTP/1.1\" ' || " +
+        "(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END) || ' ' || " +
+        "(event_id % 5000) " +
+        "WHEN event_id % 4 = 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' ' || " +
+        "(CASE event_type WHEN 'click' THEN 'INFO' WHEN 'view' THEN 'DEBUG' " +
+        "WHEN 'purchase' THEN 'NOTICE' WHEN 'error' THEN 'ERROR' " +
+        "ELSE 'WARN' END) || " +
+        "' svc=' || event_type || ' user=u' || user_id || " +
+        "' took=' || (event_id % 100) || '.' || (user_id % 10) " +
+        "WHEN event_id % 4 = 2 THEN 'host=h' || (user_id % 50) || " +
+        "' metric=' || event_type || ' value=' || (event_id % 1000) || " +
+        "'.' || (user_id % 10) " +
+        "ELSE '!!corrupt record ' || event_id || '!!' END AS msg " +
+        "FROM events) t) t2 ORDER BY event_id")),
 
     // Schema'd JSON parse (SURVEY §1.1/§1.2 `from_json(schema)` promise):
     // a NESTED JSON document is synthesized per event (embedding the real

@@ -212,6 +212,93 @@ object Grok {
     fs.map(f => coerced(element_at(groups, f.group), f))
   }
 
+  /** Field layout of a multi-format dispatch: the UNION of all formats'
+    * fields in first-appearance order, each with its coercion and the
+    * (formatIdx, captureGroup) slots that define it. A field name used by
+    * two formats must agree on coercion — a :int in one format and raw
+    * string in another would give the column a format-dependent type. */
+  private def unionFields(compiled: Seq[(String, Seq[Field])])
+      : Seq[(String, Option[String], Seq[(Int, Int)])] = {
+    val order = scala.collection.mutable.LinkedHashMap[
+      String, (Option[String], List[(Int, Int)])]()
+    compiled.zipWithIndex.foreach { case ((_, fs), i) =>
+      fs.foreach { f =>
+        order.get(f.name) match {
+          case None => order(f.name) = (f.coerce, List(i -> f.group))
+          case Some((co, lst)) =>
+            require(co == f.coerce,
+              s"grok dispatch: field '${f.name}' has conflicting coercions " +
+                s"($co vs ${f.coerce}) across formats")
+            order(f.name) = (co, lst :+ (i -> f.group))
+        }
+      }
+    }
+    order.toSeq.map { case (n, (co, lst)) => (n, co, lst) }
+  }
+
+  /** Logstash-style multi-format dispatch, step 1: which format matched?
+    * First-match-wins across the expression list; -1 = no format matched.
+    * Author formats ANCHORED (`^...`) — both engines use substring-match
+    * regex semantics, so an unanchored catch-all would shadow everything
+    * after it. */
+  def dispatchFormatId(expressions: Seq[String])(c: Column): Column =
+    expressions.map(compile).map(_._1).zipWithIndex.foldRight(lit(-1L)) {
+      case ((re, i), acc) => when(c.rlike(re), lit(i.toLong)).otherwise(acc)
+    }
+
+  /** Step 2: the union-of-fields columns, each taken from the winning
+    * format's one-pass capture array (null where the winner doesn't define
+    * the field, and for no-match rows). Pass the PROJECTED format-id column
+    * (from [[dispatchFormatId]] via withColumn) so the N rlike dispatches
+    * are planned once, not once per field. */
+  def dispatchFields(spark: SparkSession)(c: Column, fmtId: Column,
+      expressions: Seq[String]): Seq[Column] = {
+    val compiled = expressions.map(compile)
+    val captures = compiled.map { case (re, _) =>
+      val fname = "graft_grok_" + graft.Dsl.md5Hex(re)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        fname, exprs => GrokCapture(exprs.head, re), "built-in")
+      org.apache.spark.sql.functions.call_function(fname, c)
+    }
+    unionFields(compiled).map { case (name, co, defs) =>
+      val raw = defs.foldRight(lit(null).cast("string")) { case ((i, g), acc) =>
+        when(fmtId === i.toLong, element_at(captures(i), g)).otherwise(acc)
+      }
+      coerced(raw, Field(name, co, 0))
+    }
+  }
+
+  /** DuckDB twin of [[dispatchFormatId]] (emit as `... AS fmt` in an inner
+    * subquery; INTEGER — cast to BIGINT at the final projection). */
+  def duckDispatchFormatId(colSql: String, expressions: Seq[String]): String =
+    "CASE " + expressions.map(compile).map(_._1).zipWithIndex.map {
+      case (re, i) =>
+        s"WHEN regexp_matches($colSql, ${sqlLit(re)}) THEN $i"
+    }.mkString(" ") + " ELSE -1 END"
+
+  /** DuckDB twin of [[dispatchFields]]: expressions referencing the
+    * dispatch column `fmtCol` computed by [[duckDispatchFormatId]]. */
+  def duckDispatchFields(colSql: String, fmtCol: String,
+      expressions: Seq[String]): Seq[String] = {
+    val compiled = expressions.map(compile)
+    unionFields(compiled).map { case (name, co, defs) =>
+      val chain = "CASE " + defs.map { case (i, g) =>
+        s"WHEN $fmtCol = $i THEN " +
+          s"regexp_extract($colSql, ${sqlLit(compiled(i)._1)}, $g)"
+      }.mkString(" ") + " END"
+      val typed = co match {
+        case Some("int") => s"TRY_CAST($chain AS BIGINT)"
+        case Some("float") => s"TRY_CAST($chain AS DOUBLE)"
+        case Some(other) => throw new IllegalArgumentException(
+          s"grok: unsupported coercion :$other")
+        case None => chain
+      }
+      s"$typed AS $name"
+    }
+  }
+
+  private def sqlLit(re: String): String = "'" + re.replace("'", "''") + "'"
+
   /** The SAME extraction as DuckDB SQL select-expressions (same compiled
     * regex, same group indices, same coercions) — the oracle twin
     * generator. DuckDB's regexp engine is RE2; the dictionary avoids

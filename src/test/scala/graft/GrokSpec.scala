@@ -96,6 +96,33 @@ class GrokSpec extends SparkSpec {
     }
   }
 
+  test("dispatch: first-match-wins, union fields, no-match all-null") {
+    val fmts = Seq(
+      "^err code=%{INT:code:int} user=%{USERNAME:user}$",
+      "^ok user=%{USERNAME:user} ms=%{NUMBER:ms:float}$")
+    val df = Seq("err code=7 user=bob", "ok user=eve ms=1.5", "nonsense")
+      .toDF("msg")
+      .withColumn("fmt", Grok.dispatchFormatId(fmts)(col("msg")))
+    val out = df.select(col("fmt") +:
+      Grok.dispatchFields(spark)(col("msg"), col("fmt"), fmts): _*)
+    assert(out.columns.toSeq == Seq("fmt", "code", "user", "ms"))
+    val rows = out.collect().toSeq
+    assert(rows(0).getLong(0) == 0L && rows(0).getLong(1) == 7L &&
+      rows(0).getString(2) == "bob" && rows(0).isNullAt(3))
+    assert(rows(1).getLong(0) == 1L && rows(1).isNullAt(1) &&
+      rows(1).getString(2) == "eve" && rows(1).getDouble(3) == 1.5)
+    assert(rows(2).getLong(0) == -1L && rows(2).isNullAt(1) &&
+      rows(2).isNullAt(2) && rows(2).isNullAt(3))
+  }
+
+  test("dispatch: conflicting coercions for one field name are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Grok.dispatchFields(spark)(col("msg"), lit(0L), Seq(
+        "^a=%{INT:v:int}$", "^b=%{NUMBER:v:float}$"))
+    }
+    assert(e.getMessage.contains("conflicting coercions"))
+  }
+
   test("IPV4 rejects out-of-range octets") {
     val (re, _) = Grok.compile("^%{IP:ip}$")
     val p = java.util.regex.Pattern.compile(re)
