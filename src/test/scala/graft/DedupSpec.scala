@@ -46,6 +46,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components == union-find reference on a planted-cluster graph") {
+    // Planted ground truth: 8 clusters of uneven size wired with arbitrary
+    // intra-cluster edges (star, chain, extra chords), plus singleton-free
+    // noise pairs — the exact edge shape the semantic-dedup key feeds CC.
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 8).flatMap { c =>
+      val ids = (0 until (3 + c * 2)).map(i => c * 100L + i)
+      val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+      val chords = Seq.fill(c)((ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size))))
+        .filter(p => p._1 != p._2)
+      chain ++ chords
+    }
+    val norm = edges.map(p => (p._1 min p._2, p._1 max p._2)).distinct
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    norm.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val nodes = norm.flatMap(p => Seq(p._1, p._2)).distinct
+    // min-id label per component (the CC contract)
+    val want = {
+      val byRoot = nodes.groupBy(find)
+      nodes.map(n => n -> byRoot(find(n)).min).toMap
+    }
+    val got = graft.operators.DedupOps.connectedComponents(
+        norm.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"CC labels diverge from union-find reference")
+  }
+
   test("lsh signer rejects non-64-dim embeddings loudly") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val impl = graft.functions.LshSigsImpl

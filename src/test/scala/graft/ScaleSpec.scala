@@ -123,6 +123,23 @@ class ScaleSpec extends SparkSpec {
       s"no hash join keyed on the time bucket:\n$plan")
   }
 
+  test("evt_rfm_segments_approx plans no window at all (vs the exact key's global ntile)") {
+    // The exact key's ntile(4) over a partition-less ORDER BY is the one
+    // single-task construct left in the registry; the approx sibling must
+    // plan with NO window operator — quartiles come from broadcast
+    // percentile_disc cut points and a CASE.
+    val approx = SparkEntry.queries("evt_rfm_segments_approx")(spark, sf001)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"approx RFM must not plan a window:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"bounds frame should broadcast:\n$plan")
+    val exact = SparkEntry.queries("evt_rfm_segments")(spark, sf001)
+    assert(exact.queryExecution.executedPlan.toString.contains("Window"))
+    assert(approx.count() == exact.count())
+  }
+
   test("scale_skew_join key: AQE splits its hot partition in the final plan") {
     // sf0.01: the hot key carries ~15k of 60k rows — well past the key's
     // 8KB split threshold; sf0.001 partitions are too small to trip it.
