@@ -74,10 +74,17 @@ object EventOps {
     * decimal sum discipline. Shared by the exact-ntile and
     * boundary-broadcast quartile keys so the rollup cannot drift. */
   private def rfmBase(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: every consumer of the rollup (gmax, the approx key's
+    // sampled bounds pass, the main assignment pass) would otherwise
+    // re-plan the events scan + per-user shuffle — at 100 TB that's the
+    // dominant cost paid 2–4×. Checkpointed, the big table is read and
+    // shuffled exactly ONCE per query; everything downstream reads the
+    // ~|users| rollup.
     val perUser = T(s, d, "events").groupBy(col("user_id"))
       .agg(max(col("ts")).as("last_ts"),
         count(lit(1)).as("freq"),
         dsum(col("value")).as("monetary"))
+      .localCheckpoint()
     val gmax = perUser.agg(max(col("last_ts")).as("gmax"))
     perUser.crossJoin(broadcast(gmax))
       .withColumn("recency_us",
