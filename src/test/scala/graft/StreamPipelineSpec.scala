@@ -50,6 +50,73 @@ class StreamPipelineSpec extends SparkSpec {
       .select($"window.start".as("bucket"), $"category", $"n", $"n_high")
   }
 
+  test("gate -> near-dedup (transformWithState) -> custom sink == batch leader twin") {
+    // The merged pillar: the reference's streaming core loop WITH inline
+    // near-duplicate suppression — DSv2 gate source → stateless per-row
+    // band map → transformWithState leader election → exactly-once epoch
+    // sink, in ONE streaming query. RocksDB: 3 state vars per key.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = Files.createTempDirectory("ndd_out").toString
+    val cp = Files.createTempDirectory("ndd_cp").toString
+    // gate rows → documents: ts is already monotone in event_id (the
+    // ingest contract); 40 duplicate-text classes plant the near-dups
+    def toDocs(df: DataFrame): DataFrame = df.select(
+      $"event_id".as("doc_id"), $"ts",
+      concat(lit("alpha beta gamma c"), ($"user_id" % 40).cast("string"))
+        .as("text"))
+    val stream = spark.readStream.format("graft.streaming.GateSource")
+      .option("rowsPerBatch", 200).option("maxRows", 1000)
+      .option("numPartitions", 4).load()
+    val q = graft.streaming.StreamOps.nearDedupStream(toDocs(stream))
+      .writeStream.outputMode("append")
+      .format("graft.streaming.GateSink")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    val committed = new File(out).listFiles()
+      .filter(_.getName.endsWith(".commit"))
+      .map(m => new File(out,
+        s"epoch=${m.getName.stripPrefix("epoch_").stripSuffix(".commit")}").getPath)
+      .filter(p => new File(p).exists())
+    val got = spark.read
+      .schema(StructType(Seq(
+        StructField("band", LongType), StructField("bkey", StringType),
+        StructField("doc_id", LongType), StructField("leader", LongType))))
+      .option("sep", "\t").csv(committed: _*)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+
+    // batch twin over the identical deterministic rows: leader = min
+    // doc_id per band bucket, restricted to docs the stream could
+    // FINALIZE — those whose event time the final watermark (max ts -
+    // 10 min; ts = base + id minutes ⇒ id < maxId - 10) strictly passed.
+    val replay = spark.readStream.format("graft.streaming.GateSource")
+      .option("rowsPerBatch", 1000).option("maxRows", 1000)
+      .option("numPartitions", 4).load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndd_replay").start()
+    replay.processAllAvailable()
+    replay.stop()
+    val docsB = toDocs(spark.table("ndd_replay"))
+    val maxId = docsB.agg(max($"doc_id")).head().getLong(0)
+    val hits = graft.operators.DedupOps.md5Bands(docsB)
+      .withColumn("leader", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bkey")))
+      .filter($"doc_id" =!= $"leader" && $"doc_id" < maxId - 10)
+      .select($"band".cast("long"), $"bkey", $"doc_id", $"leader")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    assert(hits.nonEmpty, "planted duplicate classes should produce hits")
+    assert(got == hits)
+  }
+
   test("gate -> mutate -> enrich -> gauge -> alert -> custom sink == batch twin") {
     val out = Files.createTempDirectory("pipe_out").toString
     val cp = Files.createTempDirectory("pipe_cp").toString
