@@ -77,7 +77,12 @@ object Dsl {
     // replace would produce a subtly wrong oracle, not an error.
     require(rewritten != sql,
       s"usEvents: no 'FROM events'/'JOIN events' occurrence rewritten in: $sql")
-    "WITH events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, " +
-      "user_id, event_type, value, props FROM events) " + rewritten
+    val cte = "WITH events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, " +
+      "user_id, event_type, value, props FROM events)"
+    // Compose with a caller that brings its own CTE chain: fold its WITH
+    // into ours so the µs-truncation rule keeps exactly one definition.
+    if (rewritten.startsWith("WITH "))
+      cte + ", " + rewritten.stripPrefix("WITH ")
+    else cte + " " + rewritten
   }
 }

@@ -287,9 +287,11 @@ object DedupOps {
   }
 
   /** The shared DuckDB CTE chain for [[ivfCandidates]] (ends with
-    * `cand(q_id, t_id)` and `v(vec_id, emb)`). */
-  private val ivfCandCte: String =
-    "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb " +
+    * `cand(q_id, t_id)` and `v(vec_id, emb)`). `recursive = true` when the
+    * caller appends a recursive CTE to the chain (DuckDB scopes the
+    * RECURSIVE keyword to the whole WITH list). */
+  private def ivfCandCte(recursive: Boolean = false): String =
+    s"WITH ${if (recursive) "RECURSIVE " else ""}c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb " +
       "FROM embeddings WHERE vec_id < 10), " +
       "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
       "asim AS (SELECT v.vec_id, c.cid, list_inner_product(v.emb, c.cemb) / " +
@@ -532,7 +534,7 @@ object DedupOps {
             round(col("rawsim"), 4).as("sim"))
           .orderBy(col("a_id"), col("rn"))
       },
-      ivfCandCte +
+      ivfCandCte() +
         ", scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
         "(sqrt(list_inner_product(x.emb, x.emb)) * " +
         "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +
@@ -577,7 +579,7 @@ object DedupOps {
           .withColumn("keep", col("cluster_id") === col("vec_id"))
           .orderBy(col("vec_id"))
       },
-      ivfCandCte.replace("WITH c AS", "WITH RECURSIVE c AS") +
+      ivfCandCte(recursive = true) +
         ", pairs AS (SELECT least(q_id, t_id) AS a, greatest(q_id, t_id) AS b " +
         "FROM cand JOIN v x ON x.vec_id = least(q_id, t_id) " +
         "JOIN v y ON y.vec_id = greatest(q_id, t_id) " +

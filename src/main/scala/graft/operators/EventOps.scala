@@ -425,13 +425,11 @@ object EventOps {
             concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
           .orderBy(col("user_id"))
       },
-      "WITH events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, " +
-        "user_id, event_type, value FROM events), " +
-        "b AS (SELECT user_id, " +
-        "(SELECT epoch_us(MAX(ts)) FROM events_us) - epoch_us(MAX(ts)) AS recency_us, " +
+      usEvents("WITH b AS (SELECT user_id, " +
+        "(SELECT epoch_us(MAX(ts)) FROM events) - epoch_us(MAX(ts)) AS recency_us, " +
         "COUNT(*) AS freq, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary " +
-        "FROM events_us GROUP BY user_id), " +
+        "FROM events GROUP BY user_id), " +
         "q AS (SELECT " +
         "percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_us) AS r1, " +
         "percentile_disc(0.5) WITHIN GROUP (ORDER BY recency_us) AS r2, " +
@@ -452,6 +450,6 @@ object EventOps {
         "WHEN -freq <= f3 THEN 3 ELSE 4 END)::BIGINT AS f_q, " +
         "(CASE WHEN -monetary <= m1 THEN 1 WHEN -monetary <= m2 THEN 2 " +
         "WHEN -monetary <= m3 THEN 3 ELSE 4 END)::BIGINT AS m_q " +
-        "FROM b CROSS JOIN q) t ORDER BY user_id"),
+        "FROM b CROSS JOIN q) t ORDER BY user_id")),
   )
 }

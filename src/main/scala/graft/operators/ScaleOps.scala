@@ -18,6 +18,29 @@ object ScaleOps {
     new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft_scratch"), name).toString
 
+  /** One cloned session per SparkContext for the skew-join key: a fresh
+    * `newSession()` per invocation would build (and never release) a full
+    * SessionState each time the key runs — bench reps would accumulate
+    * them. The demo thresholds are fixed, so one isolated session per JVM
+    * is the whole requirement. */
+  private val skewSessions = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, org.apache.spark.sql.SparkSession]()
+
+  private def skewSession(s0: org.apache.spark.sql.SparkSession) =
+    skewSessions.computeIfAbsent(s0.sparkContext, _ => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // the agg above the join wants the join's hash partitioning back,
+      // which a skew split breaks — force the split anyway (the agg's
+      // extra exchange is the documented price of the lever)
+      s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s
+    })
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Co-located join: both sides written bucketed+sorted on the join key,
@@ -136,16 +159,7 @@ object ScaleOps {
     // the executed plan actually split the hot partition.
     "scale_skew_join" -> Q(
       (s0, d) => {
-        val s = s0.newSession()
-        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
-        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
-        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-        // the agg above the join wants the join's hash partitioning back,
-        // which a skew split breaks — force the split anyway (the agg's
-        // extra exchange is the documented price of the lever)
-        s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val s = skewSession(s0)
         val k = when(col("user_id") % 4 === 0, 0L).otherwise(col("user_id"))
         // AQE splits a skewed partition at MAP-OUTPUT-BLOCK granularity, so
         // the probe side must have >1 mapper feeding the join exchange — a

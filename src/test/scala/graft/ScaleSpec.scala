@@ -99,7 +99,7 @@ class ScaleSpec extends SparkSpec {
     def rows(d: String): Long =
       SparkEntry.queries("scale_bucketed_join")(spark, d).count()
     val a1 = rows(sf001)
-    val b = rows("/root/testdata/sf0.01")
+    val b = rows(sf01)
     val a2 = rows(sf001)
     assert(a1 == a2, s"memo hit returned wrong-dir data: $a1 vs $a2")
     assert(a1 != b, "sf0.001 and sf0.01 should differ (sanity)")
@@ -107,7 +107,7 @@ class ScaleSpec extends SparkSpec {
     def pruned(d: String): Long =
       SparkEntry.queries("scan_partition_pruned")(spark, d).count()
     val p1 = pruned(sf001)
-    val pb = pruned("/root/testdata/sf0.01")
+    val pb = pruned(sf01)
     assert(pruned(sf001) == p1 && p1 != pb)
   }
 
@@ -143,7 +143,7 @@ class ScaleSpec extends SparkSpec {
   test("scale_skew_join key: AQE splits its hot partition in the final plan") {
     // sf0.01: the hot key carries ~15k of 60k rows — well past the key's
     // 8KB split threshold; sf0.001 partitions are too small to trip it.
-    val df = SparkEntry.queries("scale_skew_join")(spark, "/root/testdata/sf0.01")
+    val df = SparkEntry.queries("scale_skew_join")(spark, sf01)
     // collect() (not count()) so THIS QueryExecution finalizes its
     // adaptive plan and the skew reader is visible.
     assert(df.collect().nonEmpty)

@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sf001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
 }
 
 object SparkSpec {
