@@ -508,6 +508,32 @@ object DedupOps {
         "doc_id = min(label) AS keep FROM walk GROUP BY doc_id " +
         "ORDER BY doc_id"),
 
+    // The query a training pipeline actually ships: the FINAL corpus
+    // selection — gopher rule gates AND the near-dup keep-list in one
+    // per-document frame with the reason flags. Composes the shared rule
+    // definition (TextOps.gopherFlags — one definition with
+    // `llm_gopher_quality`) with the shared cluster machinery
+    // (clusterAssignments — one definition with the cluster keys), and the
+    // oracle reuses both stages' SQL verbatim, so the composite sits under
+    // exactly the same correctness gate as its parts.
+    "llm_corpus_select" -> Q(
+      (s, d) => clusterAssignments(s, d)
+        .withColumn("dedup_keep", col("cluster_id") === col("doc_id"))
+        .join(TextOps.gopherFlags(s, d)
+          .select(col("doc_id"), col("keep").as("quality_ok")), Seq("doc_id"))
+        .withColumn("selected", col("quality_ok") && col("dedup_keep"))
+        .select(col("doc_id"), col("quality_ok"), col("dedup_keep"),
+          col("selected"))
+        .orderBy(col("doc_id")),
+      clustersWalkCte +
+        ", gq AS (SELECT doc_id, keep AS quality_ok FROM (" +
+        TextOps.gopherFlagsSql + ") g), " +
+        "kp AS (SELECT doc_id, doc_id = min(label) AS dedup_keep " +
+        "FROM walk GROUP BY doc_id) " +
+        "SELECT kp.doc_id, gq.quality_ok, kp.dedup_keep, " +
+        "gq.quality_ok AND kp.dedup_keep AS selected " +
+        "FROM kp JOIN gq ON gq.doc_id = kp.doc_id ORDER BY kp.doc_id"),
+
     // IVF-style ANN: a 10-vector coarse codebook (vec_id < 10 — fixed, so
     // fully deterministic and oracle-able), each vector assigned to its
     // nearest cell, each query probing its top-2 cells. Exact cosine ranks

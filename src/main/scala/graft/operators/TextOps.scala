@@ -32,6 +32,47 @@ object TextOps {
   private val shingleExpr = Shingles.sparkExpr
   private val shingleCte = Shingles.duckCte(distinct = false, carryText = true)
 
+  /** Gopher rule flags per document — ONE definition shared by
+    * `llm_gopher_quality` and the corpus-selection composite
+    * (`llm_corpus_select` in DedupOps), so the rule thresholds cannot
+    * drift between the standalone report and the pipeline query. */
+  private[operators] def gopherFlags(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    T(s, d, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("n_chars"),
+        big(size(col("words"))).as("n_words"),
+        big(size(filter(col("words"),
+          w => w === "a" || w === "the"))).as("stop_hits"))
+      .withColumn("mean_word_len",
+        (col("n_chars") - col("n_words") + lit(1L)).cast("double") / col("n_words"))
+      .withColumn("word_count_ok",
+        col("n_words") >= 10 && col("n_words") <= 1000)
+      .withColumn("word_len_ok",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("stop_ok", col("stop_hits") >= 1)
+      .withColumn("keep",
+        col("word_count_ok") && col("word_len_ok") && col("stop_ok"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("stop_hits"), col("word_count_ok"), col("word_len_ok"),
+        col("stop_ok"), col("keep"))
+
+  /** DuckDB twin of [[gopherFlags]] (a full SELECT body — wrap as a
+    * derived table or CTE). */
+  private[operators] val gopherFlagsSql: String =
+    "SELECT doc_id, n_words, mean_word_len, stop_hits, " +
+      "n_words >= 10 AND n_words <= 1000 AS word_count_ok, " +
+      "mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok, " +
+      "stop_hits >= 1 AS stop_ok, " +
+      "(n_words >= 10 AND n_words <= 1000) AND " +
+      "(mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND " +
+      "stop_hits >= 1 AS keep FROM (" +
+      "SELECT doc_id, n_words, stop_hits, " +
+      "CAST(n_chars - n_words + 1 AS DOUBLE) / n_words AS mean_word_len FROM (" +
+      "SELECT doc_id, n_chars, len(string_split(text, ' '))::BIGINT AS n_words, " +
+      "len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))::BIGINT " +
+      "AS stop_hits FROM documents) a) b"
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Dictionary-join language ID: hit counts per candidate lang, argmax
@@ -290,36 +331,7 @@ object TextOps {
     // keep flag — the rule-based pre-filter of a training-data pipeline.
     // Exact ints + one double division; booleans identical cross-engine.
     "llm_gopher_quality" -> Q(
-      (s, d) => T(s, d, "documents")
-        .withColumn("words", split(col("text"), " "))
-        .select(col("doc_id"), col("n_chars"),
-          big(size(col("words"))).as("n_words"),
-          big(size(filter(col("words"),
-            w => w === "a" || w === "the"))).as("stop_hits"))
-        .withColumn("mean_word_len",
-          (col("n_chars") - col("n_words") + lit(1L)).cast("double") / col("n_words"))
-        .withColumn("word_count_ok",
-          col("n_words") >= 10 && col("n_words") <= 1000)
-        .withColumn("word_len_ok",
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
-        .withColumn("stop_ok", col("stop_hits") >= 1)
-        .withColumn("keep",
-          col("word_count_ok") && col("word_len_ok") && col("stop_ok"))
-        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-          col("stop_hits"), col("word_count_ok"), col("word_len_ok"),
-          col("stop_ok"), col("keep"))
-        .orderBy(col("doc_id")),
-      "SELECT doc_id, n_words, mean_word_len, stop_hits, " +
-        "n_words >= 10 AND n_words <= 1000 AS word_count_ok, " +
-        "mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok, " +
-        "stop_hits >= 1 AS stop_ok, " +
-        "(n_words >= 10 AND n_words <= 1000) AND " +
-        "(mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND " +
-        "stop_hits >= 1 AS keep FROM (" +
-        "SELECT doc_id, n_words, stop_hits, " +
-        "CAST(n_chars - n_words + 1 AS DOUBLE) / n_words AS mean_word_len FROM (" +
-        "SELECT doc_id, n_chars, len(string_split(text, ' '))::BIGINT AS n_words, " +
-        "len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))::BIGINT " +
-        "AS stop_hits FROM documents) a) b ORDER BY doc_id"),
+      (s, d) => gopherFlags(s, d).orderBy(col("doc_id")),
+      gopherFlagsSql + " ORDER BY doc_id"),
   )
 }
