@@ -260,9 +260,13 @@ object DedupOps {
     * rn=1 subset — a second plan branch would re-run the codebook BNLJ +
     * rank). */
   private def ivfCandidates(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    ivfCandidatesOf(T(s, d, "embeddings"))
+
+  private[operators] def ivfCandidatesOf(embDf: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val dot = dotF(s) _
-    val e = T(s, d, "embeddings")
+    val dot = dotF(embDf.sparkSession) _
+    val e = embDf
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
     val cents = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
@@ -303,6 +307,36 @@ object DedupOps {
       "probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2), " +
       "cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS t_id " +
       "FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id)"
+
+  /** Spark-side body of `llm_semantic_dedup_keep`, parameterized on the
+    * embeddings frame so DedupSpec can pin it to a planted-cluster fixture
+    * (the oracled key passes the real table): IVF candidates → exact
+    * cosine ≥ `tau` edges → connected components → keep = vector is its
+    * component's min-id representative. */
+  def semanticKeep(embDf: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.35): org.apache.spark.sql.DataFrame = {
+    val dot = dotF(embDf.sparkSession) _
+    val (cand, e) = ivfCandidatesOf(embDf)
+    val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("norm").as("a_norm"))
+    val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("norm").as("b_norm"))
+    val edges = cand
+      .select(least(col("q_id"), col("t_id")).as("a_id"),
+        greatest(col("q_id"), col("t_id")).as("b_id"))
+      .distinct()
+      .join(broadcast(ea), "a_id").join(broadcast(eb), "b_id")
+      .filter(round(
+        dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")),
+        4) >= tau)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+    embDf.select(col("vec_id"))
+      .join(connectedComponents(edges)
+        .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+  }
 
   /** Shared Spark-side body of the cluster keys: every document joined to
     * its jaccard≥0.5 component label (singletons label themselves). ONE
@@ -581,30 +615,7 @@ object DedupOps {
     // star algorithm; swapping llm_ann_lsh candidates in for the IVF ones
     // is a one-line change when recall demands multi-table LSH.
     "llm_semantic_dedup_keep" -> Q(
-      (s, d) => {
-        val dot = dotF(s) _
-        val (cand, e) = ivfCandidates(s, d)
-        val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-          col("norm").as("a_norm"))
-        val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-          col("norm").as("b_norm"))
-        val edges = cand
-          .select(least(col("q_id"), col("t_id")).as("a_id"),
-            greatest(col("q_id"), col("t_id")).as("b_id"))
-          .distinct()
-          .join(broadcast(ea), "a_id").join(broadcast(eb), "b_id")
-          .filter(round(
-            dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")),
-            4) >= 0.35)
-          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
-        T(s, d, "embeddings").select(col("vec_id"))
-          .join(connectedComponents(edges)
-            .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            coalesce(col("label"), col("vec_id")).as("cluster_id"))
-          .withColumn("keep", col("cluster_id") === col("vec_id"))
-          .orderBy(col("vec_id"))
-      },
+      (s, d) => semanticKeep(T(s, d, "embeddings")).orderBy(col("vec_id")),
       ivfCandCte(recursive = true) +
         ", pairs AS (SELECT least(q_id, t_id) AS a, greatest(q_id, t_id) AS b " +
         "FROM cand JOIN v x ON x.vec_id = least(q_id, t_id) " +

@@ -81,6 +81,40 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"CC labels diverge from union-find reference")
   }
 
+  test("semantic dedup keep-list on a planted-embedding fixture") {
+    // Codebook = the 10 one-hot basis vectors (vec_id < 10 is the IVF
+    // rule); three planted clusters hug basis directions 1/2/3 with tiny
+    // per-member jitter, so each cluster (INCLUDING its basis vector)
+    // must resolve to one component labeled by the basis id, and all
+    // other vectors stay singleton keeps (orthogonal ⇒ cosine ≈ 0).
+    def oneHot(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); a(i) = 1f; a
+    }
+    def jittered(dir: Int, j: Int): Array[Float] = {
+      val a = oneHot(dir); a(10 + j) = 0.05f; a
+    }
+    val rows: Seq[(Long, Array[Float])] =
+      (0 until 10).map(i => (i.toLong, oneHot(i))) ++
+        (0 until 5).map(j => (100L + j, jittered(1, j))) ++
+        (0 until 4).map(j => (200L + j, jittered(2, j))) ++
+        (0 until 2).map(j => (300L + j, jittered(3, j)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.DedupOps.semanticKeep(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val clusters = Map(
+      1L -> Seq(1L, 100L, 101L, 102L, 103L, 104L),
+      2L -> Seq(2L, 200L, 201L, 202L, 203L),
+      3L -> Seq(3L, 300L, 301L))
+    rows.map(_._1).foreach { id =>
+      val label = clusters.collectFirst {
+        case (l, members) if members.contains(id) => l
+      }.getOrElse(id)
+      assert(got(id) == ((label, label == id)),
+        s"vec $id: got ${got(id)}, want ($label, ${label == id})")
+    }
+    assert(got.size == rows.size)
+  }
+
   test("lsh signer rejects non-64-dim embeddings loudly") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val impl = graft.functions.LshSigsImpl
