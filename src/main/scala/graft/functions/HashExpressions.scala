@@ -47,6 +47,21 @@ object LshSigsImpl extends Serializable {
     Array.fill(NTables * Bits, Dim)(rnd.nextGaussian())
   }
 
+  /** DuckDB twin of the signer, one bucket expression per table over an
+    * `emb` DOUBLE[] column: the SAME plane literals (Double.toString is
+    * shortest-round-trip, so DuckDB parses back the identical bits) and
+    * the SAME summation order (`list_inner_product` accumulates in index
+    * order, as does [[compute]]'s loop — float operands widen to double
+    * exactly in both engines), so every sign bit matches bit-for-bit and
+    * the LSH key is fully oracle-able despite the seeded planes. */
+  def duckBucketExprs(colSql: String): Seq[String] =
+    (0 until NTables).map { t =>
+      (0 until Bits).map { j =>
+        val arr = planes(t * Bits + j).map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product($colSql, $arr) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+
   def compute(emb: ArrayData): ArrayData = {
     val m = emb.numElements()
     // A mismatched embedding must fail loudly: silently hashing a prefix

@@ -438,7 +438,28 @@ object DedupOps {
           .select(col("a_id"), col("rn"), col("b_id"), col("sim"))
           .orderBy(col("a_id"), col("rn"))
       },
-      None),
+      // Fully oracled despite the seeded hyperplanes: the signer's plane
+      // matrix is emitted into the SQL as shortest-round-trip double
+      // literals and each bucket recomputed with list_inner_product
+      // (identical summation order ⇒ identical sign bits; see
+      // LshSigsImpl.duckBucketExprs).
+      "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "b AS (" +
+        graft.functions.LshSigsImpl.duckBucketExprs("emb").zipWithIndex.map {
+          case (expr, t) => s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM v"
+        }.mkString(" UNION ALL ") + "), " +
+        "cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id " +
+        "FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket " +
+        "AND x.vec_id <> y.vec_id), " +
+        "scored AS (SELECT a_id, b_id, " +
+        "round(list_inner_product(xa.emb, xb.emb) / " +
+        "(sqrt(list_inner_product(xa.emb, xa.emb)) * " +
+        "sqrt(list_inner_product(xb.emb, xb.emb))), 4) AS sim " +
+        "FROM cand JOIN v xa ON xa.vec_id = a_id JOIN v xb ON xb.vec_id = b_id) " +
+        "SELECT a_id, rn, b_id, sim FROM (" +
+        "SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+        "ORDER BY sim DESC, b_id)::BIGINT AS rn FROM scored) z " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
 
     // MinHash+LSH with md5-derived signatures: functionally the same
     // candidate-pair machinery as llm_near_dedup_minhash, but the hash
