@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, T}
 import graft.Dsl._
@@ -184,5 +185,74 @@ object ScaleOps {
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
         "FROM (SELECT CASE WHEN user_id % 4 = 0 THEN 0 ELSE user_id END AS k, " +
         "value FROM events) e GROUP BY k ORDER BY k"),
+
+    // Dynamic partition pruning — the other half of the partition story
+    // (scan_partition_pruned is the STATIC half). The fact is laid out
+    // partitioned by o_year (the one-time ETL step writeOnce models); the
+    // filter arrives on the DIM side only, so a static planner must scan
+    // every fact partition. DPP turns the broadcast dim into a runtime
+    // partition filter on the fact scan — at 100 TB this is the difference
+    // between reading 2 year-partitions and reading all of them. Result ≡
+    // filtering the fact directly (the oracle); ScaleSpec asserts the
+    // executed plan carries the dynamicpruning subquery.
+    "scale_dpp_join" -> Q(
+      (s, d) => {
+        val tag = Scale.dirTag(d)
+        val factDir = scratch(s"dpp_fact_$tag")
+        val dimDir = scratch(s"dpp_dim_$tag")
+        Scale.writeOnce(s"dpp|$d") {
+          T(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
+            .write.mode("overwrite").partitionBy("o_year").parquet(factDir)
+          // DPP's benefit estimator skips local relations, so the dim must
+          // be file-backed too (same reason as ScaleSpec's probe).
+          import s.implicits._
+          (1990 to 2005).map(y => (y, s"era_${y / 2 * 2}")).toDF("dy", "label")
+            .write.mode("overwrite").parquet(dimDir)
+        }
+        val fact = s.read.parquet(factDir)
+        val dim = s.read.parquet(dimDir).filter(col("label") === "era_1996")
+        fact.join(broadcast(dim), col("o_year") === col("dy"))
+          .groupBy(big(col("o_year")).as("o_year"), col("label"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+          .orderBy(col("o_year"))
+      },
+      "SELECT year(o_orderdate) AS o_year, 'era_1996' AS label, " +
+        "COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price " +
+        "FROM orders WHERE year(o_orderdate) IN (1996, 1997) " +
+        "GROUP BY 1 ORDER BY o_year"),
+
+    // Distributed global row numbering — the scale-safe replacement for
+    // ROW_NUMBER() OVER (ORDER BY key) with no PARTITION BY (which runs as
+    // ONE task — the exact trap evt_rfm_segments_approx removed). Three
+    // steps, all parallel over data rows: (1) deterministic range bucketing
+    // from the key's min/max (exact integer div — no sampling, so the two
+    // consumers of `bucketed` cannot disagree on boundaries); (2) per-bucket
+    // counts → cumulative offsets (a window over ≤16 ROWS, bounded by the
+    // bucket count, never by data); (3) broadcast the offsets back and
+    // number within each bucket. gid ≡ the global ROW_NUMBER (the oracle).
+    "scale_global_ids" -> Q(
+      (s, d) => {
+        val nb = 16
+        val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        val bucketed = docs.crossJoin(broadcast(bounds))
+          .withColumn("bk", expr(s"((doc_id - lo) * $nb) div (hi - lo + 1)"))
+        val offsets = bucketed.groupBy(col("bk"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(
+            Window.orderBy(col("bk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bk"), col("off"))
+        bucketed.join(broadcast(offsets), "bk")
+          .select(col("doc_id"), col("n_chars"),
+            (col("off") + row_number().over(
+              Window.partitionBy(col("bk")).orderBy(col("doc_id"))))
+              .cast("long").as("gid"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, n_chars, ROW_NUMBER() OVER (ORDER BY doc_id) AS gid " +
+        "FROM documents ORDER BY doc_id"),
   )
 }

@@ -140,6 +140,39 @@ class ScaleSpec extends SparkSpec {
     assert(approx.count() == exact.count())
   }
 
+  test("scale_dpp_join key: runtime partition pruning reaches the fact scan") {
+    val df = SparkEntry.queries("scale_dpp_join")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"scale_dpp_join's fact scan carries no DPP subquery:\n$plan")
+    // and the pruned result still equals filtering the fact directly
+    val expect = T(spark, sf001, "orders")
+      .filter(year($"o_orderdate").isin(1996, 1997)).count()
+    assert(df.agg(sum($"n_orders")).as[Long].head() == expect)
+  }
+
+  test("scale_global_ids: the partition-less window runs over bucket counts, not data rows") {
+    val df = SparkEntry.queries("scale_global_ids")(spark, sf001)
+    val winLines = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.size == 2, s"expected exactly 2 windows:\n${winLines.mkString("\n")}")
+    // the data-row numbering must be PARTITIONED (by bucket) …
+    val rn = winLines.find(_.contains("row_number()")).get
+    assert(rn.contains("windowspecdefinition(bk"),
+      s"row_number window is not partitioned by bk:\n$rn")
+    // … and the only global (orderBy-only) window may touch the per-bucket
+    // count frame (≤16 rows), never doc-level columns
+    val global = winLines.find(!_.contains("row_number()")).get
+    assert(global.contains("sum(cnt") && !global.contains("doc_id"),
+      s"global window touches data rows:\n$global")
+    // gid ≡ the naive single-task global row_number
+    import org.apache.spark.sql.expressions.Window
+    val naive = T(spark, sf001, "documents")
+      .select($"doc_id", row_number().over(Window.orderBy($"doc_id"))
+        .cast("long").as("gid"))
+    assert(df.select($"doc_id", $"gid").except(naive).isEmpty)
+  }
+
   test("scale_skew_join key: AQE splits its hot partition in the final plan") {
     // sf0.01: the hot key carries ~15k of 60k rows — well past the key's
     // 8KB split threshold; sf0.001 partitions are too small to trip it.
