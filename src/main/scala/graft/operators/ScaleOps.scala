@@ -19,28 +19,45 @@ object ScaleOps {
     new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft_scratch"), name).toString
 
-  /** One cloned session per SparkContext for the skew-join key: a fresh
-    * `newSession()` per invocation would build (and never release) a full
-    * SessionState each time the key runs — bench reps would accumulate
-    * them. The demo thresholds are fixed, so one isolated session per JVM
-    * is the whole requirement. */
-  private val skewSessions = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.SparkContext, org.apache.spark.sql.SparkSession]()
+  /** One cloned session per (SparkContext, tag) for keys that need demo-
+    * scale thresholds: a fresh `newSession()` per invocation would build
+    * (and never release) a full SessionState each time the key runs —
+    * bench reps would accumulate them. The thresholds are fixed, so one
+    * isolated session per JVM per tag is the whole requirement, and the
+    * clone keeps them out of every other key's plans. */
+  private val isoSessions = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), org.apache.spark.sql.SparkSession]()
+
+  private def isoSession(s0: org.apache.spark.sql.SparkSession, tag: String)(
+      confs: (String, String)*) =
+    isoSessions.computeIfAbsent((s0.sparkContext, tag), _ => {
+      val s = s0.newSession()
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      s
+    })
 
   private def skewSession(s0: org.apache.spark.sql.SparkSession) =
-    skewSessions.computeIfAbsent(s0.sparkContext, _ => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
-      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
-      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    isoSession(s0, "skew")(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
       // the agg above the join wants the join's hash partitioning back,
       // which a skew split breaks — force the split anyway (the agg's
       // extra exchange is the documented price of the lever)
-      s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s
-    })
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Runtime bloom-filter injection wants the application-side scan above
+    * 10 GB by default — a cluster-scale bar the demo lowers to one byte;
+    * broadcast is disabled because the lever only applies to shuffle
+    * joins (a broadcast build IS already a row filter). */
+  private def bloomSession(s0: org.apache.spark.sql.SparkSession) =
+    isoSession(s0, "bloom")(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
   val defs: Seq[(String, Q)] = Seq(
 
@@ -254,5 +271,35 @@ object ScaleOps {
       },
       "SELECT doc_id, n_chars, ROW_NUMBER() OVER (ORDER BY doc_id) AS gid " +
         "FROM documents ORDER BY doc_id"),
+
+    // Runtime bloom-filter join pruning — the ROW-level sibling of
+    // scale_dpp_join's partition-level pruning. The dim side carries a
+    // selective filter; Spark's InjectRuntimeFilter builds a bloom filter
+    // over the surviving dim keys and applies might_contain() at the FACT
+    // SCAN, so non-matching fact rows die before the join shuffle instead
+    // of after it. At 100 TB this shrinks the big side's exchange by the
+    // dim filter's selectivity (~1/5 here). Forced to a shuffle join —
+    // broadcast would already filter rows — in a cloned session because
+    // the 10 GB application-side bar must stay cluster-scale everywhere
+    // else. Result ≡ the plain join (oracle); ScaleSpec asserts the
+    // might_contain filter sits on the fact scan.
+    "scale_bloom_join" -> Q(
+      (s0, d) => {
+        val s = bloomSession(s0)
+        val li = T(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val o = T(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(big(year(col("o_orderdate"))).as("o_year"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_year"))
+      },
+      "SELECT year(o_orderdate) AS o_year, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY o_year"),
   )
 }

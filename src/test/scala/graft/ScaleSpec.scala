@@ -173,6 +173,20 @@ class ScaleSpec extends SparkSpec {
     assert(df.select($"doc_id", $"gid").except(naive).isEmpty)
   }
 
+  test("scale_bloom_join key: a runtime bloom filter guards the fact scan") {
+    val df = SparkEntry.queries("scale_bloom_join")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"no runtime bloom filter on the fact side:\n$plan")
+    // the bloom filter is built from the FILTERED dim keys via a subquery
+    assert(plan.toLowerCase.contains("bloom_filter_agg") ||
+      plan.contains("Subquery"), s"no bloom-building subquery:\n$plan")
+    // and the cloned-session thresholds must not leak into the shared session
+    assert(spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .forall(_ != "1B"), "bloom-key session conf leaked into the shared session")
+  }
+
   test("scale_skew_join key: AQE splits its hot partition in the final plan") {
     // sf0.01: the hot key carries ~15k of 60k rows — well past the key's
     // 8KB split threshold; sf0.001 partitions are too small to trip it.
