@@ -388,6 +388,56 @@ object DedupOps {
         .orderBy(col("doc_id")),
       None),
 
+    // Fully-ORACLED SimHash twin of llm_simhash (whose 64-bit JVM hash
+    // DuckDB cannot reproduce): the per-token hash is the first 15 hex
+    // chars of md5(token) — a 60-bit value both engines parse exactly
+    // (Spark conv(…,16,10), DuckDB '0x'-prefix cast). Per-bit votes are 60
+    // SUM(±1) columns in ONE hash-agg pass over the exploded tokens (no
+    // per-bit row blowup — the same single-pass shape as the 8-min MinHash
+    // agg), then the signature assembles from the vote signs and splits
+    // into 4×15-bit LSH bands. Ties (vote = 0) set the bit in both engines.
+    "llm_simhash_md5" -> Q(
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .withColumn("h",
+            conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+        val voteCols = (0 until 60).map(i =>
+          sum(when(shiftrightunsigned(col("h"), i)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i"))
+        val sig = (0 until 60).map(i =>
+          when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        toks.groupBy(col("doc_id"))
+          .agg(voteCols.head, voteCols.tail: _*)
+          .select(col("doc_id"), sig.as("simhash"))
+          .select(col("doc_id"), col("simhash"),
+            col("simhash").bitwiseAND(lit(0x7FFFL)).as("band0"),
+            shiftrightunsigned(col("simhash"), 15)
+              .bitwiseAND(lit(0x7FFFL)).as("band1"),
+            shiftrightunsigned(col("simhash"), 30)
+              .bitwiseAND(lit(0x7FFFL)).as("band2"),
+            shiftrightunsigned(col("simhash"), 45).as("band3"))
+          .orderBy(col("doc_id"))
+      },
+      "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "hs AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h " +
+        "FROM toks), " +
+        "votes AS (SELECT doc_id, " +
+        (0 until 60).map(i =>
+          s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+          .mkString(", ") +
+        " FROM hs GROUP BY doc_id), " +
+        "sig AS (SELECT doc_id, " +
+        (0 until 60).map(i =>
+          s"(CASE WHEN v$i >= 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+          .mkString(" + ") +
+        " AS simhash FROM votes) " +
+        "SELECT doc_id, simhash, simhash & 32767 AS band0, " +
+        "(simhash >> 15) & 32767 AS band1, (simhash >> 30) & 32767 AS band2, " +
+        "(simhash >> 45) AS band3 FROM sig ORDER BY doc_id"),
+
     // Embedding-cosine near-dup: all pairs above a similarity threshold.
     // Same exact-fold dot product + rounding discipline as llm_cosine_topk.
     "llm_emb_near_dedup" -> Q(
