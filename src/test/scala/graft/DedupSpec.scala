@@ -200,6 +200,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("fuzzy title join: prefix filtering loses no brute-force pair") {
+    // The pigeonhole claim behind llm_fuzzy_title_join: restricting the
+    // candidate join to each title's 7 rarest trigrams must preserve EVERY
+    // edit-distance<=2 pair the n² cross join finds.
+    val t = T(spark, sf001, "documents").select($"doc_id",
+      array_join(slice(split($"text", " "), 1, 5), " ").as("title"))
+    val brute = t.as("a").crossJoin(t.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id" &&
+        levenshtein($"a.title", $"b.title") <= 2)
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = SparkEntry.queries("llm_fuzzy_title_join")(spark, sf001)
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == brute,
+      s"prefix filter diverged: missing=${brute -- filtered} extra=${filtered -- brute}")
+    assert(brute.nonEmpty, "fixture should contain at least one fuzzy pair")
+  }
+
   test("multimodal stub decode: typed batch path equals SQL path") {
     val viaTyped = SparkEntry.queries("mm_feature_extract")(spark, sf001).collect()
     assert(viaTyped.length == 500)
