@@ -59,6 +59,11 @@ object ScaleOps {
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
+  /** Sorted-layout scratch path for input dir `d` (exposed for ScaleSpec's
+    * parquet-footer audit). */
+  def sortedLayoutDir(d: String): String =
+    scratch(s"sorted_layout_${Scale.dirTag(d)}")
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Co-located join: both sides written bucketed+sorted on the join key,
@@ -301,5 +306,44 @@ object ScaleOps {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY o_year"),
+
+    // Sorted data layout → parquet row-group skipping: the one-time ETL
+    // sort that buys every future time-range scan its pruning. The fact is
+    // range-partitioned then sorted WITHIN files on l_shipdate, so each
+    // row group's [min,max] stats span a narrow slice and a pushed date
+    // predicate skips whole row groups at read (footer-audited in
+    // ScaleSpec). Two demo-vs-prod notes encoded here: Spark still writes
+    // INT96 timestamps by default, which carry NO parquet stats — the
+    // cloned session switches to TIMESTAMP_MICROS (the conf a 100 TB
+    // deployment flips); and the tiny block size only forces multiple row
+    // groups at test scale. Result ≡ the plain filtered scan (oracle).
+    "scale_sorted_layout_scan" -> Q(
+      (s0, d) => {
+        val p = sortedLayoutDir(d)
+        Scale.writeOnce(s"sorted_layout|$d") {
+          val s = isoSession(s0, "layout")(
+            "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+          T(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_shipdate"), col("l_quantity"))
+            .repartitionByRange(4, col("l_shipdate"))
+            .sortWithinPartitions(
+              col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+            .write.mode("overwrite")
+            .option("parquet.block.size", "65536")
+            .option("parquet.page.size", "16384")
+            .parquet(p)
+        }
+        s0.read.parquet(p)
+          .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1996-07-01 00:00:00'"))
+          .groupBy(date_trunc("MONTH", col("l_shipdate")).as("month"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("month"))
+      },
+      "SELECT date_trunc('month', l_shipdate) AS month, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-07-01' GROUP BY 1 ORDER BY month"),
   )
 }

@@ -187,6 +187,45 @@ class ScaleSpec extends SparkSpec {
       .forall(_ != "1B"), "bloom-key session conf leaked into the shared session")
   }
 
+  test("scale_sorted_layout_scan: row-group stats are narrow and mostly prunable") {
+    // sf0.01 (60k rows) so the demo block size yields several row groups.
+    val df = SparkEntry.queries("scale_sorted_layout_scan")(spark, sf01)
+    assert(df.count() > 0)
+    // the date predicate must reach the parquet scan
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"),
+      s"no pushed shipdate filter on the layout scan:\n$scan")
+    // footer audit: sorted TIMESTAMP_MICROS layout ⇒ INT64 stats exist and
+    // most row groups lie wholly outside the 1996-H1 filter window
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = new java.io.File(graft.operators.ScaleOps.sortedLayoutDir(sf01))
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    val ranges = files.toSeq.flatMap { f =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toString), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == "l_shipdate").get
+          val st = c.getStatistics
+          assert(st != null && st.hasNonNullValue,
+            s"no stats on l_shipdate in ${f.getName} (INT96 leak?)")
+          (st.genericGetMin.asInstanceOf[Long], st.genericGetMax.asInstanceOf[Long])
+        }
+      } finally r.close()
+    }
+    assert(ranges.size >= 4, s"expected several row groups, got ${ranges.size}")
+    val lo = 820454400000000L  // 1996-01-01T00:00Z micros
+    val hi = 836179200000000L  // 1996-07-01T00:00Z micros
+    val prunable = ranges.count { case (mn, mx) => mx < lo || mn >= hi }
+    assert(prunable * 2 > ranges.size,
+      s"sorted layout should let most row groups skip the 1996-H1 filter: " +
+        s"$prunable of ${ranges.size}")
+  }
+
   test("scale_skew_join key: AQE splits its hot partition in the final plan") {
     // sf0.01: the hot key carries ~15k of 60k rows — well past the key's
     // 8KB split threshold; sf0.001 partitions are too small to trip it.
