@@ -451,5 +451,50 @@ object EventOps {
         "(CASE WHEN -monetary <= m1 THEN 1 WHEN -monetary <= m2 THEN 2 " +
         "WHEN -monetary <= m3 THEN 3 ELSE 4 END)::BIGINT AS m_q " +
         "FROM b CROSS JOIN q) t ORDER BY user_id")),
+
+    // Time-series densify + forward fill (gauge gap-filling [PK]): every
+    // user gets a complete daily grid from their first to last active day
+    // (sequence+explode — no driver-side calendar), gap days join as
+    // n_events = 0, and the last known purchase total carries forward via
+    // last(…, ignoreNulls) over a running frame. All stages keyed on
+    // user_id — grid generation, the grid↔daily join, and the fill window
+    // all partition by user, so the densify never concentrates on one
+    // task regardless of corpus size.
+    "evt_gap_fill" -> Q(
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(when(col("event_type") === "purchase", col("value")))
+              .as("purchase_value"))
+        val grid = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            col("purchase_value"),
+            last(col("purchase_value"), ignoreNulls = true).over(
+              Window.partitionBy(col("user_id")).orderBy(col("day"))
+                .rowsBetween(Window.unboundedPreceding, 0))
+              .as("filled_value"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      usEvents("WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, " +
+        "COUNT(*) AS n_events, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN " +
+        "CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase_value " +
+        "FROM events GROUP BY 1, 2), " +
+        "span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 " +
+        "FROM daily GROUP BY 1), " +
+        "grid AS (SELECT user_id, " +
+        "unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span) " +
+        "SELECT g.user_id, g.day, coalesce(d.n_events, 0) AS n_events, " +
+        "d.purchase_value, last_value(d.purchase_value IGNORE NULLS) OVER " +
+        "(PARTITION BY g.user_id ORDER BY g.day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value " +
+        "FROM grid g LEFT JOIN daily d USING (user_id, day) " +
+        "ORDER BY 1, 2")),
   )
 }
