@@ -496,5 +496,53 @@ object EventOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value " +
         "FROM grid g LEFT JOIN daily d USING (user_id, day) " +
         "ORDER BY 1, 2")),
+
+    // Strictly-ORDERED funnel with a completion window (evt_funnel is the
+    // unordered 2-step): signup → first click AFTER the signup → first
+    // purchase AFTER that click, converted iff the chain completes within
+    // 7 days of signup. Each stage is a per-user min over an equi-joined
+    // slice — three keyed aggs, no window functions, no event
+    // re-ordering; the event table is scanned once per stage with the
+    // stage predicate pushed to the scan. first-ts chaining (min-after-
+    // min) is the textbook formulation a funnel engine compiles to.
+    "evt_funnel_ordered" -> Q(
+      (s, d) => {
+        val e = T(s, d, "events")
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+          .join(s1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy(col("user_id"))
+          .agg(min(col("t1")).as("t1"), min(col("ts")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+          .join(s2.select(col("user_id"), col("t2")), "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        s1.join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .select(col("user_id"),
+            col("t2").isNotNull.as("reached_click"),
+            col("t3").isNotNull.as("reached_purchase"),
+            (col("t3").isNotNull &&
+              col("t3") <= col("t1") + expr("INTERVAL 7 DAYS"))
+              .as("converted_7d"))
+          .orderBy(col("user_id"))
+      },
+      usEvents("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS t2 " +
+        "FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1 " +
+        "WHERE e.event_type = 'click' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t3 " +
+        "FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2 " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT s1.user_id, s2.user_id IS NOT NULL AS reached_click, " +
+        "s3.user_id IS NOT NULL AS reached_purchase, " +
+        "(s3.user_id IS NOT NULL AND s3.t3 <= s1.t1 + INTERVAL 7 DAY) " +
+        "AS converted_7d " +
+        "FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id " +
+        "LEFT JOIN s3 ON s3.user_id = s1.user_id ORDER BY s1.user_id")),
   )
 }
