@@ -333,5 +333,28 @@ object TextOps {
     "llm_gopher_quality" -> Q(
       (s, d) => gopherFlags(s, d).orderBy(col("doc_id")),
       gopherFlagsSql + " ORDER BY doc_id"),
+
+    // Fixed-size overlapping chunker — the training/RAG prep step that is
+    // llm_pack_sequences' inverse: window 32 tokens, stride 24 (8-token
+    // overlap), chunk starts at 0, 24, 48, … while < n_tokens, the tail
+    // chunk clamps short. Pure generate-and-slice over the token array
+    // (sequence → explode → slice), one row per chunk, no shuffle before
+    // the final sort — the per-document work is embarrassingly parallel
+    // and chunk rows carry only (doc_id, idx, text slice).
+    "llm_doc_chunking" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("k", explode(expr("sequence(0, size(toks) - 1, 24)")))
+        .select(col("doc_id"), (col("k") / 24).cast("long").as("chunk_idx"),
+          array_join(expr("slice(toks, k + 1, 32)"), " ").as("chunk_text"),
+          least(lit(32), size(col("toks")) - col("k")).cast("long")
+            .as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      "SELECT doc_id, (k // 24)::BIGINT AS chunk_idx, " +
+        "array_to_string(list_slice(toks, k + 1, k + 32), ' ') AS chunk_text, " +
+        "least(32, len(toks) - k)::BIGINT AS n_tokens FROM (" +
+        "SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "unnest(generate_series(0, len(string_split(text, ' ')) - 1, 24)) AS k " +
+        "FROM documents) t ORDER BY doc_id, chunk_idx"),
   )
 }
