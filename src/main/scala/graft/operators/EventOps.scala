@@ -544,5 +544,41 @@ object EventOps {
         "AS converted_7d " +
         "FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id " +
         "LEFT JOIN s3 ON s3.user_id = s1.user_id ORDER BY s1.user_id")),
+
+    // Landing/exit analysis: each session's ENTRY and EXIT event types —
+    // the session-report staple next to evt_top_sessions. Composes the
+    // shared sessionizer, then one keyed agg: entry/exit come from
+    // min/max over (ts, event_id, event_type) structs, whose unique
+    // (ts, event_id) prefix makes the lexicographic min/max pick exactly
+    // the first/last event — no second window pass over the events, and
+    // the struct agg combines map-side like any min/max.
+    "evt_session_entry_exit" -> Q(
+      (s, d) => sessionized(s, d)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("fst"),
+          max(struct(col("ts"), col("event_id"), col("event_type"))).as("lst"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_seq"),
+          col("fst.event_type").as("entry_type"),
+          col("lst.event_type").as("exit_type"), col("n_events"))
+        .orderBy(col("user_id"), col("session_seq")),
+      usEvents("SELECT user_id, session_seq::BIGINT AS session_seq, " +
+        "min(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type, " +
+        "min(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type, " +
+        "COUNT(*) AS n_events FROM (" +
+        "SELECT user_id, event_type, session_seq, " +
+        "row_number() OVER (PARTITION BY user_id, session_seq " +
+        "ORDER BY ts, event_id) AS rn_a, " +
+        "row_number() OVER (PARTITION BY user_id, session_seq " +
+        "ORDER BY ts DESC, event_id DESC) AS rn_d FROM (" +
+        "SELECT user_id, event_id, event_type, ts, " +
+        "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_seq FROM (" +
+        "SELECT user_id, event_id, event_type, ts, lag(ts, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
+        "FROM events) x) y) z " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
   )
 }
