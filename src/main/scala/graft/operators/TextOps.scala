@@ -356,5 +356,43 @@ object TextOps {
         "SELECT doc_id, string_split(text, ' ') AS toks, " +
         "unnest(generate_series(0, len(string_split(text, ' ')) - 1, 24)) AS k " +
         "FROM documents) t ORDER BY doc_id, chunk_idx"),
+
+    // Cross-document duplicate-SPAN detection (C4's span-dedup shape, vs
+    // llm_contamination's fixed benchmark slice): every 8-token span at
+    // stride 1, attributed to the corpus-min doc_id that contains it; a
+    // doc's dup_spans counts span occurrences already present in an
+    // EARLIER doc, and keep = majority of spans are first-seen here
+    // (integer comparison — no float ratio crosses the engines). Spans
+    // ship as md5 digests so the shuffle carries 32-byte keys, never the
+    // span text; the attribution pass is one hash agg + one equi-join
+    // back, both keyed on the digest.
+    "llm_span_dedup" -> Q(
+      (s, d) => {
+        val spans = T(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, greatest(size(toks) - 7, 1)), " +
+              "i -> md5(concat_ws(' ', slice(toks, i, 8))))")).as("h"))
+        val firstDoc = spans.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        spans.join(firstDoc, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("total_spans"),
+            sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+              .as("dup_spans"))
+          .withColumn("keep", col("dup_spans") * 2 < col("total_spans"))
+          .orderBy(col("doc_id"))
+      },
+      "WITH spans AS (SELECT doc_id, unnest(list_transform(" +
+        "generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)), " +
+        "i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))) AS h " +
+        "FROM documents), " +
+        "fd AS (SELECT h, min(doc_id) AS first_doc FROM spans GROUP BY h) " +
+        "SELECT s.doc_id, COUNT(*) AS total_spans, " +
+        "SUM(CASE WHEN fd.first_doc < s.doc_id THEN 1 ELSE 0 END)::BIGINT " +
+        "AS dup_spans, " +
+        "SUM(CASE WHEN fd.first_doc < s.doc_id THEN 1 ELSE 0 END) * 2 < COUNT(*) " +
+        "AS keep " +
+        "FROM spans s JOIN fd USING (h) GROUP BY s.doc_id ORDER BY s.doc_id"),
   )
 }
