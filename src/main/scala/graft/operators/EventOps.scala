@@ -580,5 +580,38 @@ object EventOps {
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
         "FROM events) x) y) z " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // DAU/WAU — the engagement staple. Exact trailing-7-day distinct
+    // users cannot ride a window frame (no DISTINCT over RANGE frames),
+    // so WAU joins the deduped user-day pairs to the DAY GRID under a
+    // 7-day band: the grid side is |days| rows (calendar-sized, hence
+    // broadcast — 365 rows for a year of corpus), the pair side shuffles
+    // once on day for the distinct count. DAU is a plain keyed agg over
+    // the same deduped pairs.
+    "evt_active_users" -> Q(
+      (s, d) => {
+        val ud = T(s, d, "events")
+          .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+          .distinct()
+        val days = ud.select(col("day")).distinct()
+        val dau = ud.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val wau = broadcast(days.select(col("day").as("gday")))
+          .join(ud, col("day").between(
+            col("gday") - expr("INTERVAL 6 DAYS"), col("gday")))
+          .groupBy(col("gday").as("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, "day").orderBy(col("day"))
+      },
+      usEvents("WITH ud AS (SELECT DISTINCT user_id, " +
+        "date_trunc('day', ts) AS day FROM events), " +
+        "days AS (SELECT DISTINCT day FROM ud), " +
+        "dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau " +
+        "FROM ud GROUP BY 1), " +
+        "wau AS (SELECT g.day, COUNT(DISTINCT u.user_id) AS wau " +
+        "FROM days g JOIN ud u ON u.day BETWEEN g.day - INTERVAL 6 DAY " +
+        "AND g.day GROUP BY 1) " +
+        "SELECT dau.day, dau.dau, wau.wau FROM dau JOIN wau USING (day) " +
+        "ORDER BY day")),
   )
 }
