@@ -173,6 +173,50 @@ object RelationalOps {
         "JOIN region r ON n.n_regionkey = r.r_regionkey " +
         "WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"),
 
+    // SQL-text entry #2 — windowed top-N: the analytic-SQL shape (GROUP
+    // BY under a ranking window under an outer rank filter) arriving as
+    // TEXT, planned by Spark's parser/Catalyst like any DataFrame query
+    // (WindowGroupLimit pushes the rank filter below the exchange).
+    "sql_text_window_topn" -> Q(
+      (s, d) => {
+        T(s, d, "events").createOrReplaceTempView("v_events")
+        s.sql(
+          """SELECT user_id, event_type, n, rn FROM (
+            |  SELECT user_id, event_type, COUNT(*) AS n,
+            |    ROW_NUMBER() OVER (PARTITION BY user_id
+            |      ORDER BY COUNT(*) DESC, event_type) AS rn
+            |  FROM v_events GROUP BY user_id, event_type) t
+            |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin)
+      },
+      usEvents("SELECT user_id, event_type, n, rn FROM (" +
+        "SELECT user_id, event_type, COUNT(*) AS n, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY COUNT(*) DESC, event_type) AS rn " +
+        "FROM events GROUP BY user_id, event_type) t " +
+        "WHERE rn <= 2 ORDER BY user_id, rn")),
+
+    // SQL-text entry #3 — correlated scalar subquery as TEXT: orders more
+    // than twice their customer's average (exact decimal sum / count, one
+    // double division — the cross-engine float discipline inside SQL
+    // text). Catalyst decorrelates to an aggregate + join, not a per-row
+    // subquery.
+    "sql_text_correlated_sub" -> Q(
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("v_orders")
+        s.sql(
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM v_orders o
+            |WHERE o_totalprice > 2 * (
+            |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+            |    AS DOUBLE) / COUNT(*)
+            |  FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+        "WHERE o_totalprice > 2 * (" +
+        "SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
+        "/ COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
+        "ORDER BY o_orderkey"),
+
     // ---- §2.B projection / filter -----------------------------------
     "project_compute" -> Q(
       (s, d) => T(s, d, "lineitem")
