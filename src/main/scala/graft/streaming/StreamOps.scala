@@ -64,6 +64,18 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming DAU — the live twin of `evt_active_users`' dau column:
+    * watermarked dedup on (user_id, day) holds one state row per active
+    * user-day (bounded by the watermark horizon, not the stream), then a
+    * per-day count aggregates the distinct pairs. */
+  def dailyActiveUsers(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withColumn("day", date_trunc("DAY", col("ts")))
+      .withWatermark("day", watermark)
+      .dropDuplicates("user_id", "day")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+
   /** Signal state machine: raise an alert on every 3rd-and-beyond
     * consecutive 'error' per user. A non-error event OR an event-time gap
     * over 24 hours clears the run (the gap rule makes the semantics

@@ -58,6 +58,14 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming DAU == batch DAU (3 batches)") {
+    val got = runStream("t_dau", 3)(df => StreamOps.dailyActiveUsers(df))
+      .select($"day", $"dau").orderBy($"day").collect()
+    val want = SparkEntry.queries("evt_active_users")(spark, sf001)
+      .select($"day", $"dau").orderBy($"day").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   // SURVEY §7.4.5 boundary pin: at a gap of EXACTLY 30:00.000 Spark's
   // session_window still MERGES (measured here — its close condition is
   // next > prev + gap, not the half-open [start, start+gap) the survey
