@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, T}
 import graft.Dsl._
@@ -394,5 +395,28 @@ object TextOps {
         "SUM(CASE WHEN fd.first_doc < s.doc_id THEN 1 ELSE 0 END) * 2 < COUNT(*) " +
         "AS keep " +
         "FROM spans s JOIN fd USING (h) GROUP BY s.doc_id ORDER BY s.doc_id"),
+
+    // Tokenizer vocabulary build: corpus term frequencies, min-count 5
+    // gate, contiguous ids by (freq desc, token) rank. The heavy stage is
+    // the corpus-wide explode + hash agg (fully parallel); the ranking
+    // window runs over the POST-FILTER vocabulary, which is
+    // dictionary-sized (bounded by the language, not the corpus — the
+    // reason a plain ORDER BY window is safe here and was NOT in
+    // evt_rfm_segments / scale_global_ids, where the frame grows with
+    // the data).
+    "llm_vocab_build" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 5)
+        .withColumn("token_id", big(row_number().over(
+          Window.orderBy(col("freq").desc, col("token")))) - 1)
+        .select(col("token_id"), col("token"), col("freq"))
+        .orderBy(col("token_id")),
+      "SELECT row_number() OVER (ORDER BY freq DESC, token)::BIGINT - 1 " +
+        "AS token_id, token, freq FROM (" +
+        "SELECT token, COUNT(*) AS freq FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents) t " +
+        "GROUP BY token HAVING COUNT(*) >= 5) v ORDER BY token_id"),
   )
 }
