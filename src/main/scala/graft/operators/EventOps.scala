@@ -613,5 +613,43 @@ object EventOps {
         "AND g.day GROUP BY 1) " +
         "SELECT dau.day, dau.dau, wau.wau FROM dau JOIN wau USING (day) " +
         "ORDER BY day")),
+
+    // Robust anomaly flags — the median/MAD sibling of evt_anomaly_zscore
+    // (outliers cannot drag the center the way they drag a mean/stddev).
+    // Same exact-arithmetic discipline: values quantize to integers, both
+    // medians are interpolated percentiles over identical multisets
+    // (Spark percentile ≡ DuckDB quantile_cont — the proven
+    // agg_percentile_median pattern), and the 3×MAD comparison runs on
+    // identically-derived doubles. Two aggregation passes by necessity
+    // (a median is holistic — it cannot fold into one pass like moments);
+    // each per-type stats frame broadcasts back.
+    "evt_anomaly_mad" -> Q(
+      (s, d) => {
+        val q = T(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 10000).cast("long").as("vq"))
+        val med = q.groupBy(col("event_type"))
+          .agg(expr("percentile(vq, 0.5)").as("med"))
+        val dev = q.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("vq").cast("double") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .filter(col("dev") > col("mad") * 3)
+          .select(col("event_id"), col("event_type"), col("dev"), col("mad"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("WITH q AS (SELECT event_id, event_type, " +
+        "floor(value*10000)::BIGINT AS vq FROM events), " +
+        "med AS (SELECT event_type, CAST(median(vq) AS DOUBLE) AS med " +
+        "FROM q GROUP BY 1), " +
+        "dev AS (SELECT q.event_id, q.event_type, " +
+        "abs(CAST(q.vq AS DOUBLE) - med.med) AS dev " +
+        "FROM q JOIN med USING (event_type)), " +
+        "mad AS (SELECT event_type, CAST(median(dev) AS DOUBLE) AS mad " +
+        "FROM dev GROUP BY 1) " +
+        "SELECT dev.event_id, dev.event_type, dev.dev, mad.mad " +
+        "FROM dev JOIN mad USING (event_type) WHERE dev.dev > mad.mad * 3 " +
+        "ORDER BY event_id")),
   )
 }
