@@ -761,5 +761,60 @@ object DedupOps {
         "UNION SELECT e.a, w.label FROM edges e JOIN walk w ON w.id = e.b) " +
         "SELECT id AS vec_id, min(label) AS cluster_id, " +
         "id = min(label) AS keep FROM walk GROUP BY id ORDER BY vec_id"),
+
+    // The similarity-search APPLICATION layer: k-NN label voting (label
+    // propagation / weak supervision) on the same IVF candidate machinery
+    // as llm_ivf_ann. Top-5 neighbors per vector by exact cosine over the
+    // probed cells, majority label with (count desc, label) tie-break,
+    // scored against the fixture's ground-truth label. Ranking reuses the
+    // rawsim-ordering discipline llm_ivf_ann proved bit-identical
+    // cross-engine; votes and the verdict are exact integers.
+    "llm_knn_classify" -> Q(
+      (s, d) => {
+        val dot = dotF(s) _
+        val (cand, e) = ivfCandidates(s, d)
+        val labels = T(s, d, "embeddings")
+          .select(col("vec_id"), big(col("label")).as("lbl"))
+        val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))
+        val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+          col("norm").as("t_norm"))
+        val top5 = cand.join(broadcast(qs), "q_id").join(broadcast(ts), "t_id")
+          .select(col("q_id"), col("t_id"),
+            (dot(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+              .as("rawsim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("rawsim").desc, col("t_id"))))
+          .filter(col("rn") <= 5)
+        val pred = top5
+          .join(labels.withColumnRenamed("vec_id", "t_id"), "t_id")
+          .groupBy(col("q_id"), col("lbl")).agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("lbl"))))
+          .filter(col("vr") === 1)
+          .select(col("q_id").as("vec_id"), col("lbl").as("pred_label"),
+            col("votes"))
+        pred.join(labels, "vec_id")
+          .select(col("vec_id"), col("pred_label"), col("votes"),
+            col("lbl").as("actual_label"),
+            (col("pred_label") === col("lbl")).as("correct"))
+          .orderBy(col("vec_id"))
+      },
+      ivfCandCte() +
+        ", scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
+        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
+        "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +
+        "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id), " +
+        "top5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id, row_number() " +
+        "OVER (PARTITION BY q_id ORDER BY rawsim DESC, t_id) AS rn " +
+        "FROM scored) z WHERE rn <= 5), " +
+        "votes AS (SELECT top5.q_id, e.label::BIGINT AS lbl, COUNT(*) AS votes " +
+        "FROM top5 JOIN embeddings e ON e.vec_id = top5.t_id GROUP BY 1, 2), " +
+        "pred AS (SELECT q_id AS vec_id, lbl AS pred_label, votes FROM (" +
+        "SELECT q_id, lbl, votes, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY votes DESC, lbl) AS vr FROM votes) w WHERE vr = 1) " +
+        "SELECT p.vec_id, p.pred_label, p.votes, e.label::BIGINT AS actual_label, " +
+        "p.pred_label = e.label::BIGINT AS correct " +
+        "FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id ORDER BY p.vec_id"),
   )
 }
