@@ -151,6 +151,67 @@ object LlmOps {
       },
       None),
 
+    // Nearest-centroid classification — the second similarity-search
+    // application (llm_knn_classify votes over neighbors; this assigns to
+    // class MEANS). Centroids come from the same sorted-fold per-dim
+    // means the oracled llm_embedding_agg uses (bit-identical doubles
+    // cross-engine), assembled into arrays in dim order; each vector then
+    // scores cosine against the 10-row broadcast centroid frame with
+    // index-order folds (zip_with/aggregate ≡ list_inner_product), and
+    // argmax breaks ties by label. At scale: the centroid frame is
+    // |classes|-sized, the scoring pass is one broadcast join — no
+    // shuffle touches the corpus beyond the per-class partial means.
+    "llm_centroid_classify" -> Q(
+      (s, d) => {
+        val perDim = T(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("label"), col("pos"), col("x").cast("double").as("xd"))
+          .groupBy(col("label"), col("pos"))
+          .agg((aggregate(sort_array(collect_list(col("xd"))), lit(0.0),
+            (acc, x) => acc + x) / count(lit(1))).as("c"))
+        val cents = perDim
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
+            .as("cemb"))
+          .select(big(col("label")).as("clabel"), col("cemb"))
+        val scored = T(s, d, "embeddings")
+          .select(col("vec_id"), big(col("label")).as("actual_label"),
+            expr("transform(embedding, x -> cast(x as double))").as("emb"))
+          .crossJoin(broadcast(cents))
+          .withColumn("dots", expr(
+            "aggregate(zip_with(emb, cemb, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+          .withColumn("na", expr(
+            "aggregate(zip_with(emb, emb, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+          .withColumn("nc", expr(
+            "aggregate(zip_with(cemb, cemb, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+          .withColumn("sim", col("dots") / (sqrt(col("na")) * sqrt(col("nc"))))
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("clabel"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("clabel").as("pred_label"),
+            round(col("sim"), 4).as("sim"), col("actual_label"),
+            (col("clabel") === col("actual_label")).as("correct"))
+          .orderBy(col("vec_id"))
+      },
+      "WITH perdim AS (SELECT label, dim, " +
+        "list_reduce(list(xd ORDER BY xd), (a, b) -> a + b) / COUNT(*) AS c " +
+        "FROM (SELECT label, r.range::BIGINT AS dim, " +
+        "embedding[r.range]::DOUBLE AS xd FROM embeddings " +
+        "CROSS JOIN range(1, 65) r) t GROUP BY label, dim), " +
+        "cents AS (SELECT label::BIGINT AS clabel, " +
+        "list(c ORDER BY dim) AS cemb FROM perdim GROUP BY 1), " +
+        "scored AS (SELECT e.vec_id, e.label::BIGINT AS actual_label, " +
+        "c.clabel, list_inner_product(e.embedding::DOUBLE[], c.cemb) / " +
+        "(sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+        "sqrt(list_inner_product(c.cemb, c.cemb))) AS sim " +
+        "FROM embeddings e CROSS JOIN cents c) " +
+        "SELECT vec_id, clabel AS pred_label, round(sim, 4) AS sim, " +
+        "actual_label, clabel = actual_label AS correct FROM (" +
+        "SELECT vec_id, clabel, sim, actual_label, row_number() OVER (" +
+        "PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn FROM scored) z " +
+        "WHERE rn = 1 ORDER BY vec_id"),
+
     // Int8-style embedding quantization summary: per-vector min/max range
     // and the sum of floor-quantized codes (floor, not round — a scaled
     // float can land exactly on .5 and the engines break ties

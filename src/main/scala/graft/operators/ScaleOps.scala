@@ -345,5 +345,30 @@ object ScaleOps {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
         "AND l_shipdate < TIMESTAMP '1996-07-01' GROUP BY 1 ORDER BY month"),
+
+    // The third AQE lever (skew split and runtime filters are the other
+    // two): partition COALESCING. A two-level rollup shuffles on a
+    // high-cardinality key first — at 100 TB that exchange wants thousands
+    // of partitions — then the second, tiny exchange would waste a task
+    // per configured partition; AQE merges the post-shuffle splits down to
+    // the advisory size at runtime (AQEShuffleRead coalesced,
+    // plan-asserted in ScaleSpec). No session clone needed: coalescing is
+    // on by default — the key demonstrates the default doing its job.
+    "scale_aqe_coalesce" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        // uv stays DECIMAL through both levels (a per-user double would
+        // re-introduce order-dependent summation at the rollup)
+        .agg(sum(dec(col("value"))).as("uv"), count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("uv")).cast("double").as("total_value"),
+          sum(col("n")).as("n_events"))
+        .orderBy(col("event_type")),
+      "SELECT event_type, COUNT(*) AS n_users, " +
+        "CAST(SUM(uv) AS DOUBLE) AS total_value, SUM(n)::BIGINT AS n_events " +
+        "FROM (SELECT user_id, event_type, " +
+        "SUM(CAST(value AS DECIMAL(18,4))) AS uv, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2) t GROUP BY 1 ORDER BY event_type"),
   )
 }

@@ -226,6 +226,16 @@ class ScaleSpec extends SparkSpec {
         s"$prunable of ${ranges.size}")
   }
 
+  test("scale_aqe_coalesce: AQE merges the small post-shuffle partitions") {
+    val df = SparkEntry.queries("scale_aqe_coalesce")(spark, sf01)
+    // collect() (not count()) so THIS QueryExecution finalizes its
+    // adaptive plan and the coalesced shuffle read is visible.
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"no coalesced AQE shuffle read in final plan:\n$plan")
+  }
+
   test("scale_skew_join key: AQE splits its hot partition in the final plan") {
     // sf0.01: the hot key carries ~15k of 60k rows — well past the key's
     // 8KB split threshold; sf0.001 partitions are too small to trip it.
