@@ -88,4 +88,18 @@ object Scale {
     spark.table(lName).hint("merge")
       .join(spark.table(rName).hint("merge"), key)
   }
+
+  /** 32-bit Morton (Z-order) code: bit i of `x` → output bit 2i, bit i of
+    * `y` → output bit 2i+1, over the low 16 bits of each. Sorting a table
+    * by this code clusters it along BOTH dimensions at once, so parquet
+    * row-group min/max stats become tight on both columns and a 2-D box
+    * filter skips most of the file — the lever behind Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`. Pure bitwise `Column` expressions (shiftleft/
+    * shiftright/and/or), so the whole code stays inside whole-stage
+    * codegen; no UDF. Inputs must be non-negative and < 2^16. */
+  def morton16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
 }

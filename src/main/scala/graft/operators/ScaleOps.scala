@@ -64,6 +64,22 @@ object ScaleOps {
   def sortedLayoutDir(d: String): String =
     scratch(s"sorted_layout_${Scale.dirTag(d)}")
 
+  /** Z-order-layout scratch path for input dir `d` (exposed for ScaleSpec's
+    * two-dimensional parquet-footer audit). */
+  def zorderLayoutDir(d: String): String =
+    scratch(s"zorder_layout_${Scale.dirTag(d)}")
+
+  /** The 2-D box filter `scale_zorder_scan` scans with: [5%, 15%] of each
+    * key's max, in exact integer math (`max*k/100` in Long space — the
+    * oracle computes the identical `(k*max(..))//100`), so the box is
+    * selective at EVERY scale factor without data-dependent literals in
+    * the SQL text. The driver-side fetch is two scalar maxes — O(1) rows. */
+  def zorderBox(df: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
+    val r = df.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    val (mp, ms) = (r.getLong(0), r.getLong(1))
+    (mp * 5 / 100, mp * 15 / 100, ms * 5 / 100, ms * 15 / 100)
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Co-located join: both sides written bucketed+sorted on the join key,
@@ -345,6 +361,53 @@ object ScaleOps {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
         "AND l_shipdate < TIMESTAMP '1996-07-01' GROUP BY 1 ORDER BY month"),
+
+    // Z-ORDER data layout → row-group skipping on TWO dimensions at once.
+    // A single-column sort (scale_sorted_layout_scan) buys pruning on one
+    // predicate; interleaving the bits of (l_partkey, l_suppkey) into a
+    // Morton code and sorting on THAT clusters the file along both axes,
+    // so each row group's [min,max] stats are narrow on both columns and a
+    // 2-D box filter skips most of the file whichever dimension it cuts —
+    // the lever behind Delta/Iceberg `OPTIMIZE ZORDER BY` for fact tables
+    // queried along two independent dimensions. The Morton code is pure
+    // codegen'd bitwise ops (Scale.morton16, no UDF); the box bounds are
+    // [5%,15%] of each key's max in exact integer math so the key stays
+    // selective and oracle-green at every sf. Result ≡ the plain filtered
+    // scan (the oracle proves the rewrite is pure layout); the two-axis
+    // footer audit lives in ScaleSpec.
+    "scale_zorder_scan" -> Q(
+      (s0, d) => {
+        val p = zorderLayoutDir(d)
+        Scale.writeOnce(s"zorder_layout|$d") {
+          T(s0, d, "lineitem")
+            .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+            .withColumn("zcode",
+              Scale.morton16(col("l_partkey"), col("l_suppkey")))
+            .repartitionByRange(4, col("zcode"))
+            .sortWithinPartitions(col("zcode"))
+            .drop("zcode")
+            .write.mode("overwrite")
+            .option("parquet.block.size", "65536")
+            .option("parquet.page.size", "16384")
+            .parquet(p)
+        }
+        val (pLo, pHi, sLo, sHi) = zorderBox(T(s0, d, "lineitem"))
+        s0.read.parquet(p)
+          .filter(col("l_partkey").between(pLo, pHi) &&
+            col("l_suppkey").between(sLo, sHi))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("l_suppkey"))
+      },
+      "SELECT l_suppkey, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
+        "FROM lineitem WHERE " +
+        "l_partkey BETWEEN (SELECT 5*max(l_partkey)//100 FROM lineitem) " +
+        "AND (SELECT 15*max(l_partkey)//100 FROM lineitem) " +
+        "AND l_suppkey BETWEEN (SELECT 5*max(l_suppkey)//100 FROM lineitem) " +
+        "AND (SELECT 15*max(l_suppkey)//100 FROM lineitem) " +
+        "GROUP BY 1 ORDER BY l_suppkey"),
 
     // The third AQE lever (skew split and runtime filters are the other
     // two): partition COALESCING. A two-level rollup shuffles on a

@@ -226,6 +226,50 @@ class ScaleSpec extends SparkSpec {
         s"$prunable of ${ranges.size}")
   }
 
+  test("scale_zorder_scan: z-order layout prunes row groups on BOTH dimensions") {
+    val df = SparkEntry.queries("scale_zorder_scan")(spark, sf01)
+    assert(df.count() > 0)
+    // both box predicates must reach the parquet scan
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_partkey") &&
+      scan.contains("l_suppkey"),
+      s"box predicates not pushed to the z-order layout scan:\n$scan")
+    // footer audit: the Morton sort must leave each row group narrow on
+    // BOTH columns, so most row groups fall wholly outside the 2-D box on
+    // at least one axis
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = new java.io.File(graft.operators.ScaleOps.zorderLayoutDir(sf01))
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    val ranges = files.toSeq.flatMap { f =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toString), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          def mm(name: String): (Long, Long) = {
+            val st = b.getColumns.asScala
+              .find(_.getPath.toDotString == name).get.getStatistics
+            assert(st != null && st.hasNonNullValue, s"no stats on $name")
+            (st.genericGetMin.asInstanceOf[Long],
+              st.genericGetMax.asInstanceOf[Long])
+          }
+          (mm("l_partkey"), mm("l_suppkey"))
+        }
+      } finally r.close()
+    }
+    assert(ranges.size >= 4, s"expected several row groups, got ${ranges.size}")
+    val (pLo, pHi, sLo, sHi) =
+      graft.operators.ScaleOps.zorderBox(graft.T(spark, sf01, "lineitem"))
+    val prunable = ranges.count { case ((pMin, pMax), (sMin, sMax)) =>
+      pMax < pLo || pMin > pHi || sMax < sLo || sMin > sHi
+    }
+    assert(prunable * 2 > ranges.size,
+      s"z-order layout should let most row groups skip the 2-D box: " +
+        s"$prunable of ${ranges.size}")
+  }
+
   test("scale_aqe_coalesce: AQE merges the small post-shuffle partitions") {
     val df = SparkEntry.queries("scale_aqe_coalesce")(spark, sf01)
     // collect() (not count()) so THIS QueryExecution finalizes its
