@@ -418,5 +418,40 @@ object TextOps {
         "SELECT token, COUNT(*) AS freq FROM (" +
         "SELECT unnest(string_split(text, ' ')) AS token FROM documents) t " +
         "GROUP BY token HAVING COUNT(*) >= 5) v ORDER BY token_id"),
+
+    // Unigram-LM perplexity proxy — the model-based quality score next to
+    // the rule-based llm_gopher_quality: a doc whose tokens are corpus-rare
+    // carries high average surprisal (gibberish/OCR noise), corpus-common
+    // tokens score low. The per-token surprisal -log2 p(w) = log2(T/tf) is
+    // QUANTIZED to its integer floor via bit length — length(bin(T div
+    // tf)) - 1 — so the whole score is exact integer math plus one final
+    // double division: bit-identical cross-engine (the determinism rule
+    // that keeps ln() out of every oracled key). Shape at 100 TB: one
+    // corpus-wide hash agg builds the unigram table (map-side combinable),
+    // which is vocabulary-sized and BROADCAST back onto the token stream —
+    // the per-doc agg then needs only the doc_id shuffle it already had.
+    "llm_unigram_surprisal" -> Q(
+      (s, d) => {
+        val words = T(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = words.groupBy(col("word")).agg(count(lit(1)).as("tf"))
+        val total = words.agg(count(lit(1)).as("total"))
+        words.join(broadcast(tf), "word").crossJoin(broadcast(total))
+          .withColumn("bits", big(length(bin(expr("total div tf"))) - 1))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+          .withColumn("avg_bits",
+            col("sum_bits").cast("double") / col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+        "FROM documents), " +
+        "tf AS (SELECT word, COUNT(*) AS tf FROM w GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS total FROM w) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "SUM(length(bin(total // tf)) - 1)::BIGINT AS sum_bits, " +
+        "CAST(SUM(length(bin(total // tf)) - 1) AS DOUBLE) / COUNT(*) " +
+        "AS avg_bits FROM w JOIN tf USING (word) CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
   )
 }
