@@ -651,5 +651,39 @@ object EventOps {
         "SELECT dev.event_id, dev.event_type, dev.dev, mad.mad " +
         "FROM dev JOIN mad USING (event_type) WHERE dev.dev > mad.mad * 3 " +
         "ORDER BY event_id")),
+
+    // Last-touch conversion attribution: each purchase is credited to the
+    // most recent PRECEDING non-purchase event by the same user (its
+    // "channel"), '(none)' when the purchase opens the stream. One
+    // user-partitioned window (last over a trailing frame, ignoreNulls)
+    // carries the touch forward — no self-join, no per-conversion scan —
+    // then a channel-keyed agg; (ts, event_id) ordering makes the window
+    // deterministic. At 100 TB this stays one shuffle on user_id plus the
+    // 5-row channel rollup.
+    "evt_attribution" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        T(s, d, "events")
+          .withColumn("touch",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("touch"), lit("(none)")).as("channel"))
+          .agg(count(lit(1)).as("n_conversions"),
+            countDistinct(col("user_id")).as("n_users"),
+            dsum(col("value")).as("total_value"))
+          .orderBy(col("channel"))
+      },
+      usEvents("SELECT coalesce(touch, '(none)') AS channel, " +
+        "COUNT(*) AS n_conversions, COUNT(DISTINCT user_id)::BIGINT AS n_users, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value FROM (" +
+        "SELECT user_id, event_type, value, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END " +
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch " +
+        "FROM events) t WHERE event_type = 'purchase' " +
+        "GROUP BY 1 ORDER BY channel")),
   )
 }
