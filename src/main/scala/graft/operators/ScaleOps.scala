@@ -409,6 +409,57 @@ object ScaleOps {
         "AND (SELECT 15*max(l_suppkey)//100 FROM lineitem) " +
         "GROUP BY 1 ORDER BY l_suppkey"),
 
+    // Interval-overlap join WITHOUT the nested loop: "which sessions
+    // overlapped each campaign window" is a range-range join, which Spark
+    // plans as BroadcastNestedLoopJoin (O(n·m) comparisons — dead at
+    // 100 TB when both sides are large). The scale rewrite BINS both
+    // interval sets to the days they cover (sequence+explode), equi-joins
+    // on the day bucket — a plain hash join — and re-checks the exact
+    // overlap on candidates. Each overlapping pair is emitted EXACTLY
+    // once, with no distinct pass, via the count-once predicate: only the
+    // bucket holding the later of the two interval starts counts (that day
+    // is covered by both intervals, so the pair is guaranteed to meet
+    // there and nowhere earlier). Blowup is bounded by interval span
+    // (sessions ≤2 days, campaigns 3), not table size. ScaleSpec asserts
+    // the plan carries a hash join and no nested loop.
+    "scale_interval_bin_join" -> Q(
+      (s, d) => {
+        val sess = EventOps.sessionized(s, d)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+          .withColumn("s_d0", floor(col("s_start").cast("double") / 86400))
+          .withColumn("s_d1", floor(col("s_end").cast("double") / 86400))
+        val camp = T(s, d, "events")
+          .select(date_trunc("DAY", col("ts")).as("c_start")).distinct()
+          .filter(dayofmonth(col("c_start")) % 3 === 1)
+          .withColumn("c_d0", floor(col("c_start").cast("double") / 86400))
+        sess.withColumn("dn", explode(sequence(col("s_d0"), col("s_d1"))))
+          .join(broadcast(camp.withColumn("dn",
+            explode(sequence(col("c_d0"), col("c_d0") + 2)))), "dn")
+          .filter(col("s_start") < col("c_start") + expr("INTERVAL 3 DAYS") &&
+            col("c_start") <= col("s_end") &&
+            col("dn") === greatest(col("s_d0"), col("c_d0")))
+          .groupBy(col("c_start"))
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("c_start"))
+      },
+      usEvents("WITH sess AS (SELECT user_id, session_seq, " +
+        "MIN(ts) AS s_start, MAX(ts) AS s_end FROM (" +
+        "SELECT user_id, event_id, ts, SUM(CASE WHEN prev_ts IS NULL OR " +
+        "epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END::BIGINT) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq " +
+        "FROM (SELECT user_id, event_id, ts, lag(ts, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
+        "FROM events) x) y GROUP BY 1, 2), " +
+        "camp AS (SELECT DISTINCT date_trunc('day', ts) AS c_start " +
+        "FROM events WHERE day(date_trunc('day', ts)) % 3 = 1) " +
+        "SELECT c_start, COUNT(*) AS n_sessions, " +
+        "COUNT(DISTINCT user_id)::BIGINT AS n_users " +
+        "FROM sess JOIN camp ON s_start < c_start + INTERVAL 3 DAY " +
+        "AND c_start <= s_end GROUP BY 1 ORDER BY c_start")),
+
     // The third AQE lever (skew split and runtime filters are the other
     // two): partition COALESCING. A two-level rollup shuffles on a
     // high-cardinality key first — at 100 TB that exchange wants thousands

@@ -270,6 +270,16 @@ class ScaleSpec extends SparkSpec {
         s"$prunable of ${ranges.size}")
   }
 
+  test("scale_interval_bin_join: overlap join rides a hash join, not a nested loop") {
+    val df = SparkEntry.queries("scale_interval_bin_join")(spark, sf01)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"interval join fell back to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no hash/merge join on the day bucket:\n$plan")
+  }
+
   test("scale_aqe_coalesce: AQE merges the small post-shuffle partitions") {
     val df = SparkEntry.queries("scale_aqe_coalesce")(spark, sf01)
     // collect() (not count()) so THIS QueryExecution finalizes its
