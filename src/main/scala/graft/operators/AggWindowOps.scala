@@ -545,5 +545,32 @@ object AggWindowOps {
       "SELECT event_type, count_if(value > 100)::BIGINT AS n_gt100, " +
         "count_if(props IS NULL)::BIGINT AS n_noprops, COUNT(*) AS n " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // Equi-width histogram (the distribution gauge behind every data-
+    // profiling pass): 20 buckets between the column's min and max, bucket
+    // edges emitted alongside counts. Bounds come from one O(1) scalar agg
+    // broadcast back onto the stream; the bucket expression is the SAME
+    // double tree in both engines ((x−mn)·20/(mx−mn), floored, max pinned
+    // into bucket 19), so assignment is bit-identical. The groupBy shuffles
+    // 20 keys — nothing about this changes at 100 TB.
+    "agg_histogram" -> Q(
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val bounds = li.agg(min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("bucket", least(
+            floor((col("l_extendedprice") - col("mn")) * lit(20.0) /
+              (col("mx") - col("mn"))), lit(19L)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+          .orderBy(col("bucket"))
+      },
+      "WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx " +
+        "FROM lineitem) " +
+        "SELECT least(floor((l_extendedprice - mn) * 20.0 / (mx - mn)), 19)::BIGINT " +
+        "AS bucket, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM lineitem, b GROUP BY 1 ORDER BY bucket"),
   )
 }

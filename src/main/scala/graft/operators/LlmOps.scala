@@ -241,5 +241,31 @@ object LlmOps {
         "COUNT(*)::BIGINT AS dim " +
         "FROM x JOIN mm ON x.vec_id = mm.vec_id " +
         "GROUP BY 1, 2, 3 ORDER BY 1"),
+
+    // Corpus composition report — the input to training-data MIXING
+    // decisions (how much of each source×language goes into the next run):
+    // per-domain doc and token counts plus each domain's share of all
+    // corpus tokens. Counts are exact integers off one hash agg; the share
+    // is a single division by the broadcast O(1) total. The domain frame
+    // is bounded by (sources × languages), never by corpus size.
+    "llm_domain_mix" -> Q(
+      (s, d) => {
+        val dom = T(s, d, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+        val tot = dom.agg(sum(col("tokens")).as("all_tokens"))
+        dom.crossJoin(broadcast(tot))
+          .withColumn("token_share",
+            col("tokens").cast("double") / col("all_tokens"))
+          .drop("all_tokens")
+          .orderBy(col("source"), col("lang"))
+      },
+      "WITH t AS (SELECT source, lang, COUNT(*) AS n_docs, " +
+        "SUM(len(string_split(text, ' ')))::BIGINT AS tokens " +
+        "FROM documents GROUP BY 1, 2) " +
+        "SELECT source, lang, n_docs, tokens, " +
+        "CAST(tokens AS DOUBLE) / (SELECT SUM(tokens) FROM t) AS token_share " +
+        "FROM t ORDER BY source, lang"),
   )
 }
