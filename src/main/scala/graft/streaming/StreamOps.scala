@@ -193,6 +193,55 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One attributed conversion: purchase `event_id` credited to `channel`. */
+  case class Attribution(user_id: Long, event_id: Long, channel: String,
+      value: Double)
+
+  /** Last-touch attribution as a streaming state machine: per-user
+    * ValueState holds the most recent non-purchase event_type; each
+    * purchase emits a credit to it ('(none)' when the purchase opens the
+    * user's stream). The streaming twin of `evt_attribution`'s window
+    * formulation — state is ONE small string per user, partitioned by
+    * user_id across executors. No timers: a touch may precede its
+    * conversion by any span (a deployment would add a TTLConfig matched
+    * to its attribution window to bound state). */
+  class AttributionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Attribution] {
+    @transient private var touch:
+      org.apache.spark.sql.streaming.ValueState[String] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      touch = getHandle.getValueState[String]("touch",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Attribution] = {
+      // Events inside one micro-batch group arrive unordered — impose the
+      // batch twin's deterministic (ts, event_id) order before the machine.
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = Seq.newBuilder[Attribution]
+      sorted.foreach { e =>
+        if (e.event_type == "purchase")
+          out += Attribution(e.user_id, e.event_id,
+            Option(touch.get()).getOrElse("(none)"), e.value)
+        else touch.update(e.event_type)
+      }
+      out.result().iterator
+    }
+  }
+
+  def attributionTws(events: Dataset[Event]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** One finished session (the gate/flow sessionization signal). */
   case class SessionOut(user_id: Long, n_events: Long, first_event_id: Long,
       last_event_id: Long, session_value: Double)

@@ -163,6 +163,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState attribution == batch window twin (3 batches)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val q = StreamOps.attributionTws(mem.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("t_attr").start()
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("t_attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // batch twin: evt_attribution's per-purchase window formulation
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Long.MinValue, -1)
+      val want = batchEvents
+        .withColumn("channel", coalesce(
+          last(when($"event_type" =!= "purchase", $"event_type"),
+            ignoreNulls = true).over(w), lit("(none)")))
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"channel", $"value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState sessions (ListState + timers) == session_window batch") {
     // multiple state variables = multiple column families ⇒ RocksDB store
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
