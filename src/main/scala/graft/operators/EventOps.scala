@@ -179,6 +179,29 @@ object EventOps {
         "WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error' " +
         "AND g1 <= 86400000000 AND g2 <= 86400000000 ORDER BY user_id, event_id")),
 
+    // Batch twin of StreamOps.attributionTws (the per-purchase frame under
+    // evt_attribution's channel rollup): one trailing-frame window carries
+    // the last non-purchase touch onto each purchase. StreamingSpec pins
+    // the transformWithState processor's emission to exactly this frame.
+    "stream_attribution" -> Q(
+      (s, d) => {
+        val w = arrivalW.rowsBetween(Window.unboundedPreceding, -1)
+        T(s, d, "events")
+          .withColumn("channel", coalesce(
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w), lit("(none)")))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("channel"), col("value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      usEvents("SELECT user_id, event_id, channel, value FROM (" +
+        "SELECT user_id, event_id, event_type, value, " +
+        "coalesce(last_value(CASE WHEN event_type <> 'purchase' " +
+        "THEN event_type END IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), '(none)') AS channel FROM events) t " +
+        "WHERE event_type = 'purchase' ORDER BY user_id, event_id")),
+
     // Out-of-order arrivals per user: ts behind the running max in arrival
     // (event_id) order — what a watermark would count as late.
     "stream_late_data" -> Q(
@@ -685,5 +708,38 @@ object EventOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch " +
         "FROM events) t WHERE event_type = 'purchase' " +
         "GROUP BY 1 ORDER BY channel")),
+
+    // Gaps-and-islands: longest consecutive-day activity streak per user.
+    // The classic integer trick — day_number − row_number is constant
+    // within a run of consecutive days — turns streak detection into two
+    // keyed aggs and ONE user-partitioned window over the deduped
+    // user×day frame (bounded by users × calendar, far smaller than the
+    // event stream). All integer math end to end.
+    "evt_streaks" -> Q(
+      (s, d) => {
+        val days = T(s, d, "events")
+          .select(col("user_id"),
+            floor(col("ts").cast("double") / 86400).cast("long").as("dayn"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("dayn"))
+        days
+          .withColumn("island", col("dayn") - row_number().over(w))
+          .groupBy(col("user_id"), col("island"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("len")).as("active_days"),
+            max(col("len")).as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy(col("user_id"))
+      },
+      usEvents("WITH days AS (SELECT DISTINCT user_id, " +
+        "floor(epoch(ts) / 86400)::BIGINT AS dayn FROM events), " +
+        "runs AS (SELECT user_id, dayn - row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY dayn) AS island FROM days), " +
+        "streaks AS (SELECT user_id, island, COUNT(*) AS len " +
+        "FROM runs GROUP BY 1, 2) " +
+        "SELECT user_id, SUM(len)::BIGINT AS active_days, " +
+        "MAX(len) AS longest_streak, COUNT(*) AS n_streaks " +
+        "FROM streaks GROUP BY 1 ORDER BY user_id")),
   )
 }
