@@ -606,11 +606,15 @@ object EventOps {
 
     // DAU/WAU — the engagement staple. Exact trailing-7-day distinct
     // users cannot ride a window frame (no DISTINCT over RANGE frames),
-    // so WAU joins the deduped user-day pairs to the DAY GRID under a
-    // 7-day band: the grid side is |days| rows (calendar-sized, hence
-    // broadcast — 365 rows for a year of corpus), the pair side shuffles
-    // once on day for the distinct count. DAU is a plain keyed agg over
-    // the same deduped pairs.
+    // and a day BETWEEN gday-6 AND gday band join has no equi-key, so
+    // Spark would plan a BroadcastNestedLoopJoin — O(|days| * |pairs|)
+    // predicate evaluations, pure wasted compute at 100 TB. Instead each
+    // deduped user-day pair is EXPLODED into the <=7 grid days it serves
+    // (sequence(day, day+6)) and equi-joined to the observed-day grid:
+    // 7x row amplification on an ids-only frame, then one hash
+    // shuffle on gday for the distinct count. The grid semi-join is
+    // calendar-sized, hence broadcast. DAU is a plain keyed agg over the
+    // same deduped pairs.
     "evt_active_users" -> Q(
       (s, d) => {
         val ud = T(s, d, "events")
@@ -619,9 +623,11 @@ object EventOps {
         val days = ud.select(col("day")).distinct()
         val dau = ud.groupBy(col("day"))
           .agg(countDistinct(col("user_id")).as("dau"))
-        val wau = broadcast(days.select(col("day").as("gday")))
-          .join(ud, col("day").between(
-            col("gday") - expr("INTERVAL 6 DAYS"), col("gday")))
+        val wau = ud
+          .select(col("user_id"), explode(expr(
+            "sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")).as("gday"))
+          .join(broadcast(days.select(col("day").as("gday"))),
+            Seq("gday"), "left_semi")
           .groupBy(col("gday").as("day"))
           .agg(countDistinct(col("user_id")).as("wau"))
         dau.join(wau, "day").orderBy(col("day"))

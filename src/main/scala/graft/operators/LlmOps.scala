@@ -117,21 +117,30 @@ object LlmOps {
         "unnest(string_split(text, ' ')) AS word FROM documents) u GROUP BY 1) d " +
         "ON t.word = d.word) x) y WHERE rn <= 5 ORDER BY lang, rn"),
 
-    // Per-label centroid per dimension. The mean is a SORTED sequential
-    // double fold in both engines: decimal casts are out (DuckDB rounds cast
-    // ties half-even, Spark half-up, and float32 values ARE exact decimal
-    // ties), while an identically-ordered IEEE fold is bit-deterministic.
+    // Per-label centroid per dimension, computed over QUANTIZED values:
+    // floor(x * 1e7) as a long, summed exactly, mean reconstructed as
+    // qsum / 1e7 / count. Rationale: a double fold is order-dependent, a
+    // sorted collect_list fold buffers O(corpus/|labels|) doubles in one
+    // task (OOM-shaped at 1e9 vectors), and decimal casts tie-break
+    // differently cross-engine (DuckDB half-even, Spark half-up, float32
+    // values ARE exact decimal ties). floor on the bit-identical double
+    // product has no tie hazard, long sums are associative (map-side
+    // combinable, partition-order independent, O(1) agg state), and the
+    // final two divisions are single IEEE ops mirrored in both engines.
+    // Quantization error < 1e-7 per element, spec-pinned vs the exact
+    // typed-Aggregator twin.
     "llm_embedding_agg" -> Q(
       (s, d) => T(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .select(col("label"), big(col("pos") + 1).as("dim"),
           col("x").cast("double").as("xd"))
         .groupBy(col("label"), col("dim"))
-        .agg((aggregate(sort_array(collect_list(col("xd"))), lit(0.0),
-          (acc, x) => acc + x) / count(lit(1))).as("centroid"))
+        .agg((sum(floor(col("xd") * lit(1e7)).cast("long")).cast("double")
+          / lit(1e7) / count(lit(1))).as("centroid"))
         .orderBy(col("label"), col("dim")),
-      "SELECT label, dim, list_reduce(list(xd ORDER BY xd), (a, b) -> a + b) " +
-        "/ COUNT(*) AS centroid FROM (SELECT label, r.range::BIGINT AS dim, " +
+      "SELECT label, dim, SUM(floor(xd * 10000000.0)::BIGINT)::DOUBLE " +
+        "/ 10000000.0 / COUNT(*) AS centroid " +
+        "FROM (SELECT label, r.range::BIGINT AS dim, " +
         "embedding[r.range]::DOUBLE AS xd FROM embeddings CROSS JOIN range(1, 65) r) t " +
         "GROUP BY label, dim ORDER BY label, dim"),
 
@@ -153,22 +162,24 @@ object LlmOps {
 
     // Nearest-centroid classification — the second similarity-search
     // application (llm_knn_classify votes over neighbors; this assigns to
-    // class MEANS). Centroids come from the same sorted-fold per-dim
-    // means the oracled llm_embedding_agg uses (bit-identical doubles
-    // cross-engine), assembled into arrays in dim order; each vector then
-    // scores cosine against the 10-row broadcast centroid frame with
-    // index-order folds (zip_with/aggregate ≡ list_inner_product), and
-    // argmax breaks ties by label. At scale: the centroid frame is
-    // |classes|-sized, the scoring pass is one broadcast join — no
-    // shuffle touches the corpus beyond the per-class partial means.
+    // class MEANS). Centroids come from the same quantized-sum per-dim
+    // means the oracled llm_embedding_agg uses (exact long sums →
+    // bit-identical doubles cross-engine, O(1) agg state — no
+    // corpus-sized collect_list buffer), assembled into arrays in dim
+    // order; each vector then scores cosine against the 10-row broadcast
+    // centroid frame with index-order folds (zip_with/aggregate ≡
+    // list_inner_product), and argmax breaks ties by label. At scale:
+    // the centroid frame is |classes|-sized, the scoring pass is one
+    // broadcast join — no shuffle touches the corpus beyond the
+    // per-class partial sums.
     "llm_centroid_classify" -> Q(
       (s, d) => {
         val perDim = T(s, d, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .select(col("label"), col("pos"), col("x").cast("double").as("xd"))
           .groupBy(col("label"), col("pos"))
-          .agg((aggregate(sort_array(collect_list(col("xd"))), lit(0.0),
-            (acc, x) => acc + x) / count(lit(1))).as("c"))
+          .agg((sum(floor(col("xd") * lit(1e7)).cast("long")).cast("double")
+            / lit(1e7) / count(lit(1))).as("c"))
         val cents = perDim
           .groupBy(col("label"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
@@ -195,7 +206,7 @@ object LlmOps {
           .orderBy(col("vec_id"))
       },
       "WITH perdim AS (SELECT label, dim, " +
-        "list_reduce(list(xd ORDER BY xd), (a, b) -> a + b) / COUNT(*) AS c " +
+        "SUM(floor(xd * 10000000.0)::BIGINT)::DOUBLE / 10000000.0 / COUNT(*) AS c " +
         "FROM (SELECT label, r.range::BIGINT AS dim, " +
         "embedding[r.range]::DOUBLE AS xd FROM embeddings " +
         "CROSS JOIN range(1, 65) r) t GROUP BY label, dim), " +
@@ -245,27 +256,29 @@ object LlmOps {
     // Corpus composition report — the input to training-data MIXING
     // decisions (how much of each source×language goes into the next run):
     // per-domain doc and token counts plus each domain's share of all
-    // corpus tokens. Counts are exact integers off one hash agg; the share
-    // is a single division by the broadcast O(1) total. The domain frame
-    // is bounded by (sources × languages), never by corpus size.
+    // corpus tokens. Counts are exact integers off one hash agg; the
+    // share divides by a global-window sum OVER the aggregated frame —
+    // the corpus is scanned exactly ONCE (re-aggregating dom's lineage
+    // for the total would scan it twice). The single-partition window is
+    // provably bounded: the domain frame is (sources × languages) rows,
+    // never corpus-sized — the same bounded-window argument as
+    // scale_global_ids' 16-row offsets frame.
     "llm_domain_mix" -> Q(
       (s, d) => {
         val dom = T(s, d, "documents")
           .groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
-        val tot = dom.agg(sum(col("tokens")).as("all_tokens"))
-        dom.crossJoin(broadcast(tot))
-          .withColumn("token_share",
-            col("tokens").cast("double") / col("all_tokens"))
-          .drop("all_tokens")
+        dom
+          .withColumn("token_share", col("tokens").cast("double") /
+            sum(col("tokens")).over(Window.partitionBy()))
           .orderBy(col("source"), col("lang"))
       },
       "WITH t AS (SELECT source, lang, COUNT(*) AS n_docs, " +
         "SUM(len(string_split(text, ' ')))::BIGINT AS tokens " +
         "FROM documents GROUP BY 1, 2) " +
         "SELECT source, lang, n_docs, tokens, " +
-        "CAST(tokens AS DOUBLE) / (SELECT SUM(tokens) FROM t) AS token_share " +
+        "CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS token_share " +
         "FROM t ORDER BY source, lang"),
   )
 }

@@ -370,19 +370,31 @@ object ScaleOps {
     // 2-D box filter skips most of the file whichever dimension it cuts —
     // the lever behind Delta/Iceberg `OPTIMIZE ZORDER BY` for fact tables
     // queried along two independent dimensions. The Morton code is pure
-    // codegen'd bitwise ops (Scale.morton16, no UDF); the box bounds are
-    // [5%,15%] of each key's max in exact integer math so the key stays
-    // selective and oracle-green at every sf. Result ≡ the plain filtered
-    // scan (the oracle proves the rewrite is pure layout); the two-axis
-    // footer audit lives in ScaleSpec.
+    // codegen'd bitwise ops (Scale.morton16, no UDF). morton16's
+    // precondition is inputs < 2^16, so each key is first NORMALIZED into
+    // 16-bit space by integer-dividing by ceil((max+1)/2^16) — computed
+    // from a driver-side O(1) max fetch (the same fetch zorderBox already
+    // does). At test sf the divisor is 1 (max partkey 20,000) and the code
+    // is bit-identical to the raw interleave; at 100 TB key ranges the
+    // division keeps the TOP bits of the actual range instead of silently
+    // dropping the high bits — clustering degrades gracefully (coarser
+    // cells) rather than collapsing. The box bounds are [5%,15%] of each
+    // key's max in exact integer math so the key stays selective and
+    // oracle-green at every sf. Result ≡ the plain filtered scan (the
+    // oracle proves the rewrite is pure layout); the two-axis footer
+    // audit lives in ScaleSpec.
     "scale_zorder_scan" -> Q(
       (s0, d) => {
         val p = zorderLayoutDir(d)
         Scale.writeOnce(s"zorder_layout|$d") {
+          val mr = T(s0, d, "lineitem")
+            .agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+          val (pDiv, sDiv) = (mr.getLong(0) / 65536L + 1L,
+            mr.getLong(1) / 65536L + 1L)
           T(s0, d, "lineitem")
             .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-            .withColumn("zcode",
-              Scale.morton16(col("l_partkey"), col("l_suppkey")))
+            .withColumn("zcode", Scale.morton16(
+              expr(s"l_partkey div ${pDiv}L"), expr(s"l_suppkey div ${sDiv}L")))
             .repartitionByRange(4, col("zcode"))
             .sortWithinPartitions(col("zcode"))
             .drop("zcode")

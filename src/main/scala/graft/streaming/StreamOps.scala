@@ -197,49 +197,95 @@ object StreamOps {
   case class Attribution(user_id: Long, event_id: Long, channel: String,
       value: Double)
 
-  /** Last-touch attribution as a streaming state machine: per-user
-    * ValueState holds the most recent non-purchase event_type; each
-    * purchase emits a credit to it ('(none)' when the purchase opens the
-    * user's stream). The streaming twin of `evt_attribution`'s window
-    * formulation — state is ONE small string per user, partitioned by
-    * user_id across executors. No timers: a touch may precede its
-    * conversion by any span (a deployment would add a TTLConfig matched
-    * to its attribution window to bound state). */
+  /** Last-touch attribution as an EVENT-TIME-ROBUST streaming state
+    * machine (the streaming twin of `evt_attribution`'s window
+    * formulation). Per-user state: a ListState buffer of not-yet-final
+    * events plus a ValueState carrying the last non-purchase touch at or
+    * below the finalized frontier. Nothing is attributed on arrival —
+    * events are buffered, and only once the watermark passes an event is
+    * it folded into the machine, in the batch twin's global
+    * (ts, event_id) order. This makes emission ≡ the batch twin for ANY
+    * arrival order whose disorder is bounded by the watermark (a late
+    * touch or purchase in a later micro-batch lands in the buffer and
+    * still sorts into its true position before finalization); arrival
+    * beyond the watermark is dropped upstream like every event-time
+    * operator. State per user is the ≤watermark-delay tail of its events
+    * plus one string — bounded by delay × rate, partitioned by user_id
+    * across executors (a deployment would add TTLConfig matched to its
+    * attribution window to bound idle users). */
   class AttributionProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, Attribution] {
-    @transient private var touch:
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ListState[Event] = _
+    @transient private var carry:
       org.apache.spark.sql.streaming.ValueState[String] = _
 
     override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      touch = getHandle.getValueState[String]("touch",
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[Event]("attr_buf",
+        org.apache.spark.sql.Encoders.product[Event],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      carry = getHandle.getValueState[String]("attr_carry",
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    /** Finalize every buffered event STRICTLY below the watermark, in
+      * (ts, event_id) order; re-buffer the rest. Strict `<` matters: an
+      * on-time event may still arrive with ts == watermark, and it must
+      * be able to sort before a same-ts buffered event — all equal-ts
+      * events finalize atomically in one later flush. */
+    private def flush(watermarkMs: Long): Iterator[Attribution] = {
+      val events = {
+        val it = buf.get()
+        val b = Seq.newBuilder[Event]
+        while (it.hasNext) b += it.next()
+        b.result().sortBy(e => (micros(e.ts), e.event_id))
+      }
+      if (events.isEmpty) return Iterator.empty
+      val (fin, open) = events.partition(e =>
+        micros(e.ts) < watermarkMs * 1000L)
+      val out = Seq.newBuilder[Attribution]
+      fin.foreach { e =>
+        if (e.event_type == "purchase")
+          out += Attribution(e.user_id, e.event_id,
+            Option(carry.get()).getOrElse("(none)"), e.value)
+        else carry.update(e.event_type)
+      }
+      buf.clear()
+      if (open.nonEmpty) {
+        open.foreach(buf.appendValue)
+        // +1ms past the open tail's max ts: the timer fires once the
+        // watermark is strictly beyond it (ms watermark vs µs events).
+        getHandle.registerTimer(micros(open.last.ts) / 1000L + 1L)
+      }
+      out.result().iterator
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[Attribution] = {
-      // Events inside one micro-batch group arrive unordered — impose the
-      // batch twin's deterministic (ts, event_id) order before the machine.
-      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      val out = Seq.newBuilder[Attribution]
-      sorted.foreach { e =>
-        if (e.event_type == "purchase")
-          out += Attribution(e.user_id, e.event_id,
-            Option(touch.get()).getOrElse("(none)"), e.value)
-        else touch.update(e.event_type)
-      }
-      out.result().iterator
+      rows.foreach(buf.appendValue)
+      flush(timerValues.getCurrentWatermarkInMs())
     }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Attribution] =
+      // Stale timers from earlier batches fire too — flush is idempotent
+      // against the CURRENT watermark, so a stale fire just re-arms.
+      flush(timerValues.getCurrentWatermarkInMs())
   }
 
   def attributionTws(events: Dataset[Event]): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .transformWithState(new AttributionProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** One finished session (the gate/flow sessionization signal). */

@@ -280,6 +280,20 @@ class ScaleSpec extends SparkSpec {
       s"no hash/merge join on the day bucket:\n$plan")
   }
 
+  test("evt_active_users: WAU rides the exploded-grid equi-join, not a nested loop") {
+    // The day BETWEEN gday-6 AND gday band has no equi-key, so the naive
+    // formulation plans BroadcastNestedLoopJoin — O(|days| * |pairs|)
+    // predicate evaluations at 100 TB. The shipped key explodes each
+    // user-day pair into its <=7 grid days and equi-joins on gday.
+    val df = SparkEntry.queries("evt_active_users")(spark, sf001)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"WAU fell back to a nested-loop band join:\n$plan")
+    assert(plan.contains("Generate"), // the sequence+explode grid
+      s"WAU lost its exploded day grid:\n$plan")
+  }
+
   test("scale_aqe_coalesce: AQE merges the small post-shuffle partitions") {
     val df = SparkEntry.queries("scale_aqe_coalesce")(spark, sf01)
     // collect() (not count()) so THIS QueryExecution finalizes its

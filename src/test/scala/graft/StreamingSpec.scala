@@ -163,7 +163,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("transformWithState attribution == batch window twin (3 batches)") {
+  test("transformWithState attribution == batch twin incl. late cross-batch touch") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
@@ -173,15 +173,39 @@ class StreamingSpec extends SparkSpec {
         .outputMode("append").format("memory").queryName("t_attr").start()
       typedEvents.grouped(math.max(1, typedEvents.size / 3))
         .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // The failure mode the buffered design exists for: a touch whose ts
+      // PRECEDES an already-arrived purchase lands a micro-batch LATER
+      // (within the 10-min watermark). An eager machine would credit the
+      // purchase '(none)' the moment it arrives; the event-time machine
+      // must hold it until the watermark passes and credit 'click'.
+      val t0 = typedEvents.map(e => StreamOps.micros(e.ts)).max / 1000L
+      def syn(id: Long, offMin: Long, typ: String, v: Double) = Event(id,
+        new java.sql.Timestamp(t0 + offMin * 60000L), 777777L, typ, v)
+      mem.addData(Seq(syn(600002L, 5, "purchase", 9.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(syn(600001L, 1, "click", 1.0))) // earlier ts, later batch
+      q.processAllAvailable()
+      // Event-time finalization needs the watermark pushed past every real
+      // event; two far-future sentinel batches (watermark from batch N
+      // applies in batch N+1).
+      val far = t0 + 7L * 24 * 3600 * 1000
+      mem.addData(Seq(Event(999901L, new java.sql.Timestamp(far), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 999999L, "view", 0.0)))
+      q.processAllAvailable()
       q.stop()
-      val got = spark.table("t_attr").collect()
+      val got = spark.table("t_attr").filter($"user_id" =!= 999999L).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
         .sortBy(t => (t._1, t._2)).toSeq
-      // batch twin: evt_attribution's per-purchase window formulation
+      // batch twin: evt_attribution's per-purchase window formulation over
+      // the fixture PLUS the synthetic late-touch pair
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"user_id").orderBy($"ts", $"event_id")
         .rowsBetween(Long.MinValue, -1)
       val want = batchEvents
+        .unionByName(Seq(syn(600001L, 1, "click", 1.0),
+          syn(600002L, 5, "purchase", 9.0)).toDF()
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value"))
         .withColumn("channel", coalesce(
           last(when($"event_type" =!= "purchase", $"event_type"),
             ignoreNulls = true).over(w), lit("(none)")))
@@ -191,6 +215,8 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
         .sortBy(t => (t._1, t._2)).toSeq
       assert(got.nonEmpty && got == want)
+      // the late touch must have won: purchase 600002 credited to 'click'
+      assert(got.find(_._2 == 600002L).map(_._3).contains("click"))
     } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
