@@ -37,6 +37,16 @@ object FnOps {
     // metric line: host, metric, value
     "^host=%{NOTSPACE:host} metric=%{WORD:metric} value=%{NUMBER:value:float}$")
 
+  /** Multibyte probe for `fn_text_normalize`, appended to every fixture
+    * doc: composed é (U+00E9) vs decomposed e+combining-acute (U+0301) —
+    * the pair NFC must merge — plus cased accents, Greek, and CJK+digits.
+    * One constant shared by the Spark plan and the DuckDB oracle literal
+    * so both engines see byte-identical input. No quotes/control chars
+    * (it is spliced into a SQL literal and JSON). */
+  private val MultibyteProbe: String =
+    "Café Café ÜNÏCODÉ " +
+      "Ελλάδα 数据123 mixed_CASE!"
+
   val defs: Seq[(String, Q)] = Seq(
 
     "fn_string_suite" -> Q(
@@ -538,5 +548,42 @@ object FnOps {
         "FROM (SELECT event_id, (user_id % 224) || '.' || (event_id % 256) || " +
         "'.' || ((user_id * 7) % 256) || '.' || ((event_id * 13) % 256) AS ip " +
         "FROM events) t ORDER BY event_id"),
+
+    // Unicode-aware tokenization: lower-case fold → NFC normalize (the
+    // graft_nfc native expression; Spark has no normalizer built-in) →
+    // split on non-letter/non-number runs, empties dropped. The fixture
+    // corpus is ASCII, so each doc gets the multibyte probe appended —
+    // composed Café vs decomposed Cafe+U+0301, Greek, CJK — built from
+    // ONE Scala constant so both engines receive identical codepoints;
+    // NFC is what merges the composed/decomposed pair into one distinct
+    // token (n_distinct pins it; GraftFunctionsSpec pins the expression).
+    // The 17 other text keys deliberately keep the simple whitespace
+    // tokenizer: their oracle twins tokenize with DuckDB string_split,
+    // and shingle/vocab/surprisal semantics only need token IDENTITY to
+    // agree cross-engine, which whitespace gives on the ASCII corpus at
+    // zero regex cost. This key is the normalizing front door a
+    // multilingual corpus would route through first.
+    "fn_text_normalize" -> Q(
+      (s, d) => {
+        val nfc = graft.functions.TextNormalize.nfc(s) _
+        T(s, d, "documents")
+          .select(col("doc_id"), nfc(lower(
+            concat(col("text"), lit(" " + MultibyteProbe)))).as("norm"))
+          .select(col("doc_id"), filter(
+            split(col("norm"), "[^\\p{L}\\p{N}]+"), x => x =!= "").as("toks"))
+          .select(col("doc_id"),
+            big(size(col("toks"))).as("n_tokens"),
+            big(size(array_distinct(col("toks")))).as("n_distinct"),
+            element_at(col("toks"), 1).as("tok_first"),
+            element_at(col("toks"), -1).as("tok_last"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, len(toks)::BIGINT AS n_tokens, " +
+        "len(list_distinct(toks))::BIGINT AS n_distinct, " +
+        "toks[1] AS tok_first, toks[-1] AS tok_last FROM (" +
+        "SELECT doc_id, list_filter(regexp_split_to_array(" +
+        "nfc_normalize(lower(text || ' " + MultibyteProbe + "')), " +
+        "'[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks FROM documents) t " +
+        "ORDER BY doc_id"),
   )
 }

@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * | `graft_grok_capture(s, 'expr')` | string × grok-literal → array<string> | [[GrokCapture]] (grok compiled at plan time) |
   * | `graft_kmv_distinct(c[, k])` | any [, int literal] → bigint | [[KmvDistinct]] sketch agg |
   * | `graft_mg_candidates(c[, k])` | string [, int literal] → array<string> | [[MisraGries]] sketch agg |
+  * | `graft_nfc(s)` | string → string | [[NfcNormalize]] codegen (UAX#15 NFC) |
   */
 object GraftFunctions {
 
@@ -65,5 +66,7 @@ object GraftFunctions {
       exprs => MisraGries(exprs.head,
         if (exprs.size > 1) intLit(exprs(1), "mg k") else 16)
         .toAggregateExpression(), "built-in")
+    r.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs.head), "built-in")
   }
 }

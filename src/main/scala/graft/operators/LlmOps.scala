@@ -280,5 +280,55 @@ object LlmOps {
         "SELECT source, lang, n_docs, tokens, " +
         "CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS token_share " +
         "FROM t ORDER BY source, lang"),
+
+    // Corpus RESAMPLING to a target mix — the step a training-data
+    // pipeline runs right after llm_domain_mix measures composition.
+    // Target: temperature-smoothed shares (alpha = 0.5, the multilingual
+    // pretraining staple — cell quota proportional to sqrt(cell size),
+    // upweighting small domains) over a 10%-of-corpus budget. Every
+    // quota is EXACT INTEGER math off quantized floor(sqrt(n)*1000)
+    // longs (sqrt is correctly-rounded IEEE, the product is one op —
+    // bit-identical cross-engine; a floating sum over cells would be
+    // order-dependent), so the draw is deterministic everywhere. Docs are
+    // drawn per cell by md5 rank (reproducible across engines,
+    // partitionings, reruns — the llm_stratified_sample discipline).
+    // Scale shape: the cell frame is (sources x languages) rows — its
+    // global windows are bounded, never corpus-sized; the corpus sees one
+    // keyed window (rank within cell) and one broadcast join.
+    "llm_corpus_resample" -> Q(
+      (s, d) => {
+        val cells = T(s, d, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_cell"))
+          .withColumn("sq",
+            floor(sqrt(col("n_cell").cast("double")) * lit(1000.0)).cast("long"))
+          .withColumn("budget",
+            expr("(sum(n_cell) over () + 9) div 10"))
+          .withColumn("stot", sum(col("sq")).over(Window.partitionBy()))
+          .withColumn("quota", expr("(budget * sq + stot - 1) div stot"))
+          .select(col("source"), col("lang"), col("quota"))
+        val byCell = Window.partitionBy(col("source"), col("lang"))
+          .orderBy(col("h"), col("doc_id"))
+        T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("rn", row_number().over(byCell))
+          .join(broadcast(cells), Seq("source", "lang"))
+          .filter(col("rn") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            big(col("rn")).as("rn"))
+          .orderBy(col("doc_id"))
+      },
+      "WITH cells AS (SELECT source, lang, COUNT(*) AS n_cell, " +
+        "floor(sqrt(COUNT(*)) * 1000.0)::BIGINT AS sq " +
+        "FROM documents GROUP BY 1, 2), " +
+        "q AS (SELECT source, lang, " +
+        "(((SUM(n_cell) OVER () + 9) // 10) * sq + SUM(sq) OVER () - 1) " +
+        "// SUM(sq) OVER () AS quota FROM cells), " +
+        "r AS (SELECT doc_id, source, lang, row_number() OVER (" +
+        "PARTITION BY source, lang ORDER BY md5(doc_id::VARCHAR), doc_id) " +
+        "AS rn FROM documents) " +
+        "SELECT r.doc_id, r.source, r.lang, r.rn FROM r " +
+        "JOIN q USING (source, lang) WHERE r.rn <= q.quota ORDER BY r.doc_id"),
   )
 }

@@ -58,4 +58,22 @@ class GraftFunctionsSpec extends SparkSpec {
       spark.sql("SELECT graft_grok_capture('x', '%{NOPE:y}')").head())
     assert(ex.getMessage.contains("unknown pattern"))
   }
+
+  test("graft_nfc composes decomposed sequences (NFC) from SQL and Column API") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // decomposed e + U+0301 must become composed U+00E9; composed input
+    // is a fixed point; null propagates
+    val row = spark.sql(
+      "SELECT graft_nfc('Café') AS d, graft_nfc('Café') AS c, " +
+        "graft_nfc(cast(null as string)) AS n").head()
+    assert(row.getAs[String]("d") == "Café")
+    assert(row.getAs[String]("c") == "Café")
+    assert(row.isNullAt(2))
+    // Column API handle, through codegen over a real frame
+    val nfc = graft.functions.TextNormalize.nfc(spark) _
+    val got = Seq("Café", "Café", "ΕΣ")
+      .toDF("s").select(nfc(org.apache.spark.sql.functions.col("s")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Café", "Café", "ΕΣ"))
+  }
 }
