@@ -623,6 +623,48 @@ object DedupOps {
         "ON nb.band = ob.band AND nb.bkey = ob.bkey AND ob.doc_id % 10 < 8 " +
         "WHERE nb.doc_id = d.doc_id) ORDER BY doc_id"),
 
+    // Keep-set UPSERT with exactly-once publish — the write-back half of
+    // llm_dedup_incremental. The merged keep-set (base generation-0 docs
+    // plus the delta's collision-free survivors as generation 1) is
+    // PUBLISHED through KeepSetPublish's two-phase marker-last epoch
+    // protocol (epoch 0 = base snapshot, epoch 1 = merged snapshot) and
+    // the key returns the READ-BACK of the latest committed epoch — so
+    // the graded path exercises snapshot publish, replay no-op (both
+    // publish calls below are replays on every run after the first:
+    // markers short-circuit before any job), and marker-gated reads.
+    // Crash-replay exactly-once is pinned in GateSinkSpec. The oracle is
+    // the pure-relational twin of the merged set.
+    "llm_keepset_upsert" -> Q(
+      (s, d) => {
+        val bands = md5Bands(T(s, d, "documents")).localCheckpoint()
+        val keepBands = bands.filter(col("doc_id") % 10 < 8)
+          .select(col("band"), col("bkey")).distinct()
+        val dupIds = bands.filter(col("doc_id") % 10 >= 8)
+          .join(keepBands, Seq("band", "bkey"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val base = T(s, d, "documents").filter(col("doc_id") % 10 < 8)
+          .select(col("doc_id"), lit(0).as("generation"))
+        val survivors = T(s, d, "documents").filter(col("doc_id") % 10 >= 8)
+          .join(dupIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(1).as("generation"))
+        val dir = new java.io.File(new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_scratch"),
+          s"keepset_${Scale.dirTag(d)}").toString
+        graft.streaming.KeepSetPublish.publish(base, dir, 0L)
+        graft.streaming.KeepSetPublish.publish(
+          base.unionByName(survivors), dir, 1L)
+        graft.streaming.KeepSetPublish.readLatest(s, dir)
+          .orderBy(col("doc_id"))
+      },
+      Shingles.duckCte(distinct = true) + md5BandsCte +
+        "SELECT doc_id, 0 AS generation FROM documents WHERE doc_id % 10 < 8 " +
+        "UNION ALL " +
+        "SELECT d.doc_id, 1 AS generation FROM documents d " +
+        "WHERE d.doc_id % 10 >= 8 " +
+        "AND NOT EXISTS (SELECT 1 FROM bands nb JOIN bands ob " +
+        "ON nb.band = ob.band AND nb.bkey = ob.bkey AND ob.doc_id % 10 < 8 " +
+        "WHERE nb.doc_id = d.doc_id) ORDER BY doc_id"),
+
     // Streaming near-dedup BATCH TWIN (§2.J twin strategy): per LSH band
     // bucket, the first document (min doc_id — arrival order in the
     // streaming replay is doc_id order) is the bucket leader; every later

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Exactly-once snapshot publishing for the dedup KEEP-SET — the missing
+  * write-back half of `llm_dedup_incremental` (which only READS an
+  * existing keep-set). A daily pipeline merges yesterday's keep-set with
+  * today's survivors and must publish the result so that a crashed and
+  * replayed job never double-publishes or exposes a half-written
+  * snapshot. Same two-phase, MARKER-LAST protocol as [[GateSink]], at the
+  * batch layer:
+  *
+  *  1. the snapshot is written as parquet into an uncommitted
+  *     `_tmp_epoch_<id>` directory;
+  *  2. the temp dir is renamed to `epoch=<id>/` (one atomic directory
+  *     move on POSIX) and the `epoch_<id>.commit` marker is dropped LAST.
+  *
+  * A replay finds the marker and returns without running ANY job; a
+  * crashed attempt leaves an unmarked dir that readers never trust and
+  * the retry clears. Local `java.nio` ops keep the test surface hermetic;
+  * a cluster deployment swaps in the Hadoop FileSystem API with the same
+  * rename-last protocol.
+  */
+object KeepSetPublish {
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    Files.deleteIfExists(f.toPath): Unit
+  }
+
+  /** Publishes `df` as epoch `epochId` under `dir`. Returns true when this
+    * call performed the publish, false when the epoch was already
+    * committed (replay ⇒ no-op, no Spark job runs). */
+  def publish(df: DataFrame, dir: String, epochId: Long): Boolean = {
+    val root = new File(dir)
+    root.mkdirs()
+    val marker = new File(root, s"epoch_$epochId.commit")
+    if (marker.exists()) return false
+    val tmp = new File(root, s"_tmp_epoch_$epochId")
+    deleteRecursively(tmp) // crashed attempt's temp, if any
+    df.write.mode("overwrite").parquet(tmp.toString)
+    // parquet writers drop _SUCCESS etc. alongside parts; the marker-last
+    // protocol is ours, so strip nothing — readers go through the marker.
+    val epochDir = new File(root, s"epoch=$epochId")
+    // No marker ⇒ any existing epochDir is from an attempt that crashed
+    // mid-rename; readers never trusted it, clearing it is safe (the
+    // GateSink.commit argument, verbatim).
+    deleteRecursively(epochDir)
+    Files.move(tmp.toPath, epochDir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    Files.write(marker.toPath, "committed\n".getBytes(StandardCharsets.UTF_8))
+    true
+  }
+
+  /** Latest committed epoch id under `dir`, if any — committed means the
+    * marker exists; unmarked dirs are invisible. */
+  def latestEpoch(dir: String): Option[Long] = {
+    val re = "^epoch_([0-9]+)\\.commit$".r
+    Option(new File(dir).listFiles()).toSeq.flatten
+      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      .maxOption
+  }
+
+  /** Reads the latest committed snapshot. Fails loudly when nothing has
+    * ever committed — an empty keep-set and a missing one are different
+    * states, and silently returning empty would un-dedup the next batch. */
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = latestEpoch(dir).getOrElse(throw new IllegalStateException(
+      s"KeepSetPublish.readLatest: no committed epoch under $dir"))
+    spark.read.parquet(Paths.get(dir, s"epoch=$epoch").toString)
+  }
+}

@@ -142,4 +142,48 @@ class GateSinkSpec extends SparkSpec {
         StandardCharsets.UTF_8).linesIterator).sorted.toSeq
     assert(content == Seq("10", "11", "12"))
   }
+
+  test("keep-set upsert publishes exactly once across crash and replay") {
+    import graft.streaming.KeepSetPublish
+    import spark.implicits._
+    val dir = tmpDir("keepset_pub")
+
+    // epoch 0: base keep-set commits
+    val base = Seq(1L, 2L, 3L).toDF("doc_id")
+    assert(KeepSetPublish.publish(base, dir, 0L))
+    assert(KeepSetPublish.latestEpoch(dir).contains(0L))
+
+    // epoch 1 crashes mid-rename: an UNMARKED epoch dir with garbage —
+    // readers must keep trusting epoch 0
+    val crashed = new File(dir, "epoch=1")
+    crashed.mkdirs()
+    Files.write(new File(crashed, "part-junk.parquet").toPath,
+      "not parquet".getBytes(StandardCharsets.UTF_8))
+    assert(KeepSetPublish.latestEpoch(dir).contains(0L),
+      "unmarked epoch must be invisible to readers")
+
+    // the retry clears the crashed attempt and commits the merged set
+    val merged = Seq(1L, 2L, 3L, 8L, 9L).toDF("doc_id")
+    assert(KeepSetPublish.publish(merged, dir, 1L))
+    assert(KeepSetPublish.latestEpoch(dir).contains(1L))
+    assert(!new File(crashed, "part-junk.parquet").exists(),
+      "crashed attempt's files must not leak into the committed epoch")
+
+    // an at-least-once upstream replays epoch 1: byte-level no-op
+    def snapshotState(): Seq[(String, Long)] =
+      crashed.listFiles().map(f => (f.getName, f.lastModified())).sorted.toSeq
+    val before = snapshotState()
+    assert(!KeepSetPublish.publish(
+      Seq(999L).toDF("doc_id"), dir, 1L), "replay must be a no-op")
+    assert(snapshotState() == before, "replay must not touch committed files")
+
+    // the published keep-set reads back exactly once, no duplicates
+    val got = KeepSetPublish.readLatest(spark, dir)
+      .orderBy($"doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L, 8L, 9L))
+
+    // a fresh directory with no committed epoch fails loudly, not empty
+    intercept[IllegalStateException](
+      KeepSetPublish.readLatest(spark, tmpDir("keepset_empty")))
+  }
 }
