@@ -275,6 +275,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming WAU sketch == exact batch WAU within HLL tolerance") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.wauSketchStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_wau_sk").start()
+    try {
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // push the watermark past every fixture grid day's end (+6d horizon)
+      val far = typedEvents.map(e => StreamOps.micros(e.ts)).max / 1000L +
+        30L * 24 * 3600 * 1000
+      mem.addData(Seq(Event(999901L, new java.sql.Timestamp(far), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("t_wau_sk")
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      // exact batch WAU (the equi-join key), on the observed-day grid; the
+      // stream also emits trailing estimates for post-corpus horizon days,
+      // which the batch key's observed-day semi-join excludes — compare on
+      // the batch grid
+      val want = SparkEntry.queries("evt_active_users")(spark, sf001)
+        .select($"day", $"wau")
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toSeq
+      assert(want.nonEmpty)
+      want.foreach { case (day, exact) =>
+        val est = got.getOrElse(day, fail(s"no streaming estimate for $day"))
+        assert(math.abs(est - exact).toDouble / exact <= 0.1,
+          s"day $day: sketch $est vs exact $exact drifts past 10%")
+      }
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming near-dedup (transformWithState) == batch band twin incl. out-of-order") {
     // ListState + 2 ValueStates per key = multiple column families ⇒ RocksDB
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
