@@ -676,6 +676,97 @@ object StreamOps {
       }
   }
 
+  /** Running per-user streak aggregate as of finalized day `upto_dayn`. */
+  case class StreakOut(user_id: Long, active_days: Long, longest_streak: Long,
+      n_streaks: Long, upto_dayn: Long)
+
+  private case class StreakAgg(lastDayn: Long, curLen: Long, activeDays: Long,
+      maxLen: Long, nStreaks: Long)
+
+  /** Streaming gaps-and-islands streaks — the transformWithState twin of
+    * `evt_streaks`. Day numbers buffer in ListState until the watermark
+    * passes their day's END (a day's distinct-activity bit is only final
+    * once no event of that day can still arrive — the same buffered
+    * event-time discipline as [[AttributionProcessor]]); finalized days
+    * then fold, deduped and in order, into an O(1) per-user aggregate
+    * (last day, current run, longest run, streak count) — the state never
+    * holds the event stream, only ≤watermark-delay of pending day numbers
+    * plus five longs. Each flush that consumes days emits the updated
+    * running aggregate stamped with `upto_dayn`; once the watermark
+    * passes the corpus the LAST emission per user equals the batch key
+    * exactly (StreamingSpec pins it). */
+  class StreakProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, StreakOut] {
+    @transient private var pending:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var agg:
+      org.apache.spark.sql.streaming.ValueState[StreakAgg] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[Long]("streak_pending",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      agg = getHandle.getValueState[StreakAgg]("streak_agg",
+        org.apache.spark.sql.Encoders.product[StreakAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def flush(key: Long, watermarkMs: Long): Iterator[StreakOut] = {
+      val days = {
+        val it = pending.get()
+        val b = Seq.newBuilder[Long]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      if (days.isEmpty) return Iterator.empty
+      // a day is final only STRICTLY past its end (ms watermark, µs events)
+      val (fin, open) = days.distinct.sorted.partition(dayn =>
+        watermarkMs > (dayn + 1) * 86400000L)
+      pending.clear()
+      if (open.nonEmpty) {
+        open.foreach(pending.appendValue)
+        getHandle.registerTimer((open.head + 1) * 86400000L + 1L)
+      }
+      if (fin.isEmpty) return Iterator.empty
+      var a = Option(agg.get()).getOrElse(StreakAgg(Long.MinValue, 0, 0, 0, 0))
+      fin.foreach { dayn =>
+        if (dayn > a.lastDayn) { // cross-batch duplicate days fold once
+          val run = if (dayn == a.lastDayn + 1) a.curLen + 1 else 1
+          a = StreakAgg(dayn, run, a.activeDays + 1,
+            math.max(a.maxLen, run),
+            if (run == 1) a.nStreaks + 1 else a.nStreaks)
+        }
+      }
+      agg.update(a)
+      Iterator.single(StreakOut(key, a.activeDays,
+        math.max(a.maxLen, a.curLen), a.nStreaks, a.lastDayn))
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[StreakOut] = {
+      rows.foreach(e => pending.appendValue(micros(e.ts) / 1000000L / 86400L))
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[StreakOut] =
+      flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  def streaksStream(events: Dataset[Event]): Dataset[StreakOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new StreakProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def wauSketchStream(events: Dataset[Event], p: Int = 12): Dataset[WauEstimate] = {
     import events.sparkSession.implicits._
     events

@@ -275,6 +275,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming streaks (transformWithState) final state == evt_streaks batch") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.streaksStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_streaks").start()
+    try {
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // push the watermark past every fixture day's end
+      val far = typedEvents.map(e => StreamOps.micros(e.ts)).max / 1000L +
+        30L * 24 * 3600 * 1000
+      mem.addData(Seq(Event(999901L, new java.sql.Timestamp(far), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      // running aggregates re-emit as days finalize: the LAST emission per
+      // user (max upto_dayn) is the final state
+      val got = spark.table("t_streaks").filter($"user_id" =!= 999999L)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"upto_dayn".desc)))
+        .filter($"rn" === 1)
+        .select($"user_id", $"active_days", $"longest_streak", $"n_streaks")
+        .orderBy($"user_id").collect().toSeq
+      val want = SparkEntry.queries("evt_streaks")(spark, sf001)
+        .orderBy($"user_id").collect().toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming WAU sketch == exact batch WAU within HLL tolerance") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
