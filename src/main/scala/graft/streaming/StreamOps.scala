@@ -758,6 +758,126 @@ object StreamOps {
       flush(key, timerValues.getCurrentWatermarkInMs())
   }
 
+  /** One gap-filled calendar row (the streaming twin of a batch
+    * `evt_gap_fill` output row). */
+  case class GapFillOut(user_id: Long, day: java.sql.Timestamp,
+      n_events: Long, purchase_value: Option[Double],
+      filled_value: Option[Double])
+
+  private case class PendingDay(dayn: Long, n: Long, hasP: Boolean, pvQ: Long)
+
+  private case class FillProgress(nextDayn: Long, filled: Double,
+      hasFilled: Boolean)
+
+  /** Streaming gap-fill — the transformWithState twin of `evt_gap_fill`.
+    * Per-batch partial day aggregates (event count + exact DECIMAL(18,4)
+    * purchase sum as an unscaled long) buffer in ListState; a day
+    * finalizes once the watermark passes its end, and because watermark
+    * finalization is prefix-closed in day order, the per-user calendar
+    * can be emitted LEFT TO RIGHT exactly once: when an observed day
+    * finalizes, every grid day since the previous observed day emits —
+    * gap days as (0, null, carried filled_value), the observed day with
+    * its aggregate and an updated carry. Trailing days beyond the last
+    * observed day never emit, matching the batch grid's min..max span.
+    * State per user is O(watermark-delay) pending partials plus three
+    * scalars — never the event stream, never the calendar. */
+  class GapFillProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, GapFillOut] {
+    @transient private var pending:
+      org.apache.spark.sql.streaming.ListState[PendingDay] = _
+    @transient private var prog:
+      org.apache.spark.sql.streaming.ValueState[FillProgress] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[PendingDay]("gf_pending",
+        org.apache.spark.sql.Encoders.product[PendingDay],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      prog = getHandle.getValueState[FillProgress]("gf_prog",
+        org.apache.spark.sql.Encoders.product[FillProgress],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    /** value → DECIMAL(18,4) unscaled long (the Dsl.dsum discipline:
+      * valueOf = shortest-decimal repr, HALF_UP at 4dp, exact long sum). */
+    private def quant(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+
+    private def flush(key: Long, watermarkMs: Long): Iterator[GapFillOut] = {
+      val parts = {
+        val it = pending.get()
+        val b = Seq.newBuilder[PendingDay]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      if (parts.isEmpty) return Iterator.empty
+      val (fin, open) = parts.partition(p =>
+        watermarkMs > (p.dayn + 1) * 86400000L)
+      pending.clear()
+      if (open.nonEmpty) {
+        open.foreach(pending.appendValue)
+        getHandle.registerTimer((open.map(_.dayn).min + 1) * 86400000L + 1L)
+      }
+      if (fin.isEmpty) return Iterator.empty
+      val merged = fin.groupBy(_.dayn).toSeq.sortBy(_._1).map {
+        case (dayn, ps) =>
+          (dayn, ps.map(_.n).sum, ps.exists(_.hasP), ps.map(_.pvQ).sum)
+      }
+      var p = Option(prog.get()).getOrElse(FillProgress(Long.MinValue, 0.0, false))
+      val out = Seq.newBuilder[GapFillOut]
+      def ts(dayn: Long) = new java.sql.Timestamp(dayn * 86400000L)
+      def carried = if (p.hasFilled) Some(p.filled) else None
+      merged.foreach { case (dayn, n, hasP, pvQ) =>
+        var d = if (p.nextDayn == Long.MinValue) dayn else p.nextDayn
+        while (d < dayn) { // gap rows up to the observed day
+          out += GapFillOut(key, ts(d), 0L, None, carried)
+          d += 1
+        }
+        val pv = if (hasP) Some(
+          java.math.BigDecimal.valueOf(pvQ, 4).doubleValue) else None
+        pv.foreach(v => p = p.copy(filled = v, hasFilled = true))
+        out += GapFillOut(key, ts(dayn), n, pv, carried)
+        p = p.copy(nextDayn = dayn + 1)
+      }
+      prog.update(p)
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[GapFillOut] = {
+      val byDay = scala.collection.mutable.Map.empty[Long, (Long, Boolean, Long)]
+      rows.foreach { e =>
+        val dayn = micros(e.ts) / 1000000L / 86400L
+        val (n, hasP, pvQ) = byDay.getOrElse(dayn, (0L, false, 0L))
+        val isP = e.event_type == "purchase"
+        byDay(dayn) = (n + 1, hasP || isP, if (isP) pvQ + quant(e.value) else pvQ)
+      }
+      byDay.foreach { case (dayn, (n, hasP, pvQ)) =>
+        pending.appendValue(PendingDay(dayn, n, hasP, pvQ))
+      }
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[GapFillOut] =
+      flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  def gapFillStream(events: Dataset[Event]): Dataset[GapFillOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new GapFillProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def streaksStream(events: Dataset[Event]): Dataset[StreakOut] = {
     import events.sparkSession.implicits._
     events

@@ -275,6 +275,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming gap-fill (transformWithState) == evt_gap_fill batch, bit-exact") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.gapFillStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_gapfill").start()
+    try {
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      val far = typedEvents.map(e => StreamOps.micros(e.ts)).max / 1000L +
+        30L * 24 * 3600 * 1000
+      mem.addData(Seq(Event(999901L, new java.sql.Timestamp(far), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      def norm(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))
+      // every grid row emits exactly once; bit-exact incl. the decimal
+      // purchase sums and the carried filled_value
+      val got = spark.table("t_gapfill").filter($"user_id" =!= 999999L)
+        .select($"user_id", $"day", $"n_events", $"purchase_value", $"filled_value")
+        .collect().map(norm).sortBy(t => (t._1, t._2.getTime)).toSeq
+      val want = SparkEntry.queries("evt_gap_fill")(spark, sf001)
+        .collect().map(norm).sortBy(t => (t._1, t._2.getTime)).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming streaks (transformWithState) final state == evt_streaks batch") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
