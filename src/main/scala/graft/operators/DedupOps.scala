@@ -242,6 +242,57 @@ object DedupOps {
 
   /** DuckDB twin of [[md5Bands]]: CTEs `sigs(doc_id, sig0..sig7)` and
     * `bands(doc_id, band, bkey)` over the `sh` shingle CTE. */
+  /** Shared md5-based 60-bit SimHash signature frame for
+    * `llm_simhash_md5` / `llm_simhash_hamming_join`: per-token hash is
+    * the first 15 hex chars of md5(token) (a 60-bit value both engines
+    * parse exactly); 60 SUM(±1) vote columns in ONE hash-agg pass;
+    * signature assembles from vote signs; 4×15-bit chunks ride along as
+    * band0..band3. */
+  private def md5SimhashSigs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = T(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val voteCols = (0 until 60).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i)
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i"))
+    val sig = (0 until 60).map(i =>
+      when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        col("simhash").bitwiseAND(lit(0x7FFFL)).as("band0"),
+        shiftrightunsigned(col("simhash"), 15)
+          .bitwiseAND(lit(0x7FFFL)).as("band1"),
+        shiftrightunsigned(col("simhash"), 30)
+          .bitwiseAND(lit(0x7FFFL)).as("band2"),
+        shiftrightunsigned(col("simhash"), 45).as("band3"))
+  }
+
+  /** DuckDB twin of [[md5SimhashSigs]]: CTE chain ending in
+    * `sigb(doc_id, simhash, band0..band3)`. */
+  val md5SimhashCte: String =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents), " +
+      "hs AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h " +
+      "FROM toks), " +
+      "votes AS (SELECT doc_id, " +
+      (0 until 60).map(i =>
+        s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+        .mkString(", ") +
+      " FROM hs GROUP BY doc_id), " +
+      "sig AS (SELECT doc_id, " +
+      (0 until 60).map(i =>
+        s"(CASE WHEN v$i >= 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+        .mkString(" + ") +
+      " AS simhash FROM votes), " +
+      "sigb AS (SELECT doc_id, simhash, simhash & 32767 AS band0, " +
+      "(simhash >> 15) & 32767 AS band1, (simhash >> 30) & 32767 AS band2, " +
+      "(simhash >> 45) AS band3 FROM sig) "
+
   val md5BandsCte: String =
     ", sigs AS (SELECT doc_id, " +
       (0 until 8).map(k => s"min(md5('$k:' || s)) AS sig$k").mkString(", ") +
@@ -397,46 +448,59 @@ object DedupOps {
     // agg), then the signature assembles from the vote signs and splits
     // into 4×15-bit LSH bands. Ties (vote = 0) set the bit in both engines.
     "llm_simhash_md5" -> Q(
+      (s, d) => md5SimhashSigs(s, d).orderBy(col("doc_id")),
+      md5SimhashCte +
+        "SELECT doc_id, simhash, band0, band1, band2, band3 FROM sigb " +
+        "ORDER BY doc_id"),
+
+    // SimHash HAMMING-BALL self-join — near-dup pairs within Hamming
+    // distance ≤ 3 of the 60-bit signature, WITHOUT the n² bit-compare:
+    // by pigeonhole, two signatures ≤3 bits apart must agree on ≥1 of
+    // the 4 15-bit chunks, so candidates come from 4 chunk EQUI-joins
+    // (hash joins on 15-bit keys) and exact bit_count(xor) runs on
+    // candidates only. Each pair emits EXACTLY once with no distinct
+    // pass via the count-once predicate (the interval_bin_join rule):
+    // the join on chunk i also requires every earlier chunk to DIFFER,
+    // so a pair agreeing on chunks {1,3} appears only in the chunk-1
+    // join. At 100 TB: chunk joins shuffle (band, id, simhash) triples
+    // only; blowup is bounded by bucket collision rates, never by
+    // corpus²; the same banding machinery the stream_near_dedup
+    // processor keys its state on.
+    "llm_simhash_hamming_join" -> Q(
       (s, d) => {
-        val toks = T(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .withColumn("h",
-            conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-        val voteCols = (0 until 60).map(i =>
-          sum(when(shiftrightunsigned(col("h"), i)
-            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i"))
-        val sig = (0 until 60).map(i =>
-          when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        toks.groupBy(col("doc_id"))
-          .agg(voteCols.head, voteCols.tail: _*)
-          .select(col("doc_id"), sig.as("simhash"))
-          .select(col("doc_id"), col("simhash"),
-            col("simhash").bitwiseAND(lit(0x7FFFL)).as("band0"),
-            shiftrightunsigned(col("simhash"), 15)
-              .bitwiseAND(lit(0x7FFFL)).as("band1"),
-            shiftrightunsigned(col("simhash"), 30)
-              .bitwiseAND(lit(0x7FFFL)).as("band2"),
-            shiftrightunsigned(col("simhash"), 45).as("band3"))
-          .orderBy(col("doc_id"))
+        val sigs = md5SimhashSigs(s, d)
+        val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+          col("band0").as("a0"), col("band1").as("a1"),
+          col("band2").as("a2"), col("band3").as("a3"))
+        val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+          col("band0").as("b0"), col("band1").as("b1"),
+          col("band2").as("b2"), col("band3").as("b3"))
+        val cands = (0 until 4).map { i =>
+          val earlierDiffer = (0 until i)
+            .map(j => col(s"a$j") =!= col(s"b$j"))
+            .foldLeft(lit(true))(_ && _)
+          a.join(b, col("doc_a") < col("doc_b") &&
+            col(s"a$i") === col(s"b$i") && earlierDiffer)
+            .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+        }.reduce(_ unionByName _)
+        cands
+          .withColumn("hamming",
+            big(bit_count(col("sim_a").bitwiseXOR(col("sim_b")))))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
       },
-      "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
-        "FROM documents), " +
-        "hs AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h " +
-        "FROM toks), " +
-        "votes AS (SELECT doc_id, " +
-        (0 until 60).map(i =>
-          s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
-          .mkString(", ") +
-        " FROM hs GROUP BY doc_id), " +
-        "sig AS (SELECT doc_id, " +
-        (0 until 60).map(i =>
-          s"(CASE WHEN v$i >= 0 THEN (1::BIGINT << $i) ELSE 0 END)")
-          .mkString(" + ") +
-        " AS simhash FROM votes) " +
-        "SELECT doc_id, simhash, simhash & 32767 AS band0, " +
-        "(simhash >> 15) & 32767 AS band1, (simhash >> 30) & 32767 AS band2, " +
-        "(simhash >> 45) AS band3 FROM sig ORDER BY doc_id"),
+      md5SimhashCte +
+        (0 until 4).map { i =>
+          val earlier = (0 until i)
+            .map(j => s"a.band$j <> b.band$j").mkString(" AND ")
+          val cond = (s"a.band$i = b.band$i" +:
+            (if (earlier.isEmpty) Nil else Seq(earlier))).mkString(" AND ")
+          "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+            "bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming " +
+            s"FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND $cond"
+        }.mkString("SELECT doc_a, doc_b, hamming FROM (",
+          " UNION ALL ", ") t WHERE hamming <= 3 ORDER BY doc_a, doc_b")),
 
     // Edit-distance self-join WITHOUT the n² cross join: prefix filtering
     // (Chaudhuri et al., ICDE'06). Each title keeps only its k·q+1 = 11

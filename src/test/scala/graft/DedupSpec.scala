@@ -226,4 +226,22 @@ class DedupSpec extends SparkSpec {
     assert(first.getAs[Long]("n_bytes") > 0)
     assert(first.getAs[String]("head_csv").split(",").length == 8)
   }
+
+  test("simhash hamming join: pigeonhole chunks lose no brute-force pair") {
+    // hamming <= 3 over 4 x 15-bit chunks => >= 1 equal chunk, so the
+    // 4 count-once equi-joins must find EXACTLY the brute-force all-pairs
+    // hamming ball (each pair once)
+    val sigs = SparkEntry.queries("llm_simhash_md5")(spark, sf001)
+      .select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb).toLong)).sorted.toSeq
+    val got = SparkEntry.queries("llm_simhash_hamming_join")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == brute, s"pigeonhole join diverged: got ${got.size}, brute ${brute.size}")
+    assert(got.nonEmpty) // fixture plants near-dups; empty = broken sigs
+  }
 }
