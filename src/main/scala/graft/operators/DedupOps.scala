@@ -221,17 +221,23 @@ object DedupOps {
     * digests), shared by `llm_minhash_md5`, the incremental-dedup key, and
     * the streaming near-dedup batch twin. Docs with < 3 words produce no
     * shingles and therefore no bands. */
-  def md5Bands(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val nSig = 8
-    val sigCols = (0 until nSig).map { k =>
+  /** Per-doc 8-value md5 MinHash signature frame (doc_id, sig0..sig7):
+    * min over "k:"-salted shingle digests, one hash-agg pass. Shared by
+    * [[md5Bands]] and the `llm_minhash_jaccard_est` sketch audit. */
+  def md5Sigs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigCols = (0 until 8).map { k =>
       min(md5(concat(lit(s"$k:"), col("s")))).as(s"sig$k")
     }
-    val signed = docs
+    docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
       .distinct()
       .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  def md5Bands(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val signed = md5Sigs(docs)
     val bandCol = explode(array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
@@ -240,8 +246,6 @@ object DedupOps {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
-  /** DuckDB twin of [[md5Bands]]: CTEs `sigs(doc_id, sig0..sig7)` and
-    * `bands(doc_id, band, bkey)` over the `sh` shingle CTE. */
   /** Shared md5-based 60-bit SimHash signature frame for
     * `llm_simhash_md5` / `llm_simhash_hamming_join`: per-token hash is
     * the first 15 hex chars of md5(token) (a 60-bit value both engines
@@ -293,6 +297,8 @@ object DedupOps {
       "(simhash >> 15) & 32767 AS band1, (simhash >> 30) & 32767 AS band2, " +
       "(simhash >> 45) AS band3 FROM sig) "
 
+  /** DuckDB twin of [[md5Bands]]: CTEs `sigs(doc_id, sig0..sig7)` and
+    * `bands(doc_id, band, bkey)` over the `sh` shingle CTE. */
   val md5BandsCte: String =
     ", sigs AS (SELECT doc_id, " +
       (0 until 8).map(k => s"min(md5('$k:' || s)) AS sig$k").mkString(", ") +
@@ -501,6 +507,62 @@ object DedupOps {
             s"FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND $cond"
         }.mkString("SELECT doc_a, doc_b, hamming FROM (",
           " UNION ALL ", ") t WHERE hamming <= 3 ORDER BY doc_a, doc_b")),
+
+    // MinHash SKETCH-ACCURACY AUDIT — the quality-control step a dedup
+    // pipeline runs before trusting its banding thresholds: for every
+    // LSH band candidate pair, the 8-signature Jaccard ESTIMATE
+    // (matching-minhash fraction) side by side with the EXACT shingle
+    // Jaccard. At scale the audit costs what the dedup already costs
+    // (band join for candidates, shingle equi-join for exact truth on
+    // candidates only — never all pairs); a deployment samples the
+    // candidate set instead of auditing all of it. All arithmetic is
+    // exact ints + single double divisions — bit-identical cross-engine.
+    "llm_minhash_jaccard_est" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val bands = md5Bands(docs)
+        val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val sigs = md5Sigs(docs)
+        val sa = sigs.select(col("doc_id").as("doc_a") +:
+          (0 until 8).map(k => col(s"sig$k").as(s"a$k")): _*)
+        val sb = sigs.select(col("doc_id").as("doc_b") +:
+          (0 until 8).map(k => col(s"sig$k").as(s"b$k")): _*)
+        val nMatch = (0 until 8)
+          .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("n_match", nMatch)
+          .join(jaccardScored(s, d).select(col("doc_a"), col("doc_b"),
+            col("jaccard")), Seq("doc_a", "doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("n_match"),
+            (col("n_match").cast("double") / 8.0).as("jaccard_est"),
+            col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Shingles.duckCte(distinct = true) + md5BandsCte +
+        ", cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "AND a.doc_id < b.doc_id), " +
+        "sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1), " +
+        "ex AS (SELECT i.doc_a, i.doc_b, CAST(i.inter AS DOUBLE) / " +
+        "(sa.n_sh + sb.n_sh - i.inter) AS jaccard FROM (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) i JOIN sz sa ON sa.doc_id = i.doc_a " +
+        "JOIN sz sb ON sb.doc_id = i.doc_b), " +
+        "m AS (SELECT c.doc_a, c.doc_b, (" +
+        (0 until 8).map(k =>
+          s"CASE WHEN x.sig$k = y.sig$k THEN 1 ELSE 0 END")
+          .mkString(" + ") + ")::BIGINT AS n_match " +
+        "FROM cand c JOIN sigs x ON x.doc_id = c.doc_a " +
+        "JOIN sigs y ON y.doc_id = c.doc_b) " +
+        "SELECT m.doc_a, m.doc_b, m.n_match, m.n_match / 8.0 AS jaccard_est, " +
+        "e.jaccard FROM m JOIN ex e ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b " +
+        "ORDER BY m.doc_a, m.doc_b"),
 
     // Edit-distance self-join WITHOUT the n² cross join: prefix filtering
     // (Chaudhuri et al., ICDE'06). Each title keeps only its k·q+1 = 11
