@@ -585,5 +585,40 @@ object FnOps {
         "nfc_normalize(lower(text || ' " + MultibyteProbe + "')), " +
         "'[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks FROM documents) t " +
         "ORDER BY doc_id"),
+
+    // Winsorization (percentile clipping) — the outlier-taming mutate a
+    // metrics pipeline applies before aggregating heavy-tailed values:
+    // per event_type, values clip to [p01, p99] (Spark percentile ≡
+    // DuckDB quantile_cont linear interpolation, the established
+    // agg_percentile parity) and the rollup reports clip counts plus the
+    // exact-decimal sum of the clipped column. The percentile frame is
+    // per-type (5 rows), broadcast back — the corpus pays one shuffle
+    // for the percentile agg and one for the final rollup.
+    "fn_winsorize" -> Q(
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val pct = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.01)").as("p01"),
+            expr("percentile(value, 0.99)").as("p99"))
+        ev.join(broadcast(pct), "event_type")
+          .withColumn("clipped",
+            least(greatest(col("value"), col("p01")), col("p99")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("value") < col("p01"), 1)).as("n_clip_low"),
+            count(when(col("value") > col("p99"), 1)).as("n_clip_high"),
+            dsum(col("clipped")).as("clipped_sum"))
+          .orderBy(col("event_type"))
+      },
+      usEvents("WITH pct AS (SELECT event_type, " +
+        "quantile_cont(value, 0.01) AS p01, quantile_cont(value, 0.99) AS p99 " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_type, COUNT(*) AS n, " +
+        "COUNT(CASE WHEN e.value < p.p01 THEN 1 END) AS n_clip_low, " +
+        "COUNT(CASE WHEN e.value > p.p99 THEN 1 END) AS n_clip_high, " +
+        "CAST(SUM(CAST(least(greatest(e.value, p.p01), p.p99) " +
+        "AS DECIMAL(18,4))) AS DOUBLE) AS clipped_sum " +
+        "FROM events e JOIN pct p USING (event_type) " +
+        "GROUP BY 1 ORDER BY 1")),
   )
 }

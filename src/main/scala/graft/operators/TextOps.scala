@@ -234,6 +234,36 @@ object TextOps {
     // stratum, chosen by md5 rank — reproducible across engines,
     // partitionings, and reruns (rand()/TABLESAMPLE are none of these).
     // One window pass per stratum; no collect, no global sort.
+    // Deterministic train/val/test split — the LAST step before a corpus
+    // ships to training. Pure HASH-THRESHOLD assignment on the first two
+    // hex chars of a salted md5 (≈246/5/5 of 256 ⇒ ~96/2/2%): O(1) per
+    // row, no sort, no window, no shuffle beyond the 3-row rollup — the
+    // only split method that holds at 100 TB (rank/ntile splits need a
+    // global order) and stays stable when the corpus grows (a doc's
+    // split never changes, the re-train invariant). Output is the
+    // per-split audit frame: doc/lang counts + id checksum.
+    "llm_train_split" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+            1, 2).as("h2"))
+        .withColumn("split",
+          when(col("h2") < "f6", "train")
+            .when(col("h2") < "fb", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("split")),
+      "SELECT split, COUNT(*) AS n_docs, " +
+        "COUNT(DISTINCT lang)::BIGINT AS n_langs, " +
+        "SUM(doc_id)::BIGINT AS id_checksum FROM (" +
+        "SELECT doc_id, lang, CASE " +
+        "WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 2) < 'f6' THEN 'train' " +
+        "WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 2) < 'fb' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents) t " +
+        "GROUP BY 1 ORDER BY 1"),
+
     "llm_stratified_sample" -> Q(
       (s, d) => {
         val byLang = org.apache.spark.sql.expressions.Window
