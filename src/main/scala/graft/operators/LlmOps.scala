@@ -330,5 +330,68 @@ object LlmOps {
         "AS rn FROM documents) " +
         "SELECT r.doc_id, r.source, r.lang, r.rn FROM r " +
         "JOIN q USING (source, lang) WHERE r.rn <= q.quota ORDER BY r.doc_id"),
+
+    // One Lloyd iteration of k-means over the embedding corpus — the
+    // clustering primitive behind cluster-balanced curation (cluster the
+    // corpus, then sample/filter per cluster). k = 8 seed centroids are
+    // the vectors with the 8 lowest vec_ids (deterministic, seed-free —
+    // k-means++ needs sequential randomness neither engine can mirror).
+    // Assignment is squared L2 via THREE index-order dot folds
+    // (x·x + c·c − 2x·c ≡ DuckDB list_inner_product), rounded to 4dp
+    // with cid tie-break so both engines argmin identically; the argmin
+    // itself is min(struct(dist, cid, emb)) — a map-side-combinable hash
+    // agg (dist,cid is unique per vector, so the emb field never drives
+    // a comparison), NOT a per-vector sort window. New centroids are the
+    // proven exact-quantized-long-sum means (llm_embedding_agg
+    // discipline): O(1) agg state per (cluster, dim), bit-identical
+    // cross-engine. Scale shape: the centroid frame is k rows and
+    // BROADCAST — the corpus pays one narrow broadcast join, one
+    // partial-agg-collapsed shuffle of (vec_id → best) rows, and the
+    // 512-key (cluster, dim) mean agg; nothing quadratic, nothing
+    // driver-side, repeatable per iteration.
+    "llm_kmeans_step" -> Q(
+      (s, d) => {
+        val dot = dotF(s) _
+        // embeddings stay array<float> through the distance stage —
+        // DotProductF reads floats in place (getFloat on a double array
+        // would read garbage) and widens to double inside the fold,
+        // exactly what the oracle's ::DOUBLE[] cast feeds
+        // list_inner_product.
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("emb"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+        val best = emb.crossJoin(broadcast(cents))
+          .withColumn("dist", round(
+            dot(col("emb"), col("emb")) + dot(col("cemb"), col("cemb"))
+              - lit(2.0) * dot(col("emb"), col("cemb")), 4))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("cid"), col("emb"))).as("m"))
+          .select(col("m.cid").as("cid"), col("m.emb").as("emb"))
+        best
+          .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
+          .select(col("cid"), col("pos"), col("x").cast("double").as("xd"))
+          .groupBy(col("cid").as("cluster_id"), big(col("pos") + 1).as("dim"))
+          .agg(count(lit(1)).as("n_members"),
+            (sum(floor(col("xd") * lit(1e7)).cast("long")).cast("double")
+              / lit(1e7) / count(lit(1))).as("centroid"))
+          .orderBy(col("cluster_id"), col("dim"))
+      },
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8), " +
+        "a AS (SELECT e.vec_id, c.cid, e.emb, " +
+        "round(list_inner_product(e.emb, e.emb) + " +
+        "list_inner_product(c.cemb, c.cemb) - " +
+        "2.0 * list_inner_product(e.emb, c.cemb), 4) AS dist " +
+        "FROM e CROSS JOIN c), " +
+        "b AS (SELECT cid, emb FROM (SELECT vec_id, cid, emb, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+        "FROM a) z WHERE rn = 1) " +
+        "SELECT cid AS cluster_id, r.range::BIGINT AS dim, " +
+        "COUNT(*) AS n_members, " +
+        "SUM(floor(emb[r.range] * 10000000.0)::BIGINT)::DOUBLE " +
+        "/ 10000000.0 / COUNT(*) AS centroid " +
+        "FROM b CROSS JOIN range(1, 65) r " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }

@@ -483,5 +483,64 @@ object TextOps {
         "CAST(SUM(length(bin(total // tf)) - 1) AS DOUBLE) / COUNT(*) " +
         "AS avg_bits FROM w JOIN tf USING (word) CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    // CCNet-style perplexity bucketing — the curation step built ON the
+    // surprisal score: per language, docs split into head/middle/tail at
+    // the p33/p66 terciles of per-doc average surprisal (head = most
+    // fluent, the slice CCNet keeps; tail = candidate discard). Shares
+    // llm_unigram_surprisal's exact integer bit-length surprisal; the
+    // tercile cuts use the proven percentile ≡ quantile_cont parity over
+    // those bit-identical avg_bits doubles, and the cut frame is
+    // |langs|-sized and BROADCAST. Per-bucket fluency is reported as
+    // exact-int totals (sum_bits / n_tokens — summing the per-doc DOUBLE
+    // averages would be partition-order-dependent). Scale: corpus pays
+    // the same two hash aggs surprisal already pays + one broadcast
+    // join; the percentile agg state is per-lang, never corpus-sized.
+    "llm_surprisal_buckets" -> Q(
+      (s, d) => {
+        val words = T(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("word"))
+        val tf = words.groupBy(col("word")).agg(count(lit(1)).as("tf"))
+        val total = words.agg(count(lit(1)).as("total"))
+        val perDoc = words.join(broadcast(tf), "word")
+          .crossJoin(broadcast(total))
+          .withColumn("bits", big(length(bin(expr("total div tf"))) - 1))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+          .withColumn("avg_bits",
+            col("sum_bits").cast("double") / col("n_tokens"))
+        val cuts = perDoc.groupBy(col("lang"))
+          .agg(expr("percentile(avg_bits, 0.33)").as("p33"),
+            expr("percentile(avg_bits, 0.66)").as("p66"))
+        perDoc.join(broadcast(cuts), "lang")
+          .withColumn("bucket",
+            when(col("avg_bits") <= col("p33"), "head")
+              .when(col("avg_bits") <= col("p66"), "middle")
+              .otherwise("tail"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_checksum"),
+            (sum(col("sum_bits")).cast("double") /
+              sum(col("n_tokens"))).as("bucket_avg_bits"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      "WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) " +
+        "AS word FROM documents), " +
+        "tf AS (SELECT word, COUNT(*) AS tf FROM w GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS total FROM w), " +
+        "perdoc AS (SELECT doc_id, lang, COUNT(*) AS n_tokens, " +
+        "SUM(length(bin(total // tf)) - 1)::BIGINT AS sum_bits, " +
+        "CAST(SUM(length(bin(total // tf)) - 1) AS DOUBLE) / COUNT(*) " +
+        "AS avg_bits FROM w JOIN tf USING (word) CROSS JOIN tot " +
+        "GROUP BY doc_id, lang), " +
+        "cuts AS (SELECT lang, quantile_cont(avg_bits, 0.33) AS p33, " +
+        "quantile_cont(avg_bits, 0.66) AS p66 FROM perdoc GROUP BY 1) " +
+        "SELECT lang, CASE WHEN avg_bits <= p33 THEN 'head' " +
+        "WHEN avg_bits <= p66 THEN 'middle' ELSE 'tail' END AS bucket, " +
+        "COUNT(*) AS n_docs, SUM(doc_id)::BIGINT AS id_checksum, " +
+        "CAST(SUM(sum_bits) AS DOUBLE) / SUM(n_tokens) AS bucket_avg_bits " +
+        "FROM perdoc JOIN cuts USING (lang) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }
