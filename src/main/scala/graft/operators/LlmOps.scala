@@ -20,6 +20,42 @@ object LlmOps {
   // double fold — bit-identical to DuckDB list_inner_product over ::DOUBLE[].
   import graft.functions.VectorExpressions.dotF
 
+  /** Shared k-means assignment frame (vec_id, cid, emb, dist) for
+    * `llm_kmeans_step` / `llm_cluster_balanced_sample`: k = 8 seed
+    * centroids (lowest vec_ids), squared L2 via three in-place float dot
+    * folds (x·x + c·c − 2x·c), rounded 4dp so both engines argmin
+    * identically with the cid tie-break. Embeddings stay array<float>
+    * here — DotProductF reads floats in place (getFloat on a double
+    * array would read garbage) and widens inside the fold, exactly what
+    * the oracle's ::DOUBLE[] cast feeds list_inner_product. */
+  private def kmeansScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dot = dotF(s) _
+    val emb = T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("dist", round(
+        dot(col("emb"), col("emb")) + dot(col("cemb"), col("cemb"))
+          - lit(2.0) * dot(col("emb"), col("cemb")), 4))
+  }
+
+  /** DuckDB twin of [[kmeansScored]] + the argmin: CTEs `e`, `c`, `a`
+    * (scored pairs) and `b(vec_id, cid[, emb])` — rn = 1 of the
+    * (dist, cid) ordering per vector. */
+  private val kmeansCte: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8), " +
+      "a AS (SELECT e.vec_id, c.cid, e.emb, " +
+      "round(list_inner_product(e.emb, e.emb) + " +
+      "list_inner_product(c.cemb, c.cemb) - " +
+      "2.0 * list_inner_product(e.emb, c.cemb), 4) AS dist " +
+      "FROM e CROSS JOIN c), " +
+      "b AS (SELECT vec_id, cid, emb FROM (SELECT vec_id, cid, emb, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+      "FROM a) z WHERE rn = 1) "
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Exact dedup on content hash: keep the lowest doc_id per sha256(text).
@@ -351,20 +387,7 @@ object LlmOps {
     // driver-side, repeatable per iteration.
     "llm_kmeans_step" -> Q(
       (s, d) => {
-        val dot = dotF(s) _
-        // embeddings stay array<float> through the distance stage —
-        // DotProductF reads floats in place (getFloat on a double array
-        // would read garbage) and widens to double inside the fold,
-        // exactly what the oracle's ::DOUBLE[] cast feeds
-        // list_inner_product.
-        val emb = T(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").as("emb"))
-        val cents = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-        val best = emb.crossJoin(broadcast(cents))
-          .withColumn("dist", round(
-            dot(col("emb"), col("emb")) + dot(col("cemb"), col("cemb"))
-              - lit(2.0) * dot(col("emb"), col("cemb")), 4))
+        val best = kmeansScored(s, d)
           .groupBy(col("vec_id"))
           .agg(min(struct(col("dist"), col("cid"), col("emb"))).as("m"))
           .select(col("m.cid").as("cid"), col("m.emb").as("emb"))
@@ -377,21 +400,49 @@ object LlmOps {
               / lit(1e7) / count(lit(1))).as("centroid"))
           .orderBy(col("cluster_id"), col("dim"))
       },
-      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
-        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8), " +
-        "a AS (SELECT e.vec_id, c.cid, e.emb, " +
-        "round(list_inner_product(e.emb, e.emb) + " +
-        "list_inner_product(c.cemb, c.cemb) - " +
-        "2.0 * list_inner_product(e.emb, c.cemb), 4) AS dist " +
-        "FROM e CROSS JOIN c), " +
-        "b AS (SELECT cid, emb FROM (SELECT vec_id, cid, emb, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
-        "FROM a) z WHERE rn = 1) " +
+      kmeansCte +
         "SELECT cid AS cluster_id, r.range::BIGINT AS dim, " +
         "COUNT(*) AS n_members, " +
         "SUM(floor(emb[r.range] * 10000000.0)::BIGINT)::DOUBLE " +
         "/ 10000000.0 / COUNT(*) AS centroid " +
         "FROM b CROSS JOIN range(1, 65) r " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Cluster-BALANCED corpus draw — the curation step the Lloyd
+    // iteration exists for: an equal per-cluster quota flattens the
+    // cluster-size skew (dominant near-duplicate topics shrink, rare
+    // topics survive — the semantic-diversity analogue of
+    // llm_corpus_resample's domain temperature smoothing). Budget = 10%
+    // of the corpus, quota = ceil(budget / k) — ALL integer math; the
+    // draw within each cluster is md5-rank (the llm_stratified_sample
+    // discipline: reproducible across engines, partitionings, reruns).
+    // Scale shape: assignment is the broadcast k-row join + one
+    // map-side-combinable argmin agg; the ranked draw is ONE window
+    // keyed by cluster over an ids-only frame (embeddings never reach
+    // the rank shuffle); the corpus count broadcasts as a 1-row frame.
+    "llm_cluster_balanced_sample" -> Q(
+      (s, d) => {
+        val assign = kmeansScored(s, d)
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cluster_id"))
+        val n = assign.agg(count(lit(1)).as("nv"))
+        val byCluster = Window.partitionBy(col("cluster_id"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        assign
+          .withColumn("rn", big(row_number().over(byCluster)))
+          .crossJoin(broadcast(n))
+          .filter(col("rn") <= expr("((nv + 9) div 10 + 7) div 8"))
+          .select(col("vec_id"), col("cluster_id"), col("rn"))
+          .orderBy(col("vec_id"))
+      },
+      // b's emb column goes unused here — DuckDB prunes it.
+      kmeansCte +
+        ", n AS (SELECT COUNT(*) AS nv FROM e), " +
+        "r AS (SELECT vec_id, cid AS cluster_id, row_number() OVER (" +
+        "PARTITION BY cid ORDER BY md5(vec_id::VARCHAR), vec_id)::BIGINT " +
+        "AS rn FROM b) " +
+        "SELECT vec_id, cluster_id, rn FROM r CROSS JOIN n " +
+        "WHERE rn <= ((nv + 9) // 10 + 7) // 8 ORDER BY vec_id"),
   )
 }
