@@ -747,5 +747,67 @@ object EventOps {
         "SELECT user_id, SUM(len)::BIGINT AS active_days, " +
         "MAX(len) AS longest_streak, COUNT(*) AS n_streaks " +
         "FROM streaks GROUP BY 1 ORDER BY user_id")),
+
+    // Welch two-sample t statistic per event_type — the experimentation
+    // staple (is variant A's mean value different from B's?). Variant is
+    // the deterministic user-parity split (user_id % 2 — the hash-split
+    // every A/B system uses; no rand()). EVERY aggregate is exact:
+    // values quantize to floor(value·1e4) longs, sums of squares
+    // accumulate in DECIMAL(38,0) ≡ DuckDB's HUGEINT SUM (a long sum of
+    // vq² would overflow ~1e7 rows before the corpus does), and the t
+    // statistic is ONE double expression over those exact sums with a
+    // textually identical formula in both engines (the moments-from-
+    // exact-sums discipline of agg_moments_skew). One map-side-
+    // combinable hash agg on event_type — 5 groups at any scale.
+    "evt_ab_ttest" -> Q(
+      (s, d) => {
+        val q = T(s, d, "events").select(col("event_type"),
+          (col("user_id") % 2 === 0).as("is_a"),
+          floor(col("value") * 10000).cast("long").as("vq"))
+        q.groupBy(col("event_type"))
+          .agg(
+            sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("is_a"), col("vq")).otherwise(0L)).as("s_a"),
+            sum(when(!col("is_a"), col("vq")).otherwise(0L)).as("s_b"),
+            sum(when(col("is_a"), (col("vq") * col("vq")).cast("decimal(38,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("qa"),
+            sum(when(!col("is_a"), (col("vq") * col("vq")).cast("decimal(38,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("qb"))
+          .withColumn("mean_a", col("s_a").cast("double") / 10000.0 / col("n_a"))
+          .withColumn("mean_b", col("s_b").cast("double") / 10000.0 / col("n_b"))
+          .withColumn("var_a",
+            (col("qa").cast("double") / 100000000.0
+              - col("n_a") * col("mean_a") * col("mean_a")) / (col("n_a") - 1))
+          .withColumn("var_b",
+            (col("qb").cast("double") / 100000000.0
+              - col("n_b") * col("mean_b") * col("mean_b")) / (col("n_b") - 1))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            col("mean_a"), col("mean_b"),
+            round((col("mean_a") - col("mean_b")) /
+              sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 4)
+              .as("t_welch"))
+          .orderBy(col("event_type"))
+      },
+      usEvents("SELECT event_type, n_a, n_b, mean_a, mean_b, " +
+        "round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) " +
+        "AS t_welch FROM (" +
+        "SELECT event_type, n_a, n_b, mean_a, mean_b, " +
+        "(qa / 100000000.0 - n_a * mean_a * mean_a) / (n_a - 1) AS var_a, " +
+        "(qb / 100000000.0 - n_b * mean_b * mean_b) / (n_b - 1) AS var_b " +
+        "FROM (SELECT event_type, n_a, n_b, " +
+        "CAST(s_a AS DOUBLE) / 10000.0 / n_a AS mean_a, " +
+        "CAST(s_b AS DOUBLE) / 10000.0 / n_b AS mean_b, " +
+        "CAST(sq_a AS DOUBLE) AS qa, CAST(sq_b AS DOUBLE) AS qb " +
+        "FROM (SELECT event_type, " +
+        "SUM(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a, " +
+        "SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b, " +
+        "SUM(CASE WHEN is_a THEN vq ELSE 0 END)::BIGINT AS s_a, " +
+        "SUM(CASE WHEN NOT is_a THEN vq ELSE 0 END)::BIGINT AS s_b, " +
+        "SUM(CASE WHEN is_a THEN vq * vq ELSE 0 END) AS sq_a, " +
+        "SUM(CASE WHEN NOT is_a THEN vq * vq ELSE 0 END) AS sq_b " +
+        "FROM (SELECT event_type, user_id % 2 = 0 AS is_a, " +
+        "floor(value * 10000)::BIGINT AS vq FROM events) v " +
+        "GROUP BY 1) g) m) t ORDER BY event_type")),
   )
 }
