@@ -809,5 +809,55 @@ object EventOps {
         "FROM (SELECT event_type, user_id % 2 = 0 AS is_a, " +
         "floor(value * 10000)::BIGINT AS vq FROM events) v " +
         "GROUP BY 1) g) m) t ORDER BY event_type")),
+
+    // SCD-2 (type-2 slowly-changing-dimension) state history: collapse each
+    // user's event stream into validity intervals of consecutive identical
+    // event_type — the dimension-table build every warehouse runs nightly
+    // (user_id, version, state, valid_from, valid_to, is_current).
+    // Gaps-and-islands: lag detects the state change, the running sum of
+    // change flags IS the 1-based version number, islands group-by, lead
+    // closes each interval with the next one's open edge. Every window is
+    // partitioned by user_id (per-user frames are session-sized, never
+    // corpus-sized — the partitioning that holds at 100 TB); timestamps
+    // emit as epoch-µs BIGINTs (events.ts is µs-truncated on read, §7.4.2).
+    "evt_scd2_state" -> Q(
+      (s, d) => {
+        val islands = T(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(arrivalW))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("version", sum(col("chg")).over(
+            arrivalW.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("version"))
+          .agg(min(col("event_type")).as("state"),
+            min(unix_micros(col("ts"))).as("valid_from_us"),
+            count(lit(1)).as("n_events"))
+        val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+        islands
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
+          .withColumn("is_current", col("valid_to_us").isNull)
+          .select(col("user_id"), col("version"), col("state"),
+            col("valid_from_us"), col("valid_to_us"), col("n_events"),
+            col("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      usEvents("WITH c AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN lag(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) IS DISTINCT FROM event_type " +
+        "THEN 1 ELSE 0 END AS chg FROM events), " +
+        "v AS (SELECT user_id, ts, event_type, " +
+        "SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS version FROM c), " +
+        "i AS (SELECT user_id, version, MIN(event_type) AS state, " +
+        "MIN(epoch_us(ts))::BIGINT AS valid_from_us, " +
+        "COUNT(*)::BIGINT AS n_events FROM v GROUP BY 1, 2) " +
+        "SELECT user_id, version, state, valid_from_us, " +
+        "lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)" +
+        "::BIGINT AS valid_to_us, n_events, " +
+        "lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) " +
+        "IS NULL AS is_current " +
+        "FROM i ORDER BY user_id, version")),
   )
 }

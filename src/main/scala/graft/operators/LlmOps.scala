@@ -444,5 +444,57 @@ object LlmOps {
         "AS rn FROM b) " +
         "SELECT vec_id, cluster_id, rn FROM r CROSS JOIN n " +
         "WHERE rn <= ((nv + 9) // 10 + 7) // 8 ORDER BY vec_id"),
+
+    // BM25 top-10 retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    // the keyword-search sibling of llm_cosine_topk (lexical vs semantic
+    // retrieval). idf stays LOG-FREE (N/df, the llm_tfidf_terms rational)
+    // so ln() never enters an oracled key (§7.4); the BM25-specific part —
+    // per-term tf saturation with document-length normalization — is one
+    // textually identical double expression in both engines, quantized to
+    // floor(score·1e4) longs per (doc, term) BEFORE the per-doc sum (a
+    // double sum over the ≤3 matched terms would be addend-order-
+    // dependent; the long sum is exact), final score = one division.
+    // Shape at 100 TB: the token stream filters to the 3 query terms
+    // BEFORE any agg (matched-docs-sized, not corpus-sized); df and the
+    // corpus totals are broadcast 1-row/3-row frames; doc lengths are one
+    // map-side-combinable hash agg; top-10 is TakeOrderedAndProject (no
+    // global sort materialization).
+    "llm_bm25_topk" -> Q(
+      (s, d) => {
+        val words = T(s, d, "documents").select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        val lens = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val totals = lens.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+        val qtf = words.filter(col("word").isin("spark", "join", "hash"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        val dfreq = qtf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        qtf.join(broadcast(dfreq), "word")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(totals))
+          .withColumn("sq", expr(
+            "CAST(floor((CAST(nd AS DOUBLE) / df) * (tf * 2.2) / " +
+              "(tf + 1.2 * (0.25 + 0.75 * (dl * nd) / tt)) * 10000) AS BIGINT)"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("sq")).as("score_q"))
+          .withColumn("score", col("score_q").cast("double") / 10000.0)
+          .select(col("doc_id"), col("n_terms"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+        "FROM documents), " +
+        "l AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1), " +
+        "t AS (SELECT SUM(dl)::BIGINT AS tt, COUNT(*)::BIGINT AS nd FROM l), " +
+        "q AS (SELECT doc_id, word, COUNT(*) AS tf FROM w " +
+        "WHERE word IN ('spark', 'join', 'hash') GROUP BY 1, 2), " +
+        "f AS (SELECT word, COUNT(*) AS df FROM q GROUP BY 1), " +
+        "s AS (SELECT q.doc_id, " +
+        "floor((CAST(nd AS DOUBLE) / df) * (tf * 2.2) / " +
+        "(tf + 1.2 * (0.25 + 0.75 * (dl * nd) / tt)) * 10000)::BIGINT AS sq " +
+        "FROM q JOIN f USING (word) JOIN l ON q.doc_id = l.doc_id " +
+        "CROSS JOIN t) " +
+        "SELECT doc_id, COUNT(*)::BIGINT AS n_terms, " +
+        "CAST(SUM(sq) AS DOUBLE) / 10000.0 AS score " +
+        "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"),
   )
 }

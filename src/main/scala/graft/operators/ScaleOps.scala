@@ -496,5 +496,39 @@ object ScaleOps {
         "FROM (SELECT user_id, event_type, " +
         "SUM(CAST(value AS DECIMAL(18,4))) AS uv, COUNT(*) AS n " +
         "FROM events GROUP BY 1, 2) t GROUP BY 1 ORDER BY event_type"),
+
+    // Join-key skew diagnosis — the measurement that DECIDES between the
+    // plain, salted (scale_salted_agg) and AQE-split (scale_skew_join)
+    // strategies: a log2-bucketed counts-of-counts histogram of rows per
+    // key (bucket b holds keys seen [2^b, 2^(b+1)) times). Two hash aggs:
+    // the corpus-sized per-key count (map-side combinable) then a ≤64-row
+    // bucket rollup — NEVER a percentile over the per-key frame (exact
+    // percentiles buffer the keys-sized frame in one task; at 1e9 keys
+    // that is the OOM this key exists to prevent). Share is one double
+    // division against a broadcast 1-row total.
+    "scale_skew_profile" -> Q(
+      (s, d) => {
+        val perKey = T(s, d, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        val tot = perKey.agg(sum(col("cnt")).as("total"))
+        perKey
+          .withColumn("bucket", big(length(bin(col("cnt"))) - 1))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("max_cnt"))
+          .crossJoin(broadcast(tot))
+          .withColumn("row_share",
+            round(col("n_rows").cast("double") / col("total"), 4))
+          .select(col("bucket"), col("n_keys"), col("n_rows"),
+            col("max_cnt"), col("row_share"))
+          .orderBy(col("bucket"))
+      },
+      "WITH pk AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1), " +
+        "t AS (SELECT SUM(cnt)::BIGINT AS total FROM pk) " +
+        "SELECT (length(bin(cnt)) - 1)::BIGINT AS bucket, " +
+        "COUNT(*)::BIGINT AS n_keys, SUM(cnt)::BIGINT AS n_rows, " +
+        "MAX(cnt)::BIGINT AS max_cnt, " +
+        "round(CAST(SUM(cnt) AS DOUBLE) / MAX(total), 4) AS row_share " +
+        "FROM pk CROSS JOIN t GROUP BY 1 ORDER BY bucket"),
   )
 }
