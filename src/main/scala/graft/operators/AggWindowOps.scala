@@ -572,5 +572,51 @@ object AggWindowOps {
         "AS bucket, COUNT(*) AS n, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
         "FROM lineitem, b GROUP BY 1 ORDER BY bucket"),
+
+    // cume_dist + nth_value — the two §2.E navigation functions the window
+    // family didn't yet cover. cume_dist over the unique (ts, event_id)
+    // order is the exact rational k/n (one double division per row, same
+    // op both engines, rounded 4dp); nth_value frame pinned to ROWS in
+    // both so the 3rd value only appears once three rows exist.
+    "win_cume_dist_nth" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(cume_dist().over(userW), 4).as("cd"),
+          nth_value(col("value"), 3).over(
+            userW.rowsBetween(Window.unboundedPreceding, 0)).as("third_value"))
+        .orderBy(col("event_id")),
+      usEvents("SELECT event_id, user_id, value, " +
+        "round(cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) " +
+        "AS cd, " +
+        "nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_value " +
+        "FROM events ORDER BY event_id")),
+
+    // Deterministic MODE per group (most frequent floor(value) bucket,
+    // smallest bucket on count ties — never the engine's arbitrary pick):
+    // counts → per-group max count → tie-break by MIN over the equal-count
+    // buckets. Three hash aggs and one broadcast-sized join on the
+    // (group, max) frame; no windows, no value-domain assumptions beyond
+    // the bucket floor. The shape every "top value per segment" report
+    // compiles to at scale.
+    "agg_mode" -> Q(
+      (s, d) => {
+        val cnts = T(s, d, "events")
+          .groupBy(col("event_type"), floor(col("value")).cast("long").as("vb"))
+          .agg(count(lit(1)).as("cnt"))
+        val best = cnts.groupBy(col("event_type")).agg(max(col("cnt")).as("mc"))
+        cnts.join(broadcast(best), "event_type")
+          .filter(col("cnt") === col("mc"))
+          .groupBy(col("event_type"))
+          .agg(min(col("vb")).as("mode_bucket"), max(col("mc")).as("n_mode"))
+          .orderBy(col("event_type"))
+      },
+      usEvents("WITH c AS (SELECT event_type, floor(value)::BIGINT AS vb, " +
+        "COUNT(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, MAX(cnt) AS mc FROM c GROUP BY 1) " +
+        "SELECT c.event_type, MIN(c.vb) AS mode_bucket, " +
+        "MAX(m.mc)::BIGINT AS n_mode " +
+        "FROM c JOIN m ON c.event_type = m.event_type AND c.cnt = m.mc " +
+        "GROUP BY 1 ORDER BY c.event_type")),
   )
 }

@@ -859,5 +859,104 @@ object EventOps {
         "lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) " +
         "IS NULL AS is_current " +
         "FROM i ORDER BY user_id, version")),
+
+    // Cohort LTV matrix — evt_retention_cohort's revenue sibling: per
+    // (signup-day cohort × day offset) the active users, period value, the
+    // RUNNING cumulative value, and LTV per original cohort member. Money
+    // stays DECIMAL(18,4) through every sum including the running window
+    // (a double running sum would be addend-order-dependent); the two
+    // per-row divisions are single double ops rounded 4dp. Scale shape:
+    // the heavy aggs key on (user, day) and (cohort, offset) — both hash
+    // aggs; the running-sum window partitions by cohort_day with an
+    // offsets-sized frame (≤ calendar days, BOUNDED — never user- or
+    // event-sized); cohort sizes are a days-sized broadcast.
+    "evt_cohort_ltv" -> Q(
+      (s, d) => {
+        val uday = T(s, d, "events")
+          .groupBy(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+          .agg(sum(dec(col("value"))).as("dv"))
+        val first = uday.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        val sizes = first.groupBy(col("cohort_day"))
+          .agg(count(lit(1)).as("cohort_users"))
+        val cell = uday.join(first, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+          .agg(count(lit(1)).as("n_active"), sum(col("dv")).as("pv"))
+        val byOffset = Window.partitionBy(col("cohort_day"))
+          .orderBy(col("day_offset"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        cell.join(broadcast(sizes), "cohort_day")
+          .withColumn("cum", sum(col("pv")).over(byOffset))
+          .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+            col("day_offset"), col("n_active"), col("cohort_users"),
+            col("pv").cast("double").as("period_value"),
+            col("cum").cast("double").as("cum_value"),
+            // floor-quantized, not round(): the decimal-exact cum divided
+            // by an integer lands on 5th-digit ties where Spark rounds
+            // half-up and DuckDB half-even (§7.4) — floor has no tie.
+            (floor(col("cum").cast("double") / col("cohort_users") * 10000)
+              .cast("long") / 10000.0).as("ltv"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      usEvents("WITH uday AS (SELECT user_id, date_trunc('day', ts)::DATE AS day, " +
+        "SUM(CAST(value AS DECIMAL(18,4))) AS dv FROM events GROUP BY 1, 2), " +
+        "fst AS (SELECT user_id, MIN(day) AS cohort_day FROM uday GROUP BY 1), " +
+        "sz AS (SELECT cohort_day, COUNT(*)::BIGINT AS cohort_users FROM fst " +
+        "GROUP BY 1), " +
+        "cell AS (SELECT f.cohort_day, " +
+        "date_diff('day', f.cohort_day, u.day)::BIGINT AS day_offset, " +
+        "COUNT(*)::BIGINT AS n_active, SUM(u.dv) AS pv " +
+        "FROM uday u JOIN fst f ON u.user_id = f.user_id GROUP BY 1, 2) " +
+        "SELECT c.cohort_day::TIMESTAMP AS cohort_day, c.day_offset, " +
+        "c.n_active, s.cohort_users, CAST(c.pv AS DOUBLE) AS period_value, " +
+        "CAST(SUM(c.pv) OVER (PARTITION BY c.cohort_day ORDER BY c.day_offset " +
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value, " +
+        "floor(CAST(SUM(c.pv) OVER (PARTITION BY c.cohort_day " +
+        "ORDER BY c.day_offset ROWS UNBOUNDED PRECEDING) AS DOUBLE) " +
+        "/ s.cohort_users * 10000)::BIGINT / 10000.0 AS ltv " +
+        "FROM cell c JOIN sz s ON c.cohort_day = s.cohort_day " +
+        "ORDER BY cohort_day, day_offset")),
+
+    // Audience overlap: pairwise Jaccard of the user sets behind each
+    // event_type (the segment-overlap report behind every campaign
+    // planner). The intersection comes from a per-user self-join of the
+    // distinct (user, type) frame — each user contributes at most
+    // C(|types|, 2) = 10 pairs, so the join amplifies by a CONSTANT, never
+    // quadratically in users; set sizes are a |types|-row broadcast; the
+    // Jaccard is one double division rounded 4dp.
+    "evt_user_overlap_jaccard" -> Q(
+      (s, d) => {
+        val ut = T(s, d, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val inter = ut.as("a")
+          .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        inter
+          .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+            .withColumnRenamed("n", "n_a")), "type_a")
+          .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+            .withColumnRenamed("n", "n_b")), "type_b")
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            round(col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both")), 4).as("jaccard"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      usEvents("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "sz AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM ut GROUP BY 1), " +
+        "iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "COUNT(*)::BIGINT AS n_both FROM ut a JOIN ut b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both, " +
+        "round(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 4) " +
+        "AS jaccard " +
+        "FROM iv i JOIN sz sa ON i.type_a = sa.event_type " +
+        "JOIN sz sb ON i.type_b = sb.event_type " +
+        "ORDER BY type_a, type_b")),
   )
 }
