@@ -69,6 +69,11 @@ object ScaleOps {
   def zorderLayoutDir(d: String): String =
     scratch(s"zorder_layout_${Scale.dirTag(d)}")
 
+  /** Compacted hive-partitioned scratch path for input dir `d` (exposed for
+    * ScaleSpec's one-file-per-partition audit). */
+  def compactLayoutDir(d: String): String =
+    scratch(s"compact_layout_${Scale.dirTag(d)}")
+
   /** The 2-D box filter `scale_zorder_scan` scans with: [5%, 15%] of each
     * key's max, in exact integer math (`max*k/100` in Long space — the
     * oracle computes the identical `(k*max(..))//100`), so the box is
@@ -530,5 +535,39 @@ object ScaleOps {
         "MAX(cnt)::BIGINT AS max_cnt, " +
         "round(CAST(SUM(cnt) AS DOUBLE) / MAX(total), 4) AS row_share " +
         "FROM pk CROSS JOIN t GROUP BY 1 ORDER BY bucket"),
+
+    // Small-file compaction on a hive-partitioned write — the #1
+    // operational failure mode of a 100 TB lake: a naive
+    // `df.write.partitionBy(k)` emits one file per (task × key), so a
+    // 1000-task stage over 5 keys lands 5,000 files and the NEXT job's
+    // planning chokes on footers. The fix is ONE hash shuffle on the
+    // partition key before the write — every key's rows land in exactly
+    // one task, so each hive directory holds exactly one file (asserted
+    // against the written tree in ScaleSpec). The oracle proves the
+    // shuffle+layout is a pure rewrite: the compacted lake reads back ≡
+    // the plain table. ts is excluded from the payload (parquet ns
+    // round-trip is a different key's concern, §7.4.2).
+    "scale_compact_write" -> Q(
+      (s0, d) => {
+        val p = compactLayoutDir(d)
+        Scale.writeOnce(s"compact_layout|$d") {
+          T(s0, d, "events")
+            .select(col("event_id"), col("user_id"), col("value"),
+              col("event_type"))
+            .repartition(col("event_type"))
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(p)
+        }
+        s0.read.parquet(p)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"), dsum(col("value")).as("total"))
+          .orderBy(col("event_type"))
+      },
+      "SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, " +
+        "MAX(event_id) AS max_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM events GROUP BY 1 ORDER BY event_type"),
   )
 }

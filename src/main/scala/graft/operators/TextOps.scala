@@ -542,5 +542,52 @@ object TextOps {
         "CAST(SUM(sum_bits) AS DOUBLE) / SUM(n_tokens) AS bucket_avg_bits " +
         "FROM perdoc JOIN cuts USING (lang) " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Bigram-LM surprisal — the CONDITIONAL sibling of
+    // llm_unigram_surprisal: per-token cost is -log2 p(w2|w1) with
+    // p(w2|w1) = c(w1 w2) / c(w1·), where c(w1·) counts w1 as a CONTEXT
+    // (bigrams starting with w1 — the normalization that sums to 1), both
+    // exact corpus counts. Same integer bit-length quantization
+    // (length(bin(c1 div c12)) − 1) so no ln() enters the oracle. The
+    // scale difference vs unigram, stated honestly: the CONTEXT table is
+    // vocabulary-sized (broadcast), but the BIGRAM table grows ~O(vocab²)
+    // — at 100 TB that is 1e8+ rows, NOT broadcastable, so it joins as a
+    // plain shuffle hash join on the bigram key (both sides hash-
+    // partition; no window, no driver state). Docs shorter than 2 tokens
+    // have no bigrams and drop out in both engines.
+    "llm_bigram_surprisal" -> Q(
+      (s, d) => {
+        val bigr = T(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws) - 1), " +
+              "i -> struct(ws[i - 1] AS w1, " +
+              "concat(ws[i - 1], ' ', ws[i]) AS bg))")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+        val c1 = bigr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val c12 = bigr.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        bigr.join(broadcast(c1), "w1").join(c12, "bg")
+          .withColumn("bits", big(length(bin(expr("c1 div c12"))) - 1))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+          .withColumn("avg_bits",
+            col("sum_bits").cast("double") / col("n_bigrams"))
+          .orderBy(col("doc_id"))
+      },
+      "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, " +
+        "unnest(list_transform(generate_series(2, len(ws)), i -> ws[i - 1])) " +
+        "AS w1, " +
+        "unnest(list_transform(generate_series(2, len(ws)), " +
+        "i -> ws[i - 1] || ' ' || ws[i])) AS bg FROM s), " +
+        "c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1), " +
+        "c12 AS (SELECT bg, COUNT(*) AS c12 FROM b GROUP BY 1) " +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, " +
+        "SUM(length(bin(c1 // c12)) - 1)::BIGINT AS sum_bits, " +
+        "CAST(SUM(length(bin(c1 // c12)) - 1) AS DOUBLE) / COUNT(*) " +
+        "AS avg_bits FROM b JOIN c1 USING (w1) JOIN c12 USING (bg) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
   )
 }

@@ -318,4 +318,17 @@ class ScaleSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
       "skew-key session conf leaked into the shared session")
   }
+
+  test("scale_compact_write: each hive partition dir holds exactly one file") {
+    assert(SparkEntry.queries("scale_compact_write")(spark, sf01).count() > 0)
+    val root = new java.io.File(graft.operators.ScaleOps.compactLayoutDir(sf01))
+    val dirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("event_type="))
+    assert(dirs.nonEmpty, s"no hive partition dirs under $root")
+    dirs.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${dir.getName}: expected 1 compacted file, found ${files.length}")
+    }
+  }
 }
