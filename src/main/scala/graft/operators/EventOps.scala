@@ -22,6 +22,27 @@ object EventOps {
   private def arrivalW = Window.partitionBy(col("user_id"))
     .orderBy(col("ts"), col("event_id"))
 
+  /** SCD-2 interval frame (user_id, version, state, valid_from_us,
+    * valid_to_us, n_events) shared by `evt_scd2_state` (full history) and
+    * `stream_scd2` (closed intervals — the streaming twin's emission). */
+  private def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val islands = T(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(arrivalW))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        arrivalW.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+        min(unix_micros(col("ts"))).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    islands.withColumn("valid_to_us",
+      lead(col("valid_from_us"), 1).over(byVersion))
+  }
+
   /** Per-user sessionization: lag-gap flag → running sum = session seq. */
   def sessionized(s: SparkSession, d: String): DataFrame =
     T(s, d, "events")
@@ -821,28 +842,12 @@ object EventOps {
     // corpus-sized — the partitioning that holds at 100 TB); timestamps
     // emit as epoch-µs BIGINTs (events.ts is µs-truncated on read, §7.4.2).
     "evt_scd2_state" -> Q(
-      (s, d) => {
-        val islands = T(s, d, "events")
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("prev", lag(col("event_type"), 1).over(arrivalW))
-          .withColumn("chg",
-            when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
-              .otherwise(0L))
-          .withColumn("version", sum(col("chg")).over(
-            arrivalW.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy(col("user_id"), col("version"))
-          .agg(min(col("event_type")).as("state"),
-            min(unix_micros(col("ts"))).as("valid_from_us"),
-            count(lit(1)).as("n_events"))
-        val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
-        islands
-          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
-          .withColumn("is_current", col("valid_to_us").isNull)
-          .select(col("user_id"), col("version"), col("state"),
-            col("valid_from_us"), col("valid_to_us"), col("n_events"),
-            col("is_current"))
-          .orderBy(col("user_id"), col("version"))
-      },
+      (s, d) => scd2Intervals(s, d)
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from_us"), col("valid_to_us"), col("n_events"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("version")),
       usEvents("WITH c AS (SELECT user_id, ts, event_id, event_type, " +
         "CASE WHEN lag(event_type) OVER (PARTITION BY user_id " +
         "ORDER BY ts, event_id) IS DISTINCT FROM event_type " +
@@ -859,6 +864,33 @@ object EventOps {
         "lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) " +
         "IS NULL AS is_current " +
         "FROM i ORDER BY user_id, version")),
+
+    // Batch twin of StreamOps.scd2Stream: the CLOSED intervals of
+    // evt_scd2_state (is_current = false) — exactly what the streaming
+    // processor emits in append mode; the open interval lives in state.
+    // Stream ≡ batch is pinned in StreamingSpec.
+    "stream_scd2" -> Q(
+      (s, d) => scd2Intervals(s, d)
+        .filter(col("valid_to_us").isNotNull)
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from_us"), col("valid_to_us"), col("n_events"))
+        .orderBy(col("user_id"), col("version")),
+      usEvents("WITH c AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN lag(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) IS DISTINCT FROM event_type " +
+        "THEN 1 ELSE 0 END AS chg FROM events), " +
+        "v AS (SELECT user_id, ts, event_type, " +
+        "SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS version FROM c), " +
+        "i AS (SELECT user_id, version, MIN(event_type) AS state, " +
+        "MIN(epoch_us(ts))::BIGINT AS valid_from_us, " +
+        "COUNT(*)::BIGINT AS n_events FROM v GROUP BY 1, 2), " +
+        "x AS (SELECT user_id, version, state, valid_from_us, " +
+        "lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)" +
+        "::BIGINT AS valid_to_us, n_events FROM i) " +
+        "SELECT user_id, version, state, valid_from_us, valid_to_us, " +
+        "n_events FROM x WHERE valid_to_us IS NOT NULL " +
+        "ORDER BY user_id, version")),
 
     // Cohort LTV matrix — evt_retention_cohort's revenue sibling: per
     // (signup-day cohort × day offset) the active users, period value, the

@@ -887,6 +887,103 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One CLOSED SCD-2 validity interval (the streaming twin of an
+    * `evt_scd2_state` row with is_current = false; the open interval lives
+    * in state and is never emitted — append mode emits each closed
+    * interval exactly once). */
+  case class Scd2Out(user_id: Long, version: Long, state: String,
+      valid_from_us: Long, valid_to_us: Long, n_events: Long)
+
+  private case class Scd2Pending(tsUs: Long, eventId: Long, etype: String)
+
+  private case class Scd2Open(version: Long, state: String, fromUs: Long,
+      n: Long)
+
+  /** Streaming SCD-2 state-history build — the transformWithState twin of
+    * `evt_scd2_state`. Event-time-robust the way the session/attribution
+    * processors are: events buffer in ListState until the watermark passes
+    * their timestamp, then fold into the open island in exact (ts,
+    * event_id) order — so cross-batch arrival order CANNOT diverge from
+    * the batch twin's global sort (the r4 attribution lesson). A state
+    * change closes the open island and emits it with valid_to = the new
+    * island's open edge, version numbers increment per user exactly as the
+    * batch running sum does. State per user is O(watermark-delay) pending
+    * events plus one 4-field open island — never the history. */
+  class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Scd2Out] {
+    @transient private var pending:
+      org.apache.spark.sql.streaming.ListState[Scd2Pending] = _
+    @transient private var open:
+      org.apache.spark.sql.streaming.ValueState[Scd2Open] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[Scd2Pending]("scd2_pending",
+        org.apache.spark.sql.Encoders.product[Scd2Pending],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      open = getHandle.getValueState[Scd2Open]("scd2_open",
+        org.apache.spark.sql.Encoders.product[Scd2Open],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def flush(key: Long, wmMs: Long): Iterator[Scd2Out] = {
+      val evs = {
+        val it = pending.get()
+        val b = Seq.newBuilder[Scd2Pending]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      if (evs.isEmpty) return Iterator.empty
+      // an event is final only once the ms watermark is strictly past its
+      // µs timestamp (the same strictness the day-grain processors use)
+      val (fin, rest) = evs.partition(e => wmMs * 1000L > e.tsUs)
+      pending.clear()
+      rest.foreach(pending.appendValue)
+      if (rest.nonEmpty)
+        getHandle.registerTimer(rest.map(_.tsUs).min / 1000L + 1L)
+      if (fin.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[Scd2Out]
+      var cur = Option(open.get())
+      fin.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+        cur match {
+          case None =>
+            cur = Some(Scd2Open(1L, e.etype, e.tsUs, 1L))
+          case Some(o) if o.state == e.etype =>
+            cur = Some(o.copy(n = o.n + 1))
+          case Some(o) =>
+            out += Scd2Out(key, o.version, o.state, o.fromUs, e.tsUs, o.n)
+            cur = Some(Scd2Open(o.version + 1L, e.etype, e.tsUs, 1L))
+        }
+      }
+      cur.foreach(open.update)
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Scd2Out] = {
+      rows.foreach(e =>
+        pending.appendValue(Scd2Pending(micros(e.ts), e.event_id, e.event_type)))
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Scd2Out] =
+      flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def wauSketchStream(events: Dataset[Event], p: Int = 12): Dataset[WauEstimate] = {
     import events.sparkSession.implicits._
     events

@@ -308,6 +308,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD-2 (transformWithState) closed intervals == stream_scd2 batch") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.scd2Stream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_scd2").start()
+    try {
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // push the watermark far past the fixture so every closable
+      // interval closes (the per-user OPEN interval stays in state)
+      val far = typedEvents.map(e => StreamOps.micros(e.ts)).max / 1000L +
+        30L * 24 * 3600 * 1000
+      mem.addData(Seq(Event(999901L, new java.sql.Timestamp(far), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      def norm(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // each closed interval emits exactly once, in the batch twin's exact
+      // (version, state, bounds, count) shape
+      val got = spark.table("t_scd2").filter($"user_id" =!= 999999L)
+        .select($"user_id", $"version", $"state", $"valid_from_us",
+          $"valid_to_us", $"n_events")
+        .collect().map(norm).sortBy(t => (t._1, t._2)).toSeq
+      val want = SparkEntry.queries("stream_scd2")(spark, sf001)
+        .collect().map(norm).sortBy(t => (t._1, t._2)).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming streaks (transformWithState) final state == evt_streaks batch") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
