@@ -618,5 +618,25 @@ object AggWindowOps {
         "MAX(m.mc)::BIGINT AS n_mode " +
         "FROM c JOIN m ON c.event_type = m.event_type AND c.cnt = m.mc " +
         "GROUP BY 1 ORDER BY c.event_type")),
+
+    // LISTAGG / string_agg with a DETERMINISTIC element order (the report
+    // column every BI export wants): collect → sort → join, so the csv is
+    // identical whatever the partitioning; DuckDB's ORDER BY inside the
+    // aggregate mirrors it. The collected group here is dimension-sized
+    // (nations per region); the same shape over a data-sized group would
+    // be the collect_list OOM the centroid rewrite killed — the in-code
+    // rule is "listagg only over dimension-bounded groups".
+    "agg_string_concat" -> Q(
+      (s, d) => T(s, d, "nation")
+        .join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations_csv"))
+        .orderBy(col("r_name")),
+      "SELECT r_name, COUNT(*) AS n_nations, " +
+        "string_agg(n_name, ',' ORDER BY n_name) AS nations_csv " +
+        "FROM nation JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"),
   )
 }

@@ -990,5 +990,47 @@ object EventOps {
         "FROM iv i JOIN sz sa ON i.type_a = sa.event_type " +
         "JOIN sz sb ON i.type_b = sb.event_type " +
         "ORDER BY type_a, type_b")),
+
+    // Time-to-convert distribution: for every purchase, the µs delay since
+    // the SAME user's most recent prior view (a per-user running max of
+    // view timestamps — one window pass, no self-join), reported as a
+    // log2-bucketed delay histogram. The histogram — not a percentile —
+    // is deliberate: exact percentiles over the corpus-sized delay frame
+    // buffer it in one task (the anti-pattern scale_skew_profile documents);
+    // the bit-length bucket keeps the output ≤64 rows at any scale with
+    // exact integer math. Delay sums stay in exact longs; the mean is the
+    // single final division.
+    "evt_time_to_convert" -> Q(
+      (s, d) => {
+        val runW = arrivalW.rowsBetween(Window.unboundedPreceding, 0)
+        T(s, d, "events")
+          .withColumn("last_view_us",
+            max(when(col("event_type") === "view", unix_micros(col("ts"))))
+              .over(runW))
+          .filter(col("event_type") === "purchase" &&
+            col("last_view_us").isNotNull)
+          .withColumn("delay_us", unix_micros(col("ts")) - col("last_view_us"))
+          .withColumn("bucket", big(length(bin(col("delay_us"))) - 1))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_conversions"),
+            min(col("delay_us")).as("min_delay_us"),
+            max(col("delay_us")).as("max_delay_us"),
+            (sum(col("delay_us")).cast("double") / count(lit(1)))
+              .as("avg_delay_us"))
+          .orderBy(col("bucket"))
+      },
+      usEvents("WITH pv AS (SELECT event_type, " +
+        "MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS last_view_us, " +
+        "epoch_us(ts) AS ts_us FROM events), " +
+        "dl AS (SELECT ts_us - last_view_us AS delay_us FROM pv " +
+        "WHERE event_type = 'purchase' AND last_view_us IS NOT NULL) " +
+        "SELECT (length(bin(delay_us)) - 1)::BIGINT AS bucket, " +
+        "COUNT(*)::BIGINT AS n_conversions, " +
+        "MIN(delay_us)::BIGINT AS min_delay_us, " +
+        "MAX(delay_us)::BIGINT AS max_delay_us, " +
+        "CAST(SUM(delay_us) AS DOUBLE) / COUNT(*) AS avg_delay_us " +
+        "FROM dl GROUP BY 1 ORDER BY bucket")),
   )
 }

@@ -131,5 +131,32 @@ object SubqueryOps {
         .orderBy(col("event_id")),
       "SELECT event_id, user_id, event_type, value FROM events " +
         "WHERE md5(event_id::VARCHAR) < '2' ORDER BY event_id"),
+
+    // Quantified comparisons (> ALL / > ANY) — the §2.C subquery form Spark
+    // has no surface syntax for: `x > ALL (S)` compiles to `x > max(S)`
+    // and `x > ANY (S)` to `x > min(S)` (equivalent for a non-empty,
+    // null-free S — both hold here and the oracle uses DuckDB's REAL
+    // quantified operators to prove the rewrite). The subquery collapses
+    // to a broadcast 1-row (max, min) bound — the only plan that makes
+    // sense at any scale; flags are emitted (not filtered) so the result
+    // exercises both truth values.
+    "sub_any_all" -> Q(
+      (s, d) => {
+        val part = T(s, d, "part")
+        val bounds = part.filter(col("p_brand") === "Brand#13")
+          .agg(max(col("p_retailprice")).as("mx"),
+            min(col("p_retailprice")).as("mn"))
+        part.crossJoin(broadcast(bounds))
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+            (col("p_retailprice") > col("mx")).as("gt_all_b13"),
+            (col("p_retailprice") > col("mn")).as("gt_any_b13"))
+          .orderBy(col("p_partkey"))
+      },
+      "SELECT p_partkey, p_brand, p_retailprice, " +
+        "p_retailprice > ALL (SELECT p_retailprice FROM part " +
+        "WHERE p_brand = 'Brand#13') AS gt_all_b13, " +
+        "p_retailprice > ANY (SELECT p_retailprice FROM part " +
+        "WHERE p_brand = 'Brand#13') AS gt_any_b13 " +
+        "FROM part ORDER BY p_partkey"),
   )
 }
