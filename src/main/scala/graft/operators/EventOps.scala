@@ -1032,5 +1032,42 @@ object EventOps {
         "MAX(delay_us)::BIGINT AS max_delay_us, " +
         "CAST(SUM(delay_us) AS DOUBLE) / COUNT(*) AS avg_delay_us " +
         "FROM dl GROUP BY 1 ORDER BY bucket")),
+
+    // New-vs-returning daily split — the acquisition report next to DAU:
+    // a user counts as new on their first active day, returning after.
+    // Same two hash aggs evt_retention_cohort pays ((user, day) distinct,
+    // then per-user min); the daily rollup keys on the calendar. new_share
+    // is the single double division, floor-quantized (no round ties).
+    "evt_new_vs_returning" -> Q(
+      (s, d) => {
+        val act = T(s, d, "events")
+          .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+          .distinct()
+        val first = act.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+        act.join(first, "user_id")
+          // flag BEFORE the rollup: after the grouping alias re-types day
+          // to timestamp, a day=first_day comparison would be ambiguous
+          .select(col("day"),
+            when(col("day") === col("first_day"), 1L).otherwise(0L).as("isn"))
+          .groupBy(col("day").cast("timestamp").as("day"))
+          .agg(sum(col("isn")).as("n_new"),
+            sum(lit(1L) - col("isn")).as("n_returning"),
+            count(lit(1)).as("n_active"))
+          .withColumn("new_share",
+            floor(col("n_new").cast("double") / col("n_active") * 10000)
+              .cast("long") / 10000.0)
+          .orderBy(col("day"))
+      },
+      usEvents("WITH act AS (SELECT DISTINCT user_id, " +
+        "date_trunc('day', ts)::DATE AS day FROM events), " +
+        "fst AS (SELECT user_id, MIN(day) AS first_day FROM act GROUP BY 1) " +
+        "SELECT day::TIMESTAMP AS day, " +
+        "SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT AS n_new, " +
+        "SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_returning, COUNT(*)::BIGINT AS n_active, " +
+        "floor(CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*) * 10000)::BIGINT / 10000.0 AS new_share " +
+        "FROM act a JOIN fst f ON a.user_id = f.user_id " +
+        "GROUP BY a.day ORDER BY day")),
   )
 }

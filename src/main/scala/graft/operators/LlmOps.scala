@@ -496,5 +496,61 @@ object LlmOps {
         "SELECT doc_id, COUNT(*)::BIGINT AS n_terms, " +
         "CAST(SUM(sq) AS DOUBLE) / 10000.0 AS score " +
         "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"),
+
+    // End-to-end curation pipeline — the composition the single-purpose
+    // keys exist FOR, run as one declarative plan so Catalyst sees (and
+    // prunes/pushes through) the whole chain: quality gate (length
+    // thresholds, scan-local filter) → exact dedup (md5 shuffle, min-doc
+    // keep — the llm_exact_dedup discipline) → per-language audit frame
+    // (counts at each stage, kept-id checksum, final token total,
+    // retention rate). Every stage is exact integer math; the retention
+    // divisions are floor-quantized. The near-dup/semantic stages compose
+    // the same keep-frame pattern (llm_dedup_keep /
+    // llm_semantic_dedup_keep) and stay separate keys so each keeps an
+    // independent oracle. Scale: one corpus scan feeds the gate; the only
+    // corpus-sized shuffle is the md5 hash agg; lang frames are
+    // broadcast-sized.
+    "llm_curation_pipeline" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("text"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val raw = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+        val gated = docs.filter(col("n_chars") >= 100 && col("n_tokens") >= 20)
+        val qual = gated.groupBy(col("lang")).agg(count(lit(1)).as("n_quality"))
+        val hashed = gated.withColumn("h", md5(col("text")))
+        val keepIds = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+        val kept = hashed.join(keepIds, "h")
+          .filter(col("doc_id") === col("keep_id"))
+        kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_final"), sum(col("doc_id")).as("id_checksum"),
+            sum(col("n_tokens")).as("total_tokens"))
+          .join(broadcast(raw), "lang")
+          .join(broadcast(qual), "lang")
+          .select(col("lang"), col("n_raw"), col("n_quality"), col("n_final"),
+            col("total_tokens"), col("id_checksum"),
+            (floor(col("n_final").cast("double") / col("n_raw") * 10000)
+              .cast("long") / 10000.0).as("retention"))
+          .orderBy(col("lang"))
+      },
+      "WITH docs AS (SELECT doc_id, lang, text, n_chars, " +
+        "len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents), " +
+        "raw AS (SELECT lang, COUNT(*)::BIGINT AS n_raw FROM docs GROUP BY 1), " +
+        "gated AS (SELECT * FROM docs WHERE n_chars >= 100 AND n_tokens >= 20), " +
+        "qual AS (SELECT lang, COUNT(*)::BIGINT AS n_quality FROM gated " +
+        "GROUP BY 1), " +
+        "hashed AS (SELECT doc_id, lang, n_tokens, md5(text) AS h FROM gated), " +
+        "keep AS (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY 1), " +
+        "fin AS (SELECT x.lang, COUNT(*)::BIGINT AS n_final, " +
+        "SUM(x.doc_id)::BIGINT AS id_checksum, " +
+        "SUM(x.n_tokens)::BIGINT AS total_tokens " +
+        "FROM hashed x JOIN keep k ON x.h = k.h AND x.doc_id = k.keep_id " +
+        "GROUP BY 1) " +
+        "SELECT f.lang, r.n_raw, q.n_quality, f.n_final, f.total_tokens, " +
+        "f.id_checksum, " +
+        "floor(CAST(f.n_final AS DOUBLE) / r.n_raw * 10000)::BIGINT / 10000.0 " +
+        "AS retention " +
+        "FROM fin f JOIN raw r ON f.lang = r.lang " +
+        "JOIN qual q ON f.lang = q.lang ORDER BY f.lang"),
   )
 }
