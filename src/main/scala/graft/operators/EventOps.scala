@@ -1069,5 +1069,61 @@ object EventOps {
         "AS DOUBLE) / COUNT(*) * 10000)::BIGINT / 10000.0 AS new_share " +
         "FROM act a JOIN fst f ON a.user_id = f.user_id " +
         "GROUP BY a.day ORDER BY day")),
+
+    // Market-basket event pairs WITHIN a session: co-occurrence counts and
+    // lift (P(ab)/(P(a)P(b)), support = sessions). The pair join rides the
+    // per-session distinct-type frame — ≤C(5,2)=10 pairs per session, a
+    // CONSTANT amplification like evt_user_overlap_jaccard's; type sizes
+    // and the session total broadcast; lift is one textually identical
+    // double chain floor-quantized (no round ties). The cross-session
+    // sibling of the overlap key: "clicked AND errored in the SAME visit".
+    "evt_session_basket" -> Q(
+      (s, d) => {
+        val st = sessionized(s, d)
+          .select(col("user_id"), col("session_seq"), col("event_type"))
+          .distinct()
+        val nSess = st.select(col("user_id"), col("session_seq")).distinct()
+          .agg(count(lit(1)).as("n_sessions"))
+        val sizes = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        st.as("a")
+          .join(st.as("b"), col("a.user_id") === col("b.user_id") &&
+            col("a.session_seq") === col("b.session_seq") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+            .withColumnRenamed("n", "n_a")), "type_a")
+          .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+            .withColumnRenamed("n", "n_b")), "type_b")
+          .crossJoin(broadcast(nSess))
+          .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+            col("n_b"),
+            (floor(expr("CAST(n_both AS DOUBLE) * n_sessions / n_a / n_b") *
+              10000).cast("long") / 10000.0).as("lift"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      usEvents("WITH st AS (SELECT DISTINCT user_id, session_seq, event_type " +
+        "FROM (SELECT user_id, event_type, " +
+        " SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "  THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "  CURRENT ROW) AS session_seq " +
+        " FROM (SELECT user_id, event_id, event_type, ts, " +
+        "  lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "  AS prev_ts FROM events) x) y), " +
+        "ns AS (SELECT COUNT(*)::BIGINT AS n_sessions FROM " +
+        "(SELECT DISTINCT user_id, session_seq FROM st) u), " +
+        "sz AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM st GROUP BY 1), " +
+        "pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "COUNT(*)::BIGINT AS n_both FROM st a JOIN st b " +
+        "ON a.user_id = b.user_id AND a.session_seq = b.session_seq " +
+        "AND a.event_type < b.event_type GROUP BY 1, 2) " +
+        "SELECT p.type_a, p.type_b, p.n_both, sa.n AS n_a, sb.n AS n_b, " +
+        "floor(CAST(n_both AS DOUBLE) * n_sessions / sa.n / sb.n * 10000)" +
+        "::BIGINT / 10000.0 AS lift " +
+        "FROM pr p JOIN sz sa ON p.type_a = sa.event_type " +
+        "JOIN sz sb ON p.type_b = sb.event_type CROSS JOIN ns " +
+        "ORDER BY type_a, type_b")),
   )
 }

@@ -391,6 +391,41 @@ object RelationalOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value " +
         "FROM events ORDER BY event_id")),
 
+    // As-of enrich with a TOLERANCE (pandas/polars merge_asof's max-gap):
+    // the carried error value expires once it is more than 1 hour old.
+    // Same single window pass as join_asof plus a running max of error
+    // timestamps (in the processed order the running max IS the last
+    // error's ts) — the gap test is exact integer µs; no extra join, no
+    // second shuffle.
+    "join_asof_tolerance" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Long.MinValue, 0)
+        T(s, d, "events")
+          .withColumn("le_val",
+            last(when(col("event_type") === "error", col("value")),
+              ignoreNulls = true).over(w))
+          .withColumn("le_us",
+            max(when(col("event_type") === "error", unix_micros(col("ts"))))
+              .over(w))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            when(col("le_us") >= unix_micros(col("ts")) - 3600000000L,
+              col("le_val")).as("last_error_value_1h"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, user_id, event_type, " +
+        "CASE WHEN le_us >= ts_us - 3600000000 THEN le_val END " +
+        "AS last_error_value_1h FROM (" +
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, " +
+        "last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le_val, " +
+        "MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le_us " +
+        "FROM events) t ORDER BY event_id")),
+
     // Same as-of semantics through the NATIVE custom operator
     // (graft.plans.AsOfJoin: custom LogicalPlan + planner Strategy +
     // one-pass merge SparkPlan — no union, no window exec; plan asserted
