@@ -497,6 +497,78 @@ object LlmOps {
         "CAST(SUM(sq) AS DOUBLE) / 10000.0 AS score " +
         "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"),
 
+    // Trained-model application at scale — a fixed linear quality
+    // classifier scored over engineered doc features (the production
+    // pattern: weights train offline, score distributed; the sigmoid is
+    // monotone so ranking/thresholding uses the LOGIT and keeps exp()
+    // out of the oracle, the same ban as ln()). Every feature is exact
+    // integer math — mean word length falls out of n_chars/n_tokens
+    // (spaces = tokens − 1, no second pass), stopword and distinct
+    // counts are HOF list ops — and the logit is one textually identical
+    // double chain, floor-quantized. Scan-local per doc; no shuffle at
+    // all until the output sort.
+    "llm_logit_quality" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          col("n_chars"),
+          expr("size(filter(ws, w -> w IN ('the', 'a')))").cast("long")
+            .as("n_stop"),
+          size(array_distinct(col("ws"))).cast("long").as("n_uniq"))
+        .withColumn("logit", floor(expr(
+          "(-1.5 + 0.02 * n_tokens " +
+            "- 0.3 * (CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens) " +
+            "+ 2.0 * (CAST(n_stop AS DOUBLE) / n_tokens) " +
+            "+ 1.2 * (CAST(n_uniq AS DOUBLE) / n_tokens)) * 10000"))
+          .cast("long") / 10000.0)
+        .orderBy(col("doc_id")),
+      "SELECT doc_id, n_tokens, n_chars, n_stop, n_uniq, " +
+        "floor((-1.5 + 0.02 * n_tokens " +
+        "- 0.3 * (CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens) " +
+        "+ 2.0 * (CAST(n_stop AS DOUBLE) / n_tokens) " +
+        "+ 1.2 * (CAST(n_uniq AS DOUBLE) / n_tokens)) * 10000)::BIGINT " +
+        "/ 10000.0 AS logit FROM (" +
+        "SELECT doc_id, n_chars, len(ws)::BIGINT AS n_tokens, " +
+        "len(list_filter(ws, w -> w IN ('the', 'a')))::BIGINT AS n_stop, " +
+        "len(list_distinct(ws))::BIGINT AS n_uniq FROM (" +
+        "SELECT doc_id, n_chars, string_split(text, ' ') AS ws " +
+        "FROM documents) t) f ORDER BY doc_id"),
+
+    // Token-weighted corpus mix — llm_domain_mix counts DOCS per domain,
+    // but a training mix is budgeted in TOKENS; the two diverge whenever
+    // doc length correlates with source. One scan (token counts from
+    // split size, no explode), one hash agg on the ~|sources| key, totals
+    // broadcast; both shares floor-quantized from exact longs.
+    "llm_domain_token_mix" -> Q(
+      (s, d) => {
+        val per = T(s, d, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        val tot = per.agg(sum(col("n_docs")).as("td"),
+          sum(col("n_tokens")).as("tt"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (floor(col("n_docs").cast("double") / col("td") * 10000)
+              .cast("long") / 10000.0).as("doc_share"),
+            (floor(col("n_tokens").cast("double") / col("tt") * 10000)
+              .cast("long") / 10000.0).as("token_share"))
+          .orderBy(col("source"))
+      },
+      "WITH per AS (SELECT source, COUNT(*)::BIGINT AS n_docs, " +
+        "SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "tot AS (SELECT SUM(n_docs)::BIGINT AS td, " +
+        "SUM(n_tokens)::BIGINT AS tt FROM per) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "floor(CAST(n_docs AS DOUBLE) / td * 10000)::BIGINT / 10000.0 " +
+        "AS doc_share, " +
+        "floor(CAST(n_tokens AS DOUBLE) / tt * 10000)::BIGINT / 10000.0 " +
+        "AS token_share " +
+        "FROM per CROSS JOIN tot ORDER BY source"),
+
     // End-to-end curation pipeline — the composition the single-purpose
     // keys exist FOR, run as one declarative plan so Catalyst sees (and
     // prunes/pushes through) the whole chain: quality gate (length

@@ -569,5 +569,40 @@ object ScaleOps {
         "MAX(event_id) AS max_id, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
         "FROM events GROUP BY 1 ORDER BY event_type"),
+
+    // Schema evolution on read — the lake reality that half a pipeline's
+    // history predates a column: batch 1 lands WITHOUT `value`, batch 2
+    // adds it; `mergeSchema` unions the footers and null-fills the old
+    // files. The aggregate proves the evolved read end-to-end (old rows
+    // count, only new rows carry values) against an oracle that derives
+    // the same split from the plain table. mergeSchema costs a
+    // footer-union at planning time — the reason it is OFF by default at
+    // 100 TB file counts and ON here explicitly, per-read, not globally.
+    "source_schema_evolution" -> Q(
+      (s0, d) => {
+        val p = scratch(s"schema_evo_${Scale.dirTag(d)}")
+        Scale.writeOnce(s"schema_evo|$d") {
+          val e = T(s0, d, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"))
+          e.filter(col("event_id") % 2 === 0).drop("value")
+            .write.mode("overwrite").parquet(s"$p/batch=1")
+          e.filter(col("event_id") % 2 === 1)
+            .write.mode("overwrite").parquet(s"$p/batch=2")
+        }
+        s0.read.option("mergeSchema", "true").parquet(p)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("value")).as("n_with_value"),
+            dsum(coalesce(col("value"), lit(0.0))).as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      "SELECT event_type, COUNT(*) AS n_rows, " +
+        "SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_with_value, " +
+        "CAST(SUM(CASE WHEN event_id % 2 = 1 " +
+        "THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) " +
+        "AS total_value " +
+        "FROM events GROUP BY 1 ORDER BY event_type"),
   )
 }
