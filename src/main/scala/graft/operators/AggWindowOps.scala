@@ -638,5 +638,31 @@ object AggWindowOps {
         "string_agg(n_name, ',' ORDER BY n_name) AS nations_csv " +
         "FROM nation JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY r_name ORDER BY r_name"),
+
+    // Quantity-weighted average price per return flag — the weighted-mean
+    // discipline: weight×value products and the weight total both
+    // accumulate as EXACT decimals (a double product sum is
+    // addend-order-dependent), the mean is one final double division,
+    // floor-quantized. Map-side-combinable hash agg; nothing changes at
+    // scale.
+    "agg_weighted_avg" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_quantity")))
+          .as("wsum"),
+          sum(dec(col("l_quantity"))).as("wtot"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          col("wtot").cast("double").as("total_qty"),
+          (floor(col("wsum").cast("double") / col("wtot").cast("double") *
+            10000).cast("long") / 10000.0).as("weighted_avg_price"))
+        .orderBy(col("l_returnflag")),
+      "SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty, " +
+        "floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 10000)" +
+        "::BIGINT / 10000.0 AS weighted_avg_price " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
   )
 }

@@ -1070,6 +1070,46 @@ object EventOps {
         "FROM act a JOIN fst f ON a.user_id = f.user_id " +
         "GROUP BY a.day ORDER BY day")),
 
+    // Retention RATES — the triangle report rendered from
+    // evt_retention_cohort's counts: each cell as a share of its cohort's
+    // size (day-0 active = the cohort, since the first active day is by
+    // definition active). Same two hash aggs as the counts key plus a
+    // days-sized broadcast of cohort sizes; rates floor-quantized.
+    "evt_retention_rates" -> Q(
+      (s, d) => {
+        val act = T(s, d, "events")
+          .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+          .distinct()
+        val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        val sizes = first.groupBy(col("cohort_day"))
+          .agg(count(lit(1)).as("cohort_size"))
+        act.join(first, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .join(broadcast(sizes), "cohort_day")
+          .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+            col("day_offset"), col("n_users"), col("cohort_size"),
+            (floor(col("n_users").cast("double") / col("cohort_size") * 10000)
+              .cast("long") / 10000.0).as("retention_rate"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      "WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE " +
+        "AS day FROM events), " +
+        "fst AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1), " +
+        "sz AS (SELECT cohort_day, COUNT(*)::BIGINT AS cohort_size FROM fst " +
+        "GROUP BY 1), " +
+        "cell AS (SELECT f.cohort_day, " +
+        "date_diff('day', f.cohort_day, a.day)::BIGINT AS day_offset, " +
+        "COUNT(DISTINCT a.user_id)::BIGINT AS n_users " +
+        "FROM act a JOIN fst f ON a.user_id = f.user_id GROUP BY 1, 2) " +
+        "SELECT c.cohort_day::TIMESTAMP AS cohort_day, c.day_offset, " +
+        "c.n_users, s.cohort_size, " +
+        "floor(CAST(c.n_users AS DOUBLE) / s.cohort_size * 10000)::BIGINT " +
+        "/ 10000.0 AS retention_rate " +
+        "FROM cell c JOIN sz s ON c.cohort_day = s.cohort_day " +
+        "ORDER BY cohort_day, day_offset"),
+
     // Market-basket event pairs WITHIN a session: co-occurrence counts and
     // lift (P(ab)/(P(a)P(b)), support = sessions). The pair join rides the
     // per-session distinct-type frame — ≤C(5,2)=10 pairs per session, a

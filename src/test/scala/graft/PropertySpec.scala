@@ -214,4 +214,36 @@ class PropertySpec extends SparkSpec {
       .select($"event_id").collect().map(_.getLong(0)).toSet
     assert(got == expected)
   }
+
+  test("SCD-2 intervals: contiguous versions, touching bounds, real changes") {
+    val rows = SparkEntry.queries("evt_scd2_state")(spark, sf001)
+      .select($"user_id", $"version", $"state", $"valid_from_us",
+        $"valid_to_us", $"n_events", $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5),
+        r.getBoolean(6)))
+      .groupBy(_._1)
+    val eventCounts = graft.T(spark, sf001, "events")
+      .groupBy($"user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (user, ivs) =>
+      val s = ivs.sortBy(_._2)
+      // versions are exactly 1..k
+      assert(s.map(_._2).toSeq == (1L to s.length).toSeq, s"user $user versions")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          // intervals touch: prev valid_to == next valid_from
+          assert(a._5.contains(b._4), s"user $user gap at v${a._2}")
+          // a new island means the state actually changed
+          assert(a._3 != b._3, s"user $user no-op change at v${a._2}")
+        case _ => ()
+      }
+      // exactly the LAST interval is current/open
+      assert(s.init.forall(iv => !iv._7 && iv._5.nonEmpty) &&
+        s.last._7 && s.last._5.isEmpty, s"user $user current flags")
+      // island sizes partition the user's events
+      assert(s.map(_._6).sum == eventCounts(user), s"user $user n_events")
+    }
+  }
 }
