@@ -1070,6 +1070,22 @@ object EventOps {
         "FROM act a JOIN fst f ON a.user_id = f.user_id " +
         "GROUP BY a.day ORDER BY day")),
 
+    // Day-of-week × hour activity heatmap — the ops-dashboard staple.
+    // One hash agg on a 7×24-bounded key. Calendar parity pinned
+    // explicitly: Spark dayofweek is 1-based Sunday=1, DuckDB dow is
+    // 0-based Sunday=0 — the Spark side subtracts 1 rather than leaving
+    // an off-by-one for the reader to discover.
+    "evt_dow_hour_heatmap" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("dow"), col("hr")),
+      usEvents("SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr, " +
+        "COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY dow, hr")),
+
     // Retention RATES — the triangle report rendered from
     // evt_retention_cohort's counts: each cell as a share of its cohort's
     // size (day-0 active = the cohort, since the first active day is by

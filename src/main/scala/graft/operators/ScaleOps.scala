@@ -160,6 +160,16 @@ object ScaleOps {
         "WHERE p.event_type = 'purchase' AND c.event_type = 'click' " +
         "ORDER BY p.user_id, purchase_id, click_id")),
 
+    // Batch twin of StreamOps.enrichWithDim (stream–static broadcast
+    // enrichment; stream ≡ batch asserted in StreamingSpec). The dim is
+    // the synthetic user→nation segment map — broadcast, stateless.
+    "stream_static_enrich" -> Q(
+      (s, d) => StreamOps.enrichWithDim(T(s, d, "events"), T(s, d, "nation"))
+        .orderBy(col("event_id")),
+      "SELECT e.event_id, e.user_id, n.n_name AS segment, e.value " +
+        "FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey " +
+        "ORDER BY e.event_id"),
+
     // Interval join as a bucketed EQUI-join: probe side explodes to its
     // hour bucket and the next one, build side keys on its own bucket, so
     // the (0, 1h] range residual rides a hash join on (user_id, bucket)

@@ -588,6 +588,19 @@ object StreamOps {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Stream–static enrichment — the most common streaming join: each
+    * event picks up its dimension row (here the synthetic user→nation
+    * segment, user_id % 25) from a BROADCAST static table. Stateless
+    * (no watermark, no state store): the dim snapshot ships once per
+    * micro-batch plan, which is exactly the 100 TB pattern for
+    * dimension tables that fit an executor; works identically on a
+    * batch frame (the oracled `stream_static_enrich` twin). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim),
+        events("user_id") % 25 === dim("n_nationkey"))
+      .select(events("event_id"), events("user_id"),
+        dim("n_name").as("segment"), events("value"))
+
   /** One event exploded onto a trailing-window grid day (see
     * [[wauSketchStream]]); `ts` rides along as the watermark column. */
   case class GridEvent(gday: Long, user_id: Long, ts: java.sql.Timestamp)

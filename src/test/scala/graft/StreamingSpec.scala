@@ -308,6 +308,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static broadcast enrichment == batch twin (3 batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = T(spark, sf001, "nation")
+    val q = StreamOps.enrichWithDim(mem.toDF(), dim).writeStream
+      .outputMode("append").format("memory").queryName("t_enrich").start()
+    try {
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      val got = spark.table("t_enrich")
+        .orderBy($"event_id").collect().toSeq
+      val want = SparkEntry.queries("stream_static_enrich")(spark, sf001)
+        .collect().toSeq
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("streaming SCD-2 (transformWithState) closed intervals == stream_scd2 batch") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
