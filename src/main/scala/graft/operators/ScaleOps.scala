@@ -580,6 +580,36 @@ object ScaleOps {
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
         "FROM events GROUP BY 1 ORDER BY event_type"),
 
+    // AQE lever three (after the skew split and partition coalescing):
+    // runtime JOIN-STRATEGY SWITCH. The static planner cannot know the
+    // filtered dim's size (static broadcast is disabled outright in the
+    // cloned session: autoBroadcastJoinThreshold = -1, so it MUST plan a
+    // shuffle join); after the dim side's shuffle stage materializes, AQE
+    // reads its actual bytes and rewrites the SMJ into a broadcast hash
+    // join (adaptive.autoBroadcastJoinThreshold) — the fact side's
+    // remaining shuffle is skipped. This is the 100 TB lever for
+    // "dimension filtered to nothing at runtime": plan-asserted in
+    // ScaleSpec (BroadcastHashJoin in the FINAL adaptive plan despite
+    // static broadcast being off), oracled ≡ the plain join.
+    "scale_aqe_broadcast_switch" -> Q(
+      (s0, d) => {
+        val s = isoSession(s0, "aqebhj")(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+        val o = T(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        T(s, d, "lineitem").join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      "SELECT l_returnflag, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS sum_price FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY l_returnflag"),
+
     // Schema evolution on read — the lake reality that half a pipeline's
     // history predates a column: batch 1 lands WITHOUT `value`, batch 2
     // adds it; `mergeSchema` unions the footers and null-fills the old

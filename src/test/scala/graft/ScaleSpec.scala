@@ -319,6 +319,19 @@ class ScaleSpec extends SparkSpec {
       "skew-key session conf leaked into the shared session")
   }
 
+  test("scale_aqe_broadcast_switch: AQE turns the static SMJ into a broadcast join") {
+    val df = SparkEntry.queries("scale_aqe_broadcast_switch")(spark, sf01)
+    // collect() so THIS QueryExecution finalizes its adaptive plan
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // static broadcast is OFF (threshold -1) in the key's cloned session,
+    // so a BroadcastHashJoin in the final plan proves the runtime switch
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE did not switch the join to broadcast:\n$plan")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "broadcast-switch session conf leaked into the shared session")
+  }
+
   test("scale_compact_write: each hive partition dir holds exactly one file") {
     assert(SparkEntry.queries("scale_compact_write")(spark, sf01).count() > 0)
     val root = new java.io.File(graft.operators.ScaleOps.compactLayoutDir(sf01))
