@@ -1070,6 +1070,46 @@ object EventOps {
         "FROM act a JOIN fst f ON a.user_id = f.user_id " +
         "GROUP BY a.day ORDER BY day")),
 
+    // DAU/MAU stickiness — the engagement headline. Same exploded-grid
+    // equi-join shape the WAU rewrite proved (each user-day serves its
+    // ≤30 trailing grid days; hash join on gday, never a BETWEEN nested
+    // loop): 30× amplification of the DEDUPED user-day frame, the
+    // documented exact path — at extreme scale the HLL sketch twin
+    // (StreamOps.wauSketchStream's machinery) replaces it. Stickiness is
+    // one division, floor-quantized.
+    "evt_mau_stickiness" -> Q(
+      (s, d) => {
+        val ud = T(s, d, "events")
+          .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+          .distinct()
+        val days = ud.select(col("day")).distinct()
+        val dau = ud.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val mau = ud
+          .select(col("user_id"), explode(expr(
+            "sequence(day, day + INTERVAL 29 DAYS, INTERVAL 1 DAY)")).as("gday"))
+          .join(broadcast(days.select(col("day").as("gday"))),
+            Seq("gday"), "left_semi")
+          .groupBy(col("gday").as("day"))
+          .agg(countDistinct(col("user_id")).as("mau"))
+        dau.join(mau, "day")
+          .select(col("day"), col("dau"), col("mau"),
+            (floor(col("dau").cast("double") / col("mau") * 10000)
+              .cast("long") / 10000.0).as("stickiness"))
+          .orderBy(col("day"))
+      },
+      usEvents("WITH ud AS (SELECT DISTINCT user_id, " +
+        "date_trunc('day', ts) AS day FROM events), " +
+        "days AS (SELECT DISTINCT day FROM ud), " +
+        "dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau " +
+        "FROM ud GROUP BY 1), " +
+        "mau AS (SELECT g.day, COUNT(DISTINCT u.user_id) AS mau " +
+        "FROM days g JOIN ud u ON u.day BETWEEN g.day - INTERVAL 29 DAY " +
+        "AND g.day GROUP BY 1) " +
+        "SELECT dau.day, dau.dau, mau.mau, " +
+        "floor(CAST(dau.dau AS DOUBLE) / mau.mau * 10000)::BIGINT / 10000.0 " +
+        "AS stickiness FROM dau JOIN mau USING (day) ORDER BY day")),
+
     // Day-of-week × hour activity heatmap — the ops-dashboard staple.
     // One hash agg on a 7×24-bounded key. Calendar parity pinned
     // explicitly: Spark dayofweek is 1-based Sunday=1, DuckDB dow is

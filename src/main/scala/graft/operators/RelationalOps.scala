@@ -313,6 +313,26 @@ object RelationalOps {
         " WHERE o_orderstatus = 'F' GROUP BY 1) b ON a.ck_o = b.ck_f " +
         "ORDER BY COALESCE(a.ck_o, b.ck_f)"),
 
+    // RIGHT outer — the mirror completing the outer-join family: every
+    // nation row survives, null-padded where no customer slice matches.
+    // The build side is the dimension, so the planner is free to
+    // broadcast it even for the right join (Spark flips it to a left
+    // build internally).
+    "join_right_outer" -> Q(
+      (s, d) => {
+        val c = T(s, d, "customer").filter(col("c_acctbal") > 9000)
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich"))
+        c.join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"),
+            "right")
+          .select(col("n_nationkey"), col("n_name"), col("n_rich"))
+          .orderBy(col("n_nationkey"))
+      },
+      "SELECT n_nationkey, n_name, n_rich FROM " +
+        "(SELECT c_nationkey, COUNT(*) AS n_rich FROM customer " +
+        "WHERE c_acctbal > 9000 GROUP BY 1) c " +
+        "RIGHT JOIN nation ON c_nationkey = n_nationkey " +
+        "ORDER BY n_nationkey"),
+
     "join_semi" -> Q(
       (s, d) => {
         val c = T(s, d, "customer")
