@@ -1221,5 +1221,116 @@ object EventOps {
         "FROM pr p JOIN sz sa ON p.type_a = sa.event_type " +
         "JOIN sz sb ON p.type_b = sb.event_type CROSS JOIN ns " +
         "ORDER BY type_a, type_b")),
+
+    // Top user-flow paths — the "user flows" report. Path = the first <=8
+    // event types of a session in (ts, event_id) order. The rn <= 8 cap is
+    // applied BEFORE collect_list so the per-group buffer is bounded at 8
+    // structs regardless of session length (a bot session with 10^6 events
+    // contributes 8 rows, not 10^6 — the same bounded-buffer rule
+    // agg_string_concat documents). Top-10 ties break on path text.
+    "evt_top_paths" -> Q(
+      (s, d) => {
+        val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        sessionized(s, d)
+          .withColumn("rn", row_number().over(bySession))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(concat_ws(">", transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(10)
+      },
+      usEvents("WITH se AS (SELECT user_id, event_id, event_type, ts, " +
+        "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_seq FROM (SELECT user_id, event_id, " +
+        "event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts FROM events) x), " +
+        "rn AS (SELECT user_id, session_seq, event_type, row_number() OVER " +
+        "(PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn " +
+        "FROM se), " +
+        "p AS (SELECT user_id, session_seq, string_agg(event_type, '>' " +
+        "ORDER BY rn) AS path FROM rn WHERE rn <= 8 GROUP BY 1, 2) " +
+        "SELECT path, COUNT(*) AS n FROM p GROUP BY 1 " +
+        "ORDER BY n DESC, path LIMIT 10")),
+
+    // Per-series linear trend + next-day forecast — the capacity-planning
+    // staple. Daily counts are exact longs; the OLS moments (sx, sy, sxx,
+    // sxy over day numbers) stay in exact integer space through the second
+    // hash agg (days-bounded groups), convert to double ONCE, and slope/
+    // intercept/forecast are the same left-associated double expressions
+    // in both engines (the agg_corr_regr discipline) — no rounding needed.
+    "evt_trend_forecast" -> Q(
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_date(to_date(ts))").cast("long").as("dayn"))
+          .agg(count(lit(1)).as("cnt"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("dayn")).as("sx"), sum(col("cnt")).as("sy"),
+            sum(col("dayn") * col("dayn")).as("sxx"),
+            sum(col("dayn") * col("cnt")).as("sxy"),
+            max(col("dayn")).as("mx"))
+          .select(col("event_type"), col("n_days"),
+            col("n_days").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            col("sxx").cast("double").as("sxxd"),
+            col("sxy").cast("double").as("sxyd"), col("mx"))
+          .withColumn("slope",
+            (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+          .withColumn("intercept",
+            (col("syd") - col("slope") * col("sxd")) / col("nd"))
+          .withColumn("forecast_next",
+            col("intercept") + col("slope") *
+              (col("mx") + lit(1L)).cast("double"))
+          .select(col("event_type"), col("n_days"), col("slope"),
+            col("intercept"), col("forecast_next"))
+          .orderBy(col("event_type"))
+      },
+      usEvents("WITH daily AS (SELECT event_type, date_diff('day', " +
+        "DATE '1970-01-01', CAST(ts AS DATE)) AS dayn, COUNT(*) AS cnt " +
+        "FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, COUNT(*) AS n_days, " +
+        "CAST(COUNT(*) AS DOUBLE) AS nd, CAST(SUM(dayn) AS DOUBLE) AS sxd, " +
+        "CAST(SUM(cnt) AS DOUBLE) AS syd, " +
+        "CAST(SUM(dayn * dayn) AS DOUBLE) AS sxxd, " +
+        "CAST(SUM(dayn * cnt) AS DOUBLE) AS sxyd, MAX(dayn) AS mx " +
+        "FROM daily GROUP BY 1), " +
+        "sl AS (SELECT event_type, n_days, nd, sxd, syd, mx, " +
+        "(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope FROM m), " +
+        "ic AS (SELECT event_type, n_days, slope, mx, " +
+        "(syd - slope * sxd) / nd AS intercept FROM sl) " +
+        "SELECT event_type, n_days, slope, intercept, " +
+        "intercept + slope * CAST(mx + 1 AS DOUBLE) AS forecast_next " +
+        "FROM ic ORDER BY event_type")),
+
+    // Batch twin of StreamOps.heavyHitterStream: per-day event types with
+    // frequency > day_total / 10, exact counts. The day-total window runs
+    // over the POST-agg frame (days x types rows, dimension-bounded), not
+    // the events. The streaming side holds a k-counter Misra-Gries summary
+    // per day key (fixed state, never the stream); with |types| <= k the
+    // summary is exact and StreamingSpec pins stream == this twin.
+    "stream_heavy_hitters" -> Q(
+      (s, d) => {
+        val c = T(s, d, "events")
+          .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        c.withColumn("tot",
+            sum(col("n")).over(Window.partitionBy(col("day"))))
+          .filter(col("n") * 10 > col("tot"))
+          .select(col("day"), col("event_type"), col("n"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      usEvents("WITH c AS (SELECT date_trunc('day', ts) AS day, event_type, " +
+        "COUNT(*) AS n FROM events GROUP BY 1, 2) " +
+        "SELECT day, event_type, n FROM (SELECT day, event_type, n, " +
+        "SUM(n) OVER (PARTITION BY day) AS tot FROM c) t " +
+        "WHERE n * 10 > tot ORDER BY day, event_type")),
   )
 }

@@ -1011,4 +1011,93 @@ object StreamOps {
       .transformWithState(new WauSketchProcessor(p),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** One event mapped to its tumbling day (see [[heavyHitterStream]]). */
+  case class DayEvent(dayn: Long, event_type: String, ts: java.sql.Timestamp)
+
+  /** One finalized per-day heavy hitter (exact when |types| <= k). */
+  case class HeavyHitter(day: java.sql.Timestamp, event_type: String, n: Long)
+
+  private case class MgState(items: Seq[String], counts: Seq[Long],
+      total: Long)
+
+  /** Streaming per-day heavy hitters through a k-counter Misra-Gries
+    * summary — the second re-aggregatable-sketch twin (after the WAU HLL):
+    * exact per-type counts per day are unbounded state in the type
+    * cardinality, while the MG summary is k counters per day key, forever.
+    * MG with k counters guarantees every type with true frequency >
+    * total/(k+1) survives the stream (k=9 covers the 1/10 emission
+    * threshold exactly — the same k the batch MisraGries aggregate uses),
+    * and each surviving counter undercounts by at most the number of
+    * global decrements. When type cardinality <= k no decrement ever
+    * fires, the summary is exact, and StreamingSpec pins stream == batch
+    * twin under that (asserted) condition. Counter merging
+    * (pairwise add, then keep top-k after a uniform subtraction) is what
+    * would re-aggregate per-executor partials on a cluster. A day is final
+    * once the watermark passes its end, driven by an event-time timer. */
+  class MisraGriesProcessor(k: Int = 9)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DayEvent, HeavyHitter] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[MgState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[MgState]("mg",
+        org.apache.spark.sql.Encoders.product[MgState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DayEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[HeavyHitter] = {
+      val s0 = Option(st.get()).getOrElse(MgState(Nil, Nil, 0L))
+      val m = scala.collection.mutable.LinkedHashMap(
+        s0.items.zip(s0.counts): _*)
+      var total = s0.total
+      rows.foreach { e =>
+        total += 1
+        m.get(e.event_type) match {
+          case Some(c) => m(e.event_type) = c + 1
+          case None if m.size < k => m(e.event_type) = 1L
+          case None =>
+            // classic MG decrement: all counters -1, drop zeros
+            m.keys.toSeq.foreach { it =>
+              val c = m(it) - 1
+              if (c == 0) m.remove(it) else m(it) = c
+            }
+        }
+      }
+      st.update(MgState(m.keys.toSeq, m.values.toSeq, total))
+      // final once the watermark passes this day's end
+      getHandle.registerTimer((key + 1) * 86400000L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[HeavyHitter] =
+      Option(st.get()) match {
+        case None => Iterator.empty // duplicate timer after state cleared
+        case Some(s) =>
+          st.clear()
+          s.items.zip(s.counts).sortBy(_._1).iterator
+            .collect { case (t, n) if n * 10 > s.total =>
+              HeavyHitter(new java.sql.Timestamp(key * 86400000L), t, n)
+            }
+      }
+  }
+
+  def heavyHitterStream(events: Dataset[Event], k: Int = 9)
+      : Dataset[HeavyHitter] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(expr("cast(date_trunc('DAY', ts) as long) div 86400").as("dayn"),
+        col("event_type"), col("ts"))
+      .as[DayEvent]
+      .groupByKey(_.dayn)
+      .transformWithState(new MisraGriesProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -395,6 +395,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Misra-Gries heavy hitters == exact batch twin (3 batches)") {
+    // fixture precondition for MG exactness: type cardinality <= k (no
+    // decrement ever fires) — asserted, not assumed
+    val nTypes = batchEvents.select($"event_type").distinct().count()
+    assert(nTypes <= 9, s"fixture has $nTypes event types; MG k=9 pin invalid")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.heavyHitterStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_mg_hh").start()
+    try {
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // push the watermark past every fixture day's end
+      val far = typedEvents.map(e => StreamOps.micros(e.ts)).max / 1000L +
+        30L * 24 * 3600 * 1000
+      mem.addData(Seq(Event(999901L, new java.sql.Timestamp(far), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      // the two watermark-push sentinel events land on a post-corpus day
+      // whose own window may finalize too — restrict to the batch grid
+      val got = spark.table("t_mg_hh")
+        .orderBy($"day", $"event_type")
+        .collect().toSeq
+      val want = SparkEntry.queries("stream_heavy_hitters")(spark, sf001)
+        .collect().toSeq
+      val wantDays = want.map(_.getTimestamp(0)).toSet
+      assert(want.nonEmpty)
+      assert(got.filter(r => wantDays(r.getTimestamp(0))) == want)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming WAU sketch == exact batch WAU within HLL tolerance") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
