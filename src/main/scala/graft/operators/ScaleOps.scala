@@ -644,5 +644,38 @@ object ScaleOps {
         "THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) " +
         "AS total_value " +
         "FROM events GROUP BY 1 ORDER BY event_type"),
+
+    // Exchange (shuffle-stage) reuse — the scale lever that makes
+    // multi-consumer reports cheap: an extremes report (top-5 AND
+    // bottom-5 users by event count) consumes the per-user aggregate
+    // TWICE, and AQE materializes the scan + partial agg + shuffle ONCE,
+    // feeding the second consumer a ReusedExchange of the same stage
+    // (plan-asserted in ScaleSpec). At 100 TB that's one corpus scan
+    // instead of two for every "summary + extremes" dashboard. The two
+    // consumers must be canonically IDENTICAL subtrees: a join on a
+    // TRANSFORMED key (e.g. day = day + 1) pushes different isnotnull
+    // filters below each agg copy and silently kills the reuse — the
+    // negative shape this key's comment exists to warn about. Each
+    // limit rides TakeOrderedAndProject (per-partition top-k, never a
+    // global sort).
+    "scale_exchange_reuse" -> Q(
+      (s, d) => {
+        val agg = T(s, d, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val top = agg.orderBy(col("n").desc, col("user_id")).limit(5)
+          .withColumn("which", lit("top"))
+        val bottom = agg.orderBy(col("n").asc, col("user_id")).limit(5)
+          .withColumn("which", lit("bottom"))
+        top.unionAll(bottom)
+          .orderBy(col("which"), col("n").desc, col("user_id"))
+      },
+      usEvents("WITH c AS (SELECT user_id, COUNT(*) AS n FROM events " +
+        "GROUP BY 1), " +
+        "t AS (SELECT user_id, n, 'top' AS which FROM c " +
+        "ORDER BY n DESC, user_id LIMIT 5), " +
+        "b AS (SELECT user_id, n, 'bottom' AS which FROM c " +
+        "ORDER BY n ASC, user_id LIMIT 5) " +
+        "SELECT user_id, n, which FROM (SELECT * FROM t UNION ALL " +
+        "SELECT * FROM b) u ORDER BY which, n DESC, user_id")),
   )
 }

@@ -589,5 +589,38 @@ object TextOps {
         "CAST(SUM(length(bin(c1 // c12)) - 1) AS DOUBLE) / COUNT(*) " +
         "AS avg_bits FROM b JOIN c1 USING (w1) JOIN c12 USING (bg) " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    // Per-source language-diversity entropy — the curation diagnostic that
+    // flags monoculture sources (entropy ~0: one lang dominates) vs mixed
+    // crawls, using the SAME floor-log2 bit-length quantization that keeps
+    // ln() out of every oracled surprisal key: bits(lang) =
+    // floor(log2(tot/n)) and H ≈ Σ n·bits / tot. All moments exact longs;
+    // ONE double division at the end. The corpus pays one hash agg on
+    // (source, lang); the entropy rollup and its tot-window run over the
+    // sources×langs-bounded frame — never the documents.
+    "llm_source_entropy" -> Q(
+      (s, d) => {
+        val sl = T(s, d, "documents")
+          .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+        sl.withColumn("tot", sum(col("n")).over(
+            Window.partitionBy(col("source"))))
+          .withColumn("bits", big(length(bin(expr("tot div n"))) - 1))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_langs"), max(col("tot")).as("n_docs"),
+            sum(col("n") * col("bits")).as("weighted_bits"))
+          .withColumn("entropy_bits",
+            col("weighted_bits").cast("double") / col("n_docs"))
+          .orderBy(col("source"))
+      },
+      "WITH sl AS (SELECT source, lang, COUNT(*) AS n FROM documents " +
+        "GROUP BY 1, 2), " +
+        "w AS (SELECT source, lang, n, SUM(n) OVER (PARTITION BY source) " +
+        "AS tot FROM sl), " +
+        "b AS (SELECT source, n, tot, length(bin(tot // n)) - 1 AS bits " +
+        "FROM w) " +
+        "SELECT source, COUNT(*) AS n_langs, MAX(tot)::BIGINT AS n_docs, " +
+        "SUM(n * bits)::BIGINT AS weighted_bits, " +
+        "CAST(SUM(n * bits) AS DOUBLE) / MAX(tot) AS entropy_bits " +
+        "FROM b GROUP BY 1 ORDER BY source"),
   )
 }

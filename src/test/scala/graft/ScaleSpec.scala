@@ -344,4 +344,14 @@ class ScaleSpec extends SparkSpec {
         s"${dir.getName}: expected 1 compacted file, found ${files.length}")
     }
   }
+
+  test("scale_exchange_reuse: second consumer rides a ReusedExchange") {
+    val df = SparkEntry.queries("scale_exchange_reuse")(spark, sf001)
+    // collect() so THIS QueryExecution runs and the AQE plan finalizes —
+    // exchange reuse only materializes at stage scheduling time
+    assert(df.collect().length == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"top/bottom consumers did not share the agg shuffle stage:\n$plan")
+  }
 }
