@@ -135,5 +135,36 @@ object DqOps {
         "WHERE NOT EXISTS (SELECT 1 FROM customer c " +
         "WHERE c.c_custkey = o.o_custkey)" +
         ") u ORDER BY check_name")),
+
+    // Streaming twin of the expectation suite: per tumbling hour, row count
+    // plus violation counts (null user_id, negative value) — the live
+    // monitor a pipeline pages on, vs dq_checks' batch gate. Same windowed
+    // hash-agg shape as stream_tumbling_agg (watermark bounds state);
+    // StreamingSpec pins stream ≡ this twin.
+    "stream_dq_monitor" -> Q(
+      (s, d) => T(s, d, "events")
+        .groupBy(date_trunc("HOUR", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+          sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_neg_value"))
+        .orderBy(col("bucket")),
+      graft.Dsl.usEvents("SELECT date_trunc('hour', ts) AS bucket, " +
+        "COUNT(*) AS n_rows, " +
+        "SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_null_user, " +
+        "SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg_value " +
+        "FROM events GROUP BY 1 ORDER BY bucket")),
   )
+
+  /** The true streaming formulation behind `stream_dq_monitor`. */
+  def dqMonitorStream(events: org.apache.spark.sql.DataFrame,
+      watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_neg_value"))
+      .select(col("window.start").as("bucket"), col("n_rows"),
+        col("n_null_user"), col("n_neg_value"))
 }

@@ -1332,5 +1332,45 @@ object EventOps {
         "SELECT day, event_type, n FROM (SELECT day, event_type, n, " +
         "SUM(n) OVER (PARTITION BY day) AS tot FROM c) t " +
         "WHERE n * 10 > tot ORDER BY day, event_type")),
+
+    // Day-of-week seasonality index per event_type: (dow daily average) /
+    // (overall daily average) — >1 means the dow over-indexes. All counts
+    // exact longs through two hash aggs (the second over the types×7
+    // frame); per-type totals ride a window over that bounded frame; the
+    // index is one textually identical double chain in both engines.
+    // Calendar parity: Spark dayofweek is 1-based Sunday=1, DuckDB dow is
+    // 0-based Sunday=0 — Spark subtracts 1 (the dow_hour_heatmap pin).
+    "evt_seasonal_index" -> Q(
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val byDow = daily
+          .groupBy(col("event_type"),
+            (dayofweek(col("day")) - 1).cast("long").as("dow"))
+          .agg(sum(col("n")).as("sum_c"), count(lit(1)).as("n_days"))
+        val w = Window.partitionBy(col("event_type"))
+        byDow
+          .withColumn("tot_c", sum(col("sum_c")).over(w))
+          .withColumn("tot_days", sum(col("n_days")).over(w))
+          .withColumn("idx",
+            (col("sum_c").cast("double") / col("n_days")) /
+              (col("tot_c").cast("double") / col("tot_days")))
+          .select(col("event_type"), col("dow"), col("n_days"),
+            col("sum_c"), col("idx"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      usEvents("WITH daily AS (SELECT date_trunc('day', ts) AS day, " +
+        "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2), " +
+        "bd AS (SELECT event_type, dayofweek(day)::BIGINT AS dow, " +
+        "SUM(n)::BIGINT AS sum_c, COUNT(*) AS n_days FROM daily " +
+        "GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, dow, n_days, sum_c, " +
+        "SUM(sum_c) OVER (PARTITION BY event_type) AS tot_c, " +
+        "SUM(n_days) OVER (PARTITION BY event_type) AS tot_days FROM bd) " +
+        "SELECT event_type, dow, n_days, sum_c, " +
+        "(CAST(sum_c AS DOUBLE) / n_days) / " +
+        "(CAST(tot_c AS DOUBLE) / tot_days) AS idx " +
+        "FROM t ORDER BY event_type, dow")),
   )
 }

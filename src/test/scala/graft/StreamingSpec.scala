@@ -46,6 +46,13 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stream dq monitor == batch twin (3 batches)") {
+    val got = runStream("t_dqm", 3)(df => graft.operators.DqOps.dqMonitorStream(df))
+      .orderBy($"bucket").collect()
+    val want = SparkEntry.queries("stream_dq_monitor")(spark, sf001).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("stream session window == batch sessionize (3 batches)") {
     val got = runStream("t_sess", 3)(df => StreamOps.sessionAgg(df))
       .groupBy($"user_id").agg(
