@@ -183,6 +183,69 @@ class PropertySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("trend forecast: integer-moment OLS matches Spark's regr_slope/intercept within 1e-9") {
+    val got = SparkEntry.queries("evt_trend_forecast")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val builtin = graft.T(spark, sf001, "events")
+      .groupBy($"event_type", expr("unix_date(to_date(ts))").cast("long").as("dayn"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"event_type")
+      .agg(expr("regr_slope(cnt, dayn)").as("s"),
+        expr("regr_intercept(cnt, dayn)").as("i"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(builtin.nonEmpty)
+    builtin.foreach { case (t, (s, i)) =>
+      assert(math.abs(got(t)._1 - s) < 1e-9, s"$t slope: ${got(t)._1} vs $s")
+      assert(math.abs(got(t)._2 - i) < 1e-6 * math.max(1.0, i.abs),
+        s"$t intercept: ${got(t)._2} vs $i")
+    }
+  }
+
+  test("top paths: the rn cap bounds every path at 8 steps") {
+    val paths = SparkEntry.queries("evt_top_paths")(spark, sf001)
+      .collect().map(_.getString(0))
+    assert(paths.nonEmpty)
+    paths.foreach { p =>
+      assert(p.split(">").length <= 8, s"path longer than the 8-step cap: $p")
+    }
+  }
+
+  test("streaming misra-gries: guaranteed candidate survives >k types with decrements") {
+    // One day, 20 distinct types (> k=9) so decrements DO fire; 'hot' has
+    // freq 4000 > n/10 = 955 — MG guarantees it survives and its counter
+    // undercounts by at most n/(k+1) = 955, so the n*10 > total emission
+    // threshold still passes (4000 - 955 = 3045 > 955).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def ev(id: Long, typ: String) =
+      graft.streaming.StreamOps.Event(id, base, 1000L + id % 50, typ, 0.0)
+    val events = (0 until 4000).map(i => ev(i, "hot")) ++
+      (0 until 5550).map(i => ev(10000 + i, s"cold_${i % 19}"))
+    val mem = MemoryStream[graft.streaming.StreamOps.Event]
+    val q = graft.streaming.StreamOps.heavyHitterStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_mg_adv").start()
+    try {
+      events.grouped(2000).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = new java.sql.Timestamp(base.getTime + 40L * 24 * 3600 * 1000)
+      mem.addData(Seq(ev(99991, "view").copy(ts = far)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(99992, "view").copy(ts = new java.sql.Timestamp(far.getTime + 1000))))
+      q.processAllAvailable()
+      val hot = spark.table("t_mg_adv")
+        .filter($"event_type" === "hot").collect()
+      assert(hot.length == 1, "guaranteed heavy hitter not emitted")
+      val n = hot.head.getLong(2)
+      // MG lower bound: true freq minus at most n_total/(k+1)
+      assert(n <= 4000 && n >= 4000 - 9550 / 10, s"counter estimate $n out of MG bounds")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("hll sketch union: two-level merge == single-level sketch, near exact") {
     // Lossless merge property: union of daily sketches must equal one
     // sketch over all rows — same registers, same estimate, bit-equal.
