@@ -791,9 +791,11 @@ object EventOps {
             sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
             sum(when(col("is_a"), col("vq")).otherwise(0L)).as("s_a"),
             sum(when(!col("is_a"), col("vq")).otherwise(0L)).as("s_b"),
-            sum(when(col("is_a"), (col("vq") * col("vq")).cast("decimal(38,0)"))
+            sum(when(col("is_a"),
+              col("vq").cast("decimal(38,0)") * col("vq").cast("decimal(38,0)"))
               .otherwise(lit(0).cast("decimal(38,0)"))).as("qa"),
-            sum(when(!col("is_a"), (col("vq") * col("vq")).cast("decimal(38,0)"))
+            sum(when(!col("is_a"),
+              col("vq").cast("decimal(38,0)") * col("vq").cast("decimal(38,0)"))
               .otherwise(lit(0).cast("decimal(38,0)"))).as("qb"))
           .withColumn("mean_a", col("s_a").cast("double") / 10000.0 / col("n_a"))
           .withColumn("mean_b", col("s_b").cast("double") / 10000.0 / col("n_b"))
