@@ -21,6 +21,29 @@ object SubqueryOps {
       tables: String*): Unit =
     tables.foreach(t => T(s, d, t).createOrReplaceTempView(s"v_$t"))
 
+  /** `p_retailprice > ALL / > ANY (retailprices of `brand`)` over `part`,
+    * with exact SQL empty-subquery semantics: the bound row carries a
+    * count, and the NULL comparison that max/min produce on an empty set
+    * is coalesced to `cnt = 0` (ALL vacuously TRUE) / `false` (ANY).
+    * p_retailprice is non-null in the data model, so the only NULL the
+    * comparison can produce IS the empty-set one — the coalesce is exact.
+    * Exposed (not inlined in the key) so QuantifiedEmptySpec can drive it
+    * with a brand absent from the fixture. */
+  def quantified(part: org.apache.spark.sql.DataFrame,
+      brand: String): org.apache.spark.sql.DataFrame = {
+    val bounds = part.filter(col("p_brand") === brand)
+      .agg(max(col("p_retailprice")).as("mx"),
+        min(col("p_retailprice")).as("mn"),
+        count(lit(1)).as("cnt"))
+    part.crossJoin(broadcast(bounds))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        coalesce(col("p_retailprice") > col("mx"), col("cnt") === 0)
+          .as("gt_all_b13"),
+        coalesce(col("p_retailprice") > col("mn"), lit(false))
+          .as("gt_any_b13"))
+      .orderBy(col("p_partkey"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Scalar subquery threshold: orders above half the max finished-order
@@ -134,24 +157,18 @@ object SubqueryOps {
 
     // Quantified comparisons (> ALL / > ANY) — the §2.C subquery form Spark
     // has no surface syntax for: `x > ALL (S)` compiles to `x > max(S)`
-    // and `x > ANY (S)` to `x > min(S)` (equivalent for a non-empty,
-    // null-free S — both hold here and the oracle uses DuckDB's REAL
-    // quantified operators to prove the rewrite). The subquery collapses
-    // to a broadcast 1-row (max, min) bound — the only plan that makes
-    // sense at any scale; flags are emitted (not filtered) so the result
-    // exercises both truth values.
+    // and `x > ANY (S)` to `x > min(S)`, with the empty-S corner guarded:
+    // SQL says `x > ALL (empty)` is TRUE and `x > ANY (empty)` is FALSE,
+    // but max/min over an empty group are NULL, so the raw comparison
+    // would leak NULL where DuckDB's real quantified operators return a
+    // definite truth value. `quantified` coalesces over a counted bound
+    // (cnt = 0 ⇒ ALL-vacuous TRUE / ANY FALSE); the subquery still
+    // collapses to a broadcast 1-row (mx, mn, cnt) bound — the only plan
+    // that makes sense at any scale. Flags are emitted (not filtered) so
+    // the result exercises both truth values; QuantifiedEmptySpec proves
+    // the empty-subquery branch against hand-evaluated SQL semantics.
     "sub_any_all" -> Q(
-      (s, d) => {
-        val part = T(s, d, "part")
-        val bounds = part.filter(col("p_brand") === "Brand#13")
-          .agg(max(col("p_retailprice")).as("mx"),
-            min(col("p_retailprice")).as("mn"))
-        part.crossJoin(broadcast(bounds))
-          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
-            (col("p_retailprice") > col("mx")).as("gt_all_b13"),
-            (col("p_retailprice") > col("mn")).as("gt_any_b13"))
-          .orderBy(col("p_partkey"))
-      },
+      (s, d) => quantified(T(s, d, "part"), "Brand#13"),
       "SELECT p_partkey, p_brand, p_retailprice, " +
         "p_retailprice > ALL (SELECT p_retailprice FROM part " +
         "WHERE p_brand = 'Brand#13') AS gt_all_b13, " +
