@@ -1374,5 +1374,54 @@ object EventOps {
         "(CAST(sum_c AS DOUBLE) / n_days) / " +
         "(CAST(tot_c AS DOUBLE) / tot_days) AS idx " +
         "FROM t ORDER BY event_type, dow")),
+
+    // Survival curve (round-8 addendum): share of users still active t
+    // days after their first event — the product-limit (Kaplan-Meier)
+    // estimator specialised to full observation (every lifetime is
+    // observed inside the fixture's window, no censoring), where it
+    // reduces exactly to the empirical survival function
+    // S(t) = |{users: lifetime >= t}| / |users|. Scale shape: ONE
+    // map-side-combinable min/max agg shuffling on user_id, then the
+    // users-sized lifetime frame explodes into at most 30 offset rows per
+    // user (bounded by CALENDAR, not by users) and rolls up on a 30-key
+    // hash agg; the user total rides a 1-row broadcast. Day arithmetic
+    // only, so ns-vs-µs ts precision cannot flip any value (the
+    // retention-keys precedent) — no usEvents CTE needed. The division is
+    // floor-quantized to 4dp (§7.4: floor has no tie modes).
+    "evt_survival_curve" -> Q(
+      (s, d) => {
+        val life = T(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+            .as("lifetime"))
+        val surv = life
+          .select(explode(sequence(lit(0), least(col("lifetime"), lit(29))))
+            .as("offset_day"))
+          .groupBy(col("offset_day"))
+          .agg(count(lit(1)).as("survivors"))
+        val tot = life.agg(count(lit(1)).as("at_risk"))
+        s.range(0, 30).select(col("id").cast("int").as("offset_day"))
+          .join(surv, Seq("offset_day"), "left")
+          .na.fill(0L, Seq("survivors"))
+          .crossJoin(broadcast(tot))
+          .select(big(col("offset_day")).as("offset_day"),
+            big(col("at_risk")).as("at_risk"),
+            big(col("survivors")).as("survivors"),
+            (floor(col("survivors").cast("double") / col("at_risk") * 10000)
+              .cast("long") / 10000.0).as("survival"))
+          .orderBy(col("offset_day"))
+      },
+      "WITH life AS (SELECT user_id, " +
+        "date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) " +
+        "AS lifetime FROM events GROUP BY 1), " +
+        "spine AS (SELECT unnest(generate_series(0, 29))::BIGINT AS offset_day), " +
+        "surv AS (SELECT o.offset_day, COUNT(l.user_id)::BIGINT AS survivors " +
+        "FROM spine o LEFT JOIN life l ON l.lifetime >= o.offset_day " +
+        "GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*)::BIGINT AS at_risk FROM life) " +
+        "SELECT s.offset_day, t.at_risk, s.survivors, " +
+        "floor(CAST(s.survivors AS DOUBLE) / t.at_risk * 10000)::BIGINT " +
+        "/ 10000.0 AS survival " +
+        "FROM surv s CROSS JOIN tot t ORDER BY offset_day"),
   )
 }

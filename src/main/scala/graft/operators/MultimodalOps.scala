@@ -147,5 +147,77 @@ object MultimodalOps {
         "i -> substring(text, (i * greatest(1, length(text) // 64) + 1)::INT, 1)), ''))::BIGINT " +
         "AS n_sampled " +
         "FROM documents ORDER BY doc_id"),
+
+    // Perceptual-hash near-dup over the opaque payload (round-8 addendum):
+    // a 32-bit DIFFERENCE hash (dHash) — bit i = (sample_i > sample_{i+1})
+    // over 33 evenly-strided samples of the payload — then the SAME
+    // banded-LSH candidate join + hamming filter discipline as
+    // llm_simhash_hamming_join, but keyed on the MEDIA signature: 4 × 8-bit
+    // bands, earlier-band-differs dedup across the 4 joins, bit_count(xor)
+    // <= 3. A real build swaps the sampled-byte gradient for a decoded
+    // 8×8-thumbnail gradient (true image dHash) with the same signature
+    // width, bands, and joins. Scale shape: signatures are ONE projection
+    // pass (no shuffle); only (doc_id, sig, bands) — ~24 bytes/row — enters
+    // the self-join shuffles; each 8-bit band buckets the corpus ~256-ways
+    // so candidate pairs stay ~n²/256 per band, and the hamming filter runs
+    // post-join on two longs. Docs shorter than 33 samples are excluded on
+    // BOTH sides (stride 0 would alias every sample to position 1 and
+    // cluster all short docs into one all-zero-sig bucket).
+    // CHARACTER semantics on both sides (the mm_resize_stub pin): ord-of-
+    // sampled-char is engine-independent on this all-ASCII corpus.
+    "mm_phash_near_dup" -> Q(
+      (s, d) => {
+        val sigExpr = (0 until 32).map(i =>
+          when(expr(s"ascii(substring(text, $i * stride + 1, 1))") >
+            expr(s"ascii(substring(text, ${i + 1} * stride + 1, 1))"),
+            lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+        val sigs = T(s, d, "documents")
+          .filter(length(col("text")) >= 33)
+          .withColumn("stride", expr("length(text) div 33"))
+          .select(col("doc_id"), sigExpr.as("phash"))
+          .select(Seq(col("doc_id"), col("phash")) ++
+            (0 until 4).map(j =>
+              shiftrightunsigned(col("phash"), 8 * j)
+                .bitwiseAND(lit(0xFFL)).as(s"band$j")): _*)
+        val a = sigs.select(Seq(col("doc_id").as("doc_a"),
+          col("phash").as("ph_a")) ++
+          (0 until 4).map(j => col(s"band$j").as(s"a$j")): _*)
+        val b = sigs.select(Seq(col("doc_id").as("doc_b"),
+          col("phash").as("ph_b")) ++
+          (0 until 4).map(j => col(s"band$j").as(s"b$j")): _*)
+        (0 until 4).map { i =>
+          val earlierDiffer = (0 until i)
+            .map(j => col(s"a$j") =!= col(s"b$j"))
+            .foldLeft(lit(true))(_ && _)
+          a.join(b, col("doc_a") < col("doc_b") &&
+            col(s"a$i") === col(s"b$i") && earlierDiffer)
+            .select(col("doc_a"), col("doc_b"), col("ph_a"), col("ph_b"))
+        }.reduce(_ unionByName _)
+          .withColumn("hamming",
+            big(bit_count(col("ph_a").bitwiseXOR(col("ph_b")))))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      "WITH sig AS (SELECT doc_id, " +
+        (0 until 32).map(i =>
+          s"(CASE WHEN ord(substr(text, $i * (length(text) // 33) + 1, 1)) > " +
+            s"ord(substr(text, ${i + 1} * (length(text) // 33) + 1, 1)) " +
+            s"THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ") +
+        " AS phash FROM documents WHERE length(text) >= 33), " +
+        "sigb AS (SELECT doc_id, phash, " +
+        (0 until 4).map(j => s"(phash >> ${8 * j}) & 255 AS band$j")
+          .mkString(", ") +
+        " FROM sig) " +
+        (0 until 4).map { i =>
+          val earlier = (0 until i)
+            .map(j => s"a.band$j <> b.band$j").mkString(" AND ")
+          val cond = (s"a.band$i = b.band$i" +:
+            (if (earlier.isEmpty) Nil else Seq(earlier))).mkString(" AND ")
+          "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+            "bit_count(xor(a.phash, b.phash))::BIGINT AS hamming " +
+            s"FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND $cond"
+        }.mkString("SELECT doc_a, doc_b, hamming FROM (",
+          " UNION ALL ", ") t WHERE hamming <= 3 ORDER BY doc_a, doc_b")),
   )
 }
