@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Preflight(spark, sfDir)
     // Warm the JVM/codegen paths once so the first timed query doesn't pay
     // session bring-up (scan + shuffle + window + agg compile).
     try {

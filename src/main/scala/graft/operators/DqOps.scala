@@ -154,7 +154,84 @@ object DqOps {
         "AS n_null_user, " +
         "SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg_value " +
         "FROM events GROUP BY 1 ORDER BY bucket")),
+
+    // DEAD-LETTER ROUTING (round-8 addendum): the quarantine split every
+    // ingest pipeline needs — rows that fail the parse gate route to a
+    // dead-letter output WITH a reason, instead of poisoning the batch or
+    // being dropped silently. The fixture's props are all clean, so the
+    // demo synthesizes the raw log line a collector would emit and gives
+    // two event types deterministic corruption: 'signup' lines lose their
+    // payload field (grok no-match), 'error' lines get ':' → '=' inside
+    // the JSON (grok matches, JSON corrupt). [[deadLetter]] returns BOTH
+    // frames (parsed + quarantine) — DeadLetterSpec pins the split is a
+    // partition; this key publishes the per-reason audit summary the
+    // on-call reads. Scale shape: classification is ONE projection pass
+    // (regex + JSON probe, all codegen builtins, no UDF), the summary a
+    // 3-key hash agg; the quarantine side writes without re-scanning
+    // (same classified frame, two filters). On this data every malformed
+    // payload is also missing '$.k', so Spark's get_json_object-is-null
+    // probe and DuckDB's json_valid-or-missing-key probe agree exactly.
+    "dq_dead_letter" -> Q(
+      (s, d) => {
+        val (_, _, classified) = deadLetter(rawLines(s, d))
+        classified.groupBy(col("reason"))
+          .agg(count(lit(1)).as("n"),
+            min(col("event_id")).as("first_id"),
+            max(col("event_id")).as("last_id"))
+          .orderBy(col("reason"))
+      },
+      "WITH raw AS (SELECT event_id, CASE event_type " +
+        "WHEN 'signup' THEN event_id::VARCHAR || ' ' || event_type " +
+        "WHEN 'error' THEN event_id::VARCHAR || ' ' || event_type || ' ' || " +
+        "regexp_replace(props, ':', '=', 'g') " +
+        "ELSE event_id::VARCHAR || ' ' || event_type || ' ' || props END " +
+        "AS line FROM events), " +
+        "cls AS (SELECT event_id, CASE " +
+        "WHEN NOT regexp_matches(line, '^\\d+ [a-z]+ \\{.*\\}$') " +
+        "THEN 'grok_no_match' " +
+        "WHEN NOT json_valid(regexp_extract(line, " +
+        "'^\\d+ [a-z]+ (\\{.*\\})$', 1)) OR json_extract(" +
+        "regexp_extract(line, '^\\d+ [a-z]+ (\\{.*\\})$', 1), '$.k') IS NULL " +
+        "THEN 'corrupt_json' ELSE 'ok' END AS reason FROM raw) " +
+        "SELECT reason, COUNT(*)::BIGINT AS n, MIN(event_id) AS first_id, " +
+        "MAX(event_id) AS last_id FROM cls GROUP BY 1 ORDER BY reason"),
   )
+
+  /** The synthetic raw ingest lines for the dead-letter demo (see key
+    * comment): (event_id, line). */
+  def rawLines(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    T(s, d, "events").select(col("event_id"),
+      when(col("event_type") === "signup",
+        concat_ws(" ", col("event_id"), col("event_type")))
+        .when(col("event_type") === "error",
+          concat_ws(" ", col("event_id"), col("event_type"),
+            regexp_replace(col("props"), ":", "=")))
+        .otherwise(concat_ws(" ", col("event_id"), col("event_type"),
+          col("props"))).as("line"))
+
+  /** Route raw lines through the parse gate: returns (parsed ok rows,
+    * quarantine rows with reason, the full classified frame). The split is
+    * two filters over ONE classified projection — the classifier runs
+    * once, not per output. */
+  def deadLetter(raw: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val pat = "^(\\d+) ([a-z]+) (\\{.*\\})$"
+    val classified = raw
+      .withColumn("payload", regexp_extract(col("line"), pat, 3))
+      .withColumn("reason",
+        when(!col("line").rlike(pat), "grok_no_match")
+          .when(get_json_object(col("payload"), "$.k").isNull, "corrupt_json")
+          .otherwise("ok"))
+    val parsed = classified.filter(col("reason") === "ok")
+      .select(col("event_id"),
+        regexp_extract(col("line"), pat, 2).as("parsed_type"),
+        get_json_object(col("payload"), "$.k").cast("long").as("k"))
+    val quarantine = classified.filter(col("reason") =!= "ok")
+      .select(col("event_id"), col("line"), col("reason"))
+    (parsed, quarantine, classified)
+  }
 
   /** The true streaming formulation behind `stream_dq_monitor`. */
   def dqMonitorStream(events: org.apache.spark.sql.DataFrame,

@@ -827,8 +827,11 @@ object EventOps {
         "SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b, " +
         "SUM(CASE WHEN is_a THEN vq ELSE 0 END)::BIGINT AS s_a, " +
         "SUM(CASE WHEN NOT is_a THEN vq ELSE 0 END)::BIGINT AS s_b, " +
-        "SUM(CASE WHEN is_a THEN vq * vq ELSE 0 END) AS sq_a, " +
-        "SUM(CASE WHEN NOT is_a THEN vq * vq ELSE 0 END) AS sq_b " +
+        // HUGEINT squares mirror the Spark side's DECIMAL(38,0): plain
+        // BIGINT vq*vq would overflow at |value| >= ~304k while Spark kept
+        // going — a silent cross-engine divergence at larger fixtures.
+        "SUM(CASE WHEN is_a THEN CAST(vq AS HUGEINT) * vq ELSE 0 END) AS sq_a, " +
+        "SUM(CASE WHEN NOT is_a THEN CAST(vq AS HUGEINT) * vq ELSE 0 END) AS sq_b " +
         "FROM (SELECT event_type, user_id % 2 = 0 AS is_a, " +
         "floor(value * 10000)::BIGINT AS vq FROM events) v " +
         "GROUP BY 1) g) m) t ORDER BY event_type")),

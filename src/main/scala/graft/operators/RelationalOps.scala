@@ -469,6 +469,88 @@ object RelationalOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value " +
         "FROM events ORDER BY event_id")),
 
+    // As-of FORWARD direction (round-8 addendum; pandas/polars
+    // merge_asof(direction='forward')): the EARLIEST following 'error'
+    // value at-or-after each event — the mirror of join_asof's frame
+    // (first_value ignore-nulls over [CURRENT ROW, UNBOUNDED FOLLOWING]).
+    // Same single per-user window pass, same scale shape: one shuffle on
+    // user_id, frames bounded by the per-user stream. DuckDB's native
+    // ASOF JOIN is backward-only, so BOTH engines run the window
+    // formulation (the join_asof precedent).
+    "join_asof_forward" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(0, Long.MaxValue)
+        T(s, d, "events")
+          .withColumn("next_error_value",
+            first(when(col("event_type") === "error", col("value")),
+              ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("next_error_value"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, user_id, event_type, " +
+        "first_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_error_value " +
+        "FROM events ORDER BY event_id")),
+
+    // As-of NEAREST direction (round-8 addendum): whichever of the latest
+    // preceding / earliest following 'error' is closer in event time, tie
+    // → the PRECEDING one (documented rule; exact integer µs so the tie
+    // test cannot wobble). Two frames over ONE window sort — the backward
+    // running (max ts, carried value) and its forward mirror — then a
+    // branch-free pick; still a single shuffle on user_id and no join.
+    "join_asof_nearest" -> Q(
+      (s, d) => {
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Long.MinValue, 0)
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(0, Long.MaxValue)
+        T(s, d, "events")
+          .withColumn("le_val",
+            last(when(col("event_type") === "error", col("value")),
+              ignoreNulls = true).over(wb))
+          .withColumn("le_us",
+            max(when(col("event_type") === "error", unix_micros(col("ts"))))
+              .over(wb))
+          .withColumn("ne_val",
+            first(when(col("event_type") === "error", col("value")),
+              ignoreNulls = true).over(wf))
+          .withColumn("ne_us",
+            min(when(col("event_type") === "error", unix_micros(col("ts"))))
+              .over(wf))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            when(col("le_us").isNull, col("ne_val"))
+              .when(col("ne_us").isNull, col("le_val"))
+              .when(unix_micros(col("ts")) - col("le_us") <=
+                col("ne_us") - unix_micros(col("ts")), col("le_val"))
+              .otherwise(col("ne_val")).as("nearest_error_value"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, user_id, event_type, " +
+        "CASE WHEN le_us IS NULL THEN ne_val " +
+        "WHEN ne_us IS NULL THEN le_val " +
+        "WHEN ts_us - le_us <= ne_us - ts_us THEN le_val " +
+        "ELSE ne_val END AS nearest_error_value FROM (" +
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, " +
+        "last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le_val, " +
+        "MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le_us, " +
+        "first_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne_val, " +
+        "MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne_us " +
+        "FROM events) t ORDER BY event_id")),
+
     // TPC-H Q3-shaped star join: customer ⋈ orders ⋈ lineitem.
     "join_multiway" -> Q(
       (s, d) => {
