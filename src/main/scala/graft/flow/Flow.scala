@@ -1,0 +1,119 @@
+package graft.flow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.T
+
+/** Declarative flow assembly — the reference's core UX [PK; SURVEY §1.1]:
+  * a runtime-configured flow is an ordered list of instruction configs
+  * (JSON) compiled into a pipeline. The reference compiles them into its
+  * own execution graph; the Spark-first re-expression compiles each
+  * instruction into a LAZY DataFrame transformation, so a compiled flow IS
+  * a Catalyst logical plan — pushdown, pruning, join reorder, AQE all see
+  * through the whole chain exactly as if the pipeline had been hand-written
+  * in Scala. Config compilation adds ZERO execution-time machinery: there
+  * is no interpreter in the hot path, only plan construction at compile
+  * time (FlowSpec pins compiled-plan ≡ hand-written-plan on the physical
+  * level, and the flow_* keys pin result equivalence through the DuckDB
+  * oracle gate).
+  *
+  * Instruction vocabulary (all expressions are Spark SQL text, parsed by
+  * the session's own parser — the flow author writes the same dialect
+  * `spark.sql` accepts):
+  *
+  * {{{
+  * {"steps": [
+  *   {"op":"read","table":"customer"},                       // must be first
+  *   {"op":"filter","where":"c_mktsegment = 'BUILDING'"},
+  *   {"op":"join","right":{"steps":[...]},"on":"a = b",
+  *    "how":"inner|left|semi|anti|...","broadcast":true},    // right = nested flow
+  *   {"op":"derive","as":"rev","expr":"x * y"},              // window fns ride
+  *                                                           // "... over (...)"
+  *   {"op":"select","columns":["a","b as c"]},
+  *   {"op":"agg","groupBy":["a"],"aggs":["sum(x) as s"]},
+  *   {"op":"distinct"}, {"op":"union","right":{...}},
+  *   {"op":"orderBy","by":["s desc","a"]}, {"op":"limit","n":10}
+  * ]}
+  * }}}
+  */
+object Flow {
+
+  /** Compile a JSON flow spec against the sf-dir tables. Fails loudly on
+    * an unknown op or missing field — a typo'd config must not silently
+    * compile to a different pipeline. */
+  def compile(spark: SparkSession, dir: String, spec: String): DataFrame =
+    build(spark, dir, JsonMethods.parse(spec))
+
+  private def build(s: SparkSession, dir: String, v: JValue): DataFrame = {
+    val steps = v \ "steps" match {
+      case JArray(xs) => xs
+      case other      => sys.error(s"flow: 'steps' must be an array, got $other")
+    }
+    require(steps.nonEmpty, "flow: empty steps")
+    steps.foldLeft(Option.empty[DataFrame]) { (acc, st) =>
+      Some(step(s, dir, acc, st))
+    }.get
+  }
+
+  private def step(s: SparkSession, dir: String, acc: Option[DataFrame],
+      st: JValue): DataFrame = {
+    val op = str(st, "op")
+    if (op == "read") {
+      require(acc.isEmpty, "flow: 'read' must be the first step")
+      return T(s, dir, str(st, "table"))
+    }
+    val df = acc.getOrElse(sys.error(s"flow: '$op' before any 'read'"))
+    op match {
+      case "filter"  => df.filter(str(st, "where"))
+      case "derive"  => df.withColumn(str(st, "as"), expr(str(st, "expr")))
+      case "select"  => df.selectExpr(strList(st, "columns"): _*)
+      case "join" =>
+        val right0 = build(s, dir, st \ "right")
+        val right = if (bool(st, "broadcast")) broadcast(right0) else right0
+        df.join(right, expr(str(st, "on")),
+          strOpt(st, "how").getOrElse("inner"))
+      case "agg" =>
+        val aggs = strList(st, "aggs").map(expr)
+        df.groupBy(strList(st, "groupBy").map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+      case "distinct" => df.distinct()
+      case "union"    => df.unionByName(build(s, dir, st \ "right"))
+      case "orderBy"  => df.orderBy(strList(st, "by").map(expr): _*)
+      case "limit"    => df.limit(int(st, "n"))
+      case other      => sys.error(s"flow: unknown op '$other'")
+    }
+  }
+
+  private def str(v: JValue, k: String): String = v \ k match {
+    case JString(x) => x
+    case other      => sys.error(s"flow: field '$k' must be a string, got $other")
+  }
+
+  private def strOpt(v: JValue, k: String): Option[String] = v \ k match {
+    case JString(x) => Some(x)
+    case JNothing   => None
+    case other      => sys.error(s"flow: field '$k' must be a string, got $other")
+  }
+
+  private def strList(v: JValue, k: String): Seq[String] = v \ k match {
+    case JArray(xs) => xs.map {
+      case JString(x) => x
+      case other      => sys.error(s"flow: '$k' entries must be strings, got $other")
+    }
+    case other => sys.error(s"flow: field '$k' must be an array, got $other")
+  }
+
+  private def int(v: JValue, k: String): Int = v \ k match {
+    case JInt(x) => x.toInt
+    case other   => sys.error(s"flow: field '$k' must be an int, got $other")
+  }
+
+  private def bool(v: JValue, k: String): Boolean = v \ k match {
+    case JBool(x) => x
+    case JNothing => false
+    case other    => sys.error(s"flow: field '$k' must be a bool, got $other")
+  }
+}

@@ -12,7 +12,7 @@ import sys
 
 KEY_RE = re.compile(
     r'"((?:scan|source|sink|sql|project|filter|drop|join|sort|topk|set|agg'
-    r'|win|fn|evt|stream|llm|mm|sub|sample|scale)_[a-z0-9_]+)"\s*:\s*'
+    r'|win|fn|evt|stream|llm|mm|sub|sample|scale|dq|flow)_[a-z0-9_]+)"\s*:\s*'
     r'([0-9]+(?:\.[0-9]+)?)')
 
 
