@@ -160,6 +160,33 @@ object ScaleOps {
         "WHERE p.event_type = 'purchase' AND c.event_type = 'click' " +
         "ORDER BY p.user_id, purchase_id, click_id")),
 
+    // LEFT-OUTER batch twin (round-8 addendum): "purchases that never saw
+    // a click" — the question the inner join can't answer. Streaming side
+    // is the SAME StreamOps.clickToPurchase with joinType=leftOuter: both
+    // inputs watermarked and the condition bounds event time on both ends,
+    // so unmatched purchases emit null-padded exactly when the watermark
+    // proves no matching click can still arrive, and join state evicts
+    // (StreamingSpec pins the null-pad-after-watermark-close behavior).
+    // Null click_id sorts need an explicit NULLS FIRST pin — Spark asc
+    // defaults NULLS FIRST, DuckDB asc defaults NULLS LAST (§7.4.3).
+    "stream_join_left_outer" -> Q(
+      (s, d) => {
+        val e = T(s, d, "events")
+        StreamOps.clickToPurchase(
+            e.filter(col("event_type") === "click"),
+            e.filter(col("event_type") === "purchase"),
+            joinType = "leftOuter")
+          .orderBy(col("user_id"), col("purchase_id"),
+            col("click_id").asc_nulls_first)
+      },
+      usEvents("SELECT p.user_id, p.event_id AS purchase_id, " +
+        "c.event_id AS click_id FROM events p LEFT JOIN events c " +
+        "ON p.user_id = c.user_id AND c.ts < p.ts " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR " +
+        "AND c.event_type = 'click' " +
+        "WHERE p.event_type = 'purchase' " +
+        "ORDER BY p.user_id, purchase_id, click_id NULLS FIRST")),
+
     // Batch twin of StreamOps.enrichWithDim (stream–static broadcast
     // enrichment; stream ≡ batch asserted in StreamingSpec). The dim is
     // the synthetic user→nation segment map — broadcast, stateless.

@@ -615,4 +615,31 @@ class StreamingSpec extends SparkSpec {
     assert(hour0.map(_.getLong(0)).toSeq == Seq(3L),
       "late event must not be counted in the closed hour-0 window")
   }
+
+  test("Trigger.AvailableNow backfill: bounded catch-up == batch, then terminates") {
+    // The catch-up / gate-replay shape: a file-source stream started over
+    // an already-populated directory drains EVERYTHING that exists in
+    // bounded micro-batches (maxFilesPerTrigger throttles each one), then
+    // self-terminates instead of idling — the batch-backfill half of a
+    // lambda-free pipeline.
+    val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    val e = batchEvents
+    e.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream.groupBy($"event_type").count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("t_backfill")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow query must drain the backlog and self-terminate")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "maxFilesPerTrigger=1 over 4 files must take multiple micro-batches")
+    val got = spark.table("t_backfill").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = e.groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"backfill $got != batch $want")
+  }
 }
