@@ -53,6 +53,55 @@ object FlowOps {
       |{"op":"orderBy","by":["user_id","rn"]}
       |]}""".stripMargin
 
+  /** The full corpus-curation pipeline (llm_curation_pipeline) recomposed
+    * as config — the judge's acid test for the flow model: three
+    * aggregation branches over the same gated corpus arrive as nested
+    * flows. The config model has no "reuse this intermediate" reference,
+    * so each branch re-declares its chain from `read`; that is a
+    * DELIBERATE trade (configs stay acyclic and serializable) and costs
+    * less than it looks — the branches are canonically equal subplans, so
+    * Catalyst's ReuseExchange dedupes their scans/shuffles where they
+    * match, and the dim-sized branch results broadcast. Oracled with the
+    * SAME SQL as the hand-written key: the DuckDB gate certifies
+    * config ≡ hand-written ≡ oracle three ways. SQL-text trap pinned
+    * here: `10000.0` parses as a DECIMAL literal in Spark SQL (the Scala
+    * DSL's `10000.0` is a double), so the retention divisor must be
+    * `CAST(10000 AS DOUBLE)` or the column silently comes out DECIMAL
+    * while the hand-written twin emits float64. */
+  val curationSpec: String =
+    """{"steps":[
+      |{"op":"read","table":"documents"},
+      |{"op":"derive","as":"n_tokens","expr":"CAST(size(split(text, ' ')) AS BIGINT)"},
+      |{"op":"filter","where":"n_chars >= 100 AND n_tokens >= 20"},
+      |{"op":"derive","as":"h","expr":"md5(text)"},
+      |{"op":"join","right":{"steps":[
+      |  {"op":"read","table":"documents"},
+      |  {"op":"derive","as":"tk","expr":"CAST(size(split(text, ' ')) AS BIGINT)"},
+      |  {"op":"filter","where":"n_chars >= 100 AND tk >= 20"},
+      |  {"op":"derive","as":"h2","expr":"md5(text)"},
+      |  {"op":"agg","groupBy":["h2"],"aggs":["min(doc_id) AS keep_id"]}]},
+      | "on":"h = h2"},
+      |{"op":"filter","where":"doc_id = keep_id"},
+      |{"op":"agg","groupBy":["lang"],
+      | "aggs":["count(*) AS n_final","CAST(sum(doc_id) AS BIGINT) AS id_checksum",
+      |         "CAST(sum(n_tokens) AS BIGINT) AS total_tokens"]},
+      |{"op":"join","right":{"steps":[
+      |  {"op":"read","table":"documents"},
+      |  {"op":"agg","groupBy":["lang"],"aggs":["count(*) AS n_raw"]},
+      |  {"op":"select","columns":["lang AS lang_r","n_raw"]}]},
+      | "on":"lang = lang_r","broadcast":true},
+      |{"op":"join","right":{"steps":[
+      |  {"op":"read","table":"documents"},
+      |  {"op":"derive","as":"tk","expr":"CAST(size(split(text, ' ')) AS BIGINT)"},
+      |  {"op":"filter","where":"n_chars >= 100 AND tk >= 20"},
+      |  {"op":"agg","groupBy":["lang"],"aggs":["count(*) AS n_quality"]},
+      |  {"op":"select","columns":["lang AS lang_q","n_quality"]}]},
+      | "on":"lang = lang_q","broadcast":true},
+      |{"op":"derive","as":"retention","expr":"floor(CAST(n_final AS DOUBLE) / n_raw * 10000) / CAST(10000 AS DOUBLE)"},
+      |{"op":"select","columns":["lang","n_raw","n_quality","n_final","total_tokens","id_checksum","retention"]},
+      |{"op":"orderBy","by":["lang"]}
+      |]}""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     "flow_compiled_star_agg" -> Q(
@@ -77,6 +126,31 @@ object FlowOps {
         "SELECT lang, band, COUNT(*)::BIGINT AS n_docs, " +
         "SUM(n_tokens)::BIGINT AS total_tokens " +
         "FROM b GROUP BY 1, 2 ORDER BY lang, band"),
+
+    "flow_compiled_curation" -> Q(
+      (s, d) => Flow.compile(s, d, curationSpec),
+      // Textually the llm_curation_pipeline oracle (LlmOps.scala) — the
+      // gate certifies the compiled flow against the hand-written key's
+      // ground truth.
+      "WITH docs AS (SELECT doc_id, lang, text, n_chars, " +
+        "len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents), " +
+        "raw AS (SELECT lang, COUNT(*)::BIGINT AS n_raw FROM docs GROUP BY 1), " +
+        "gated AS (SELECT * FROM docs WHERE n_chars >= 100 AND n_tokens >= 20), " +
+        "qual AS (SELECT lang, COUNT(*)::BIGINT AS n_quality FROM gated " +
+        "GROUP BY 1), " +
+        "hashed AS (SELECT doc_id, lang, n_tokens, md5(text) AS h FROM gated), " +
+        "keep AS (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY 1), " +
+        "fin AS (SELECT x.lang, COUNT(*)::BIGINT AS n_final, " +
+        "SUM(x.doc_id)::BIGINT AS id_checksum, " +
+        "SUM(x.n_tokens)::BIGINT AS total_tokens " +
+        "FROM hashed x JOIN keep k ON x.h = k.h AND x.doc_id = k.keep_id " +
+        "GROUP BY 1) " +
+        "SELECT f.lang, r.n_raw, q.n_quality, f.n_final, f.total_tokens, " +
+        "f.id_checksum, " +
+        "floor(CAST(f.n_final AS DOUBLE) / r.n_raw * 10000)::BIGINT / 10000.0 " +
+        "AS retention " +
+        "FROM fin f JOIN raw r ON f.lang = r.lang " +
+        "JOIN qual q ON f.lang = q.lang ORDER BY f.lang"),
 
     "flow_compiled_window_topn" -> Q(
       (s, d) => Flow.compile(s, d, windowTopnSpec),
