@@ -33,7 +33,8 @@ import graft.T
   *   {"op":"derive","as":"rev","expr":"x * y"},              // window fns ride
   *                                                           // "... over (...)"
   *   {"op":"select","columns":["a","b as c"]},
-  *   {"op":"agg","groupBy":["a"],"aggs":["sum(x) as s"]},
+  *   {"op":"agg","groupBy":["a"],"aggs":["sum(x) as s"]},   // keys are exprs
+  *   {"op":"watermark","col":"ts","delay":"10 minutes"},    // no-op on batch
   *   {"op":"distinct"}, {"op":"union","right":{...}},
   *   {"op":"orderBy","by":["s desc","a"]}, {"op":"limit","n":10}
   * ]}
@@ -46,6 +47,28 @@ object Flow {
     * compile to a different pipeline. */
   def compile(spark: SparkSession, dir: String, spec: String): DataFrame =
     build(spark, dir, JsonMethods.parse(spec))
+
+  /** Compile a flow spec ON a bound input frame instead of a `read` step —
+    * the STREAMING entry point: pass `readStream`'s frame (or a
+    * MemoryStream's) and the SAME config that runs in batch runs as a
+    * Structured Streaming pipeline (`watermark` is a no-op on batch
+    * frames, exactly Spark's own semantics, so one config serves both
+    * sides of a lambda-free deployment — FlowSpec/StreamingSpec pin
+    * stream ≡ batch for a shared spec). Nested join branches still read
+    * tables from `dir` (the stream–static enrich shape). */
+  def compileOn(spark: SparkSession, dir: String, input: DataFrame,
+      spec: String): DataFrame = {
+    val steps = JsonMethods.parse(spec) \ "steps" match {
+      case JArray(xs) => xs
+      case other      => sys.error(s"flow: 'steps' must be an array, got $other")
+    }
+    require(steps.nonEmpty, "flow: empty steps")
+    steps.foldLeft(input) { (df, st) =>
+      require(str(st, "op") != "read",
+        "flow: compileOn flows start from the bound input, not 'read'")
+      step(spark, dir, Some(df), st)
+    }
+  }
 
   private def build(s: SparkSession, dir: String, v: JValue): DataFrame = {
     val steps = v \ "steps" match {
@@ -70,14 +93,18 @@ object Flow {
       case "filter"  => df.filter(str(st, "where"))
       case "derive"  => df.withColumn(str(st, "as"), expr(str(st, "expr")))
       case "select"  => df.selectExpr(strList(st, "columns"): _*)
+      case "watermark" =>
+        df.withWatermark(str(st, "col"), str(st, "delay"))
       case "join" =>
         val right0 = build(s, dir, st \ "right")
         val right = if (bool(st, "broadcast")) broadcast(right0) else right0
         df.join(right, expr(str(st, "on")),
           strOpt(st, "how").getOrElse("inner"))
       case "agg" =>
+        // groupBy entries are expressions, not just names — window(ts, …)
+        // bucketing and computed keys arrive the same way columns do.
         val aggs = strList(st, "aggs").map(expr)
-        df.groupBy(strList(st, "groupBy").map(col): _*)
+        df.groupBy(strList(st, "groupBy").map(expr): _*)
           .agg(aggs.head, aggs.tail: _*)
       case "distinct" => df.distinct()
       case "union"    => df.unionByName(build(s, dir, st \ "right"))

@@ -106,7 +106,33 @@ object FlowOps {
       |{"op":"orderBy","by":["lang"]}
       |]}""".stripMargin
 
+  /** ONE config, both engines of a lambda-free deployment: a watermarked
+    * tumbling-window aggregation whose spec runs unchanged as a batch
+    * DataFrame chain (watermark is Spark's own batch no-op) and as a
+    * Structured Streaming pipeline via Flow.compileOn (StreamingSpec pins
+    * stream ≡ batch for THIS spec). No orderBy inside — streaming append
+    * mode forbids it; the registered batch key sorts outside the shared
+    * spec. */
+  val streamAggSpec: String =
+    """{"steps":[
+      |{"op":"watermark","col":"ts","delay":"10 minutes"},
+      |{"op":"agg","groupBy":["window(ts, '1 hour')"],
+      | "aggs":["count(*) AS n","CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total"]},
+      |{"op":"derive","as":"bucket","expr":"window.start"},
+      |{"op":"select","columns":["bucket","n","total"]}
+      |]}""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
+
+    "flow_compiled_stream_agg" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        Flow.compileOn(s, d, graft.T(s, d, "events"), streamAggSpec)
+          .orderBy(col("bucket"))
+      },
+      usEvents("SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM events GROUP BY 1 ORDER BY bucket")),
 
     "flow_compiled_star_agg" -> Q(
       (s, d) => Flow.compile(s, d, starAggSpec),

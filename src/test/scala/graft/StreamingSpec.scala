@@ -46,6 +46,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("flow config compiles streaming too: stream == batch for the shared spec") {
+    // ONE JSON spec (FlowOps.streamAggSpec) drives both sides: here it
+    // compiles onto a MemoryStream as a Structured Streaming pipeline; the
+    // registered flow_compiled_stream_agg key compiles the same spec onto
+    // the batch frame (where watermark is Spark's own no-op).
+    val got = runStream("t_flow_stream", 3)(df =>
+      graft.flow.Flow.compileOn(spark, sf001, df,
+        graft.operators.FlowOps.streamAggSpec))
+      .orderBy($"bucket").collect()
+    val want = SparkEntry.queries("flow_compiled_stream_agg")(spark, sf001)
+      .collect()
+    assert(want.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("stream dq monitor == batch twin (3 batches)") {
     val got = runStream("t_dqm", 3)(df => graft.operators.DqOps.dqMonitorStream(df))
       .orderBy($"bucket").collect()
