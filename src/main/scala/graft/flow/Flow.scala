@@ -95,6 +95,20 @@ object Flow {
       case "select"  => df.selectExpr(strList(st, "columns"): _*)
       case "watermark" =>
         df.withWatermark(str(st, "col"), str(st, "delay"))
+      case "write" =>
+        // Sink instruction: materialize to a tag-keyed scratch path and
+        // hand the READ-BACK frame to the next step, so flows can chain
+        // past a materialization point (the reference's sink→source
+        // handoff). The path is keyed by (tag, input dir) like every
+        // scratch table — two input dirs in one JVM must not collide.
+        val tag = str(st, "tag")
+        require(tag.matches("[A-Za-z0-9_]+"),
+          s"flow: write tag must be [A-Za-z0-9_]+, got '$tag'")
+        val path = new java.io.File(new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_scratch"),
+          s"flow_${tag}_${graft.operators.Scale.dirTag(dir)}").toString
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
       case "join" =>
         val right0 = build(s, dir, st \ "right")
         val right = if (bool(st, "broadcast")) broadcast(right0) else right0

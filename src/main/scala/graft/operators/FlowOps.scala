@@ -182,6 +182,23 @@ object FlowOps {
         "FROM fin f JOIN raw r ON f.lang = r.lang " +
         "JOIN qual q ON f.lang = q.lang ORDER BY f.lang"),
 
+    // Source → transform → SINK → consume, all as config: the write
+    // instruction materializes to a tag-keyed scratch path and the chain
+    // continues on the READ-BACK frame — the oracle proves the
+    // materialization is a pure rewrite (sink roundtrip ≡ the transform
+    // alone), the sink_parquet discipline arriving as config.
+    "flow_compiled_sink_roundtrip" -> Q(
+      (s, d) => Flow.compile(s, d,
+        """{"steps":[
+          |{"op":"read","table":"events"},
+          |{"op":"filter","where":"event_type = 'purchase'"},
+          |{"op":"select","columns":["event_id","user_id","value"]},
+          |{"op":"write","tag":"sink_roundtrip"},
+          |{"op":"orderBy","by":["event_id"]}
+          |]}""".stripMargin),
+      usEvents("SELECT event_id, user_id, value FROM events " +
+        "WHERE event_type = 'purchase' ORDER BY event_id")),
+
     "flow_compiled_window_topn" -> Q(
       (s, d) => Flow.compile(s, d, windowTopnSpec),
       usEvents("SELECT user_id, rn, event_id, event_type FROM (" +
