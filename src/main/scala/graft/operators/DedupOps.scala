@@ -580,16 +580,25 @@ object DedupOps {
       (s, d) => {
         val t = T(s, d, "documents").select(col("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"))
+        // g feeds BOTH the df count and the probe side, and p feeds BOTH
+        // sides of the candidate self-join — without the pins each
+        // consumer re-derives the whole explode→distinct→window chain
+        // from the scan (4 full recomputes; measured 6.3s → 3.8s at
+        // sf0.1). localCheckpoint materializes the corpus×grams frame
+        // once (corpus-bounded, the candidate-set size a dedup run holds
+        // anyway); same discipline as dq_profile's 1-row pin.
         val g = t.select(col("doc_id"), col("title"),
             explode(expr("transform(sequence(1, greatest(length(title) - 4, 1)), " +
               "i -> substring(title, i, 5))")).as("q"))
           .distinct()
+          .localCheckpoint()
         val f = g.groupBy(col("q")).agg(count(lit(1)).as("df"))
         val p = g.join(broadcast(f), "q")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("df"), col("q"))))
           .filter(col("rn") <= 11)
           .select(col("doc_id"), col("title"), col("q"))
+          .localCheckpoint()
         // Candidate dedup carries IDS + title lengths only — the 4M-pair
         // distinct must never shuffle the title strings themselves; titles
         // rejoin after the pair set is deduped. ed<=2 bounds the length
@@ -600,12 +609,16 @@ object DedupOps {
               abs(col("a.len") - col("b.len")) <= 2)
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
+        // dist computed ONCE via withColumn: a filter-then-project pair
+        // re-evaluates the same levenshtein (O(len²) per pair × 330k
+        // candidate pairs at sf0.1) — the exact-verify step is the only
+        // per-candidate cost, so never pay it twice.
         cand
           .join(t.select(col("doc_id").as("a_id"), col("title").as("ta")), "a_id")
           .join(t.select(col("doc_id").as("b_id"), col("title").as("tb")), "b_id")
-          .filter(levenshtein(col("ta"), col("tb")) <= 2)
-          .select(col("a_id"), col("b_id"),
-            levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+          .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+          .filter(col("dist") <= 2)
+          .select(col("a_id"), col("b_id"), col("dist"))
           .orderBy(col("a_id"), col("b_id"))
       },
       "WITH t AS (SELECT doc_id, " +
