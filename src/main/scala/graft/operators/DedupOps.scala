@@ -474,7 +474,14 @@ object DedupOps {
     // processor keys its state on.
     "llm_simhash_hamming_join" -> Q(
       (s, d) => {
-        val sigs = md5SimhashSigs(s, d)
+        // Both self-join sides consume the signatures: without the pin
+        // each side re-runs the 60-vote-column token agg from the scan
+        // (A/B at sf0.1 local[8]: 2.33s → 1.19s median). The same pin
+        // HURT llm_minhash_jaccard_est (2.98s → 3.98s): its md5 chains
+        // are cheap enough that the duplicated subplans running
+        // CONCURRENTLY beat a serializing eager materialization — pin
+        // only when the duplicated work dominates the blocking cost.
+        val sigs = md5SimhashSigs(s, d).localCheckpoint()
         val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
           col("band0").as("a0"), col("band1").as("a1"),
           col("band2").as("a2"), col("band3").as("a3"))
