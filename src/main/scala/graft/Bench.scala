@@ -53,6 +53,11 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // Round-ritual red gate: a key that fails every rep is a broken
+    // operator, not noise — make it impossible to miss in the log even
+    // though the JSON line (driver contract) still prints and rc stays 0.
+    if (failed != "[]")
+      System.err.println(s"[bench] RED GATE — keys failed all reps: $failed")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
