@@ -1378,6 +1378,35 @@ object EventOps {
         "(CAST(tot_c AS DOUBLE) / tot_days) AS idx " +
         "FROM t ORDER BY event_type, dow")),
 
+    // Throttle (round-8 addendum; the Logstash `throttle` filter): rate-
+    // limit to the FIRST 3 events per (user, DAY) in event-time order,
+    // dropping the rest — the alert-fatigue / abuse-control primitive.
+    // Day windows so the limit actually bites on this fixture (~2.2
+    // events/user/day ⇒ ~14% dropped at sf0.01; hourly windows would
+    // pass every event and never exercise the drop path). One
+    // window pass partitioned by (user, day): frames are bounded by a
+    // user-day (never corpus-sized), the shuffle key is the composite,
+    // and the pass-through row carries its within-window sequence so a
+    // downstream can see how close to the limit each key ran.
+    "evt_throttle" -> Q(
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("user_id"), date_trunc("DAY", col("ts")))
+          .orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("event_id"), col("user_id"),
+            date_trunc("DAY", col("ts")).as("bucket"),
+            big(col("rn")).as("n_in_window"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, user_id, bucket, rn AS n_in_window FROM (" +
+        "SELECT event_id, user_id, date_trunc('day', ts) AS bucket, " +
+        "row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) " +
+        "ORDER BY ts, event_id) AS rn FROM events) t " +
+        "WHERE rn <= 3 ORDER BY event_id")),
+
     // Survival curve (round-8 addendum): share of users still active t
     // days after their first event — the product-limit (Kaplan-Meier)
     // estimator specialised to full observation (every lifetime is
