@@ -24,7 +24,10 @@ object Preflight {
       require(r.getLong(0) > 0, s"events table at $sfDir is empty")
       require(!r.isNullAt(1), "events.ts read back all-NULL")
     } catch {
-      case e: Throwable =>
+      // NonFatal only: an OOM/StackOverflow during the probe is a JVM
+      // failure, not environment drift — rewrapping it would misattribute
+      // the failure class. Let fatal errors propagate unwrapped.
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalStateException(
           s"PREFLIGHT FAILED under Spark ${spark.version} on $sfDir/events" +
             s" — environment drift, every events-reading key is at risk: " +

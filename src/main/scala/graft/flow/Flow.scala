@@ -104,6 +104,12 @@ object Flow {
         val tag = str(st, "tag")
         require(tag.matches("[A-Za-z0-9_]+"),
           s"flow: write tag must be [A-Za-z0-9_]+, got '$tag'")
+        // A streaming frame cannot batch-write, and the read-back would
+        // silently turn the rest of the chain into batch — fail at the
+        // flow level, not with Spark's raw AnalysisException.
+        require(!df.isStreaming,
+          "flow: 'write' is batch-only — a streaming flow ends at the " +
+            "caller's writeStream sink, not a mid-flow 'write' step")
         val path = new java.io.File(new java.io.File(
           sys.props("java.io.tmpdir"), "graft_scratch"),
           s"flow_${tag}_${graft.operators.Scale.dirTag(dir)}").toString
@@ -118,6 +124,7 @@ object Flow {
         // groupBy entries are expressions, not just names — window(ts, …)
         // bucketing and computed keys arrive the same way columns do.
         val aggs = strList(st, "aggs").map(expr)
+        require(aggs.nonEmpty, "flow: 'aggs' must be non-empty")
         df.groupBy(strList(st, "groupBy").map(expr): _*)
           .agg(aggs.head, aggs.tail: _*)
       case "distinct" => df.distinct()

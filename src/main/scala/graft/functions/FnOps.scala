@@ -625,13 +625,25 @@ object FnOps {
 
     // GeoIP-style range enrich (round-8 addendum; the Logstash `geoip`
     // filter): each event's ip_int (fn_ip_mask's synth) picks up its
-    // country from a RANGE-keyed block dim — the geo database is a STUB
+    // country from a RANGE-keyed block dim. The geo database is a STUB
     // (7 first-octet blocks; a real build swaps in the MaxMind-style
-    // block table with the same schema and join), the join shape is real:
-    // the dim BROADCASTS (block tables are dim-sized) and the range
-    // predicate runs as a broadcast nested-loop — correct for a tiny dim;
-    // a block table too big to broadcast moves to the proven
-    // scale_interval_bin_join bucketed-equi-join machinery instead.
+    // block table with the same schema), but the join shape is the
+    // SCALE-SAFE one, not the naive range join: a raw
+    // `ip BETWEEN start AND end` predicate plans as
+    // BroadcastNestedLoopJoin — O(events × blocks) predicate evals, dead
+    // against a real ~3M-row block table. Instead the dim's ranges
+    // EXPLODE into the /16 buckets they cover (sequence over
+    // ip DIV 2^16 — MaxMind blocks are mostly ≥/16, so blowup ≈ 1 row
+    // per block; our /8 stub spans 256 buckets each), the probe side
+    // derives its single /16 bucket, and the join is a plain EQUI-join
+    // on the bucket with the exact range re-checked on candidates only.
+    // Each ip has exactly ONE bucket and each block lists a bucket once,
+    // so no pair can duplicate — no distinct pass (the
+    // scale_interval_bin_join discipline; count-once is free here).
+    // No broadcast hint: Catalyst broadcasts the 1.8k-row exploded stub
+    // on stats, and a 3M-row real table falls back to a keyed shuffle
+    // hash join on the same plan. GraftFunctionsSpec plan-asserts no
+    // BroadcastNestedLoopJoin survives.
     "fn_geoip_range_join" -> Q(
       (s, d) => {
         import s.implicits._
@@ -642,6 +654,8 @@ object FnOps {
           .select((col("o_start") * 16777216L).as("ip_start"),
             ((col("o_end") + 1L) * 16777216L - 1L).as("ip_end"),
             col("country"))
+          .withColumn("bucket", explode(sequence(
+            expr("ip_start DIV 65536"), expr("ip_end DIV 65536"))))
         T(s, d, "events")
           .withColumn("ip", concat_ws(".",
             col("user_id") % 224, col("event_id") % 256,
@@ -652,8 +666,9 @@ object FnOps {
               col("oct").getItem(1).cast("long") * 65536L +
               col("oct").getItem(2).cast("long") * 256L +
               col("oct").getItem(3).cast("long"))
-          .join(broadcast(dim),
-            col("ip_int").between(col("ip_start"), col("ip_end")))
+          .withColumn("bucket", expr("ip_int DIV 65536"))
+          .join(dim, Seq("bucket"))
+          .filter(col("ip_int").between(col("ip_start"), col("ip_end")))
           .select(col("event_id"), col("ip"), col("country"))
           .orderBy(col("event_id"))
       },

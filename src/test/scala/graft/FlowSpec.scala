@@ -38,8 +38,13 @@ class FlowSpec extends SparkSpec {
   test("column pruning reaches the scan through the compiled chain") {
     val plan = Flow.compile(spark, sf001, FlowOps.docPipelineSpec)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("doc_id"),
-      "unreferenced column doc_id should be pruned from the documents scan")
+    // Assert against the scan's ReadSchema specifically — the whole-plan
+    // string can mention doc_id incidentally (paths, metrics, schema text
+    // of other nodes) without the scan actually reading the column.
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty, s"no ReadSchema line in plan:\n$plan")
+    assert(readSchemas.forall(!_.contains("doc_id")),
+      s"unreferenced column doc_id not pruned from the scan: $readSchemas")
   }
 
   test("bad configs fail loudly at compile time") {

@@ -76,4 +76,22 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("Café", "Café", "ΕΣ"))
   }
+
+  test("fn_geoip_range_join plans a bucketed equi-join, never a nested loop") {
+    // The scale contract for the geoip enrich: the range predicate must
+    // ride an equi-join on the derived /16 bucket (hash-joinable, keyed
+    // shuffle at 3M-block scale), with BETWEEN only as a post-join filter
+    // on candidates. A BroadcastNestedLoopJoin here is O(events x blocks)
+    // and would be a scale-killer against a real block table.
+    val df = SparkEntry.queries("fn_geoip_range_join")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"geoip join fell back to a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no equi-join found:\n$plan")
+    // every event still lands in exactly one block
+    val n = df.count()
+    assert(n > 0 && n == T(spark, sf001, "events").count(),
+      s"geoip enrich row count drifted: $n")
+  }
 }
