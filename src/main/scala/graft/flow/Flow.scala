@@ -1,7 +1,7 @@
 package graft.flow
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, expr, lit, map, when}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -36,9 +36,16 @@ import graft.T
   *   {"op":"agg","groupBy":["a"],"aggs":["sum(x) as s"]},   // keys are exprs
   *   {"op":"watermark","col":"ts","delay":"10 minutes"},    // no-op on batch
   *   {"op":"distinct"}, {"op":"union","right":{...}},
+  *   {"op":"translate","field":"code","as":"label",
+  *    "dict":{"200":"ok","404":"missing"},"default":"other"},
   *   {"op":"orderBy","by":["s desc","a"]}, {"op":"limit","n":10}
   * ]}
   * }}}
+  *
+  * Multi-output topologies (the reference's conditional fan-out to N
+  * sinks [PK: eventstreams flow routing; Logstash output conditionals])
+  * compile through [[routes]]: the flow's FINAL step is `route`, whose
+  * branches get first-match-wins row partitions of the shared prefix.
   */
 object Flow {
 
@@ -69,6 +76,75 @@ object Flow {
       step(spark, dir, Some(df), st)
     }
   }
+
+  /** Compile a ROUTING flow — the multi-sink topology: ordinary steps up
+    * to a terminal `route` op, whose branches partition the shared prefix
+    * first-match-wins (Logstash if / else-if / else semantics: a row
+    * matching two branch conditions lands ONLY in the first). Returns the
+    * per-branch frames in declaration order, `otherwise` last (the
+    * unmatched remainder; omitted from the config = unmatched rows drop,
+    * the Logstash default).
+    *
+    * Scale shape: the classifier is ONE when-chain projection over ONE
+    * shared prefix frame — branches are filters on the tag column, so the
+    * prefix plan (scan + upstream transforms) is declared once and each
+    * branch's filter pushes into it; no per-branch re-classification, no
+    * shuffle introduced by the split itself (the dq_dead_letter
+    * discipline, generalized to N config-declared outputs). */
+  def routes(s: SparkSession, dir: String,
+      spec: String): Seq[(String, DataFrame)] = {
+    val v = JsonMethods.parse(spec)
+    val steps = v \ "steps" match {
+      case JArray(xs) => xs
+      case other      => sys.error(s"flow: 'steps' must be an array, got $other")
+    }
+    require(steps.nonEmpty, "flow: empty steps")
+    require(str(steps.last, "op") == "route",
+      "flow: a routing flow's final step must be 'route'")
+    require(steps.init.forall(st => str(st, "op") != "route"),
+      "flow: 'route' must be the final step (branches cannot re-route)")
+    val prefix = steps.init
+      .foldLeft(Option.empty[DataFrame])((acc, st) => Some(step(s, dir, acc, st)))
+      .getOrElse(sys.error("flow: 'route' needs at least a 'read' before it"))
+    val rt = steps.last
+    val branches = rt \ "branches" match {
+      case JArray(xs) if xs.nonEmpty => xs
+      case other => sys.error(s"flow: 'branches' must be a non-empty array, got $other")
+    }
+    val names = branches.map(b => str(b, "name"))
+    require(names.distinct.size == names.size,
+      s"flow: duplicate branch names in $names")
+    require(names.forall(n => n != OtherwiseBranch),
+      s"flow: branch name '$OtherwiseBranch' is reserved for the remainder")
+    // First-match-wins tag: one chained CASE over the shared prefix. Rows
+    // matching nothing tag as the reserved otherwise name.
+    val tag = branches.foldLeft(Option.empty[Column]) { (acc, b) =>
+      val arm = (expr(str(b, "when")), lit(str(b, "name")))
+      Some(acc.fold(when(arm._1, arm._2))(_.when(arm._1, arm._2)))
+    }.get.otherwise(lit(OtherwiseBranch))
+    val classified = prefix.withColumn(BranchCol, tag)
+    def branchOut(name: String, branchSteps: JValue): (String, DataFrame) = {
+      val in = classified.filter(col(BranchCol) === name).drop(BranchCol)
+      val out = branchSteps match {
+        case JNothing   => in
+        case JArray(xs) => xs.foldLeft(in) { (df, st) =>
+          require(str(st, "op") != "read",
+            "flow: branch steps transform the routed rows, not a new 'read'")
+          step(s, dir, Some(df), st)
+        }
+        case other => sys.error(s"flow: branch 'steps' must be an array, got $other")
+      }
+      name -> out
+    }
+    val routed = branches.map(b => branchOut(str(b, "name"), b \ "steps"))
+    rt \ "otherwise" match {
+      case JNothing => routed
+      case ow       => routed :+ branchOut(OtherwiseBranch, ow)
+    }
+  }
+
+  private val OtherwiseBranch = "otherwise"
+  private val BranchCol = "__graft_branch"
 
   private def build(s: SparkSession, dir: String, v: JValue): DataFrame = {
     val steps = v \ "steps" match {
@@ -131,6 +207,31 @@ object Flow {
       case "union"    => df.unionByName(build(s, dir, st \ "right"))
       case "orderBy"  => df.orderBy(strList(st, "by").map(expr): _*)
       case "limit"    => df.limit(int(st, "n"))
+      case "translate" =>
+        // Dictionary enrich [PK: Logstash translate filter]: the config's
+        // key→value dict compiles to a MAP LITERAL + element_at — the
+        // lookup rides inside codegen in every task, no join, no shuffle,
+        // no broadcast variable to manage. Config dicts are dim-sized by
+        // nature (they are typed into a file); a lookup too big to inline
+        // is a broadcast-join enrich, not a translate.
+        val dict = st \ "dict" match {
+          case JObject(fields) if fields.nonEmpty => fields.map {
+            case (k, JString(x)) => (k, x)
+            case (k, other) =>
+              sys.error(s"flow: translate dict value for '$k' must be a string, got $other")
+          }
+          case other =>
+            sys.error(s"flow: 'dict' must be a non-empty object, got $other")
+        }
+        val lookup = element_at(
+          map(dict.flatMap { case (k, x) => Seq(lit(k), lit(x)) }: _*),
+          col(str(st, "field")).cast("string"))
+        df.withColumn(str(st, "as"),
+          strOpt(st, "default").map(dflt => coalesce(lookup, lit(dflt)))
+            .getOrElse(lookup))
+      case "route" =>
+        sys.error("flow: 'route' is only valid as the final step of a " +
+          "routing flow — compile it with Flow.routes, not Flow.compile")
       case other      => sys.error(s"flow: unknown op '$other'")
     }
   }

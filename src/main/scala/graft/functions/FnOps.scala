@@ -758,5 +758,76 @@ object FnOps {
         "AS DECIMAL(18,4))) AS DOUBLE) AS clipped_sum " +
         "FROM events e JOIN pct p USING (event_type) " +
         "GROUP BY 1 ORDER BY 1")),
+
+    // Dissect-style positional parse (round-9 addendum) [PK: Logstash
+    // dissect filter]: %{field} tokens between literal separators compile
+    // to locate/substring chains — no regex in the hot path (see
+    // functions/Dissect.scala). The synth reuses the dead-letter trick:
+    // 'signup' lines lose their bracket section, so the separator search
+    // fails and every field nulls (all-or-nothing, routed like a grok
+    // no-match). took= carries floor(value*100) — an exact BIGINT in both
+    // engines; raw double→string would diverge on formatting. The oracle
+    // states the same parse as the equivalent LAZY regex (leftmost-
+    // minimal capture ≡ leftmost literal search; Dissect scaladoc pins
+    // the equivalence).
+    "fn_dissect" -> Q(
+      (s, d) => {
+        val cents = floor(col("value") * 100).cast("long").cast("string")
+        val line = when(col("event_type") === "signup",
+          concat(col("event_id").cast("string"), lit(" "), col("event_type"),
+            lit(" took="), cents))
+          .otherwise(concat(col("event_id").cast("string"), lit(" "),
+            col("event_type"), lit(" [u"), col("user_id").cast("string"),
+            lit("] took="), cents))
+        val fs = Dissect.fields(col("line"),
+          "%{id} %{type} [%{user}] took=%{cents}")
+        T(s, d, "events").withColumn("line", line)
+          .select(col("event_id") +: fs.map { case (n, c) => c.as(n) }: _*)
+          .orderBy(col("event_id"))
+      },
+      usEvents("WITH raw AS (SELECT event_id, CASE WHEN event_type = 'signup' " +
+        "THEN event_id::VARCHAR || ' ' || event_type || ' took=' || " +
+        "floor(value*100)::BIGINT::VARCHAR " +
+        "ELSE event_id::VARCHAR || ' ' || event_type || ' [u' || " +
+        "user_id::VARCHAR || '] took=' || floor(value*100)::BIGINT::VARCHAR " +
+        "END AS line FROM events) " +
+        "SELECT event_id, " +
+        "CASE WHEN regexp_matches(line, '^(.*?) (.*?) \\[(.*?)\\] took=(.*)$') " +
+        "THEN regexp_extract(line, '^(.*?) (.*?) \\[(.*?)\\] took=(.*)$', 1) END AS id, " +
+        "CASE WHEN regexp_matches(line, '^(.*?) (.*?) \\[(.*?)\\] took=(.*)$') " +
+        "THEN regexp_extract(line, '^(.*?) (.*?) \\[(.*?)\\] took=(.*)$', 2) END AS type, " +
+        "CASE WHEN regexp_matches(line, '^(.*?) (.*?) \\[(.*?)\\] took=(.*)$') " +
+        "THEN regexp_extract(line, '^(.*?) (.*?) \\[(.*?)\\] took=(.*)$', 3) END AS user, " +
+        "CASE WHEN regexp_matches(line, '^(.*?) (.*?) \\[(.*?)\\] took=(.*)$') " +
+        "THEN regexp_extract(line, '^(.*?) (.*?) \\[(.*?)\\] took=(.*)$', 4) END AS cents " +
+        "FROM raw ORDER BY event_id")),
+
+    // Dictionary enrich (round-9 addendum) [PK: Logstash translate
+    // filter]: a config-supplied key→value dict with a default. The dict
+    // compiles to a MAP LITERAL + element_at + coalesce — the lookup
+    // rides inside whole-stage codegen in every task: no join, no
+    // shuffle, no broadcast variable. Config dicts are dim-sized by
+    // nature (they are typed into a file); a lookup too big to inline is
+    // a broadcast-join enrich instead. Config-reachable as the Flow
+    // 'translate' instruction (flow/Flow.scala; FlowSpec pins the
+    // instruction compiles to this same shape).
+    "fn_translate" -> Q(
+      (s, d) => {
+        val dict = Seq("purchase" -> "revenue", "error" -> "ops",
+          "signup" -> "growth")
+        val lookup = element_at(
+          map(dict.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+          col("event_type"))
+        T(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            coalesce(lookup, lit("engagement")).as("tier"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_id"))
+          .orderBy(col("tier"))
+      },
+      usEvents("SELECT CASE event_type WHEN 'purchase' THEN 'revenue' " +
+        "WHEN 'error' THEN 'ops' WHEN 'signup' THEN 'growth' " +
+        "ELSE 'engagement' END AS tier, COUNT(*) AS n, " +
+        "MIN(event_id) AS first_id FROM events GROUP BY 1 ORDER BY tier")),
   )
 }

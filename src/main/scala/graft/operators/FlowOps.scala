@@ -122,6 +122,33 @@ object FlowOps {
       |{"op":"select","columns":["bucket","n","total"]}
       |]}""".stripMargin
 
+  /** Conditional fan-out arriving as config — the reference's multi-sink
+    * topology [PK: eventstreams flow routing; Logstash output
+    * conditionals]. Branch conditions OVERLAP deliberately (big_purchase ⊂
+    * purchase) — first-match-wins is the semantic under test, and the
+    * oracle's CASE chain has exactly that semantic. Each branch runs its
+    * own steps on its partition of the shared prefix; `otherwise` catches
+    * the rest. FlowSpec pins the partition discipline (one classifier
+    * pass, disjoint branches, nothing lost). */
+  val routeSpec: String =
+    """{"steps":[
+      |{"op":"read","table":"events"},
+      |{"op":"filter","where":"value > 0"},
+      |{"op":"route","branches":[
+      | {"name":"big_purchase","when":"event_type = 'purchase' AND value >= 100",
+      |  "steps":[{"op":"agg","groupBy":[],
+      |   "aggs":["count(*) AS n","CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total"]}]},
+      | {"name":"any_purchase","when":"event_type = 'purchase'",
+      |  "steps":[{"op":"agg","groupBy":[],
+      |   "aggs":["count(*) AS n","CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total"]}]},
+      | {"name":"errors","when":"event_type = 'error'",
+      |  "steps":[{"op":"agg","groupBy":[],
+      |   "aggs":["count(*) AS n","CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total"]}]}
+      |],
+      |"otherwise":[{"op":"agg","groupBy":[],
+      | "aggs":["count(*) AS n","CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total"]}]}
+      |]}""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     "flow_compiled_stream_agg" -> Q(
@@ -205,5 +232,43 @@ object FlowOps {
         "SELECT user_id, event_id, event_type, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
         "FROM events) t WHERE rn <= 3 ORDER BY user_id, rn")),
+
+    // Route fan-out as config (round-9 addendum): the per-branch audit
+    // rows a multi-sink deployment publishes. Every branch is non-empty
+    // at every test sf (purchases ≥100 exist from sf0.001 up), so the
+    // oracle's GROUP BY over the CASE-classified corpus is exactly the
+    // union of per-branch global aggs.
+    "flow_compiled_route" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        Flow.routes(s, d, routeSpec)
+          .map { case (name, df) =>
+            df.select(lit(name).as("branch"), col("n"), col("total")) }
+          .reduce(_.unionByName(_))
+          .orderBy(col("branch"))
+      },
+      usEvents("WITH cls AS (SELECT value, CASE " +
+        "WHEN event_type = 'purchase' AND value >= 100 THEN 'big_purchase' " +
+        "WHEN event_type = 'purchase' THEN 'any_purchase' " +
+        "WHEN event_type = 'error' THEN 'errors' " +
+        "ELSE 'otherwise' END AS branch FROM events WHERE value > 0) " +
+        "SELECT branch, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM cls GROUP BY 1 ORDER BY branch")),
+
+    // Named-flow registry (round-9 addendum) — the reference's management
+    // path [PK]: this key runs `conf/flows/daily_tier_rollup.json` BY
+    // NAME through FlowRegistry (re-read on every run = hot-update on
+    // next invocation). The spec chains the translate instruction into a
+    // day×tier rollup; the oracle re-states the dict as the CASE chain it
+    // compiles to.
+    "flow_named_rollup" -> Q(
+      (s, d) => graft.flow.FlowRegistry.run(s, d, "daily_tier_rollup"),
+      usEvents("SELECT CASE event_type WHEN 'purchase' THEN 'revenue' " +
+        "WHEN 'error' THEN 'ops' WHEN 'signup' THEN 'growth' " +
+        "ELSE 'engagement' END AS tier, date_trunc('day', ts) AS day, " +
+        "COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM events GROUP BY 1, 2 ORDER BY tier, day")),
   )
 }

@@ -58,5 +58,133 @@ class FlowSpec extends SparkSpec {
     intercept[RuntimeException] {
       Flow.compile(spark, sf001, """{"steps":[]}""")
     }
+    // empty aggs and a mid-flow route each get the named flow-level error
+    val eAggs = intercept[IllegalArgumentException] {
+      Flow.compile(spark, sf001,
+        """{"steps":[{"op":"read","table":"events"},
+          |{"op":"agg","groupBy":["event_type"],"aggs":[]}]}""".stripMargin)
+    }
+    assert(eAggs.getMessage.contains("aggs"))
+    val eRoute = intercept[RuntimeException] {
+      Flow.compile(spark, sf001,
+        """{"steps":[{"op":"read","table":"events"},
+          |{"op":"route","branches":[{"name":"a","when":"1=1"}]},
+          |{"op":"distinct"}]}""".stripMargin)
+    }
+    assert(eRoute.getMessage.contains("routes"))
+  }
+
+  test("write on a streaming frame fails with a flow-level error") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Int]
+    val e = intercept[IllegalArgumentException] {
+      Flow.compileOn(spark, sf001, in.toDF(),
+        """{"steps":[{"op":"write","tag":"nope"}]}""")
+    }
+    assert(e.getMessage.contains("batch-only"))
+  }
+
+  test("route partitions the prefix first-match-wins, nothing lost") {
+    // Overlapping conditions: every big_purchase row also satisfies
+    // any_purchase — it must land ONLY in the first branch. The raw
+    // branch frames (no branch steps) must partition the prefix exactly.
+    val spec =
+      """{"steps":[
+        |{"op":"read","table":"events"},
+        |{"op":"route","branches":[
+        | {"name":"big","when":"event_type = 'purchase' AND value >= 100"},
+        | {"name":"purchase","when":"event_type = 'purchase'"}]}
+        |]}""".stripMargin
+    val outs = Flow.routes(spark, sf001, spec).toMap
+    assert(outs.keySet == Set("big", "purchase"),
+      "no 'otherwise' in config => unmatched rows drop")
+    val ev = T(spark, sf001, "events")
+    val nBig = outs("big").count()
+    val nP = outs("purchase").count()
+    assert(nBig == ev.filter("event_type = 'purchase' AND value >= 100").count())
+    assert(nBig + nP == ev.filter("event_type = 'purchase'").count(),
+      "overlap double-counted: first-match-wins broken")
+    // branch frames carry no classifier leftovers
+    assert(!outs("big").columns.contains("__graft_branch"))
+    // with otherwise declared, the three outputs partition the corpus
+    val spec2 = spec.replace("]}\n]}", """],"otherwise":[]}""" + "\n]}")
+    val outs2 = Flow.routes(spark, sf001, spec2).toMap
+    assert(outs2.keys.toSet == Set("big", "purchase", "otherwise"))
+    assert(outs2.values.map(_.count()).sum == ev.count(),
+      "route branches + otherwise must partition the input")
+  }
+
+  test("route classifies once: one shared when-chain, per-branch filters") {
+    // The classified frame is ONE projection over the shared prefix;
+    // each branch's plan is a filter on the tag — the classifier
+    // when-chain appears in each branch's plan exactly once (not once
+    // per branch condition re-evaluated independently).
+    val outs = Flow.routes(spark, sf001, FlowOps.routeSpec)
+    val plan = outs.head._2.queryExecution.optimizedPlan.toString
+    assert(plan.contains("CASE WHEN"), s"no classifier case in plan:\n$plan")
+    // route is rejected outside terminal position / inside compile
+    intercept[RuntimeException] {
+      Flow.routes(spark, sf001,
+        """{"steps":[{"op":"read","table":"events"},
+          |{"op":"route","branches":[{"name":"a","when":"1=1"}]},
+          |{"op":"limit","n":1}]}""".stripMargin)
+    }
+    // duplicate / reserved branch names fail loudly
+    intercept[IllegalArgumentException] {
+      Flow.routes(spark, sf001,
+        """{"steps":[{"op":"read","table":"events"},
+          |{"op":"route","branches":[{"name":"a","when":"1=1"},
+          |{"name":"a","when":"2=2"}]}]}""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      Flow.routes(spark, sf001,
+        """{"steps":[{"op":"read","table":"events"},
+          |{"op":"route","branches":[{"name":"otherwise","when":"1=1"}]}]}""".stripMargin)
+    }
+  }
+
+  test("translate instruction compiles to the map-literal lookup") {
+    val df = Flow.compile(spark, sf001,
+      """{"steps":[
+        |{"op":"read","table":"events"},
+        |{"op":"translate","field":"event_type","as":"tier",
+        | "dict":{"purchase":"revenue","error":"ops"},"default":"other"},
+        |{"op":"agg","groupBy":["tier"],"aggs":["count(*) AS n"]},
+        |{"op":"orderBy","by":["tier"]}
+        |]}""".stripMargin)
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = T(spark, sf001, "events")
+    assert(rows("revenue") == ev.filter("event_type = 'purchase'").count())
+    assert(rows("ops") == ev.filter("event_type = 'error'").count())
+    assert(rows("other") ==
+      ev.filter("event_type NOT IN ('purchase','error')").count())
+    // no join/exchange introduced by the lookup itself: the dict is a
+    // literal in the plan
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"translate must not plan a join:\n$plan")
+    // malformed dicts fail loudly
+    intercept[RuntimeException] {
+      Flow.compile(spark, sf001,
+        """{"steps":[{"op":"read","table":"events"},
+          |{"op":"translate","field":"event_type","as":"t","dict":{}}]}""".stripMargin)
+    }
+  }
+
+  test("named-flow registry resolves names, fails loudly on unknown") {
+    val df = graft.flow.FlowRegistry.run(spark, sf001, "daily_tier_rollup")
+    assert(df.count() > 0)
+    assert(graft.flow.FlowRegistry.available(spark).contains("daily_tier_rollup"))
+    val e = intercept[RuntimeException] {
+      graft.flow.FlowRegistry.run(spark, sf001, "no_such_flow")
+    }
+    assert(e.getMessage.contains("no_such_flow") &&
+      e.getMessage.contains("daily_tier_rollup"),
+      s"unknown-name error must list available flows: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      graft.flow.FlowRegistry.run(spark, sf001, "../escape")
+    }
   }
 }
