@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.{Q, T}
+import graft.operators.PinSyntax._
 
 /** Data-quality family: the profiling + expectation checks every pipeline
   * runs before trusting a table (the dbt-test / expectations shape). Not in
@@ -49,7 +50,7 @@ object DqOps {
           min(expr("unix_micros(ts) div 1000000")).as("mn_ts"),
           max(expr("unix_micros(ts) div 1000000")).as("mx_ts"))
         // one corpus pass: pin the 1-row profile before the 5-way unpivot
-        val a = a0.localCheckpoint()
+        val a = a0.pinned
         val nullStr = lit(null).cast("string")
         def num(name: String, nn: String, nd: String, mn: String, mx: String) =
           a.select(lit(name).as("column_name"), col("n").as("n_rows"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.{Q, T}
+import graft.operators.PinSyntax._
 import graft.Dsl._
 
 /** SURVEY.md §2.I event-analytics composites + §2.J streaming batch twins.
@@ -105,7 +106,7 @@ object EventOps {
       .agg(max(col("ts")).as("last_ts"),
         count(lit(1)).as("freq"),
         dsum(col("value")).as("monetary"))
-      .localCheckpoint()
+      .pinned
     val gmax = perUser.agg(max(col("last_ts")).as("gmax"))
     perUser.crossJoin(broadcast(gmax))
       .withColumn("recency_us",

@@ -89,6 +89,55 @@ object Scale {
       .join(spark.table(rName).hint("merge"), key)
   }
 
+  /** Lineage-cut pin for a frame consumed by multiple downstream plan
+    * branches (self-join sides, multi-output splits). Mode is conf-gated
+    * per session via `spark.graft.pin.mode`:
+    *
+    *  - `local` (default): `localCheckpoint` — fastest (executor-local
+    *    blocks, lineage truncated), the right call on a stable local/
+    *    single-JVM run. NOT fault-tolerant: lose an executor and the
+    *    blocks are gone with no lineage to recompute from.
+    *  - `persist`: eager `persist(MEMORY_AND_DISK)` — blocks can spill
+    *    and LINEAGE IS KEPT, so an executor loss recomputes instead of
+    *    failing the job. The cluster-mode default for preemptible nodes.
+    *  - `reliable`: `checkpoint()` to the SparkContext checkpoint dir
+    *    (HDFS/object store on a cluster) — survives executor loss without
+    *    recompute; the choice when the pinned frame is expensive enough
+    *    that re-deriving it is worse than a distributed-FS round trip.
+    *
+    * One switch for every pin site (MIGRATION.md documents the cluster
+    * guidance); PinModeSpec runs a pinned key under each mode. */
+  def pin(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.pin.mode")
+      .getOrElse("local") match {
+      case "local"    => df.localCheckpoint()
+      case "persist"  =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager, like the checkpoint modes: pin NOW, not on first use
+        p
+      case "reliable" => df.checkpoint()
+      case other => sys.error(
+        s"spark.graft.pin.mode must be local|persist|reliable, got '$other'")
+    }
+
+  /** Compute-once COMMITTED snapshot of an expensive shared frame, via
+    * KeepSetPublish's marker-last epoch protocol: the first caller per
+    * (name, input dir) computes and publishes epoch 0; every later caller
+    * — same run, a replay after a crash, or another key composing the
+    * same stage — reads the committed parquet back without running any
+    * job. `version` is part of the path: bump it when the computing
+    * logic's SEMANTICS change, so a stale snapshot from an older build
+    * can never satisfy a newer contract. */
+  def snapshotOnce(spark: org.apache.spark.sql.SparkSession, name: String,
+      version: Int, inputDir: String)(compute: => DataFrame): DataFrame = {
+    val dir = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_scratch"),
+      s"snap_${name}_v${version}_${dirTag(inputDir)}").toString
+    if (graft.streaming.KeepSetPublish.latestEpoch(dir).isEmpty)
+      graft.streaming.KeepSetPublish.publish(compute, dir, 0L): Unit
+    graft.streaming.KeepSetPublish.readLatest(spark, dir)
+  }
+
   /** 32-bit Morton (Z-order) code: bit i of `x` → output bit 2i, bit i of
     * `y` → output bit 2i+1, over the low 16 bits of each. Sorting a table
     * by this code clusters it along BOTH dimensions at once, so parquet

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, T}
+import graft.operators.PinSyntax._
 import graft.Dsl._
 import graft.streaming.StreamOps
 
@@ -255,7 +256,7 @@ object ScaleOps {
         // build side from the rule.
         val dim = T(s, d, "events").select(k.as("k")).distinct()
           .withColumn("dim", pmod(col("k"), lit(7L)))
-          .localCheckpoint()
+          .pinned
         fact.join(dim.hint("merge"), "k")
           .groupBy(col("k"), col("dim"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))

@@ -28,6 +28,15 @@ object Shingles {
   }
 }
 
+/** Chainable handle on [[Scale.pin]] so pin sites read like the
+  * `.localCheckpoint()` calls they replace — one conf switch
+  * (`spark.graft.pin.mode`) now governs every site. */
+object PinSyntax {
+  implicit class PinOps(private val df: DataFrame) extends AnyVal {
+    def pinned: DataFrame = Scale.pin(df)
+  }
+}
+
 /** Shared cosine-similarity pair join over the embeddings table: broadcast
   * the corpus side, exact-fold dot product, sim rounded to 4dp (the same
   * rounding the DuckDB oracles apply). */
