@@ -31,7 +31,16 @@ object Bench {
     // which is the sum of medians). One-time scratch writes (ScaleOps
     // memoized tables) land in rep 1 and drop out of the median.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter (driver sets no filter → full run): comma list
+    // of keys to time in isolation. Unknown keys fail loudly, like Verify.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    require((only -- SparkEntry.queries.keySet).isEmpty,
+      s"unknown bench keys: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =

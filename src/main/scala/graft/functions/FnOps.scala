@@ -829,5 +829,143 @@ object FnOps {
         "WHEN 'error' THEN 'ops' WHEN 'signup' THEN 'growth' " +
         "ELSE 'engagement' END AS tier, COUNT(*) AS n, " +
         "MIN(event_id) AS first_id FROM events GROUP BY 1 ORDER BY tier")),
+
+    // CIDR containment (round-9 addendum) [PK: Logstash cidr filter /
+    // network() conditionals]: each configured block compiles AT BUILD
+    // TIME to (divisor = 2^(32-prefix), network-prefix constant), so the
+    // per-row test is ONE integer division + equality riding whole-stage
+    // codegen — no string ops, no per-row CIDR parsing, no join. First
+    // match wins (the Logstash conditional-chain discipline). The same
+    // arithmetic appears verbatim in the oracle (`//` is DuckDB BIGINT
+    // floor division; both operands are non-negative so div ≡ //).
+    "fn_cidr_match" -> Q(
+      (s, d) => {
+        val blocks = Seq("10.0.0.0/8", "20.16.0.0/12", "100.64.0.0/10")
+        val compiled = blocks.map { c =>
+          val Array(net, p) = c.split("/")
+          val oct = net.split("\\.").map(_.toLong)
+          val ipInt = oct(0) * 16777216L + oct(1) * 65536L + oct(2) * 256L + oct(3)
+          val div = 1L << (32 - p.toInt)
+          (c, div, ipInt / div)
+        }
+        val ipped = T(s, d, "events")
+          .select(col("event_id"),
+            ((col("user_id") % 224) * 16777216L +
+              (col("event_id") % 256) * 65536L +
+              ((col("user_id") * 7) % 256) * 256L +
+              (col("event_id") * 13) % 256).as("ip_int"))
+        val network = compiled.foldRight(lit("unmatched")) {
+          case ((c, div, pref), elseCol) =>
+            when(expr(s"ip_int div $div") === lit(pref), lit(c)).otherwise(elseCol)
+        }
+        ipped.select(col("event_id"), col("ip_int"), network.as("network"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT event_id, ip_int, CASE " +
+        "WHEN ip_int // 16777216 = 10 THEN '10.0.0.0/8' " +
+        "WHEN ip_int // 1048576 = 321 THEN '20.16.0.0/12' " +
+        "WHEN ip_int // 4194304 = 401 THEN '100.64.0.0/10' " +
+        "ELSE 'unmatched' END AS network " +
+        "FROM (SELECT event_id, (user_id % 224) * 16777216 + " +
+        "(event_id % 256) * 65536 + ((user_id * 7) % 256) * 256 + " +
+        "(event_id * 13) % 256 AS ip_int FROM events) t ORDER BY event_id"),
+
+    // Syslog priority decode (round-9 addendum) [PK: Logstash syslog_pri
+    // filter]: pri = facility*8 + severity per RFC 3164/5424; labels via
+    // element_at over LITERAL arrays (codegen lookup, the fn_translate
+    // discipline — never a join for a 24-entry standard table). The
+    // facility list is the RFC order; DuckDB's list_extract is the same
+    // 1-based indexing as Spark element_at.
+    "fn_syslog_pri" -> Q(
+      (s, d) => {
+        val fac = Seq("kern", "user", "mail", "daemon", "auth", "syslog",
+          "lpr", "news", "uucp", "cron", "authpriv", "ftp", "ntp",
+          "security", "console", "solaris-cron", "local0", "local1",
+          "local2", "local3", "local4", "local5", "local6", "local7")
+        val sev = Seq("emergency", "alert", "critical", "error", "warning",
+          "notice", "informational", "debug")
+        val base = T(s, d, "events")
+          .select(col("event_id"),
+            ((col("event_id") * 7 + col("user_id")) % 192).as("pri"))
+          .withColumn("facility", expr("pri div 8"))
+          .withColumn("severity", col("pri") % 8)
+        base.select(col("event_id"), col("pri"), col("facility"), col("severity"),
+            element_at(array(fac.map(lit): _*),
+              (col("facility") + 1).cast("int")).as("facility_label"),
+            element_at(array(sev.map(lit): _*),
+              (col("severity") + 1).cast("int")).as("severity_label"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT event_id, pri, pri // 8 AS facility, pri % 8 AS severity, " +
+        "list_extract(['kern','user','mail','daemon','auth','syslog','lpr'," +
+        "'news','uucp','cron','authpriv','ftp','ntp','security','console'," +
+        "'solaris-cron','local0','local1','local2','local3','local4','local5'," +
+        "'local6','local7'], (pri // 8 + 1)::INT) AS facility_label, " +
+        "list_extract(['emergency','alert','critical','error','warning'," +
+        "'notice','informational','debug'], (pri % 8 + 1)::INT) AS severity_label " +
+        "FROM (SELECT event_id, (event_id * 7 + user_id) % 192 AS pri " +
+        "FROM events) t ORDER BY event_id"),
+
+    // Range tagging (round-9 addendum) [PK: Logstash range filter]: tag
+    // events whose fields fall inside configured ranges; multiple ranges
+    // can tag one event, so the result is a TAG ARRAY — built as a fixed
+    // CASE-per-range array then null-compacted with filter() (DuckDB
+    // list_filter twin). Construction order is the config order in both
+    // engines; the array is emitted in its joined-string form (the
+    // fn_array_suite convention — oracled outputs stay scalar so the
+    // driver's value hashing never depends on list-encoding parity).
+    // One projection pass, all codegen.
+    "fn_range_tag" -> Q(
+      (s, d) => {
+        T(s, d, "events")
+          .select(col("event_id"), col("value"),
+            filter(array(
+              when(col("value") < 10, lit("value_low")),
+              when(col("value") >= 10 && col("value") < 100, lit("value_mid")),
+              when(col("value") >= 100, lit("value_high")),
+              when(length(col("event_type")) >= 6, lit("longtype"))),
+              x => x.isNotNull).as("tag_arr"))
+          .select(col("event_id"), col("value"),
+            array_join(col("tag_arr"), ",").as("tags"),
+            size(col("tag_arr")).cast("long").as("n_tags"))
+          .orderBy(col("event_id"))
+      },
+      "WITH tagged AS (SELECT event_id, value, list_filter([" +
+        "CASE WHEN value < 10 THEN 'value_low' END, " +
+        "CASE WHEN value >= 10 AND value < 100 THEN 'value_mid' END, " +
+        "CASE WHEN value >= 100 THEN 'value_high' END, " +
+        "CASE WHEN length(event_type) >= 6 THEN 'longtype' END], " +
+        "x -> x IS NOT NULL) AS tag_arr FROM events) " +
+        "SELECT event_id, value, array_to_string(tag_arr, ',') AS tags, " +
+        "len(tag_arr)::BIGINT AS n_tags FROM tagged ORDER BY event_id"),
+
+    // Field prune + de_dot (round-9 addendum) [PK: Logstash prune +
+    // de_dot filters]: dynamic event fields live in a MAP column; prune
+    // keeps keys matching the config whitelist via map_filter, de_dot
+    // rewrites '.' to '_' in the SURVIVING key names via transform_keys —
+    // both Catalyst HOFs, no UDF, no explode/re-agg round trip. The
+    // result is emitted as the sorted 'k=v;…' entry string (map column
+    // ordering is engine-internal, the string is the deterministic form).
+    // The oracle constructs the same kept entries directly from the same
+    // synth — the Spark side is what exercises the HOF machinery.
+    "fn_field_prune" -> Q(
+      (s, d) => {
+        val m = map(
+          lit("k"), get_json_object(col("props"), "$.k"),
+          lit("user.name"), concat(lit("u"), col("user_id").cast("string")),
+          lit("dbg.trace"), concat(lit("t"), col("event_id").cast("string")))
+        T(s, d, "events")
+          .withColumn("m2", transform_keys(
+            map_filter(m, (k, _) => k.rlike("^(k|user\\..*)$")),
+            (k, _) => regexp_replace(k, "\\.", "_")))
+          .select(col("event_id"),
+            expr("array_join(transform(array_sort(map_entries(m2)), " +
+              "e -> concat(e.key, '=', e.value)), ';')").as("fields"),
+            size(col("m2")).cast("long").as("n_kept"))
+          .orderBy(col("event_id"))
+      },
+      "SELECT event_id, 'k=' || json_extract_string(props, '$.k') || " +
+        "';user_name=u' || user_id::VARCHAR AS fields, 2::BIGINT AS n_kept " +
+        "FROM events ORDER BY event_id"),
   )
 }

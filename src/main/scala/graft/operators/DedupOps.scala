@@ -595,30 +595,53 @@ object DedupOps {
     // rarity is the whole filter: at sf0.1 the 5-gram prefix join emits
     // 6× fewer candidates than trigrams (332k vs 1.9M pairs). At 100 TB
     // bucket sizes stay bounded by construction (every bucket key is one
-    // of ITS members' rarest grams) and the df frame is vocabulary-sized,
-    // hence broadcast. Exact levenshtein runs only on candidates.
+    // of ITS members' rarest grams). Exact levenshtein runs only on
+    // candidates.
     "llm_fuzzy_title_join" -> Q(
       (s, d) => {
         val t = T(s, d, "documents").select(col("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"))
-        // g feeds BOTH the df count and the probe side, and p feeds BOTH
-        // sides of the candidate self-join — without the pins each
-        // consumer re-derives the whole explode→distinct→window chain
-        // from the scan (4 full recomputes; measured 6.3s → 3.8s at
-        // sf0.1). localCheckpoint materializes the corpus×grams frame
-        // once (corpus-bounded, the candidate-set size a dedup run holds
-        // anyway); same discipline as dq_profile's 1-row pin.
+        // r9 rewrite, each variant measured at sf0.1 (PERF.md):
+        // - df enrich broadcasts ONLY the SHARED grams (df >= 2): the full
+        //   gram-frequency frame is vocabulary-sized and dominated by
+        //   df==1 singletons (rare by definition), so a left join against
+        //   the df>=2 subset + coalesce(df, 1) yields the IDENTICAL df
+        //   column from a several-fold smaller broadcast. (A count-over-
+        //   window on q was also tried: 1.3M tiny partitions sort-crush,
+        //   5.4 s median — worse than any broadcast variant.)
+        // - rarest-11 via sort_array(collect_list(struct(df,q)))[1..11]
+        //   per doc, not row_number(): the per-doc gram list is bounded
+        //   (≤26 grams for a 5-word title), so the agg buffer is tiny and
+        //   hash-aggregable — no doc-partitioned window sort. struct order
+        //   (df asc, q asc) is exactly the window's ORDER BY, so the
+        //   selected set is identical (oracle unchanged).
+        // g feeds both the df count and the probe side; p feeds both
+        // candidate self-join sides — each is pinned once (Scale.pin).
         val g = t.select(col("doc_id"), col("title"),
             explode(expr("transform(sequence(1, greatest(length(title) - 4, 1)), " +
               "i -> substring(title, i, 5))")).as("q"))
           .distinct()
           .pinned
-        val f = g.groupBy(col("q")).agg(count(lit(1)).as("df"))
-        val p = g.join(broadcast(f), "q")
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("q"))))
-          .filter(col("rn") <= 11)
-          .select(col("doc_id"), col("title"), col("q"))
+        val f2 = g.groupBy(col("q")).agg(count(lit(1)).as("df_s"))
+          .filter(col("df_s") >= 2)
+        // df >= 2 prune AFTER the top-11 prefix selection (the prefix must
+        // be chosen over ALL grams or the pigeonhole breaks), but BEFORE
+        // the self-join: a candidate pair needs a SHARED gram, and a gram
+        // two docs share has df >= 2 by definition — so dropping df==1
+        // grams loses no true pair. Honest measurement (PERF.md r9): on
+        // THIS fixture it removes almost nothing (~0.1% of prefix rows —
+        // the shared word-soup vocabulary means nearly every 5-gram
+        // repeats corpus-wide); it pays off on real title corpora where
+        // rare grams are genuinely unique, and costs nothing here.
+        // Completeness stays brute-force-asserted in DedupSpec.
+        val p = g.join(broadcast(f2), Seq("q"), "left")
+          .withColumn("df", coalesce(col("df_s"), lit(1L)))
+          .groupBy(col("doc_id"), col("title"))
+          .agg(slice(sort_array(collect_list(struct(col("df"), col("q")))),
+            1, 11).as("top"))
+          .select(col("doc_id"), col("title"), explode(col("top")).as("e"))
+          .filter(col("e.df") >= 2)
+          .select(col("doc_id"), col("title"), col("e.q").as("q"))
           .pinned
         // Candidate dedup carries IDS + title lengths only — the 4M-pair
         // distinct must never shuffle the title strings themselves; titles
@@ -631,14 +654,18 @@ object DedupOps {
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
         // dist computed ONCE via withColumn: a filter-then-project pair
-        // re-evaluates the same levenshtein (O(len²) per pair × 330k
-        // candidate pairs at sf0.1) — the exact-verify step is the only
-        // per-candidate cost, so never pay it twice.
+        // re-evaluates the same levenshtein — the exact-verify step is the
+        // only per-candidate cost (330k pairs at sf0.1), so never pay it
+        // twice. THRESHOLD form (Spark 3.5+): the banded DP is O(len·k)
+        // not O(len²) and early-exits to -1 past the bound — for ed<=2 on
+        // ~30-char titles that's ~7× fewer DP cells on the reject path,
+        // which is almost every candidate. Exact for dist <= threshold,
+        // so the kept rows carry the same value the full DP would.
         cand
           .join(t.select(col("doc_id").as("a_id"), col("title").as("ta")), "a_id")
           .join(t.select(col("doc_id").as("b_id"), col("title").as("tb")), "b_id")
-          .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-          .filter(col("dist") <= 2)
+          .withColumn("dist", levenshtein(col("ta"), col("tb"), 2).cast("long"))
+          .filter(col("dist") >= 0 && col("dist") <= 2)
           .select(col("a_id"), col("b_id"), col("dist"))
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -649,9 +676,9 @@ object DedupOps {
         "unnest(list_transform(generate_series(1, greatest(length(title) - 4, 1)), " +
         "i -> substr(title, i, 5))) AS q FROM t), " +
         "f AS (SELECT q, COUNT(*) AS df FROM g GROUP BY q), " +
-        "r AS (SELECT g.doc_id, g.title, g.q, row_number() OVER " +
+        "r AS (SELECT g.doc_id, g.title, g.q, f.df, row_number() OVER " +
         "(PARTITION BY g.doc_id ORDER BY f.df, g.q) AS rn FROM g JOIN f USING (q)), " +
-        "p AS (SELECT doc_id, title, q FROM r WHERE rn <= 11), " +
+        "p AS (SELECT doc_id, title, q FROM r WHERE rn <= 11 AND df >= 2), " +
         "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
         "FROM p a JOIN p b ON a.q = b.q AND a.doc_id < b.doc_id " +
         "AND abs(length(a.title) - length(b.title)) <= 2) " +
@@ -1026,5 +1053,58 @@ object DedupOps {
         "SELECT p.vec_id, p.pred_label, p.votes, e.label::BIGINT AS actual_label, " +
         "p.pred_label = e.label::BIGINT AS correct " +
         "FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id ORDER BY p.vec_id"),
+
+    // URL-canonicalization dedup (round-9 addendum) — the crawl-dedup
+    // step that runs BEFORE any content hashing: the same page arrives as
+    // http/https, with/without www., with tracking params, with/without a
+    // trailing slash. Canonical form via a fixed regexp_replace chain
+    // (scheme → www. → utm_* params → dangling '?'/'&' → trailing '/'),
+    // identical RE2-compatible patterns both engines (DuckDB needs the
+    // 'g' flag on the utm strip — Spark replaces all matches by default,
+    // the §7.4 dialect trap). Then keep = min(doc_id) per canonical key —
+    // one codegen projection + one map-side-combinable hash agg, the
+    // exact-dedup scale shape (the shuffle key is the canonical string;
+    // a real crawl would pre-hash it to 16 bytes, as llm_exact_dedup
+    // proves). URLs are synthesized deterministically from fixture
+    // columns — the variants exercise every canonicalization rule.
+    "llm_url_dedup" -> Q(
+      (s, d) => {
+        val raw = T(s, d, "documents")
+          .select(col("doc_id"),
+            concat(
+              when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+              when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+              col("source"), lit(".example.com/"), col("lang"),
+              lit("/p"), (col("doc_id") % 40).cast("string"),
+              when(col("doc_id") % 4 === 0,
+                lit("?utm_source=feed&utm_medium=rss"))
+                .when(col("doc_id") % 4 === 1, lit("?utm_campaign=x&ref=home"))
+                .otherwise(lit("")),
+              when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")))
+              .as("url"))
+        val canon = raw.withColumn("canon",
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(col("url"), "^https?://", ""),
+            "^www\\.", ""),
+            "utm_[a-z]+=[^&]*&?", ""),
+            "[?&]$", ""),
+            "/$", ""))
+        canon.groupBy(col("canon"))
+          .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_doc"))
+          .orderBy(col("canon"))
+      },
+      "WITH raw AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || " +
+        "source || '.example.com/' || lang || '/p' || (doc_id % 40)::VARCHAR || " +
+        "(CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' " +
+        "WHEN doc_id % 4 = 1 THEN '?utm_campaign=x&ref=home' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) AS url FROM documents), " +
+        "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(url, '^https?://', ''), " +
+        "'^www\\.', ''), 'utm_[a-z]+=[^&]*&?', '', 'g'), " +
+        "'[?&]$', ''), '/$', '') AS canon FROM raw) " +
+        "SELECT canon, COUNT(*) AS n_variants, MIN(doc_id) AS keep_doc " +
+        "FROM c GROUP BY canon ORDER BY canon"),
   )
 }

@@ -1456,5 +1456,70 @@ object EventOps {
         "floor(CAST(s.survivors AS DOUBLE) / t.at_risk * 10000)::BIGINT " +
         "/ 10000.0 AS survival " +
         "FROM surv s CROSS JOIN tot t ORDER BY offset_day"),
+
+    // Flow-rate metrics (round-9 addendum) [PK: Logstash metrics filter —
+    // rate_1m / rate_5m / EWMA gauges]: per event_type per minute, the
+    // 1-minute rate, the trailing-5-minute average, and a 5-tap EWMA with
+    // alpha=1/2. Gap minutes matter (a silent minute must pull the rate
+    // DOWN), so counts land on a zero-filled calendar grid first — the
+    // evt_gap_fill discipline: distinct types × global [min,max] minute
+    // sequence, a frame bounded by CALENDAR × |types|, never by events.
+    // Determinism: EWMA weights are binary fractions, so the weighted sum
+    // is computed as ONE integer combination (16,8,4,2,1 — exact longs)
+    // with a single division by 31.0 at the end; rate_5m likewise
+    // integer-sum / 5.0. Floor-to-minute is coarser than the ns/µs ts
+    // precision split, so no usEvents CTE is needed (the survival-curve
+    // precedent). One events pass (hash agg) + one bounded window.
+    "evt_metrics_rates" -> metricsRatesQ,
+
+    // Streaming twin registration (the stream_tumbling_agg discipline:
+    // same batch formulation, the live machinery is
+    // StreamOps.metricsStream — a transformWithState per-type gauge whose
+    // emission StreamingSpec pins bit-exact against this key on the
+    // [first-active, last-active + 4] per-type grid).
+    "stream_metrics_rates" -> metricsRatesQ,
   )
+
+  private lazy val metricsRatesQ: Q = Q(
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("event_type"),
+          expr("unix_timestamp(ts) div 60").as("m"))
+        val counts = ev.groupBy(col("event_type"), col("m"))
+          .agg(count(lit(1)).as("cnt"))
+        val bounds = ev.agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+        val grid = ev.select(col("event_type")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("m"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("m"))
+        def l(k: Int) = lag(col("cnt"), k, 0).over(w)
+        grid.join(counts, Seq("event_type", "m"), "left")
+          .na.fill(0L, Seq("cnt"))
+          .withColumn("sum5", col("cnt") + l(1) + l(2) + l(3) + l(4))
+          .withColumn("num16",
+            col("cnt") * 16 + l(1) * 8 + l(2) * 4 + l(3) * 2 + l(4))
+          .select(col("event_type"), big(col("m")).as("m"),
+            big(col("cnt")).as("rate_1m"),
+            (col("sum5").cast("double") / 5.0).as("rate_5m"),
+            (col("num16").cast("double") / 31.0).as("ewma_rate"))
+          .orderBy(col("event_type"), col("m"))
+      },
+      "WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT // 60 AS m " +
+        "FROM events), " +
+        "c AS (SELECT event_type, m, COUNT(*) AS cnt FROM ev GROUP BY 1, 2), " +
+        "b AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM ev), " +
+        "g AS (SELECT t.event_type, gs.m FROM " +
+        "(SELECT DISTINCT event_type FROM ev) t CROSS JOIN " +
+        "(SELECT unnest(generate_series(b.mn, b.mx)) AS m FROM b) gs), " +
+        "f AS (SELECT g.event_type, g.m, COALESCE(c.cnt, 0)::BIGINT AS cnt " +
+        "FROM g LEFT JOIN c USING (event_type, m)), " +
+        "x AS (SELECT event_type, m, cnt, " +
+        "cnt + lag(cnt, 1, 0) OVER w + lag(cnt, 2, 0) OVER w + " +
+        "lag(cnt, 3, 0) OVER w + lag(cnt, 4, 0) OVER w AS sum5, " +
+        "cnt * 16 + (lag(cnt, 1, 0) OVER w) * 8 + (lag(cnt, 2, 0) OVER w) * 4 + " +
+        "(lag(cnt, 3, 0) OVER w) * 2 + lag(cnt, 4, 0) OVER w AS num16 " +
+        "FROM f WINDOW w AS (PARTITION BY event_type ORDER BY m)) " +
+        "SELECT event_type, m, cnt AS rate_1m, " +
+        "CAST(sum5 AS DOUBLE) / 5.0 AS rate_5m, " +
+        "CAST(num16 AS DOUBLE) / 31.0 AS ewma_rate " +
+        "FROM x ORDER BY event_type, m")
 }

@@ -622,5 +622,66 @@ object TextOps {
         "SUM(n * bits)::BIGINT AS weighted_bits, " +
         "CAST(SUM(n * bits) AS DOUBLE) / MAX(tot) AS entropy_bits " +
         "FROM b GROUP BY 1 ORDER BY source"),
+
+    // Corpus-wide LINE dedup with REWRITE (round-9 addendum) — the C4
+    // transform: every non-first occurrence of a repeated line (8-word
+    // chunk here; newline-free fixture) is REMOVED and the document is
+    // reassembled from its surviving lines. Differs from llm_span_dedup
+    // (which *scores* docs by overlapping-span novelty): this key
+    // produces the cleaned corpus itself. Scale shape: "first
+    // occurrence" is min(struct(doc_id, line_no)) per line-hash — a
+    // map-side-combinable hash agg whose shuffle carries (md5, ids) only
+    // (Catalyst prunes the line text off the agg input), immune to the
+    // mega-duplicated-line skew a row_number-over-h window would hit;
+    // survivors come back as an ids-only equi-join on (doc_id, line_no);
+    // the only shuffle that carries text is the per-doc reassembly, which
+    // any rewrite must pay and is keyed on doc_id. Cleaned text is
+    // emitted as md5 (the fixture-friendly form; the real pipeline writes
+    // the string).
+    "llm_line_dedup" -> Q(
+      (s, d) => {
+        val lines = T(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, greatest(cast(ceil(size(toks) / 8.0) as int), 1)), " +
+              "i -> concat_ws(' ', slice(toks, (i - 1) * 8 + 1, 8)))")))
+          .withColumnRenamed("pos", "line_no")
+          .withColumnRenamed("col", "line")
+        val first = lines
+          .select(md5(col("line")).as("h"), col("doc_id"), col("line_no"))
+          .groupBy(col("h"))
+          .agg(min(struct(col("doc_id"), col("line_no"))).as("f"))
+          .select(col("f.doc_id").as("doc_id"), col("f.line_no").as("line_no"))
+        val totals = lines.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("total_lines"))
+        val clean = lines.join(first, Seq("doc_id", "line_no"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("kept_lines"),
+            collect_list(struct(col("line_no"), col("line"))).as("ls"))
+          .select(col("doc_id"), col("kept_lines"),
+            md5(expr("array_join(transform(array_sort(ls), x -> x.line), ' ')"))
+              .as("clean_sig"))
+        totals.join(clean, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("total_lines"),
+            coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+            coalesce(col("clean_sig"), md5(lit(""))).as("clean_sig"))
+          .orderBy(col("doc_id"))
+      },
+      "WITH l AS (SELECT doc_id, " +
+        "unnest(list_transform(generate_series(1, greatest(" +
+        "ceil(len(string_split(text, ' ')) / 8.0)::INT, 1)), i -> i - 1)) AS line_no, " +
+        "unnest(list_transform(generate_series(1, greatest(" +
+        "ceil(len(string_split(text, ' ')) / 8.0)::INT, 1)), " +
+        "i -> array_to_string(list_slice(string_split(text, ' '), " +
+        "(i - 1) * 8 + 1, (i - 1) * 8 + 8), ' '))) AS line FROM documents), " +
+        "r AS (SELECT doc_id, line_no, line, row_number() OVER " +
+        "(PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rn FROM l), " +
+        "tot AS (SELECT doc_id, COUNT(*) AS total_lines FROM l GROUP BY 1), " +
+        "k AS (SELECT doc_id, COUNT(*) AS kept_lines, " +
+        "md5(string_agg(line, ' ' ORDER BY line_no)) AS clean_sig " +
+        "FROM r WHERE rn = 1 GROUP BY doc_id) " +
+        "SELECT t.doc_id, t.total_lines, COALESCE(k.kept_lines, 0)::BIGINT " +
+        "AS kept_lines, COALESCE(k.clean_sig, md5('')) AS clean_sig " +
+        "FROM tot t LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
   )
 }

@@ -1100,4 +1100,125 @@ object StreamOps {
       .transformWithState(new MisraGriesProcessor(k),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** One per-minute metrics gauge row (the streaming twin of an
+    * `evt_metrics_rates` output row). */
+  case class MetricsOut(event_type: String, m: Long, rate_1m: Long,
+      rate_5m: Double, ewma_rate: Double)
+
+  private case class PendingMinute(m: Long, n: Long)
+
+  /** Tap line: the minute AFTER the last emitted one, plus the last four
+    * finalized per-minute counts (t1 = most recent). O(1) per key. */
+  private case class TapState(nextM: Long, t1: Long, t2: Long, t3: Long,
+      t4: Long)
+
+  /** Streaming flow-rate metrics — the transformWithState twin of
+    * `evt_metrics_rates` [PK: the Logstash metrics filter as a live
+    * gauge]. Per-batch partial minute counts buffer in ListState; a
+    * minute finalizes once the watermark passes its end, and because
+    * finalization is prefix-closed in minute order the per-type gauge
+    * emits LEFT TO RIGHT exactly once: when an observed minute
+    * finalizes, every grid minute since the last emitted one emits first
+    * as a zero row (silent minutes pull the rates down — the batch key's
+    * zero-filled-grid semantics), then the observed minute with its
+    * count. After the LAST pending minute the gauge runs out for up to 4
+    * more watermark-closed minutes — until every tap is zero — then goes
+    * quiescent (emission == the batch grid trimmed to
+    * [first-active, last-active + 4] per type; StreamingSpec pins it
+    * bit-exact, the EWMA arithmetic being the same single integer
+    * combination ÷ 31.0). State per type is O(watermark-delay) pending
+    * partials + 5 longs — never the events, never the calendar. */
+  class MetricsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, MetricsOut] {
+    @transient private var pending:
+      org.apache.spark.sql.streaming.ListState[PendingMinute] = _
+    @transient private var taps:
+      org.apache.spark.sql.streaming.ValueState[TapState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[PendingMinute]("mx_pending",
+        org.apache.spark.sql.Encoders.product[PendingMinute],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      taps = getHandle.getValueState[TapState]("mx_taps",
+        org.apache.spark.sql.Encoders.product[TapState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    /** Emit one finalized minute and shift the tap line. */
+    private def emit(key: String, t: TapState, m: Long, n: Long)
+        : (TapState, MetricsOut) = {
+      val num16 = n * 16 + t.t1 * 8 + t.t2 * 4 + t.t3 * 2 + t.t4
+      val sum5 = n + t.t1 + t.t2 + t.t3 + t.t4
+      (TapState(m + 1, n, t.t1, t.t2, t.t3),
+        MetricsOut(key, m, n, sum5.toDouble / 5.0, num16.toDouble / 31.0))
+    }
+
+    private def flush(key: String, watermarkMs: Long): Iterator[MetricsOut] = {
+      val parts = {
+        val it = pending.get()
+        val b = Seq.newBuilder[PendingMinute]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      val (fin, open) = parts.partition(p => watermarkMs > (p.m + 1) * 60000L)
+      pending.clear()
+      if (open.nonEmpty) {
+        open.foreach(pending.appendValue)
+        getHandle.registerTimer((open.map(_.m).min + 1) * 60000L + 1L)
+      }
+      var t = Option(taps.get()).getOrElse(TapState(Long.MinValue, 0L, 0L, 0L, 0L))
+      val out = Seq.newBuilder[MetricsOut]
+      fin.groupBy(_.m).toSeq.sortBy(_._1).foreach { case (m, ps) =>
+        var g = if (t.nextM == Long.MinValue) m else t.nextM
+        while (g < m) { // zero rows for the silent minutes in between
+          val (t2, row) = emit(key, t, g, 0L); t = t2; out += row; g += 1
+        }
+        val (t2, row) = emit(key, t, m, ps.map(_.n).sum); t = t2; out += row
+      }
+      // run-out: with no pending minutes left, drain the decay tail over
+      // minutes the watermark has already closed; stop when quiet. If
+      // momentum remains but the watermark hasn't reached it yet, a timer
+      // picks the drain back up (or new data does).
+      if (open.isEmpty && t.nextM != Long.MinValue) {
+        while ((t.t1 | t.t2 | t.t3 | t.t4) != 0L &&
+            watermarkMs > (t.nextM + 1) * 60000L) {
+          val (t2, row) = emit(key, t, t.nextM, 0L); t = t2; out += row
+        }
+        if ((t.t1 | t.t2 | t.t3 | t.t4) != 0L)
+          getHandle.registerTimer((t.nextM + 1) * 60000L + 1L)
+      }
+      taps.update(t)
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[MetricsOut] = {
+      val byMin = scala.collection.mutable.Map.empty[Long, Long]
+      rows.foreach { e =>
+        val m = micros(e.ts) / 1000000L / 60L
+        byMin(m) = byMin.getOrElse(m, 0L) + 1L
+      }
+      byMin.foreach { case (m, n) => pending.appendValue(PendingMinute(m, n)) }
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[MetricsOut] =
+      flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  def metricsStream(events: Dataset[Event]): Dataset[MetricsOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .transformWithState(new MetricsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -94,4 +94,43 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(n > 0 && n == T(spark, sf001, "events").count(),
       s"geoip enrich row count drifted: $n")
   }
+
+  test("fn_cidr_match labels agree with the prefix arithmetic, both directions") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("fn_cidr_match")(spark, sf001)
+    // label => prefix holds, and prefix => label (no unmatched leakage);
+    // checked as one aggregated violation count so the test is one job
+    val bad = df.select(
+      sum(when(col("network") === "10.0.0.0/8" &&
+        !(expr("ip_int div 16777216") === 10), 1).otherwise(0)).as("a"),
+      sum(when(expr("ip_int div 16777216") === 10 &&
+        col("network") =!= "10.0.0.0/8", 1).otherwise(0)).as("b"),
+      sum(when(col("network") === "20.16.0.0/12" &&
+        !(expr("ip_int div 1048576") === 321), 1).otherwise(0)).as("c"),
+      sum(when(col("network") === "unmatched" &&
+        (expr("ip_int div 16777216") === 10 ||
+          expr("ip_int div 1048576") === 321 ||
+          expr("ip_int div 4194304") === 401), 1).otherwise(0)).as("d")).head()
+    assert((0 to 3).forall(i => bad.getLong(i) == 0L), s"cidr violations: $bad")
+    // the fixture actually exercises at least one configured block
+    assert(df.filter(col("network") =!= "unmatched").limit(1).count() == 1,
+      "no event matched any configured CIDR — test data no longer exercises the filter")
+  }
+
+  test("llm_url_dedup canonical form is a fixed point of the canonicalization") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("llm_url_dedup")(spark, sf001)
+    val again = df.select(col("canon"),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(col("canon"), "^https?://", ""),
+        "^www\\.", ""),
+        "utm_[a-z]+=[^&]*&?", ""),
+        "[?&]$", ""),
+        "/$", "").as("canon2"))
+    assert(again.filter(col("canon") =!= col("canon2")).count() == 0,
+      "canonicalization is not idempotent")
+    // dedup actually collapsed something (https/http + www variants exist)
+    assert(df.filter(col("n_variants") > 1).limit(1).count() == 1,
+      "no canonical URL had more than one variant — synth no longer exercises dedup")
+  }
 }

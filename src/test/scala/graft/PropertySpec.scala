@@ -309,4 +309,63 @@ class PropertySpec extends SparkSpec {
       assert(s.map(_._6).sum == eventCounts(user), s"user $user n_events")
     }
   }
+
+  test("line dedup: agg-based first-occurrence == window formulation, and rewrite invariants") {
+    // The registered key computes "first instance of each line" as a
+    // min(struct) hash agg (skew-immune); re-derive the same result with
+    // the straightforward row_number-over-hash window and compare frames.
+    val lines = T(spark, sf001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, greatest(cast(ceil(size(toks) / 8.0) as int), 1)), " +
+          "i -> concat_ws(' ', slice(toks, (i - 1) * 8 + 1, 8)))")))
+      .withColumnRenamed("pos", "line_no").withColumnRenamed("col", "line")
+    val byWindow = lines
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("line"))).orderBy(col("doc_id"), col("line_no"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_lines"),
+        collect_list(struct(col("line_no"), col("line"))).as("ls"))
+      .select(col("doc_id"), col("kept_lines"),
+        md5(expr("array_join(transform(array_sort(ls), x -> x.line), ' ')"))
+          .as("clean_sig"))
+    val key = SparkEntry.queries("llm_line_dedup")(spark, sf001)
+    val mismatch = key.join(byWindow, Seq("doc_id"))
+      .filter(key("kept_lines") =!= byWindow("kept_lines") ||
+        key("clean_sig") =!= byWindow("clean_sig"))
+    assert(mismatch.count() == 0, "agg-based dedup != window-based dedup")
+    // rewrite invariants: kept <= total everywhere; a doc with zero dup
+    // lines reassembles to its ORIGINAL text (split/rejoin fixed point)
+    assert(key.filter(col("kept_lines") > col("total_lines")).count() == 0)
+    val orig = T(spark, sf001, "documents")
+      .select(col("doc_id"), md5(col("text")).as("orig_sig"))
+    val undupped = key.filter(col("kept_lines") === col("total_lines"))
+      .join(orig, "doc_id")
+    assert(undupped.limit(1).count() == 1, "fixture has no dup-free doc")
+    assert(undupped.filter(col("clean_sig") =!= col("orig_sig")).count() == 0,
+      "dup-free doc did not reassemble to its original text")
+  }
+
+  test("metrics rates: zero-filled gaps pull the EWMA down but not to zero") {
+    val df = SparkEntry.queries("evt_metrics_rates")(spark, sf001).cache()
+    try {
+      // grid fill produced silent minutes, and the EWMA carries momentum
+      // through them (rate_1m = 0 but ewma > 0 right after activity)
+      assert(df.filter(col("rate_1m") === 0 && col("ewma_rate") > 0)
+        .limit(1).count() == 1, "no gap minute with EWMA momentum found")
+      // per-row algebra: 31*ewma == 16x0+8x1+4x2+2x3+x4 and 5*rate_5m ==
+      // sum of the same taps — verified via self-lags over the emitted grid
+      val w = Window.partitionBy(col("event_type")).orderBy(col("m"))
+      def l(k: Int) = lag(col("rate_1m"), k, 0).over(w)
+      val bad = df
+        .withColumn("num16", col("rate_1m") * 16 + l(1) * 8 + l(2) * 4 + l(3) * 2 + l(4))
+        .withColumn("sum5", col("rate_1m") + l(1) + l(2) + l(3) + l(4))
+        // compare via the SAME division (bit-identical recomputation);
+        // multiplying the rounded quotient back would reintroduce a ulp
+        .filter(col("ewma_rate") =!= col("num16").cast("double") / 31.0 ||
+          col("rate_5m") =!= col("sum5").cast("double") / 5.0)
+      assert(bad.count() == 0, "metrics algebra violated on emitted grid")
+    } finally df.unpersist()
+  }
 }

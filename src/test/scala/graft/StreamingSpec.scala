@@ -657,4 +657,58 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want, s"backfill $got != batch $want")
   }
+
+  test("streaming metrics gauge (transformWithState) == evt_metrics_rates batch, bit-exact") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.metricsStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_metrics").start()
+    try {
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // sentinel on a type NOT in the fixture: advances the (global)
+      // watermark so every real type's grid + decay tail finalizes,
+      // without adding counts to any compared key
+      val far = typedEvents.map(e => StreamOps.micros(e.ts)).max / 1000L +
+        30L * 24 * 3600 * 1000
+      mem.addData(Seq(Event(999901L, new java.sql.Timestamp(far), 1L,
+        "zz_sentinel", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 1L,
+        "zz_sentinel", 0.0)))
+      q.processAllAvailable()
+      // batch twin trimmed to each type's live span: the stream cannot
+      // know the GLOBAL grid min (leading zeros before a type's first
+      // event) and goes quiescent 4 minutes after its last activity (all
+      // EWMA taps zero) — inside [first-active, min(last-active + 4,
+      // grid max)] the values must agree bit-exactly (same integer taps
+      // ÷ 31.0 / 5.0). The stream's decay tail can run PAST the batch
+      // grid's global max (the batch grid simply ends there), so both
+      // sides cap at gmax.
+      val batch = SparkEntry.queries("evt_metrics_rates")(spark, sf001)
+      val gmax = batch.agg(max($"m")).head().getLong(0)
+      val spans = batch.filter($"rate_1m" > 0)
+        .groupBy($"event_type".as("et"))
+        .agg(min($"m").as("lo"), max($"m").as("hi"))
+      def trim(df: org.apache.spark.sql.DataFrame) = df
+        .join(spans, df("event_type") === spans("et"))
+        .filter($"m" >= $"lo" && $"m" <= $"hi" + 4 && $"m" <= gmax)
+        .select(df("event_type"), df("m"), df("rate_1m"), df("rate_5m"),
+          df("ewma_rate"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val got = trim(spark.table("t_metrics")
+        .filter($"event_type" =!= "zz_sentinel"))
+      val want = trim(batch)
+      assert(got.nonEmpty && got == want,
+        s"stream metrics != batch (got ${got.size} rows, want ${want.size})")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

@@ -56,7 +56,14 @@ def main(sf, outdir):
             else:
                 e_o = exp[c].astype(object).where(exp[c].notna(), None)
                 g_o = got[c].astype(object).where(got[c].notna(), None)
-                eq = np.array([a == b or (a is None and b is None)
+
+                def norm(v):
+                    # list-typed cells (duckdb lists / pyarrow arrays) break
+                    # scalar ==; compare as tuples
+                    if isinstance(v, (list, np.ndarray)):
+                        return tuple(v)
+                    return v
+                eq = np.array([norm(a) == norm(b) or (a is None and b is None)
                                for a, b in zip(e_o, g_o)])
             if not eq.all():
                 i = int(np.argmin(eq))
