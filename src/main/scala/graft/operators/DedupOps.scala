@@ -555,10 +555,34 @@ object DedupOps {
         val nMatch = (0 until 8)
           .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
           .reduce(_ + _)
+        // Exact-jaccard ground truth restricted to the CANDIDATE pairs
+        // (r9; was an inner join against jaccardScored, which scores
+        // EVERY shared-shingle pair in the corpus — a vastly larger pair
+        // set than the LSH candidates this audit reports on, and ~2 s of
+        // recompute at sf0.1). Here the shingle frame joins THROUGH the
+        // candidate list: cand × shingles-of-a (bounded by |cand| × doc
+        // shingles), then a keyed (doc_b, s) equi-join — work scales with
+        // the candidate count, not with corpus-wide shingle sharing. The
+        // result set is identical: band-key equality implies a shared
+        // min-shingle, so every candidate pair has inter >= 1 and the
+        // inner join drops nothing the old formulation kept.
+        val sh = docs
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 3)
+          .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+          .distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val inter = cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
         cand.join(sa, "doc_a").join(sb, "doc_b")
           .withColumn("n_match", nMatch)
-          .join(jaccardScored(s, d).select(col("doc_a"), col("doc_b"),
-            col("jaccard")), Seq("doc_a", "doc_b"))
+          .join(inter, Seq("doc_a", "doc_b"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .select(col("doc_a"), col("doc_b"), col("n_match"),
             (col("n_match").cast("double") / 8.0).as("jaccard_est"),
             col("jaccard"))

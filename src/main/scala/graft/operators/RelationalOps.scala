@@ -217,6 +217,37 @@ object RelationalOps {
         "/ COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
         "ORDER BY o_orderkey"),
 
+    // SQL-text entry #4 (round-9) — WITH RECURSIVE as TEXT: a hierarchy
+    // walk to root (every customer's ancestor chain under the synthetic
+    // parent(c) = c div 10 org-tree), planned by Spark 4's UnionLoop
+    // recursion (spark.sql.cteRecursionLevelLimit guards runaways). Each
+    // iteration is a keyed equi-join against the customer table and the
+    // frontier SHRINKS 10x per level (depth ~ log10(customers), ~5 at
+    // sf0.1 — recursion depth is hierarchy-bounded, not data-bounded, so
+    // the shape survives scale). depth is cast BIGINT in the anchor so
+    // both engines agree on the recursion's column types (§7.4).
+    "sql_text_recursive_cte" -> Q(
+      (s, d) => {
+        T(s, d, "customer").createOrReplaceTempView("v_customer")
+        s.sql(
+          """WITH RECURSIVE walk(c_custkey, anc, depth) AS (
+            |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM v_customer
+            |  UNION ALL
+            |  SELECT w.c_custkey, p.c_custkey div 10, w.depth + 1
+            |  FROM walk w JOIN v_customer p ON p.c_custkey = w.anc
+            |  WHERE w.anc >= 10
+            |) SELECT c_custkey, anc AS root_id, depth
+            |FROM walk WHERE anc < 10
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      "WITH RECURSIVE walk(c_custkey, anc, depth) AS (" +
+        "SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer " +
+        "UNION ALL SELECT w.c_custkey, p.c_custkey // 10, w.depth + 1 " +
+        "FROM walk w JOIN customer p ON p.c_custkey = w.anc " +
+        "WHERE w.anc >= 10) " +
+        "SELECT c_custkey, anc AS root_id, depth FROM walk WHERE anc < 10 " +
+        "ORDER BY c_custkey"),
+
     // ---- §2.B projection / filter -----------------------------------
     "project_compute" -> Q(
       (s, d) => T(s, d, "lineitem")
