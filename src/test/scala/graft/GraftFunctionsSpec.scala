@@ -117,6 +117,46 @@ class GraftFunctionsSpec extends SparkSpec {
       "no event matched any configured CIDR — test data no longer exercises the filter")
   }
 
+  test("recursive CTE: a cycle hits the recursion level limit loudly, not an infinite loop") {
+    // The production key's recursion is hierarchy-bounded (frontier
+    // shrinks 10x per level); this pins the GUARD for the misuse case —
+    // a cyclic walk must fail against spark.sql.cteRecursionLevelLimit
+    // (default 100), not spin. Session conf is lowered so the test is
+    // instant, then restored.
+    val prev = spark.conf.getOption("spark.sql.cteRecursionLevelLimit")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "20")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(
+          """WITH RECURSIVE spin(n) AS (
+            |  SELECT CAST(0 AS BIGINT)
+            |  UNION ALL SELECT (n + 1) % 3 FROM spin
+            |) SELECT COUNT(*) FROM spin""".stripMargin).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("recursion"),
+        s"expected a recursion-limit error, got: ${e.getMessage}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cteRecursionLevelLimit", v)
+        case None => spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+      }
+    }
+  }
+
+  test("fn_variant_json: variant path extraction agrees with string-path extraction") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("fn_variant_json")(spark, sf001)
+    // the variant walk must agree with the plain get_json_object walk
+    // over the same synthesized payload, and the missing path is null
+    val ev = T(spark, sf001, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_want"))
+    val joined = df.join(ev, "event_id")
+    assert(joined.filter(col("k_val") =!= col("k_want")).count() == 0)
+    assert(df.filter(col("absent").isNotNull).count() == 0)
+    assert(df.filter(col("uid").isNull || col("ut").isNull).count() == 0)
+  }
+
   test("llm_url_dedup canonical form is a fixed point of the canonicalization") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("llm_url_dedup")(spark, sf001)
