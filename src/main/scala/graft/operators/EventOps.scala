@@ -1478,7 +1478,68 @@ object EventOps {
     // emission StreamingSpec pins bit-exact against this key on the
     // [first-active, last-active + 4] per-type grid).
     "stream_metrics_rates" -> metricsRatesQ,
+
+    // Task correlation (round-9 addendum) [PK: Logstash aggregate filter —
+    // accumulate fields across the events of one task, emit the rollup on
+    // the task's end event, discard tasks that never end]: here a task is
+    // a user's activity run CLOSED by a purchase (the end-event marker),
+    // so task index = count of PRIOR purchases in arrival order — one
+    // window pass assigns it, one keyed hash agg folds each task, and the
+    // trailing run with no purchase drops (end_event_id IS NULL), exactly
+    // the filter's timeout-discard. Scale: the window and the agg shuffle
+    // once on user_id (hash-partition, arbitrary user cardinality); state
+    // per task is O(1) counters, never the event list. Determinism: value
+    // folds as floor(value*10000) longs (the vq discipline), duration in
+    // integer µs → floor seconds; µs-truncated ts via usEvents.
+    "evt_aggregate_task" -> aggregateTaskQ,
+
+    // Streaming twin registration (the stream_metrics_rates discipline):
+    // same batch formulation; the live machinery is
+    // StreamOps.aggregateTaskStream — a transformWithState processor whose
+    // per-user ListState buffers only ≤watermark-delay of pending events,
+    // folding watermark-finalized events in event-time order through an
+    // O(1) ValueState accumulator that emits-and-resets on each purchase.
+    // StreamingSpec pins its emission bit-exact against this key.
+    "stream_aggregate_task" -> aggregateTaskQ,
   )
+
+  private lazy val aggregateTaskQ: Q = Q(
+      (s, d) => {
+        val priorW = arrivalW.rowsBetween(Window.unboundedPreceding, -1)
+        val isEnd = col("event_type") === "purchase"
+        T(s, d, "events")
+          .withColumn("ts_us", expr("unix_micros(ts)"))
+          .withColumn("task", coalesce(
+            sum(when(isEnd, 1L).otherwise(0L)).over(priorW), lit(0L)))
+          .groupBy(col("user_id"), col("task"))
+          .agg(
+            max(when(isEnd, col("event_id"))).as("end_event_id"),
+            sum(when(!isEnd, 1L).otherwise(0L)).as("steps"),
+            sum(when(!isEnd, floor(col("value") * 10000).cast("long"))
+              .otherwise(0L)).as("vq"),
+            max(when(isEnd, col("ts_us"))).as("p_us"),
+            min(col("ts_us")).as("min_us"))
+          .filter(col("end_event_id").isNotNull)
+          .select(col("user_id"), col("end_event_id"),
+            big(col("steps")).as("n_steps"),
+            (col("vq") / 10000.0).as("value_sum"),
+            expr("(p_us - min_us) div 1000000").cast("long").as("duration_s"))
+          .orderBy(col("user_id"), col("end_event_id"))
+      },
+      usEvents("SELECT user_id, end_event_id, n_steps, " +
+        "vq / 10000.0 AS value_sum, (p_us - min_us) // 1000000 AS duration_s " +
+        "FROM (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'purchase' THEN event_id END) AS end_event_id, " +
+        "SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_steps, " +
+        "SUM(CASE WHEN event_type <> 'purchase' " +
+        "THEN floor(value * 10000)::BIGINT ELSE 0 END)::BIGINT AS vq, " +
+        "max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us, " +
+        "min(epoch_us(ts)) AS min_us " +
+        "FROM (SELECT *, coalesce(SUM(CASE WHEN event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS task " +
+        "FROM events) t GROUP BY user_id, task) g " +
+        "WHERE end_event_id IS NOT NULL ORDER BY user_id, end_event_id"))
 
   private lazy val metricsRatesQ: Q = Q(
       (s, d) => {

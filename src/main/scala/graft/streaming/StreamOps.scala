@@ -997,6 +997,105 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One completed task rollup (the streaming twin of an
+    * `evt_aggregate_task` output row; the open task lives in state and is
+    * never emitted — the Logstash aggregate filter's timeout-discard). */
+  case class TaskOut(user_id: Long, end_event_id: Long, n_steps: Long,
+      value_sum: Double, duration_s: Long)
+
+  private case class TaskPending(tsUs: Long, eventId: Long, etype: String,
+      value: Double)
+
+  /** Open-task accumulator: step count, floor(value*10000) long sum (the
+    * batch key's vq discipline), and the task's first event time in µs. */
+  private case class TaskAcc(steps: Long, vq: Long, minUs: Long)
+
+  /** Streaming task correlation — the transformWithState twin of
+    * `evt_aggregate_task` [PK: Logstash aggregate filter with
+    * push_map_as_event_on_timeout=false: accumulate per task, emit on the
+    * end event]. The Scd2Processor discipline end to end: events buffer in
+    * ListState until the watermark is strictly past their µs timestamp,
+    * finalized events fold in exact (ts, event_id) order through an O(1)
+    * ValueState accumulator, and each purchase emits its task's rollup
+    * exactly once (append mode) and resets the accumulator. State per user
+    * is ≤watermark-delay of pending events plus three longs — never the
+    * task's event list, so a mega-task cannot grow state. */
+  class AggregateTaskProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, TaskOut] {
+    @transient private var pending:
+      org.apache.spark.sql.streaming.ListState[TaskPending] = _
+    @transient private var acc:
+      org.apache.spark.sql.streaming.ValueState[TaskAcc] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[TaskPending]("task_pending",
+        org.apache.spark.sql.Encoders.product[TaskPending],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      acc = getHandle.getValueState[TaskAcc]("task_acc",
+        org.apache.spark.sql.Encoders.product[TaskAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def flush(key: Long, wmMs: Long): Iterator[TaskOut] = {
+      val evs = {
+        val it = pending.get()
+        val b = Seq.newBuilder[TaskPending]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      if (evs.isEmpty) return Iterator.empty
+      val (fin, rest) = evs.partition(e => wmMs * 1000L > e.tsUs)
+      pending.clear()
+      rest.foreach(pending.appendValue)
+      if (rest.nonEmpty)
+        getHandle.registerTimer(rest.map(_.tsUs).min / 1000L + 1L)
+      if (fin.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[TaskOut]
+      var cur = Option(acc.get())
+      fin.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+        val a = cur.getOrElse(TaskAcc(0L, 0L, e.tsUs))
+        if (e.etype == "purchase") {
+          out += TaskOut(key, e.eventId, a.steps, a.vq / 10000.0,
+            (e.tsUs - a.minUs) / 1000000L)
+          cur = None
+        } else {
+          cur = Some(TaskAcc(a.steps + 1L,
+            a.vq + math.floor(e.value * 10000).toLong, a.minUs))
+        }
+      }
+      cur match {
+        case Some(a) => acc.update(a)
+        case None    => acc.clear()
+      }
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TaskOut] = {
+      rows.foreach(e => pending.appendValue(
+        TaskPending(micros(e.ts), e.event_id, e.event_type, e.value)))
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TaskOut] =
+      flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  def aggregateTaskStream(events: Dataset[Event]): Dataset[TaskOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new AggregateTaskProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def wauSketchStream(events: Dataset[Event], p: Int = 12): Dataset[WauEstimate] = {
     import events.sparkSession.implicits._
     events

@@ -382,6 +382,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming task aggregate (transformWithState) == stream_aggregate_task batch") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.aggregateTaskStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_task").start()
+    try {
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // push the watermark past the fixture so every purchase-closed task
+      // emits (the per-user OPEN task stays in state — never emitted)
+      val far = typedEvents.map(e => StreamOps.micros(e.ts)).max / 1000L +
+        30L * 24 * 3600 * 1000
+      mem.addData(Seq(Event(999901L, new java.sql.Timestamp(far), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      def norm(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getLong(4))
+      val got = spark.table("t_task").filter($"user_id" =!= 999999L)
+        .select($"user_id", $"end_event_id", $"n_steps", $"value_sum",
+          $"duration_s")
+        .collect().map(norm).sortBy(t => (t._1, t._2)).toSeq
+      val want = SparkEntry.queries("stream_aggregate_task")(spark, sf001)
+        .collect().map(norm).sortBy(t => (t._1, t._2)).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming streaks (transformWithState) final state == evt_streaks batch") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
