@@ -664,5 +664,50 @@ object AggWindowOps {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 10000)" +
         "::BIGINT / 10000.0 AS weighted_avg_price " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+
+    // Count-min sketch estimate (round-9 addendum) — the ONE sketch key
+    // with an exact oracle: a d=4 × w=16 CMS is pure integer arithmetic
+    // over md5-derived buckets, so Spark and DuckDB agree bit-for-bit
+    // (unlike HLL/KMV, whose register layouts are engine-private — the 7
+    // no_oracle keys). Update shape is the real streaming-sketch path:
+    // each event fans out to its d (row, bucket) cells and the 64-cell
+    // table hash-aggregates with map-side combine — state is O(d·w)
+    // regardless of domain cardinality, the entire point of CMS at 100 TB
+    // (the exact groupBy beside it is the audit, affordable only because
+    // this domain is small). Estimate = min over rows of the keyed cell —
+    // the classic overestimate-only guarantee, asserted est >= exact in
+    // the spec. Bucket = hex-digit position lookup (strpos semantics
+    // shared by both engines) — no conv()/from_hex dialect divergence.
+    "agg_count_min_est" -> Q(
+      (s, d) => {
+        val pairs = T(s, d, "events")
+          .select(col("event_type"),
+            explode(array((0 until 4).map(j => lit(j)): _*)).as("rw"))
+          .withColumn("bucket", expr(
+            "instr('0123456789abcdef', " +
+              "substr(md5(concat_ws(':', rw, event_type)), 1, 1)) - 1"))
+        val cells = pairs.groupBy(col("rw"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val typeBuckets = pairs.select(col("event_type"), col("rw"),
+          col("bucket")).distinct()
+        val est = typeBuckets.join(broadcast(cells), Seq("rw", "bucket"))
+          .groupBy(col("event_type")).agg(min(col("c")).as("est_n"))
+        T(s, d, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("exact_n"))
+          .join(est, Seq("event_type"))
+          .orderBy(col("event_type"))
+      },
+      "WITH p AS (SELECT event_type, rw, strpos('0123456789abcdef', " +
+        "substr(md5(rw::VARCHAR || ':' || event_type), 1, 1)) - 1 AS bucket " +
+        "FROM events CROSS JOIN " +
+        "(SELECT unnest(generate_series(0, 3)) AS rw) r), " +
+        "cells AS (SELECT rw, bucket, COUNT(*) AS c FROM p GROUP BY 1, 2), " +
+        "tb AS (SELECT DISTINCT event_type, rw, bucket FROM p), " +
+        "est AS (SELECT event_type, MIN(c)::BIGINT AS est_n FROM tb " +
+        "JOIN cells USING (rw, bucket) GROUP BY 1), " +
+        "ex AS (SELECT event_type, COUNT(*)::BIGINT AS exact_n " +
+        "FROM events GROUP BY 1) " +
+        "SELECT event_type, exact_n, est_n FROM ex JOIN est " +
+        "USING (event_type) ORDER BY event_type"),
   )
 }

@@ -1389,24 +1389,16 @@ object EventOps {
     // user-day (never corpus-sized), the shuffle key is the composite,
     // and the pass-through row carries its within-window sequence so a
     // downstream can see how close to the limit each key ran.
-    "evt_throttle" -> Q(
-      (s, d) => {
-        val w = Window
-          .partitionBy(col("user_id"), date_trunc("DAY", col("ts")))
-          .orderBy(col("ts"), col("event_id"))
-        T(s, d, "events")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("event_id"), col("user_id"),
-            date_trunc("DAY", col("ts")).as("bucket"),
-            big(col("rn")).as("n_in_window"))
-          .orderBy(col("event_id"))
-      },
-      usEvents("SELECT event_id, user_id, bucket, rn AS n_in_window FROM (" +
-        "SELECT event_id, user_id, date_trunc('day', ts) AS bucket, " +
-        "row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) " +
-        "ORDER BY ts, event_id) AS rn FROM events) t " +
-        "WHERE rn <= 3 ORDER BY event_id")),
+    "evt_throttle" -> throttleQ,
+
+    // Streaming twin registration (the stream_metrics_rates discipline):
+    // same batch formulation; the live machinery is
+    // StreamOps.throttleStream — a transformWithState processor folding
+    // watermark-finalized events in event-time order through a 2-long
+    // (day, count) ValueState, passing each day's first 3 through and
+    // dropping the rest — the Logstash throttle filter as a live gate.
+    // StreamingSpec pins its emission bit-exact against this key.
+    "stream_throttle" -> throttleQ,
 
     // Survival curve (round-8 addendum): share of users still active t
     // days after their first event — the product-limit (Kaplan-Meier)
@@ -1502,6 +1494,25 @@ object EventOps {
     // StreamingSpec pins its emission bit-exact against this key.
     "stream_aggregate_task" -> aggregateTaskQ,
   )
+
+  private lazy val throttleQ: Q = Q(
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("user_id"), date_trunc("DAY", col("ts")))
+          .orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("event_id"), col("user_id"),
+            date_trunc("DAY", col("ts")).as("bucket"),
+            big(col("rn")).as("n_in_window"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, user_id, bucket, rn AS n_in_window FROM (" +
+        "SELECT event_id, user_id, date_trunc('day', ts) AS bucket, " +
+        "row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) " +
+        "ORDER BY ts, event_id) AS rn FROM events) t " +
+        "WHERE rn <= 3 ORDER BY event_id"))
 
   private lazy val aggregateTaskQ: Q = Q(
       (s, d) => {

@@ -705,5 +705,46 @@ object ScaleOps {
         "ORDER BY n ASC, user_id LIMIT 5) " +
         "SELECT user_id, n, which FROM (SELECT * FROM t UNION ALL " +
         "SELECT * FROM b) u ORDER BY which, n DESC, user_id")),
+
+    // Rendezvous (highest-random-weight) sharding (round-9 addendum): the
+    // shard-assignment discipline a 100 TB corpus store actually wants —
+    // doc → argmax over shards of md5(doc:shard), so REMOVING a shard
+    // moves ONLY the docs that lived on it (1/N of the corpus) instead of
+    // rehash-everything's (N-1)/N. The key materializes both worlds (full
+    // 8-shard ring, then shard 7 drained) and rolls up the transition
+    // matrix; every off-diagonal row must have shard_full = 7 — the
+    // minimal-movement invariant, asserted in ScaleSpec. Shape at scale:
+    // assignment is a PURE per-row expression (an 8-entry struct array →
+    // array_max, whole-stage codegen, zero shuffle, no per-shard explode);
+    // only the |shards|²-bounded rollup shuffles. The oracle reaches the
+    // same argmax through an unnest + QUALIFY row_number formulation —
+    // different plan, same math, so the equivalence is semantic, not
+    // copied. Ties are impossible in practice (128-bit hash equality);
+    // the struct comparator breaks them by shard index deterministically.
+    "scale_rendezvous_shard" -> Q(
+      (s, d) => {
+        def hrw(n: Int): org.apache.spark.sql.Column =
+          array_max(array((0 until n).map(i =>
+          struct(
+            md5(concat_ws(":", col("doc_id"), lit(i))).as("h"),
+            lit(i.toLong).as("shard"))): _*)).getField("shard")
+        T(s, d, "documents")
+          .select(hrw(8).as("shard_full"), hrw(7).as("shard_drained"))
+          .groupBy(col("shard_full"), col("shard_drained"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("shard_full"), col("shard_drained"))
+      },
+      "WITH a8 AS (SELECT doc_id, shard AS shard_full FROM (" +
+        "SELECT d.doc_id, s.shard, row_number() OVER (PARTITION BY d.doc_id " +
+        "ORDER BY md5(d.doc_id::VARCHAR || ':' || s.shard::VARCHAR) DESC, s.shard DESC) AS rn " +
+        "FROM documents d CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS shard) s) t " +
+        "WHERE rn = 1), " +
+        "a7 AS (SELECT doc_id, shard AS shard_drained FROM (" +
+        "SELECT d.doc_id, s.shard, row_number() OVER (PARTITION BY d.doc_id " +
+        "ORDER BY md5(d.doc_id::VARCHAR || ':' || s.shard::VARCHAR) DESC, s.shard DESC) AS rn " +
+        "FROM documents d CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS shard) s) t " +
+        "WHERE rn = 1) " +
+        "SELECT shard_full, shard_drained, COUNT(*)::BIGINT AS n_docs " +
+        "FROM a8 JOIN a7 USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }

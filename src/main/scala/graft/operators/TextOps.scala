@@ -426,6 +426,58 @@ object TextOps {
         "AS keep " +
         "FROM spans s JOIN fd USING (h) GROUP BY s.doc_id ORDER BY s.doc_id"),
 
+    // Content-defined chunking dedup (round-9 addendum) — the FastCDC idea
+    // on word streams: a chunk boundary opens wherever the trailing 3-gram's
+    // md5 starts with hex '0' (P=1/16 ⇒ ~16-word mean chunks), so chunk
+    // edges move WITH the content — insert a word early in a doc and every
+    // later chunk of an unmodified run still hashes identically, which is
+    // exactly what fixed-stride chunking (llm_doc_chunking) cannot give a
+    // dedup pipeline. Shape: the whole boundary→slice→hash derivation is
+    // IN-ROW list algebra (the llm_span_dedup discipline — filter/
+    // transform/slice over the split array, no per-word explode, no per-doc
+    // window shuffle); only 32-byte chunk digests ever shuffle, one hash
+    // agg keyed on the digest. The boundary lambda guards i>=3 inside
+    // if() — lazily evaluated in BOTH engines, so element_at(toks, 0)
+    // is never touched (Spark would throw where DuckDB returns NULL).
+    "llm_cdc_chunks" -> Q(
+      (s, d) => {
+        val hashes = T(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("bnds", expr(
+            "filter(sequence(1, size(toks)), i -> if(i >= 3, " +
+              "substr(md5(concat_ws(' ', element_at(toks, i - 2), " +
+              "element_at(toks, i - 1), element_at(toks, i))), 1, 1) = '0', " +
+              "false))"))
+          .withColumn("starts", expr("concat(array(1), bnds)"))
+          .withColumn("ends", expr(
+            "concat(transform(bnds, b -> b - 1), array(size(toks)))"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(starts)), j -> md5(concat_ws(' ', " +
+              "slice(toks, element_at(starts, j), " +
+              "element_at(ends, j) - element_at(starts, j) + 1))))")).as("h"))
+        hashes.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= 2)
+          .select(col("h").as("chunk_hash"), col("n_docs"), col("n_occ"))
+          .orderBy(col("chunk_hash"))
+      },
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, toks, list_filter(generate_series(1, len(toks)), " +
+        "i -> CASE WHEN i >= 3 THEN substr(md5(toks[i - 2] || ' ' || " +
+        "toks[i - 1] || ' ' || toks[i]), 1, 1) = '0' ELSE false END) AS bnds " +
+        "FROM t), " +
+        "e AS (SELECT doc_id, toks, list_prepend(1, bnds) AS starts, " +
+        "list_append(list_transform(bnds, x -> x - 1), len(toks)) AS ends " +
+        "FROM b), " +
+        "h AS (SELECT doc_id, unnest(list_transform(" +
+        "generate_series(1, len(starts)), j -> md5(array_to_string(" +
+        "list_slice(toks, starts[j], ends[j]), ' ')))) AS h FROM e) " +
+        "SELECT h AS chunk_hash, COUNT(DISTINCT doc_id)::BIGINT AS n_docs, " +
+        "COUNT(*)::BIGINT AS n_occ FROM h GROUP BY 1 " +
+        "HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY 1"),
+
     // Tokenizer vocabulary build: corpus term frequencies, min-count 5
     // gate, contiguous ids by (freq desc, token) rank. The heavy stage is
     // the corpus-wide explode + hash agg (fully parallel); the ranking

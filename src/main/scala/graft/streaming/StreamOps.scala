@@ -1087,6 +1087,92 @@ object StreamOps {
       flush(key, timerValues.getCurrentWatermarkInMs())
   }
 
+  /** One throttle-passed event (the streaming twin of an `evt_throttle`
+    * output row; suppressed events are simply never emitted). */
+  case class ThrottleOut(event_id: Long, user_id: Long,
+      bucket: java.sql.Timestamp, n_in_window: Long)
+
+  /** Throttle counter: current UTC day number and events passed so far. */
+  private case class DayCount(dayn: Long, n: Long)
+
+  /** Streaming rate limit — the transformWithState twin of `evt_throttle`
+    * [PK: Logstash throttle filter, before_count semantics]: each user's
+    * first 3 events per UTC day pass, the rest drop. The
+    * AggregateTaskProcessor discipline: events buffer in ListState until
+    * the watermark is strictly past their µs timestamp, then fold in
+    * exact (ts, event_id) order through a 2-long (day, count) ValueState —
+    * crossing a day boundary resets the counter, an event with count ≤ 3
+    * emits exactly once (append mode). State per user is ≤watermark-delay
+    * of pending events plus two longs — the gate itself is O(1). */
+  class ThrottleProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, ThrottleOut] {
+    @transient private var pending:
+      org.apache.spark.sql.streaming.ListState[TaskPending] = _
+    @transient private var cnt:
+      org.apache.spark.sql.streaming.ValueState[DayCount] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[TaskPending]("thr_pending",
+        org.apache.spark.sql.Encoders.product[TaskPending],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      cnt = getHandle.getValueState[DayCount]("thr_cnt",
+        org.apache.spark.sql.Encoders.product[DayCount],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def flush(key: Long, wmMs: Long): Iterator[ThrottleOut] = {
+      val evs = {
+        val it = pending.get()
+        val b = Seq.newBuilder[TaskPending]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      if (evs.isEmpty) return Iterator.empty
+      val (fin, rest) = evs.partition(e => wmMs * 1000L > e.tsUs)
+      pending.clear()
+      rest.foreach(pending.appendValue)
+      if (rest.nonEmpty)
+        getHandle.registerTimer(rest.map(_.tsUs).min / 1000L + 1L)
+      if (fin.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[ThrottleOut]
+      var c = Option(cnt.get()).getOrElse(DayCount(Long.MinValue, 0L))
+      fin.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+        val dayn = e.tsUs / 1000000L / 86400L
+        c = if (dayn != c.dayn) DayCount(dayn, 1L) else c.copy(n = c.n + 1L)
+        if (c.n <= 3L)
+          out += ThrottleOut(e.eventId, key,
+            new java.sql.Timestamp(dayn * 86400000L), c.n)
+      }
+      cnt.update(c)
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ThrottleOut] = {
+      rows.foreach(e => pending.appendValue(
+        TaskPending(micros(e.ts), e.event_id, e.event_type, e.value)))
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ThrottleOut] =
+      flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  def throttleStream(events: Dataset[Event]): Dataset[ThrottleOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new ThrottleProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def aggregateTaskStream(events: Dataset[Event]): Dataset[TaskOut] = {
     import events.sparkSession.implicits._
     events

@@ -244,4 +244,38 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"pigeonhole join diverged: got ${got.size}, brute ${brute.size}")
     assert(got.nonEmpty) // fixture plants near-dups; empty = broken sigs
   }
+
+  test("cdc chunking is shift-robust: prefix insert preserves later chunks") {
+    import spark.implicits._
+    // one ~200-word doc and a copy with 3 words INSERTED at the front: a
+    // fixed-stride chunker shares nothing, content-defined chunking must
+    // re-sync after the first boundary and share the bulk of the chunks
+    val words = (0 until 200).map(i => f"w${(i * 131) % 97}%02d")
+    val base = words.mkString(" ")
+    val shifted = "xx yy zz " + base
+    val chunkExpr =
+      "transform(sequence(1, size(starts)), j -> md5(concat_ws(' ', " +
+        "slice(toks, element_at(starts, j), " +
+        "element_at(ends, j) - element_at(starts, j) + 1))))"
+    val chunks = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "toks",
+        "filter(sequence(1, size(toks)), i -> if(i >= 3, " +
+          "substr(md5(concat_ws(' ', element_at(toks, i - 2), " +
+          "element_at(toks, i - 1), element_at(toks, i))), 1, 1) = '0', " +
+          "false)) AS bnds")
+      .selectExpr("doc_id", "toks", "concat(array(1), bnds) AS starts",
+        "concat(transform(bnds, b -> b - 1), array(size(toks))) AS ends")
+      .selectExpr("doc_id", s"explode($chunkExpr) AS h")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = a.intersect(b)
+    // all chunks after the first boundary re-sync are byte-identical
+    assert(shared.size * 3 >= a.size * 2,
+      s"cdc failed to re-sync: ${shared.size} shared of ${a.size}")
+    // and the registered key agrees with itself end to end (runs clean)
+    val reg = SparkEntry.queries("llm_cdc_chunks")(spark, sf001).collect()
+    assert(reg.forall(r => r.getLong(1) >= 2))
+  }
 }

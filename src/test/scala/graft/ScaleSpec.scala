@@ -354,4 +354,39 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"),
       s"top/bottom consumers did not share the agg shuffle stage:\n$plan")
   }
+
+  test("scale_rendezvous_shard: draining shard 7 moves ONLY shard 7's docs") {
+    val df = SparkEntry.queries("scale_rendezvous_shard")(spark, sf001)
+    val rows = df.collect().toSeq
+    assert(rows.nonEmpty)
+    // the HRW minimal-movement invariant: every doc whose full-ring and
+    // drained-ring assignments differ must have lived on the drained shard
+    val moved = rows.filter(r => r.getLong(0) != r.getLong(1))
+    assert(moved.nonEmpty, "no docs lived on shard 7 — fixture too small?")
+    assert(moved.forall(_.getLong(0) == 7L),
+      s"docs moved off a surviving shard: $moved")
+    // and the movement share is ~1/8 of the corpus, not (N-1)/N
+    val total = rows.map(_.getLong(2)).sum
+    val nMoved = moved.map(_.getLong(2)).sum
+    assert(nMoved * 4 < total, s"moved $nMoved of $total — not minimal")
+    // assignment is pure per-row math: the only shuffles are the
+    // |shards|^2-bounded rollup + the final sort — the corpus itself is
+    // never exchanged on doc_id (AQE prints initial+final plans, so count
+    // exchange KEYS, not occurrences)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"HRW assignment shuffled the corpus on doc_id:\n$plan")
+    assert(plan.contains("hashpartitioning(shard_full"),
+      s"expected only the rollup shuffle:\n$plan")
+  }
+
+  test("agg_count_min_est: CMS estimate dominates the exact count") {
+    val rows = SparkEntry.queries("agg_count_min_est")(spark, sf001)
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    // the CMS one-sided error guarantee: est >= exact, always
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS underestimated ${r.getString(0)}: est=${r.getLong(2)} " +
+        s"exact=${r.getLong(1)}"))
+  }
 }

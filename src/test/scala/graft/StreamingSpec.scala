@@ -415,6 +415,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming throttle (transformWithState) == stream_throttle batch") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.throttleStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_thr").start()
+    try {
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      val far = typedEvents.map(e => StreamOps.micros(e.ts)).max / 1000L +
+        30L * 24 * 3600 * 1000
+      mem.addData(Seq(Event(999901L, new java.sql.Timestamp(far), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(999902L, new java.sql.Timestamp(far + 1000L), 999999L, "view", 0.0)))
+      q.processAllAvailable()
+      def norm(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getLong(3))
+      val got = spark.table("t_thr").filter($"user_id" =!= 999999L)
+        .select($"event_id", $"user_id", $"bucket", $"n_in_window")
+        .collect().map(norm).sortBy(_._1).toSeq
+      val want = SparkEntry.queries("stream_throttle")(spark, sf001)
+        .collect().map(norm).sortBy(_._1).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming streaks (transformWithState) final state == evt_streaks batch") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
