@@ -1004,5 +1004,32 @@ object FnOps {
         "FROM (SELECT event_id, '{\"k\":' || json_extract_string(props, '$.k') || " +
         "',\"u\":{\"id\":' || user_id::VARCHAR || ',\"t\":\"' || event_type || " +
         "'\"}}' AS payload FROM events) t ORDER BY event_id"),
+
+    // Deterministic event UUIDs (round-9 addendum) [PK: Logstash uuid
+    // filter, pinned to name-based RFC 4122 v3 so replays mint the SAME
+    // id — the idempotent-sink prerequisite; a random v4 would break
+    // exactly-once re-publish]: md5 of a namespaced name, formatted
+    // 8-4-4-4-12 with the version nibble forced to '3' and the variant
+    // nibble to [89ab] (hex-index arithmetic through a strpos lookup —
+    // the agg_count_min_est bucket discipline, no conv()/from_hex
+    // dialect). One codegen projection pass, no shuffle but the sort.
+    "fn_uuid_ns" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("h", md5(concat_ws(":", lit("graft-evt"), col("event_id"))))
+        .select(col("event_id"), concat(
+          substring(col("h"), 1, 8), lit("-"),
+          substring(col("h"), 9, 4), lit("-3"),
+          substring(col("h"), 14, 3), lit("-"),
+          expr("substr('89ab', " +
+            "(instr('0123456789abcdef', substr(h, 17, 1)) - 1) % 4 + 1, 1)"),
+          substring(col("h"), 18, 3), lit("-"),
+          substring(col("h"), 21, 12)).as("uuid"))
+        .orderBy(col("event_id")),
+      "SELECT event_id, substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' || " +
+        "substr(h, 14, 3) || '-' || substr('89ab', " +
+        "(strpos('0123456789abcdef', substr(h, 17, 1)) - 1) % 4 + 1, 1) || " +
+        "substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid " +
+        "FROM (SELECT event_id, md5('graft-evt:' || event_id::VARCHAR) AS h " +
+        "FROM events) t ORDER BY event_id"),
   )
 }

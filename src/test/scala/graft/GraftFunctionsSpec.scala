@@ -173,4 +173,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(df.filter(col("n_variants") > 1).limit(1).count() == 1,
       "no canonical URL had more than one variant — synth no longer exercises dedup")
   }
+
+  test("fn_uuid_ns mints RFC 4122 v3-shaped, stable, collision-free ids") {
+    val rows = SparkEntry.queries("fn_uuid_ns")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    val v3 = "^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    rows.foreach { case (id, u) =>
+      assert(v3.matches(u), s"event $id minted malformed uuid $u")
+    }
+    // name-based: distinct inputs -> distinct ids, same input -> same id
+    assert(rows.map(_._2).distinct.length == rows.length, "uuid collision")
+    val again = SparkEntry.queries("fn_uuid_ns")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == again.toSeq, "uuid minting is not deterministic")
+  }
 }
