@@ -38,6 +38,8 @@ import graft.T
   *   {"op":"distinct"}, {"op":"union","right":{...}},
   *   {"op":"translate","field":"code","as":"label",
   *    "dict":{"200":"ok","404":"missing"},"default":"other"},
+  *   {"op":"dissect","field":"line","pattern":"%{a} [%{b}] x=%{c}"},
+  *   {"op":"grok","field":"line","pattern":"%{IPV4:ip} %{INT:n:int}"},
   *   {"op":"orderBy","by":["s desc","a"]}, {"op":"limit","n":10}
   * ]}
   * }}}
@@ -229,6 +231,27 @@ object Flow {
         df.withColumn(str(st, "as"),
           strOpt(st, "default").map(dflt => coalesce(lookup, lit(dflt)))
             .getOrElse(lookup))
+      case "grok" =>
+        // Named-pattern extraction as config [PK: Logstash grok filter]:
+        // the same compile-to-regexp_extract machinery the fn_grok_* keys
+        // pin, reached from a flow spec. Each extracted field lands as a
+        // typed column (int/float coercions ride the %{PAT:name:int}
+        // syntax); an existing column of the same name is overwritten
+        // (Logstash overwrite semantics). Catalyst collapses the chained
+        // withColumns into one projection.
+        {
+          val pattern = str(st, "pattern")
+          val names = graft.functions.Grok.compile(pattern)._2.map(_.name)
+          names.zip(graft.functions.Grok.columns(col(str(st, "field")), pattern))
+            .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+        }
+      case "dissect" =>
+        // Positional parse as config [PK: Logstash dissect filter]: the
+        // fn_dissect locate/substring compile, all-or-nothing on a
+        // separator miss.
+        graft.functions.Dissect
+          .fields(col(str(st, "field")), str(st, "pattern"))
+          .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
       case "route" =>
         sys.error("flow: 'route' is only valid as the final step of a " +
           "routing flow — compile it with Flow.routes, not Flow.compile")

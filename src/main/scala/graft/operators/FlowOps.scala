@@ -130,6 +130,20 @@ object FlowOps {
     * own steps on its partition of the shared prefix; `otherwise` catches
     * the rest. FlowSpec pins the partition discipline (one classifier
     * pass, disjoint branches, nothing lost). */
+  /** Dissect + grok as flow instructions over a synthesized log line; the
+    * agg consumes fields from both parsers so the oracle certifies each
+    * round-trips the source values (see flow_compiled_parse). */
+  val parseSpec: String =
+    """{"steps":[
+      |{"op":"read","table":"events"},
+      |{"op":"derive","as":"line","expr":"concat('u', cast(user_id as string), ' [', event_type, '] took=', cast(event_id % 100 as string))"},
+      |{"op":"dissect","field":"line","pattern":"%{usr} [%{etype}] took=%{took}"},
+      |{"op":"grok","field":"line","pattern":"u%{INT:uid:int} \\[%{WORD:gtype}\\] took=%{INT:took_i:int}"},
+      |{"op":"agg","groupBy":["etype"],
+      | "aggs":["count(*) AS n","sum(cast(took AS bigint)) AS took_sum","sum(took_i) AS took_sum2","sum(uid) AS uid_sum"]},
+      |{"op":"orderBy","by":["etype"]}
+      |]}""".stripMargin
+
   val routeSpec: String =
     """{"steps":[
       |{"op":"read","table":"events"},
@@ -262,6 +276,25 @@ object FlowOps {
     // next invocation). The spec chains the translate instruction into a
     // day×tier rollup; the oracle re-states the dict as the CASE chain it
     // compiles to.
+    // Parse instructions as config [PK: Logstash dissect + grok filters
+    // in a pipeline definition]: a log line is synthesized, DISSECTED
+    // (positional, no regex), then GROKKED (typed %{INT:x:int} coercions)
+    // — both parse steps arriving from the JSON spec through the same
+    // compiled machinery the fn_dissect / fn_grok_* keys pin. The agg
+    // reads fields from BOTH parsers (dissect's string `took` cast up,
+    // grok's already-typed `took_i` and `uid`), so the oracle's
+    // straight-from-source math certifies each parser round-trips the
+    // synthesized values exactly. Catalyst collapses the whole
+    // derive→dissect→grok chain into one codegen projection before the
+    // single hash agg.
+    "flow_compiled_parse" -> Q(
+      (s, d) => Flow.compile(s, d, parseSpec),
+      usEvents("SELECT event_type AS etype, COUNT(*) AS n, " +
+        "SUM(event_id % 100)::BIGINT AS took_sum, " +
+        "SUM(event_id % 100)::BIGINT AS took_sum2, " +
+        "SUM(user_id)::BIGINT AS uid_sum " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
     "flow_named_rollup" -> Q(
       (s, d) => graft.flow.FlowRegistry.run(s, d, "daily_tier_rollup"),
       usEvents("SELECT CASE event_type WHEN 'purchase' THEN 'revenue' " +

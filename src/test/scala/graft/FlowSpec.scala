@@ -187,4 +187,31 @@ class FlowSpec extends SparkSpec {
       graft.flow.FlowRegistry.run(spark, sf001, "../escape")
     }
   }
+
+  test("dissect/grok instructions parse, null on miss, overwrite on clash") {
+    import spark.implicits._
+    val df = Flow.compileOn(spark, sf001,
+      Seq("a [x] took=7", "nomatch").toDF("line"),
+      """{"steps":[
+        |{"op":"dissect","field":"line","pattern":"%{usr} [%{etype}] took=%{took}"},
+        |{"op":"grok","field":"line","pattern":"%{WORD:usr} \\[%{WORD:g}\\] took=%{INT:took_i:int}"}
+        |]}""".stripMargin)
+    val rows = df.orderBy($"line").collect()
+    // row 0 = "a [x] took=7": both parsers extract; grok OVERWROTE the
+    // dissect 'usr' column (Logstash overwrite semantics) with the same
+    // value here, so presence + types are what's pinned
+    val hit = rows.find(_.getString(0) == "a [x] took=7").get
+    assert(hit.getAs[String]("usr") == "a" && hit.getAs[String]("etype") == "x"
+      && hit.getAs[String]("took") == "7" && hit.getAs[Long]("took_i") == 7L)
+    // row 1 = "nomatch": dissect is all-or-nothing (null), grok's typed
+    // fields coerce ""->null while its string fields keep grok's
+    // documented ""-on-miss (usr was overwritten by grok, so '')
+    val miss = rows.find(_.getString(0) == "nomatch").get
+    assert(miss.getAs[String]("usr") == "" &&
+      miss.isNullAt(miss.fieldIndex("took")) &&
+      miss.isNullAt(miss.fieldIndex("etype")) &&
+      miss.isNullAt(miss.fieldIndex("took_i")))
+    // exactly one column per field, no _1/_2 dups from the overwrite
+    assert(df.columns.count(_ == "usr") == 1)
+  }
 }
