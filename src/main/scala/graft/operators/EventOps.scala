@@ -1493,7 +1493,74 @@ object EventOps {
     // O(1) ValueState accumulator that emits-and-resets on each purchase.
     // StreamingSpec pins its emission bit-exact against this key.
     "stream_aggregate_task" -> aggregateTaskQ,
+
+    // Iterative link analysis over the type-transition graph — see
+    // [[pagerankQ]] for the full design rationale.
+    "evt_pagerank_transitions" -> pagerankQ,
   )
+
+  /** PageRank over the event-type transition graph (round-9 addendum) —
+    * the iterative link-analysis family (distinct from the dedup keys'
+    * connected components): nodes = event types, edges = per-user arrival
+    * bigram counts (the evt_markov_transition graph), 3 damped iterations
+    * of r(v) ← 0.15/N + 0.85·Σ r(u)·w(u,v)/out(u). Scale shape: the
+    * corpus pays ONE window pass to build the edge list; every iteration
+    * after that joins a |V|-bounded rank frame against |E| edges — state
+    * is graph-sized, never corpus-sized, and the iteration count is a
+    * constant (the power-method truncation), so the plan is 3 keyed
+    * hash joins over tiny frames. Determinism: ranks are integer
+    * micro-units (1e6 = mass 1) and each edge contribution is ONE integer
+    * division floor((r·85·cnt) / (100·out)) — both engines floor
+    * per-edge identically, so no float ever enters the recursion. The
+    * 1/N seeds are literals (N=5 event types, shared with the oracle);
+    * a changed type-universe changes both sides together. */
+  private lazy val pagerankQ: Q = Q(
+      (s, d) => {
+        val edges = T(s, d, "events")
+          .withColumn("prev", lag(col("event_type"), 1).over(arrivalW))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+        val outc = edges.groupBy(col("src")).agg(sum(col("cnt")).as("outc"))
+        // pin the |E|-sized edge frame: three iterations consume it, and
+        // without the pin each re-derives the corpus window pass (the
+        // fuzzy-join lesson; Scale.pin honors spark.graft.pin.mode)
+        val e = edges.join(outc, "src").pinned
+        val nodes = T(s, d, "events")
+          .select(col("event_type").as("node")).distinct().pinned
+        var rank = nodes.withColumn("r", lit(200000L))
+        for (_ <- 1 to 3) {
+          val contrib = e
+            .join(rank.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(expr("(r * 85 * cnt) div (100 * outc)")).as("inflow"))
+          rank = nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (coalesce(col("inflow"), lit(0L)) + 30000L).as("r"))
+        }
+        rank.select(col("node").as("event_type"),
+          col("r").as("rank_micro")).orderBy(col("event_type"))
+      },
+      usEvents {
+        val base = "WITH ed AS (SELECT prev AS src, event_type AS dst, " +
+          "COUNT(*) AS cnt FROM (SELECT event_type, lag(event_type) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) t " +
+          "WHERE prev IS NOT NULL GROUP BY 1, 2), " +
+          "oc AS (SELECT src, SUM(cnt)::BIGINT AS outc FROM ed GROUP BY 1), " +
+          "e AS (SELECT ed.src, ed.dst, ed.cnt, oc.outc FROM ed " +
+          "JOIN oc USING (src)), " +
+          "n AS (SELECT DISTINCT event_type AS node FROM events), " +
+          "r0 AS (SELECT node, 200000::BIGINT AS r FROM n)"
+        val iters = (1 to 3).map { i =>
+          s"r$i AS (SELECT n.node, (COALESCE(f.inflow, 0) + 30000)::BIGINT " +
+            s"AS r FROM n LEFT JOIN (SELECT e.dst AS node, " +
+            s"SUM((r.r * 85 * e.cnt) // (100 * e.outc))::BIGINT AS inflow " +
+            s"FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1) f " +
+            s"USING (node))"
+        }.mkString(", ")
+        base + ", " + iters +
+          " SELECT node AS event_type, r AS rank_micro FROM r3 ORDER BY 1"
+      })
 
   private lazy val throttleQ: Q = Q(
       (s, d) => {
