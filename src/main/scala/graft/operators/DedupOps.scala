@@ -428,6 +428,52 @@ object DedupOps {
 
     // Exact n-gram Jaccard on candidate pairs that share >= 1 shingle —
     // top-50 by similarity.
+    // Sorted-neighborhood dedup (round-9 addendum) — the classic
+    // record-linkage METHOD FAMILY the LSH keys don't cover [PK:
+    // Hernández/Stolfo SNM]: sort within a bounded blocking key, compare
+    // each record to its next neighbor only. Block = (lang, first two
+    // words) — bounded block size is the scale discipline (a per-lang
+    // global text sort would be one corpus-sized task; blocks here cap
+    // the window's partition at the handful of docs sharing a prefix).
+    // Candidate test = exact word-set Jaccard ON THE ADJACENT PAIR ONLY
+    // (in-row array_intersect over the lead()-carried token set, integer
+    // compare 2·|∩| ≥ |∪| — no float), so the whole key is one bounded
+    // window pass + a codegen projection; its known blind spot (near-dups
+    // differing in the first words sort apart) is exactly why the LSH
+    // keys exist beside it — this key documents the cheap-first rung of
+    // the dedup ladder.
+    "llm_sorted_neighborhood" -> Q(
+      (s, d) => {
+        val dd = T(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            array_distinct(split(col("text"), " ")).as("toks"),
+            expr("concat_ws(' ', slice(split(text, ' '), 1, 2))").as("blk"))
+        val w = Window.partitionBy(col("lang"), col("blk"))
+          .orderBy(col("text"), col("doc_id"))
+        dd.withColumn("dup_id", lead(col("doc_id"), 1).over(w))
+          .withColumn("n_toks", lead(col("toks"), 1).over(w))
+          .filter(col("dup_id").isNotNull)
+          .withColumn("inter", size(array_intersect(col("toks"), col("n_toks"))))
+          .withColumn("uni", size(col("toks")) + size(col("n_toks")) - col("inter"))
+          .filter(col("inter") * 2 >= col("uni"))
+          .select(col("doc_id"), col("dup_id"),
+            big(col("inter")).as("n_shared"), big(col("uni")).as("n_union"))
+          .orderBy(col("doc_id"), col("dup_id"))
+      },
+      "WITH d AS (SELECT doc_id, lang, text, " +
+        "list_distinct(string_split(text, ' ')) AS toks, " +
+        "array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS blk " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, toks, lead(doc_id) OVER w AS dup_id, " +
+        "lead(toks) OVER w AS n_toks FROM d " +
+        "WINDOW w AS (PARTITION BY lang, blk ORDER BY text, doc_id)), " +
+        "p AS (SELECT doc_id, dup_id, " +
+        "len(list_intersect(toks, n_toks))::BIGINT AS n_shared, " +
+        "(len(toks) + len(n_toks) - len(list_intersect(toks, n_toks)))::BIGINT " +
+        "AS n_union FROM s WHERE dup_id IS NOT NULL) " +
+        "SELECT doc_id, dup_id, n_shared, n_union FROM p " +
+        "WHERE n_shared * 2 >= n_union ORDER BY doc_id, dup_id"),
+
     "llm_ngram_jaccard" -> Q(
       (s, d) => jaccardScored(s, d)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
