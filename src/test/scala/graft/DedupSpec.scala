@@ -275,7 +275,31 @@ class DedupSpec extends SparkSpec {
     assert(shared.size * 3 >= a.size * 2,
       s"cdc failed to re-sync: ${shared.size} shared of ${a.size}")
     // and the registered key agrees with itself end to end (runs clean)
-    val reg = SparkEntry.queries("llm_cdc_chunks")(spark, sf001).collect()
-    assert(reg.forall(r => r.getLong(1) >= 2))
+    val reg = SparkEntry.queries("llm_cdc_chunks")(spark, sf001)
+    assert(reg.collect().forall(r => r.getLong(1) >= 2))
+    // the scale claim, pinned: chunking is in-row list algebra — no
+    // window operator anywhere, and the only row-multiplying Generate is
+    // the final per-chunk digest explode (never a per-word explode).
+    // Assert on the OPTIMIZED LOGICAL plan: the executed-plan string
+    // prints AQE's initial+final copies and double-counts nodes.
+    val plan = reg.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"cdc chunking planned a window:\n$plan")
+    assert("Generate explode".r.findAllIn(plan).size <= 1,
+      s"cdc chunking planned more than the one digest explode:\n$plan")
+  }
+
+  test("sorted-neighborhood blocks stay bounded and the key pairs real dups") {
+    val df = SparkEntry.queries("llm_sorted_neighborhood")(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "fixture plants prefix-stable near-dups; empty = broken blocking")
+    // every reported pair really clears the integer Jaccard gate
+    assert(rows.forall(r => r.getLong(2) * 2 >= r.getLong(3)))
+    // blocking key keeps windows tiny: max docs per (lang, first-2-words)
+    // block is single digits on this corpus — the bounded-partition claim
+    import org.apache.spark.sql.functions._
+    val maxBlock = T(spark, sf001, "documents")
+      .groupBy(col("lang"), expr("concat_ws(' ', slice(split(text, ' '), 1, 2))"))
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxBlock <= 64, s"blocking key degenerated: max block $maxBlock")
   }
 }
