@@ -219,5 +219,43 @@ object MultimodalOps {
             s"FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND $cond"
         }.mkString("SELECT doc_a, doc_b, hamming FROM (",
           " UNION ALL ", ") t WHERE hamming <= 3 ORDER BY doc_a, doc_b")),
+
+    // Container-format dispatch (round-9 addendum): sniff the magic bytes
+    // at the head of the OPAQUE BINARY payload and route to a MIME tag —
+    // the first thing a mixed media lake does before any decoder runs
+    // (and the dispatch `mm_decode_meta`'s stub decoder would sit behind).
+    // The payload here is synthesized with deterministic ASCII-safe
+    // magics (PNG1/JPG1/RIFF per doc_id mod 3) so the DuckDB twin can
+    // compute the identical values in the string domain while the Spark
+    // side runs the REAL binary path: cast→concat binary, binary
+    // substring, decode back — the plumbing a genuine magic-byte sniffer
+    // (0x89PNG, 0xFFD8) uses unchanged. One codegen projection + a
+    // |formats|-bounded rollup; payload bytes never shuffle.
+    "mm_magic_sniff" -> Q(
+      (s, d) => {
+        val magic = when(col("doc_id") % 3 === 0, lit("PNG1"))
+          .when(col("doc_id") % 3 === 1, lit("JPG1"))
+          .otherwise(lit("RIFF"))
+        T(s, d, "documents")
+          .select(col("doc_id"), concat(magic.cast("binary"),
+            col("text").cast("binary")).as("payload"))
+          .withColumn("head", expr("decode(substring(payload, 1, 4), 'UTF-8')"))
+          .withColumn("format",
+            when(col("head") === "PNG1", "image/png")
+              .when(col("head") === "JPG1", "image/jpeg")
+              .when(col("head") === "RIFF", "audio/wav")
+              .otherwise("application/octet-stream"))
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(expr("octet_length(payload)")).as("total_bytes"))
+          .orderBy(col("format"))
+      },
+      // all-ASCII corpus (octet_length == n_chars, verified above), so the
+      // string-domain twin is byte-exact
+      "SELECT format, COUNT(*)::BIGINT AS n_files, " +
+        "SUM(4 + strlen(text))::BIGINT AS total_bytes FROM (" +
+        "SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png' " +
+        "WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS format, text " +
+        "FROM documents) t GROUP BY 1 ORDER BY format"),
   )
 }

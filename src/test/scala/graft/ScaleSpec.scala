@@ -380,6 +380,32 @@ class ScaleSpec extends SparkSpec {
       s"expected only the rollup shuffle:\n$plan")
   }
 
+  test("CMS cells are mergeable: sketch(half A) + sketch(half B) == sketch(all)") {
+    // the property that makes a sketch distributed-correct: cell-wise SUM
+    // of independently-built partial sketches equals the whole-corpus
+    // sketch, so map-side partials / per-executor sketches / cross-day
+    // unions all compose without re-reading data. Rebuilds the key's cell
+    // derivation inline (a pin, the CDC-spec discipline) on an event_id
+    // parity split.
+    import org.apache.spark.sql.functions._
+    def cells(where: String) = T(spark, sf001, "events").filter(where)
+      .select(col("event_type"),
+        explode(array((0 until 4).map(j => lit(j)): _*)).as("rw"))
+      .withColumn("bucket", expr(
+        "instr('0123456789abcdef', " +
+          "substr(md5(concat_ws(':', rw, event_type)), 1, 1)) - 1"))
+      .groupBy(col("rw"), col("bucket")).agg(count(lit(1)).as("c"))
+    val merged = cells("event_id % 2 = 0")
+      .unionAll(cells("event_id % 2 = 1"))
+      .groupBy(col("rw"), col("bucket")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue) -> r.getAs[Number](2).longValue).toMap
+    val whole = cells("true")
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue) -> r.getAs[Number](2).longValue).toMap
+    assert(merged == whole, "partial CMS sketches did not merge to the whole")
+  }
+
   test("agg_count_min_est: CMS estimate dominates the exact count") {
     val rows = SparkEntry.queries("agg_count_min_est")(spark, sf001)
       .collect().toSeq
