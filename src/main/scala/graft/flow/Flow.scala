@@ -108,7 +108,15 @@ object Flow {
     val prefix = steps.init
       .foldLeft(Option.empty[DataFrame])((acc, st) => Some(step(s, dir, acc, st)))
       .getOrElse(sys.error("flow: 'route' needs at least a 'read' before it"))
-    val rt = steps.last
+    branchesOf(s, dir, prefix, steps.last)
+  }
+
+  /** Shared branch compilation for [[routes]] (batch, `read`-headed) and
+    * [[routesOn]] (bound input / streaming): one first-match-wins
+    * when-chain classifies the prefix, each branch filters its tag and
+    * appends its own steps. */
+  private def branchesOf(s: SparkSession, dir: String, prefix: DataFrame,
+      rt: JValue): Seq[(String, DataFrame)] = {
     val branches = rt \ "branches" match {
       case JArray(xs) if xs.nonEmpty => xs
       case other => sys.error(s"flow: 'branches' must be a non-empty array, got $other")
@@ -143,6 +151,31 @@ object Flow {
       case JNothing => routed
       case ow       => routed :+ branchOut(OtherwiseBranch, ow)
     }
+  }
+
+  /** Compile a routing flow ON a bound input frame — the STREAMING
+    * multi-sink topology: pass `readStream`'s frame (or a MemoryStream's)
+    * and the same route config fans the live stream into per-branch
+    * frames, each of which the caller hands to its own `writeStream` sink
+    * (Spark's one-query-per-sink model; the shared prefix plan is
+    * per-query but the CLASSIFICATION is still a single when-chain
+    * projection inside each). Identical first-match-wins semantics to
+    * [[routes]]; StreamingSpec pins stream ≡ batch per branch. */
+  def routesOn(s: SparkSession, dir: String, input: DataFrame,
+      spec: String): Seq[(String, DataFrame)] = {
+    val steps = JsonMethods.parse(spec) \ "steps" match {
+      case JArray(xs) => xs
+      case other      => sys.error(s"flow: 'steps' must be an array, got $other")
+    }
+    require(steps.nonEmpty, "flow: empty steps")
+    require(str(steps.last, "op") == "route",
+      "flow: a routing flow's final step must be 'route'")
+    val prefix = steps.init.foldLeft(input) { (df, st) =>
+      require(str(st, "op") != "read",
+        "flow: routesOn flows start from the bound input, not 'read'")
+      step(s, dir, Some(df), st)
+    }
+    branchesOf(s, dir, prefix, steps.last)
   }
 
   private val OtherwiseBranch = "otherwise"

@@ -415,6 +415,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("routesOn fans a live stream into per-branch sinks == batch filters") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val spec =
+      """{"steps":[
+        |{"op":"filter","where":"value > 0"},
+        |{"op":"route","branches":[
+        | {"name":"purchases","when":"event_type = 'purchase'"},
+        | {"name":"errors","when":"event_type = 'error'"}],
+        |"otherwise":[]}
+        |]}""".stripMargin
+    val branches = graft.flow.Flow.routesOn(spark, sf001, mem.toDF(), spec)
+    assert(branches.map(_._1) == Seq("purchases", "errors", "otherwise"))
+    val queries = branches.map { case (n, df) =>
+      df.writeStream.outputMode("append").format("memory")
+        .queryName(s"t_rt_$n").start()
+    }
+    try {
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk)
+          queries.foreach(_.processAllAvailable()) }
+      val ev = T(spark, sf001, "events").filter("value > 0")
+      assert(spark.table("t_rt_purchases").count() ==
+        ev.filter("event_type = 'purchase'").count())
+      assert(spark.table("t_rt_errors").count() ==
+        ev.filter("event_type = 'error'").count())
+      // first-match-wins remainder: everything else, exactly once
+      assert(spark.table("t_rt_otherwise").count() ==
+        ev.filter("event_type NOT IN ('purchase', 'error')").count())
+      assert(spark.table("t_rt_purchases").count() > 0)
+    } finally queries.foreach(_.stop())
+  }
+
   test("streaming throttle (transformWithState) == stream_throttle batch") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
