@@ -170,6 +170,8 @@ object Flow {
     require(steps.nonEmpty, "flow: empty steps")
     require(str(steps.last, "op") == "route",
       "flow: a routing flow's final step must be 'route'")
+    require(steps.init.forall(st => str(st, "op") != "route"),
+      "flow: 'route' must be the final step (branches cannot re-route)")
     val prefix = steps.init.foldLeft(input) { (df, st) =>
       require(str(st, "op") != "read",
         "flow: routesOn flows start from the bound input, not 'read'")
@@ -266,25 +268,32 @@ object Flow {
             .getOrElse(lookup))
       case "grok" =>
         // Named-pattern extraction as config [PK: Logstash grok filter]:
-        // the same compile-to-regexp_extract machinery the fn_grok_* keys
-        // pin, reached from a flow spec. Each extracted field lands as a
-        // typed column (int/float coercions ride the %{PAT:name:int}
-        // syntax); an existing column of the same name is overwritten
-        // (Logstash overwrite semantics). Catalyst collapses the chained
-        // withColumns into one projection.
+        // the ONE-PASS GrokCapture machinery the fn_grok_* keys pin (one
+        // regex match per row, element_at per field), reached from a flow
+        // spec. Each extracted field lands as a typed column (int/float
+        // coercions ride the %{PAT:name:int} syntax); an existing column
+        // of the same name is overwritten (Logstash overwrite semantics).
+        // All fields land in ONE select against the PRE-PARSE frame — a
+        // withColumn fold would let a field named like the source column
+        // clobber it mid-fold and corrupt every later field's extraction.
         {
           val pattern = str(st, "pattern")
           val names = graft.functions.Grok.compile(pattern)._2.map(_.name)
-          names.zip(graft.functions.Grok.columns(col(str(st, "field")), pattern))
-            .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+          val keep = df.columns.filterNot(names.contains).map(col)
+          df.select(keep ++ graft.functions.Grok
+            .columnsOnePass(s)(col(str(st, "field")), pattern): _*)
         }
       case "dissect" =>
         // Positional parse as config [PK: Logstash dissect filter]: the
         // fn_dissect locate/substring compile, all-or-nothing on a
-        // separator miss.
-        graft.functions.Dissect
-          .fields(col(str(st, "field")), str(st, "pattern"))
-          .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+        // separator miss. Same one-projection discipline as grok above.
+        {
+          val fs = graft.functions.Dissect
+            .fields(col(str(st, "field")), str(st, "pattern"))
+          val names = fs.map(_._1)
+          val keep = df.columns.filterNot(names.contains).map(col)
+          df.select(keep ++ fs.map { case (n, c) => c.as(n) }: _*)
+        }
       case "route" =>
         sys.error("flow: 'route' is only valid as the final step of a " +
           "routing flow — compile it with Flow.routes, not Flow.compile")

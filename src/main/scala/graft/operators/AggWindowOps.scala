@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, T}
 import graft.Dsl._
+import graft.operators.PinSyntax._
 
 /** SURVEY.md §2.D aggregations + §2.E window functions.
   *
@@ -680,12 +681,16 @@ object AggWindowOps {
     // shared by both engines) — no conv()/from_hex dialect divergence.
     "agg_count_min_est" -> Q(
       (s, d) => {
+        // pinned: both the 64-cell rollup and the distinct type→bucket map
+        // consume this frame — unpinned, the ×4 corpus fan-out + md5 would
+        // run twice (the pagerank edge-frame lesson)
         val pairs = T(s, d, "events")
           .select(col("event_type"),
             explode(array((0 until 4).map(j => lit(j)): _*)).as("rw"))
           .withColumn("bucket", expr(
             "instr('0123456789abcdef', " +
               "substr(md5(concat_ws(':', rw, event_type)), 1, 1)) - 1"))
+          .pinned
         val cells = pairs.groupBy(col("rw"), col("bucket"))
           .agg(count(lit(1)).as("c"))
         val typeBuckets = pairs.select(col("event_type"), col("rw"),

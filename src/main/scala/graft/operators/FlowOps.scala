@@ -130,20 +130,6 @@ object FlowOps {
     * own steps on its partition of the shared prefix; `otherwise` catches
     * the rest. FlowSpec pins the partition discipline (one classifier
     * pass, disjoint branches, nothing lost). */
-  /** Dissect + grok as flow instructions over a synthesized log line; the
-    * agg consumes fields from both parsers so the oracle certifies each
-    * round-trips the source values (see flow_compiled_parse). */
-  val parseSpec: String =
-    """{"steps":[
-      |{"op":"read","table":"events"},
-      |{"op":"derive","as":"line","expr":"concat('u', cast(user_id as string), ' [', event_type, '] took=', cast(event_id % 100 as string))"},
-      |{"op":"dissect","field":"line","pattern":"%{usr} [%{etype}] took=%{took}"},
-      |{"op":"grok","field":"line","pattern":"u%{INT:uid:int} \\[%{WORD:gtype}\\] took=%{INT:took_i:int}"},
-      |{"op":"agg","groupBy":["etype"],
-      | "aggs":["count(*) AS n","sum(cast(took AS bigint)) AS took_sum","sum(took_i) AS took_sum2","sum(uid) AS uid_sum"]},
-      |{"op":"orderBy","by":["etype"]}
-      |]}""".stripMargin
-
   val routeSpec: String =
     """{"steps":[
       |{"op":"read","table":"events"},
@@ -161,6 +147,20 @@ object FlowOps {
       |],
       |"otherwise":[{"op":"agg","groupBy":[],
       | "aggs":["count(*) AS n","CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total"]}]}
+      |]}""".stripMargin
+
+  /** Dissect + grok as flow instructions over a synthesized log line; the
+    * agg consumes fields from both parsers so the oracle certifies each
+    * round-trips the source values (see flow_compiled_parse). */
+  val parseSpec: String =
+    """{"steps":[
+      |{"op":"read","table":"events"},
+      |{"op":"derive","as":"line","expr":"concat('u', cast(user_id as string), ' [', event_type, '] took=', cast(event_id % 100 as string))"},
+      |{"op":"dissect","field":"line","pattern":"%{usr} [%{etype}] took=%{took}"},
+      |{"op":"grok","field":"line","pattern":"u%{INT:uid:int} \\[%{WORD:gtype}\\] took=%{INT:took_i:int}"},
+      |{"op":"agg","groupBy":["etype"],
+      | "aggs":["count(*) AS n","sum(cast(took AS bigint)) AS took_sum","sum(took_i) AS took_sum2","sum(uid) AS uid_sum"]},
+      |{"op":"orderBy","by":["etype"]}
       |]}""".stripMargin
 
   val defs: Seq[(String, Q)] = Seq(

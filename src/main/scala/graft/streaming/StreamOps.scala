@@ -1003,8 +1003,35 @@ object StreamOps {
   case class TaskOut(user_id: Long, end_event_id: Long, n_steps: Long,
       value_sum: Double, duration_s: Long)
 
+  /** Shared pending-buffer drain for the watermark-buffered processors:
+    * pull every buffered record, finalize those strictly behind the ms
+    * watermark (µs event time), re-buffer the rest and arm a timer just
+    * past the earliest open record. One definition so the finality
+    * strictness and timer granularity cannot drift between processors. */
+  private def drainFinalized[P](
+      pending: org.apache.spark.sql.streaming.ListState[P],
+      handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+      wmMs: Long)(tsUs: P => Long): (Seq[P], Seq[P]) = {
+    val b = Seq.newBuilder[P]
+    val it = pending.get()
+    while (it.hasNext) b += it.next()
+    val evs = b.result()
+    if (evs.isEmpty) return (Nil, Nil)
+    val (fin, rest) = evs.partition(e => wmMs * 1000L > tsUs(e))
+    pending.clear()
+    rest.foreach(pending.appendValue)
+    if (rest.nonEmpty)
+      handle.registerTimer(rest.map(tsUs).min / 1000L + 1L)
+    (fin, rest)
+  }
+
   private case class TaskPending(tsUs: Long, eventId: Long, etype: String,
       value: Double)
+
+  /** Throttle's pending record: only what its fold reads (ts + id) — a
+    * full TaskPending would persist an unused string and double per
+    * buffered event into the state store. */
+  private case class ThrPending(tsUs: Long, eventId: Long)
 
   /** Open-task accumulator: step count, floor(value*10000) long sum (the
     * batch key's vq discipline), and the task's first event time in µs. */
@@ -1039,18 +1066,7 @@ object StreamOps {
     }
 
     private def flush(key: Long, wmMs: Long): Iterator[TaskOut] = {
-      val evs = {
-        val it = pending.get()
-        val b = Seq.newBuilder[TaskPending]
-        while (it.hasNext) b += it.next()
-        b.result()
-      }
-      if (evs.isEmpty) return Iterator.empty
-      val (fin, rest) = evs.partition(e => wmMs * 1000L > e.tsUs)
-      pending.clear()
-      rest.foreach(pending.appendValue)
-      if (rest.nonEmpty)
-        getHandle.registerTimer(rest.map(_.tsUs).min / 1000L + 1L)
+      val (fin, _) = drainFinalized(pending, getHandle, wmMs)(_.tsUs)
       if (fin.isEmpty) return Iterator.empty
       val out = Seq.newBuilder[TaskOut]
       var cur = Option(acc.get())
@@ -1108,14 +1124,14 @@ object StreamOps {
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, ThrottleOut] {
     @transient private var pending:
-      org.apache.spark.sql.streaming.ListState[TaskPending] = _
+      org.apache.spark.sql.streaming.ListState[ThrPending] = _
     @transient private var cnt:
       org.apache.spark.sql.streaming.ValueState[DayCount] = _
 
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      pending = getHandle.getListState[TaskPending]("thr_pending",
-        org.apache.spark.sql.Encoders.product[TaskPending],
+      pending = getHandle.getListState[ThrPending]("thr_pending",
+        org.apache.spark.sql.Encoders.product[ThrPending],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       cnt = getHandle.getValueState[DayCount]("thr_cnt",
         org.apache.spark.sql.Encoders.product[DayCount],
@@ -1123,23 +1139,14 @@ object StreamOps {
     }
 
     private def flush(key: Long, wmMs: Long): Iterator[ThrottleOut] = {
-      val evs = {
-        val it = pending.get()
-        val b = Seq.newBuilder[TaskPending]
-        while (it.hasNext) b += it.next()
-        b.result()
-      }
-      if (evs.isEmpty) return Iterator.empty
-      val (fin, rest) = evs.partition(e => wmMs * 1000L > e.tsUs)
-      pending.clear()
-      rest.foreach(pending.appendValue)
-      if (rest.nonEmpty)
-        getHandle.registerTimer(rest.map(_.tsUs).min / 1000L + 1L)
+      val (fin, _) = drainFinalized(pending, getHandle, wmMs)(_.tsUs)
       if (fin.isEmpty) return Iterator.empty
       val out = Seq.newBuilder[ThrottleOut]
       var c = Option(cnt.get()).getOrElse(DayCount(Long.MinValue, 0L))
       fin.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
-        val dayn = e.tsUs / 1000000L / 86400L
+        // floorDiv, not /: the batch key's date_trunc FLOORS, and plain
+        // long division rounds toward zero for pre-epoch timestamps
+        val dayn = Math.floorDiv(Math.floorDiv(e.tsUs, 1000000L), 86400L)
         c = if (dayn != c.dayn) DayCount(dayn, 1L) else c.copy(n = c.n + 1L)
         if (c.n <= 3L)
           out += ThrottleOut(e.eventId, key,
@@ -1153,7 +1160,7 @@ object StreamOps {
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[ThrottleOut] = {
       rows.foreach(e => pending.appendValue(
-        TaskPending(micros(e.ts), e.event_id, e.event_type, e.value)))
+        ThrPending(micros(e.ts), e.event_id)))
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
 
