@@ -727,21 +727,11 @@ object StreamOps {
     }
 
     private def flush(key: Long, watermarkMs: Long): Iterator[StreakOut] = {
-      val days = {
-        val it = pending.get()
-        val b = Seq.newBuilder[Long]
-        while (it.hasNext) b += it.next()
-        b.result()
-      }
-      if (days.isEmpty) return Iterator.empty
-      // a day is final only STRICTLY past its end (ms watermark, µs events)
-      val (fin, open) = days.distinct.sorted.partition(dayn =>
-        watermarkMs > (dayn + 1) * 86400000L)
-      pending.clear()
-      if (open.nonEmpty) {
-        open.foreach(pending.appendValue)
-        getHandle.registerTimer((open.head + 1) * 86400000L + 1L)
-      }
+      // a day is final only STRICTLY past its end (ms watermark, µs
+      // events): finality key = the day's end in µs
+      val (fin0, _) = drainFinalized(pending, getHandle, watermarkMs)(
+        dayn => (dayn + 1) * 86400000000L)
+      val fin = fin0.distinct.sorted
       if (fin.isEmpty) return Iterator.empty
       var a = Option(agg.get()).getOrElse(StreakAgg(Long.MinValue, 0, 0, 0, 0))
       fin.foreach { dayn =>
@@ -820,20 +810,8 @@ object StreamOps {
         .unscaledValue().longValueExact()
 
     private def flush(key: Long, watermarkMs: Long): Iterator[GapFillOut] = {
-      val parts = {
-        val it = pending.get()
-        val b = Seq.newBuilder[PendingDay]
-        while (it.hasNext) b += it.next()
-        b.result()
-      }
-      if (parts.isEmpty) return Iterator.empty
-      val (fin, open) = parts.partition(p =>
-        watermarkMs > (p.dayn + 1) * 86400000L)
-      pending.clear()
-      if (open.nonEmpty) {
-        open.foreach(pending.appendValue)
-        getHandle.registerTimer((open.map(_.dayn).min + 1) * 86400000L + 1L)
-      }
+      val (fin, _) = drainFinalized(pending, getHandle, watermarkMs)(
+        p => (p.dayn + 1) * 86400000000L)
       if (fin.isEmpty) return Iterator.empty
       val merged = fin.groupBy(_.dayn).toSeq.sortBy(_._1).map {
         case (dayn, ps) =>
@@ -941,20 +919,9 @@ object StreamOps {
     }
 
     private def flush(key: Long, wmMs: Long): Iterator[Scd2Out] = {
-      val evs = {
-        val it = pending.get()
-        val b = Seq.newBuilder[Scd2Pending]
-        while (it.hasNext) b += it.next()
-        b.result()
-      }
-      if (evs.isEmpty) return Iterator.empty
       // an event is final only once the ms watermark is strictly past its
       // µs timestamp (the same strictness the day-grain processors use)
-      val (fin, rest) = evs.partition(e => wmMs * 1000L > e.tsUs)
-      pending.clear()
-      rest.foreach(pending.appendValue)
-      if (rest.nonEmpty)
-        getHandle.registerTimer(rest.map(_.tsUs).min / 1000L + 1L)
+      val (fin, _) = drainFinalized(pending, getHandle, wmMs)(_.tsUs)
       if (fin.isEmpty) return Iterator.empty
       val out = Seq.newBuilder[Scd2Out]
       var cur = Option(open.get())
@@ -1349,18 +1316,8 @@ object StreamOps {
     }
 
     private def flush(key: String, watermarkMs: Long): Iterator[MetricsOut] = {
-      val parts = {
-        val it = pending.get()
-        val b = Seq.newBuilder[PendingMinute]
-        while (it.hasNext) b += it.next()
-        b.result()
-      }
-      val (fin, open) = parts.partition(p => watermarkMs > (p.m + 1) * 60000L)
-      pending.clear()
-      if (open.nonEmpty) {
-        open.foreach(pending.appendValue)
-        getHandle.registerTimer((open.map(_.m).min + 1) * 60000L + 1L)
-      }
+      val (fin, open) = drainFinalized(pending, getHandle, watermarkMs)(
+        p => (p.m + 1) * 60000000L)
       var t = Option(taps.get()).getOrElse(TapState(Long.MinValue, 0L, 0L, 0L, 0L))
       val out = Seq.newBuilder[MetricsOut]
       fin.groupBy(_.m).toSeq.sortBy(_._1).foreach { case (m, ps) =>
