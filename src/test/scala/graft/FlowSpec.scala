@@ -188,6 +188,25 @@ class FlowSpec extends SparkSpec {
     }
   }
 
+  test("named ROUTING flow runs by name through the registry") {
+    val branches = graft.flow.FlowRegistry.runRoutes(spark, sf001, "event_router")
+    assert(branches.map(_._1) == Seq("revenue", "ops", "otherwise"))
+    val ev = T(spark, sf001, "events").filter("value > 0")
+    val byName = branches.toMap
+    assert(byName("revenue").head().getLong(0) ==
+      ev.filter("event_type = 'purchase'").count())
+    assert(byName("ops").head().getLong(0) ==
+      ev.filter("event_type = 'error'").count())
+    assert(byName("otherwise").head().getLong(0) ==
+      ev.filter("event_type NOT IN ('purchase', 'error')").count())
+    // a single-output run of a routing flow must fail loudly, not compile
+    // a half-pipeline
+    val e = intercept[RuntimeException] {
+      graft.flow.FlowRegistry.run(spark, sf001, "event_router")
+    }
+    assert(e.getMessage.contains("route"))
+  }
+
   test("dissect/grok instructions parse, null on miss, overwrite on clash") {
     import spark.implicits._
     val df = Flow.compileOn(spark, sf001,
