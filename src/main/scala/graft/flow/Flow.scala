@@ -277,28 +277,37 @@ object Flow {
         // withColumn fold would let a field named like the source column
         // clobber it mid-fold and corrupt every later field's extraction.
         {
-          val pattern = str(st, "pattern")
-          val names = graft.functions.Grok.compile(pattern)._2.map(_.name)
-          val keep = df.columns.filterNot(names.contains).map(col)
-          df.select(keep ++ graft.functions.Grok
-            .columnsOnePass(s)(col(str(st, "field")), pattern): _*)
+          val compiled = graft.functions.Grok.compile(str(st, "pattern"))
+          val cols = graft.functions.Grok
+            .columnsOnePassCompiled(s)(col(str(st, "field")), compiled)
+          overwriteInPlace(df, compiled._2.map(_.name).zip(cols))
         }
       case "dissect" =>
         // Positional parse as config [PK: Logstash dissect filter]: the
         // fn_dissect locate/substring compile, all-or-nothing on a
         // separator miss. Same one-projection discipline as grok above.
-        {
-          val fs = graft.functions.Dissect
-            .fields(col(str(st, "field")), str(st, "pattern"))
-          val names = fs.map(_._1)
-          val keep = df.columns.filterNot(names.contains).map(col)
-          df.select(keep ++ fs.map { case (n, c) => c.as(n) }: _*)
-        }
+        overwriteInPlace(df, graft.functions.Dissect
+          .fields(col(str(st, "field")), str(st, "pattern"))
+          .map { case (n, c) => n -> c.as(n) })
       case "route" =>
         sys.error("flow: 'route' is only valid as the final step of a " +
           "routing flow — compile it with Flow.routes, not Flow.compile")
       case other      => sys.error(s"flow: unknown op '$other'")
     }
+  }
+
+  /** ONE projection that overwrites same-named columns IN PLACE (schema
+    * position preserved for positional consumers — parquet readers,
+    * getLong(i) callers) and appends net-new fields at the end: the
+    * withColumn-fold overwrite semantics without its evaluate-against-
+    * the-already-overwritten-frame bug (all expressions resolve against
+    * the PRE-parse frame). */
+  private def overwriteInPlace(df: DataFrame,
+      fields: Seq[(String, Column)]): DataFrame = {
+    val byName = fields.toMap
+    val existing = df.columns.toSet
+    df.select(df.columns.map(c => byName.getOrElse(c, col(c))) ++
+      fields.collect { case (n, c) if !existing(n) => c }: _*)
   }
 
   private def str(v: JValue, k: String): String = v \ k match {

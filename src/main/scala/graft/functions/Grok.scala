@@ -201,8 +201,16 @@ object Grok {
     * grok costs one Matcher.find instead of N — the difference shows on
     * wide patterns (the 6-field log line runs ~6× less regex work).
     * Field-level semantics are identical to [[columns]] (spec-pinned). */
-  def columnsOnePass(spark: SparkSession)(c: Column, expression: String): Seq[Column] = {
-    val (re, fs) = compile(expression)
+  def columnsOnePass(spark: SparkSession)(c: Column, expression: String): Seq[Column] =
+    columnsOnePassCompiled(spark)(c, compile(expression))
+
+  /** Same, on an already-compiled (regex, fields) pair — callers that also
+    * need the field NAMES (the Flow grok instruction) compile once and
+    * pass the result here instead of paying a second dictionary
+    * expansion. */
+  def columnsOnePassCompiled(spark: SparkSession)(c: Column,
+      compiled: (String, Seq[Field])): Seq[Column] = {
+    val (re, fs) = compiled
     // Name by full MD5 of the regex: a 32-bit hashCode collision between
     // two live patterns would silently rewire one to the other's regex.
     val fname = "graft_grok_" + graft.Dsl.md5Hex(re)

@@ -36,6 +36,17 @@ object StreamOps {
   def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** Epoch µs → UTC day number, FLOORING (the batch keys' date_trunc
+    * semantics): plain long division rounds pre-epoch timestamps toward
+    * zero and would merge 1969-12-31 into day 0. One definition for every
+    * day-grain processor. */
+  def epochDay(us: Long): Long =
+    Math.floorDiv(Math.floorDiv(us, 1000000L), 86400L)
+
+  /** Epoch µs → UTC minute number, flooring (see [[epochDay]]). */
+  def epochMinute(us: Long): Long =
+    Math.floorDiv(Math.floorDiv(us, 1000000L), 60L)
+
   /** Tumbling 1h gauge with late-data tolerance (watermark). */
   def tumblingAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
@@ -729,8 +740,8 @@ object StreamOps {
     private def flush(key: Long, watermarkMs: Long): Iterator[StreakOut] = {
       // a day is final only STRICTLY past its end (ms watermark, µs
       // events): finality key = the day's end in µs
-      val (fin0, _) = drainFinalized(pending, getHandle, watermarkMs)(
-        dayn => (dayn + 1) * 86400000000L)
+      val (fin0, _) = drainFinalized(pending, getHandle, watermarkMs,
+        dedupeOpen = true)(dayn => (dayn + 1) * 86400000000L)
       val fin = fin0.distinct.sorted
       if (fin.isEmpty) return Iterator.empty
       var a = Option(agg.get()).getOrElse(StreakAgg(Long.MinValue, 0, 0, 0, 0))
@@ -750,7 +761,10 @@ object StreamOps {
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[StreakOut] = {
-      rows.foreach(e => pending.appendValue(micros(e.ts) / 1000000L / 86400L))
+      // per-batch dedup: one Long per DISTINCT day, not per event — a hot
+      // key's 50k same-day events must not buffer 50k state entries
+      rows.map(e => epochDay(micros(e.ts))).toSeq.distinct
+        .foreach(pending.appendValue)
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
 
@@ -842,7 +856,7 @@ object StreamOps {
         : Iterator[GapFillOut] = {
       val byDay = scala.collection.mutable.Map.empty[Long, (Long, Boolean, Long)]
       rows.foreach { e =>
-        val dayn = micros(e.ts) / 1000000L / 86400L
+        val dayn = epochDay(micros(e.ts))
         val (n, hasP, pvQ) = byDay.getOrElse(dayn, (0L, false, 0L))
         val isP = e.event_type == "purchase"
         byDay(dayn) = (n + 1, hasP || isP, if (isP) pvQ + quant(e.value) else pvQ)
@@ -978,13 +992,20 @@ object StreamOps {
   private def drainFinalized[P](
       pending: org.apache.spark.sql.streaming.ListState[P],
       handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
-      wmMs: Long)(tsUs: P => Long): (Seq[P], Seq[P]) = {
+      wmMs: Long, dedupeOpen: Boolean = false)(tsUs: P => Long)
+      : (Seq[P], Seq[P]) = {
     val b = Seq.newBuilder[P]
     val it = pending.get()
     while (it.hasNext) b += it.next()
     val evs = b.result()
     if (evs.isEmpty) return (Nil, Nil)
-    val (fin, rest) = evs.partition(e => wmMs * 1000L > tsUs(e))
+    val (fin, rest0) = evs.partition(e => wmMs * 1000L > tsUs(e))
+    // dedupeOpen: processors whose records are VALUES (streak day
+    // numbers) compact the re-buffered open set so cross-batch re-appends
+    // cannot grow state; processors whose records are PARTIALS (gap-fill
+    // day aggregates) must keep every entry — two identical partials are
+    // two contributions.
+    val rest = if (dedupeOpen) rest0.distinct else rest0
     pending.clear()
     rest.foreach(pending.appendValue)
     if (rest.nonEmpty)
@@ -1097,7 +1118,10 @@ object StreamOps {
 
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      pending = getHandle.getListState[ThrPending]("thr_pending",
+      // _v2: the r9 ThrPending slim-down narrowed this state's schema; a
+      // new name makes the checkpoint break explicit instead of failing
+      // transformWithState's schema compatibility check mid-restore
+      pending = getHandle.getListState[ThrPending]("thr_pending_v2",
         org.apache.spark.sql.Encoders.product[ThrPending],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       cnt = getHandle.getValueState[DayCount]("thr_cnt",
@@ -1111,9 +1135,7 @@ object StreamOps {
       val out = Seq.newBuilder[ThrottleOut]
       var c = Option(cnt.get()).getOrElse(DayCount(Long.MinValue, 0L))
       fin.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
-        // floorDiv, not /: the batch key's date_trunc FLOORS, and plain
-        // long division rounds toward zero for pre-epoch timestamps
-        val dayn = Math.floorDiv(Math.floorDiv(e.tsUs, 1000000L), 86400L)
+        val dayn = epochDay(e.tsUs)
         c = if (dayn != c.dayn) DayCount(dayn, 1L) else c.copy(n = c.n + 1L)
         if (c.n <= 3L)
           out += ThrottleOut(e.eventId, key,
@@ -1348,7 +1370,7 @@ object StreamOps {
         : Iterator[MetricsOut] = {
       val byMin = scala.collection.mutable.Map.empty[Long, Long]
       rows.foreach { e =>
-        val m = micros(e.ts) / 1000000L / 60L
+        val m = epochMinute(micros(e.ts))
         byMin(m) = byMin.getOrElse(m, 0L) + 1L
       }
       byMin.foreach { case (m, n) => pending.appendValue(PendingMinute(m, n)) }
