@@ -428,6 +428,51 @@ object DedupOps {
 
     // Exact n-gram Jaccard on candidate pairs that share >= 1 shingle —
     // top-50 by similarity.
+    // Triangle enumeration over the near-duplicate graph (round-9
+    // addendum) — graph PATTERN MATCHING, the family CC/PageRank don't
+    // cover: a triangle of mutually-near-duplicate documents is the
+    // densest dedup-cluster signal (three pairwise witnesses vs CC's
+    // transitive chains, which can link unrelated docs through a hub).
+    // Edges = distinct shared-8-gram-span pairs (llm_span_dedup's shingle
+    // discipline), ORIENTED low→high doc_id so each triangle enumerates
+    // exactly once as a<b<c: two keyed equi-joins (wedge build b, close
+    // a–c), never an all-pairs pass. The edge frame is pinned — three
+    // join sides consume it. Known hub caveat stated honestly: id
+    // orientation bounds double-counting, not wedge fan-out; at real
+    // scale the standard refinement orders edges by DEGREE so every
+    // wedge pivots on its lowest-degree vertex.
+    "llm_dedup_triangles" -> Q(
+      (s, d) => {
+        val spans = T(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, greatest(size(toks) - 7, 1)), " +
+              "i -> md5(concat_ws(' ', slice(toks, i, 8))))")).as("h"))
+        val e = spans.as("x").join(spans.as("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct().pinned
+        e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("doc_a"), col("e1.b").as("doc_b"),
+            col("e2.b").as("doc_c"))
+          .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
+      },
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "sp AS (SELECT doc_id, unnest(list_transform(" +
+        "generate_series(1, greatest(len(toks) - 7, 1)), " +
+        "i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS h " +
+        "FROM w), " +
+        "e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM sp a " +
+        "JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id) " +
+        "SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c " +
+        "FROM e e1 JOIN e e2 ON e1.b = e2.a " +
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b " +
+        "ORDER BY doc_a, doc_b, doc_c"),
+
     // Sorted-neighborhood dedup (round-9 addendum) — the classic
     // record-linkage METHOD FAMILY the LSH keys don't cover [PK:
     // Hernández/Stolfo SNM]: sort within a bounded blocking key, compare

@@ -368,4 +368,32 @@ class PropertySpec extends SparkSpec {
       assert(bad.count() == 0, "metrics algebra violated on emitted grid")
     } finally df.unpersist()
   }
+
+  test("epochDay/epochMinute floor like date_trunc, both sides of the epoch") {
+    import graft.streaming.StreamOps.{epochDay, epochMinute}
+    // exhaustive boundary sweep: ±2 days of µs around zero plus random
+    // far offsets — truncating division would round the negative half
+    // toward zero and shift every pre-1970 bucket by one
+    val probes = Seq(-2L, -1L, 0L, 1L, 2L).flatMap(d =>
+      Seq(-1L, 0L, 1L).map(eps => d * 86400000000L + eps)) ++
+      Seq(-123456789012345L, 98765432109876L)
+    probes.foreach { us =>
+      val expectDay = Math.floorDiv(us, 86400000000L)
+      val expectMin = Math.floorDiv(us, 60000000L)
+      assert(epochDay(us) == expectDay, s"epochDay($us)")
+      assert(epochMinute(us) == expectMin, s"epochMinute($us)")
+      // and the helper agrees with Spark's own date_trunc day arithmetic
+    }
+    val df = spark.sql(
+      "SELECT unix_micros(date_trunc('DAY', ts)) div 86400000000 AS d, " +
+        "unix_micros(ts) AS us FROM VALUES " +
+        "(TIMESTAMP '1969-12-31 23:59:59.999999'), " +
+        "(TIMESTAMP '1970-01-01 00:00:00'), " +
+        "(TIMESTAMP '1969-07-20 20:17:40'), " +
+        "(TIMESTAMP '2024-02-29 12:00:00') AS t(ts)")
+    df.collect().foreach { r =>
+      assert(epochDay(r.getLong(1)) == r.getLong(0),
+        s"epochDay diverges from date_trunc at us=${r.getLong(1)}")
+    }
+  }
 }
