@@ -167,6 +167,15 @@ object Grok {
     require(actualGroups == fs.length,
       s"grok: expression contains ${actualGroups - fs.length} raw capture " +
         "group(s); use non-capturing (?:...) for literal parentheses")
+    // A repeated field name (two %{INT:x} refs) would emit duplicate
+    // output columns — an ambiguous schema that fails only downstream.
+    // Match Dissect's contract and fail loudly at compile instead.
+    val dupNames = fs.map(_.name).groupBy(identity).collect {
+      case (n, occ) if occ.length > 1 => n
+    }
+    require(dupNames.isEmpty,
+      s"grok: duplicate field name(s) ${dupNames.mkString(", ")}; each " +
+        "field may be captured once per expression")
     (regex, fs)
   }
 

@@ -1512,8 +1512,11 @@ object EventOps {
     * micro-units (1e6 = mass 1) and each edge contribution is ONE integer
     * division floor((r·85·cnt) / (100·out)) — both engines floor
     * per-edge identically, so no float ever enters the recursion. The
-    * 1/N seeds are literals (N=5 event types, shared with the oracle);
-    * a changed type-universe changes both sides together. */
+    * 1/N seed and 0.15/N damping base are DERIVED from |V| on both
+    * engines (floor(1e6/N), floor(15e4/N) — an O(1) scalar fetch off the
+    * pinned |V| frame on the Spark side, scalar subselects in the
+    * oracle), so a changed type-universe keeps the ranks a stochastic
+    * distribution instead of silently breaking a shared literal. */
   private lazy val pagerankQ: Q = Q(
       (s, d) => {
         val edges = T(s, d, "events")
@@ -1528,7 +1531,12 @@ object EventOps {
         val e = edges.join(outc, "src").pinned
         val nodes = T(s, d, "events")
           .select(col("event_type").as("node")).distinct().pinned
-        var rank = nodes.withColumn("r", lit(200000L))
+        // O(1) scalar off the pinned |V| frame (broadcast-back pattern,
+        // not corpus materialization): seed = floor(1e6/N) micro-units,
+        // damping base = floor(0.15e6/N)
+        val nN = nodes.count()
+        require(nN > 0L, "pagerank: empty node set")
+        var rank = nodes.withColumn("r", lit(1000000L / nN))
         for (_ <- 1 to 3) {
           val contrib = e
             .join(rank.withColumnRenamed("node", "src"), "src")
@@ -1536,7 +1544,7 @@ object EventOps {
             .agg(sum(expr("(r * 85 * cnt) div (100 * outc)")).as("inflow"))
           rank = nodes.join(contrib, Seq("node"), "left")
             .select(col("node"),
-              (coalesce(col("inflow"), lit(0L)) + 30000L).as("r"))
+              (coalesce(col("inflow"), lit(0L)) + lit(150000L / nN)).as("r"))
         }
         rank.select(col("node").as("event_type"),
           col("r").as("rank_micro")).orderBy(col("event_type"))
@@ -1550,9 +1558,12 @@ object EventOps {
           "e AS (SELECT ed.src, ed.dst, ed.cnt, oc.outc FROM ed " +
           "JOIN oc USING (src)), " +
           "n AS (SELECT DISTINCT event_type AS node FROM events), " +
-          "r0 AS (SELECT node, 200000::BIGINT AS r FROM n)"
+          "nn AS (SELECT COUNT(*)::BIGINT AS nN FROM n), " +
+          "r0 AS (SELECT node, (1000000 // (SELECT nN FROM nn))::BIGINT " +
+          "AS r FROM n)"
         val iters = (1 to 3).map { i =>
-          s"r$i AS (SELECT n.node, (COALESCE(f.inflow, 0) + 30000)::BIGINT " +
+          s"r$i AS (SELECT n.node, (COALESCE(f.inflow, 0) + " +
+            s"(150000 // (SELECT nN FROM nn)))::BIGINT " +
             s"AS r FROM n LEFT JOIN (SELECT e.dst AS node, " +
             s"SUM((r.r * 85 * e.cnt) // (100 * e.outc))::BIGINT AS inflow " +
             s"FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1) f " +

@@ -1079,8 +1079,16 @@ object StreamOps {
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[TaskOut] = {
-      rows.foreach(e => pending.appendValue(
-        TaskPending(micros(e.ts), e.event_id, e.event_type, e.value)))
+      // Late-beyond-watermark rows are dropped (standard watermark
+      // contract): the fold below the watermark is already final, and
+      // folding a stale event into the current open task would corrupt
+      // the monotone (ts, event_id) order the flush relies on.
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        if (us >= wmUs) pending.appendValue(
+          TaskPending(us, e.event_id, e.event_type, e.value))
+      }
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
 
@@ -1148,8 +1156,14 @@ object StreamOps {
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[ThrottleOut] = {
-      rows.foreach(e => pending.appendValue(
-        ThrPending(micros(e.ts), e.event_id)))
+      // Drop late-beyond-watermark rows (see AggregateTaskProcessor): a
+      // late event from an earlier day would reset DayCount backward and
+      // let an already-finalized day emit extra (>3) rows.
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        if (us >= wmUs) pending.appendValue(ThrPending(us, e.event_id))
+      }
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
 

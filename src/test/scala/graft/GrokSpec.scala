@@ -45,6 +45,15 @@ class GrokSpec extends SparkSpec {
     assert(fs.map(_.group) == Seq(1))
   }
 
+  test("compile: duplicate field name rejected (would emit ambiguous schema)") {
+    val ex = intercept[IllegalArgumentException](
+      Grok.compile("%{INT:x:int} %{INT:x:int}"))
+    assert(ex.getMessage.contains("duplicate field name"))
+    // distinct names with the same pattern are fine
+    val (_, fs) = Grok.compile("%{INT:x:int} %{INT:y:int}")
+    assert(fs.map(_.name) == Seq("x", "y"))
+  }
+
   test("apache-style access log line extracts typed fields end-to-end") {
     val pat = "%{IPORHOST:client} %{USER:ident} %{USER:auth} " +
       "\\[%{HTTPDATE:when}\\] \"%{WORD:verb} %{NOTSPACE:path} " +

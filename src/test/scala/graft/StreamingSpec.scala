@@ -472,6 +472,14 @@ class StreamingSpec extends SparkSpec {
       val want = SparkEntry.queries("stream_throttle")(spark, sf001)
         .collect().map(norm).sortBy(_._1).toSeq
       assert(got.nonEmpty && got == want)
+      // late-beyond-watermark row: the watermark now sits ~30 days past
+      // the corpus; an event from the original range must be DROPPED,
+      // not folded backward into an already-finalized day (which would
+      // reset DayCount and let a closed day emit a 4th row)
+      val victim = typedEvents.head
+      mem.addData(Seq(Event(888801L, victim.ts, victim.user_id, "view", 0.0)))
+      q.processAllAvailable()
+      assert(spark.table("t_thr").filter($"event_id" === 888801L).isEmpty)
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
