@@ -21,6 +21,23 @@ object DedupOps {
   private val shingleExpr = Shingles.sparkExpr
   private val shingleCte = Shingles.duckCte(distinct = true)
 
+  /** Hot-shingle document-frequency cap for the EXACT-jaccard candidate
+    * builders: a shingle present in k documents emits C(k,2) pairs from
+    * the shared-shingle self-join, so one boilerplate 8-gram (license
+    * header, nav bar) makes the join quadratic on that key at corpus
+    * scale. A shingle in more than this many docs carries no dedup signal
+    * (the C4/minhash standard) and is dropped from the REPRESENTATION —
+    * candidate generation, intersection counts, and set sizes all see the
+    * capped set, on both engines. 1000 bounds any single shingle to ~5e5
+    * pairs while sitting 40× above the fixture's max df (25 at sf0.1), so
+    * fixture results are unchanged. Declared before [[clustersWalkCte]],
+    * which interpolates it (object-init order). */
+  val MaxShingleDf = 1000
+
+  /** Capped twin — adds `shc` for the exact-jaccard oracles. */
+  private val cappedShingleCte =
+    Shingles.duckCte(distinct = true, dfCap = Some(MaxShingleDf))
+
   /** Shared DuckDB CTE for the jaccard≥0.5 component walk: `walk(doc_id,
     * label)` = reachability closure over the near-dup edge set (the
     * oracle twin of [[connectedComponents]] over [[jaccardScored]]). */
@@ -31,11 +48,15 @@ object DedupOps {
       "lead(word, 2) OVER dw AS s FROM w " +
       "WINDOW dw AS (PARTITION BY doc_id ORDER BY pos) " +
       "QUALIFY lead(word, 2) OVER dw IS NOT NULL), " +
+      // capped twin of MaxShingleDf — keep in sync with Shingles.duckCte's
+      // shc (recursive CTE blocks reusing the helper string here)
+      s"shc AS (SELECT doc_id, s FROM sh " +
+      s"QUALIFY COUNT(*) OVER (PARTITION BY s) <= $MaxShingleDf), " +
       "pairs AS (SELECT i.doc_a, i.doc_b FROM " +
       "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
-      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i " +
-      "JOIN (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1) sa ON sa.doc_id = i.doc_a " +
-      "JOIN (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1) sb ON sb.doc_id = i.doc_b " +
+      "FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i " +
+      "JOIN (SELECT doc_id, COUNT(*) n FROM shc GROUP BY 1) sa ON sa.doc_id = i.doc_a " +
+      "JOIN (SELECT doc_id, COUNT(*) n FROM shc GROUP BY 1) sb ON sb.doc_id = i.doc_b " +
       "WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5), " +
       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
@@ -120,20 +141,26 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact Jaccard over candidate pairs sharing >= 1 distinct shingle: the
-    * equi-join on the shingle key is what keeps this far from all-pairs.
+  /** Exact Jaccard over candidate pairs sharing >= 1 distinct KEPT shingle
+    * (df <= [[MaxShingleDf]]): the equi-join on the shingle key is what
+    * keeps this far from all-pairs, and the df cap is what keeps the
+    * equi-join from going quadratic on a boilerplate shingle.
     * Returns (doc_a, doc_b, inter, jaccard); score is one double division
     * over exact ints. Shared by the top-k report and the cluster builder. */
-  private def jaccardScored(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def jaccardScoredOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // The self-join sides are SYMMETRIC (rename-only projections), so
     // ReuseExchange already computes the shingle exchange once — measured:
     // an eager localCheckpoint here only added a job + a codegen compile.
-    val sh = T(s, d, "documents")
+    // The df filter is a WINDOW count partitioned by the shingle key: it
+    // hash-partitions on s, the exact exchange the self-join needs next.
+    val sh = docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
       .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= MaxShingleDf).drop("df")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.withColumnRenamed("doc_id", "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b"), "s")
@@ -145,6 +172,72 @@ object DedupOps {
         .withColumnRenamed("n_sh", "nb"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+  }
+
+  private def jaccardScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    jaccardScoredOf(T(s, d, "documents"))
+
+  /** Distinct shared-8-gram-span near-dup edges (a < b by doc_id) over any
+    * (doc_id, text) corpus, with the [[MaxShingleDf]] span-frequency cap:
+    * a span in k docs emits C(k,2) pairs, so without the cap one
+    * boilerplate 8-gram makes the edge build quadratic. The df filter is
+    * a window count partitioned by the span hash — the same exchange the
+    * self-join consumes next. */
+  private[graft] def spanEdges(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 7, 1)), " +
+          "i -> md5(concat_ws(' ', slice(toks, i, 8))))")).as("h"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= MaxShingleDf).drop("df")
+    spans.as("x").join(spans.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Triangles over [[spanEdges]], each exactly once, via degree-ordered
+    * node iteration (Schank/Wagner's forward algorithm): orient every
+    * edge lo→hi by the total order (degree, id), then each wedge pivots
+    * on its LOWEST-degree vertex — a hub of degree d contributes wedges
+    * at its (low-degree) neighbors instead of fanning out d² pairs at
+    * itself, bounding per-vertex wedge work by the graph arboricity
+    * rather than the max degree. Output columns re-sorted to doc_id
+    * order (doc_a < doc_b < doc_c) so the enumeration order is
+    * unobservable. The edge frame is pinned — degree agg + three join
+    * sides consume it. */
+  private[graft] def trianglesOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e0 = spanEdges(docs).pinned
+    val deg = e0.select(col("a").as("v"))
+      .union(e0.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val ranked = e0
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val e = ranked.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("lo"), col("b").as("hi"), col("db").as("dhi")))
+          .otherwise(
+            struct(col("b").as("lo"), col("a").as("hi"), col("da").as("dhi")))
+          .as("r"))
+      .select(col("r.lo").as("lo"), col("r.hi").as("hi"),
+        col("r.dhi").as("dhi"))
+      .pinned
+    // wedge (lo, u, v) with lo ≺ u ≺ v in (deg, id) order; triangle iff
+    // the u–v edge exists, which the orientation stores as lo=u, hi=v
+    val wedges = e.select(col("lo"), col("hi").as("u"), col("dhi").as("du"))
+      .join(e.select(col("lo"), col("hi").as("v"), col("dhi").as("dv")), "lo")
+      .filter(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+    wedges
+      .join(e.select(col("lo").as("u"), col("hi").as("v")), Seq("u", "v"))
+      .select(array_sort(array(col("lo"), col("u"), col("v"))).as("t"))
+      .select(col("t")(0).as("doc_a"), col("t")(1).as("doc_b"),
+        col("t")(2).as("doc_c"))
   }
 
   /** Connected components over an undirected edge set via the alternating
@@ -429,45 +522,31 @@ object DedupOps {
     // Exact n-gram Jaccard on candidate pairs that share >= 1 shingle —
     // top-50 by similarity.
     // Triangle enumeration over the near-duplicate graph (round-9
-    // addendum) — graph PATTERN MATCHING, the family CC/PageRank don't
-    // cover: a triangle of mutually-near-duplicate documents is the
-    // densest dedup-cluster signal (three pairwise witnesses vs CC's
-    // transitive chains, which can link unrelated docs through a hub).
-    // Edges = distinct shared-8-gram-span pairs (llm_span_dedup's shingle
-    // discipline), ORIENTED low→high doc_id so each triangle enumerates
-    // exactly once as a<b<c: two keyed equi-joins (wedge build b, close
-    // a–c), never an all-pairs pass. The edge frame is pinned — three
-    // join sides consume it. Known hub caveat stated honestly: id
-    // orientation bounds double-counting, not wedge fan-out; at real
-    // scale the standard refinement orders edges by DEGREE so every
-    // wedge pivots on its lowest-degree vertex.
+    // addendum, hardened r10) — graph PATTERN MATCHING, the family
+    // CC/PageRank don't cover: a triangle of mutually-near-duplicate
+    // documents is the densest dedup-cluster signal (three pairwise
+    // witnesses vs CC's transitive chains, which can link unrelated docs
+    // through a hub). Edges = distinct shared-8-gram-span pairs with the
+    // [[MaxShingleDf]] span-frequency cap ([[spanEdges]]); wedges pivot
+    // on each edge's LOWEST-DEGREE endpoint ([[trianglesOf]] — the
+    // node-iterator refinement), so neither a boilerplate span nor a hub
+    // vertex can go quadratic. The oracle keeps the simpler id-oriented
+    // enumeration — both enumerate the SAME triangle set exactly once,
+    // which is itself a cross-check of the degree-ordered rewrite.
     "llm_dedup_triangles" -> Q(
-      (s, d) => {
-        val spans = T(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, greatest(size(toks) - 7, 1)), " +
-              "i -> md5(concat_ws(' ', slice(toks, i, 8))))")).as("h"))
-        val e = spans.as("x").join(spans.as("y"),
-            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct().pinned
-        e.as("e1")
-          .join(e.as("e2"), col("e1.b") === col("e2.a"))
-          .join(e.as("e3"),
-            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-          .select(col("e1.a").as("doc_a"), col("e1.b").as("doc_b"),
-            col("e2.b").as("doc_c"))
-          .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
-      },
+      (s, d) => trianglesOf(T(s, d, "documents"))
+        .orderBy(col("doc_a"), col("doc_b"), col("doc_c")),
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks " +
         "FROM documents), " +
-        "sp AS (SELECT doc_id, unnest(list_transform(" +
+        "sp0 AS (SELECT doc_id, unnest(list_transform(" +
         "generate_series(1, greatest(len(toks) - 7, 1)), " +
         "i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS h " +
         "FROM w), " +
-        "e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM sp a " +
-        "JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id) " +
+        "spd AS (SELECT DISTINCT doc_id, h FROM sp0), " +
+        "spc AS (SELECT doc_id, h FROM spd " +
+        s"QUALIFY COUNT(*) OVER (PARTITION BY h) <= $MaxShingleDf), " +
+        "e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM spc a " +
+        "JOIN spc b ON a.h = b.h AND a.doc_id < b.doc_id) " +
         "SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c " +
         "FROM e e1 JOIN e e2 ON e1.b = e2.a " +
         "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b " +
@@ -524,14 +603,14 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(50),
-      shingleCte +
+      cappedShingleCte +
         "SELECT doc_a, doc_b, inter, jaccard FROM (" +
         "SELECT i.doc_a, i.doc_b, i.inter, " +
         "CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard " +
         "FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
-        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i " +
-        "JOIN (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1) sa ON sa.doc_id = i.doc_a " +
-        "JOIN (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1) sb ON sb.doc_id = i.doc_b) t " +
+        "FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i " +
+        "JOIN (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY 1) sa ON sa.doc_id = i.doc_a " +
+        "JOIN (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY 1) sb ON sb.doc_id = i.doc_b) t " +
         "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50"),
 
     // SimHash signatures + LSH band keys per document. Pair extraction

@@ -15,16 +15,23 @@ object Shingles {
       "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
 
   /** DuckDB twin over `documents`: CTE `sh(doc_id[, text], s)` via
-    * words + lead() windows (== the i/i+1/i+2 shingle). */
-  def duckCte(distinct: Boolean, carryText: Boolean = false): String = {
+    * words + lead() windows (== the i/i+1/i+2 shingle). With `dfCap` a
+    * further CTE `shc` drops shingles whose document frequency exceeds the
+    * cap — the oracle twin of DedupOps.MaxShingleDf (must be a SEPARATE
+    * CTE: QUALIFY inside `sh` would window over pre-DISTINCT rows). */
+  def duckCte(distinct: Boolean, carryText: Boolean = false,
+      dfCap: Option[Int] = None): String = {
     val textCol = if (carryText) ", text" else ""
     val d = if (distinct) "DISTINCT " else ""
+    val capped = dfCap.map(c =>
+      s", shc AS (SELECT doc_id$textCol, s FROM sh " +
+        s"QUALIFY COUNT(*) OVER (PARTITION BY s) <= $c) ").getOrElse(" ")
     s"WITH w AS (SELECT doc_id$textCol, unnest(string_split(text, ' ')) AS word, " +
       "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
       s"sh AS (SELECT ${d}doc_id$textCol, word || ' ' || lead(word, 1) OVER dw || ' ' || " +
       "lead(word, 2) OVER dw AS s FROM w " +
       "WINDOW dw AS (PARTITION BY doc_id ORDER BY pos) " +
-      "QUALIFY lead(word, 2) OVER dw IS NOT NULL) "
+      "QUALIFY lead(word, 2) OVER dw IS NOT NULL)" + capped
   }
 }
 

@@ -302,4 +302,43 @@ class DedupSpec extends SparkSpec {
       .count().agg(max("count")).head().getLong(0)
     assert(maxBlock <= 64, s"blocking key degenerated: max block $maxBlock")
   }
+
+  test("hot-shingle df cap keeps the exact-jaccard candidate set bounded") {
+    val cap = graft.operators.DedupOps.MaxShingleDf
+    // cap+100 docs all opening with the SAME 3-word boilerplate shingle
+    // ("license header boilerplate"); every other shingle is unique per
+    // doc. Without the df cap the shared-shingle self-join emits
+    // C(cap+100, 2) > 600k candidate pairs from that one shingle alone.
+    val boiler = (1 to cap + 100).map(k => (k + 1000L,
+      s"license header boilerplate a$k b$k c$k d$k"))
+    // one genuine near-dup pair, no boilerplate prefix
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 38).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val docs = (Seq((1L, words), (2L, nearDup)) ++ boiler).toDF("doc_id", "text")
+    val scored = graft.operators.DedupOps.jaccardScoredOf(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scored.contains((1L, 2L)), s"genuine pair lost to the cap: $scored")
+    assert(scored.size == 1,
+      s"boilerplate shingle leaked ${scored.size - 1} spurious candidate pairs")
+  }
+
+  test("span-frequency cap + degree-ordered wedges keep triangles exact and bounded") {
+    val cap = graft.operators.DedupOps.MaxShingleDf
+    // cap+50 docs sharing one boilerplate 8-gram span (their only shared
+    // span — the rest of each doc is unique), plus three identical docs
+    // forming the one genuine triangle
+    val bp = (1 to 8).map(i => s"bp$i").mkString(" ")
+    val hub = (1 to cap + 50).map(k => (k + 100L,
+      bp + " " + (1 to 8).map(i => s"u${k}_$i").mkString(" ")))
+    val tri = (1 to 16).map(i => s"t$i").mkString(" ")
+    val docs = (Seq((1L, tri), (2L, tri), (3L, tri)) ++ hub).toDF("doc_id", "text")
+    val edges = graft.operators.DedupOps.spanEdges(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"hot span leaked into the edge set: ${edges.size} edges")
+    val triangles = graft.operators.DedupOps.trianglesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(triangles == Seq((1L, 2L, 3L)), s"wrong triangle set: $triangles")
+  }
 }
