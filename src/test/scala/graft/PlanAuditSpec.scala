@@ -1,0 +1,78 @@
+package graft
+
+/** Automated plan-regression gate over EVERY declared key (the r9 verdict's
+  * ask): at 270 keys a hand-audited plan discipline eventually slips, so
+  * this spec rebuilds each key's physical plan at sf0.001 and fails on the
+  * three anti-patterns the audits hunt by hand —
+  *
+  *   - `CartesianProduct`: an unkeyed all-pairs join is never acceptable;
+  *     every intentional pair join here is either equi-keyed (LSH bands,
+  *     shingle/span hashes) or a broadcast range join.
+  *   - `ScalaUDF` / Python eval: the library's contract is zero UDFs in
+  *     src/main — custom logic is native Catalyst expressions (codegen) or
+  *     HOFs, so a UDF in any plan is a regression by definition.
+  *   - `BroadcastNestedLoopJoin` outside the whitelist below: BNLJ is the
+  *     legitimate physical shape ONLY for a broadcast-tiny side under a
+  *     genuine non-equi predicate; anywhere else it means an equi-key was
+  *     lost (e.g. a join condition stopped being extractable).
+  *
+  * Presence checks run on `executedPlan.toString` (the AQE initial plan —
+  * node COUNTS would double-count under AQE, presence does not; see the
+  * optimizedPlan-counting note in ScaleSpec). */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Keys allowed to plan a BroadcastNestedLoopJoin, with the reason the
+    * shape is correct there. Additions require the same justification.
+    * The dominant reason is the SCALAR-BROADCAST pattern: crossJoin with a
+    * broadcast 1-row global aggregate (bounds, totals, N) — O(rows) with
+    * zero shuffle, the distributed replacement for collecting a scalar to
+    * the driver. BNLJ against a 1-row build side does |rows|·1 compares. */
+  private val scalar =
+    "broadcast 1-row global-aggregate side (scalar-broadcast pattern)"
+  private val centroids =
+    "every row scored against a broadcast k-row centroid frame, k tiny"
+  private val pairCap =
+    "labeled brute-force baseline; input capped at VectorSim.BruteForceCap"
+  private val bnljAllowed: Map[String, String] = Map(
+    "agg_histogram" -> scalar, // global min/max bounds
+    "evt_metrics_rates" -> scalar, // global window-span seconds
+    "evt_rfm_segments" -> scalar, // global RFM quantile cut points
+    "evt_rfm_segments_approx" -> scalar, // same, approx percentiles
+    "evt_session_basket" -> scalar, // global session count for lift
+    "evt_survival_curve" -> scalar, // global at-risk denominator
+    "fn_fuzzy_levenshtein" -> // nation(25) x region(5) demo corpus:
+      "intentional cross join over two broadcast-tiny dims", // bounded
+    "join_cross" -> "the key IS the cross-join demo over bounded dims",
+    "llm_bm25_topk" -> scalar, // corpus N and avg doc length
+    "llm_centroid_classify" -> centroids,
+    "llm_cluster_balanced_sample" -> scalar, // global vector count
+    "llm_cosine_topk" -> pairCap,
+    "llm_domain_token_mix" -> scalar, // corpus-total token count
+    "llm_emb_near_dedup" -> pairCap,
+    "llm_kmeans_step" -> centroids,
+    "llm_shard_balance" -> scalar, // corpus-total byte count
+    "llm_surprisal_buckets" -> scalar, // corpus-total token count
+    "llm_tfidf_terms" -> scalar, // corpus N for idf
+    "llm_unigram_surprisal" -> scalar, // corpus-total token count
+    "scale_global_ids" -> scalar, // global id bounds for bucketing
+    "scale_skew_profile" -> scalar, // global row count for skew ratio
+    "stream_metrics_rates" -> scalar, // batch twin of evt_metrics_rates
+    "sub_any_all" -> scalar, // ANY/ALL decorrelated to min/max bounds
+  )
+
+  test("no CartesianProduct / ScalaUDF / unwhitelisted BNLJ in any declared plan") {
+    val bad = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf001).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        bad += s"$name: CartesianProduct"
+      if (plan.contains("ScalaUDF") ||
+          plan.toLowerCase.contains("batchevalpython"))
+        bad += s"$name: UDF in plan"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
+        bad += s"$name: unwhitelisted BroadcastNestedLoopJoin"
+    }
+    val v = bad.result()
+    assert(v.isEmpty, s"${v.size} plan regression(s):\n${v.mkString("\n")}")
+  }
+}
