@@ -135,22 +135,69 @@ object Flow {
     val classified = prefix.withColumn(BranchCol, tag)
     def branchOut(name: String, branchSteps: JValue): (String, DataFrame) = {
       val in = classified.filter(col(BranchCol) === name).drop(BranchCol)
-      val out = branchSteps match {
-        case JNothing   => in
-        case JArray(xs) => xs.foldLeft(in) { (df, st) =>
-          require(str(st, "op") != "read",
-            "flow: branch steps transform the routed rows, not a new 'read'")
-          step(s, dir, Some(df), st)
-        }
-        case other => sys.error(s"flow: branch 'steps' must be an array, got $other")
-      }
-      name -> out
+      name -> applyBranchSteps(s, dir, in, branchSteps)
     }
     val routed = branches.map(b => branchOut(str(b, "name"), b \ "steps"))
     rt \ "otherwise" match {
       case JNothing => routed
       case ow       => routed :+ branchOut(OtherwiseBranch, ow)
     }
+  }
+
+  /** A branch's trailing steps over its input rows (shared by `route`'s
+    * filtered partitions and `clone`'s full copies). */
+  private def applyBranchSteps(s: SparkSession, dir: String, in: DataFrame,
+      branchSteps: JValue): DataFrame = branchSteps match {
+    case JNothing   => in
+    case JArray(xs) => xs.foldLeft(in) { (df, st) =>
+      require(str(st, "op") != "read",
+        "flow: branch steps transform the branch rows, not a new 'read'")
+      step(s, dir, Some(df), st)
+    }
+    case other => sys.error(s"flow: branch 'steps' must be an array, got $other")
+  }
+
+  /** Compile a CLONING flow — `route`'s unconditional sibling [PK:
+    * Logstash clone filter]: ordinary steps up to a terminal `clone` op,
+    * whose branches EACH receive every prefix row (duplication into N
+    * parallel continuations — fan-out to an archive sink AND a metrics
+    * rollup AND an alerting filter from one ingest), unlike `route`'s
+    * first-match-wins partition. Returns per-branch frames in declaration
+    * order.
+    *
+    * Scale shape: the shared prefix is declared ONCE and each branch is a
+    * lazy continuation of the same logical plan — Spark's one-query-per-
+    * sink model means each sink's query re-reads the (pushdown-pruned)
+    * prefix, exactly how N writeStream sinks over one source behave; no
+    * row is ever physically copied N times inside one plan. */
+  def clones(s: SparkSession, dir: String,
+      spec: String): Seq[(String, DataFrame)] = {
+    val steps = JsonMethods.parse(spec) \ "steps" match {
+      case JArray(xs) => xs
+      case other      => sys.error(s"flow: 'steps' must be an array, got $other")
+    }
+    require(steps.nonEmpty, "flow: empty steps")
+    require(str(steps.last, "op") == "clone",
+      "flow: a cloning flow's final step must be 'clone'")
+    require(steps.init.forall(st => str(st, "op") != "clone"),
+      "flow: 'clone' must be the final step (branches cannot re-clone)")
+    val prefix = steps.init
+      .foldLeft(Option.empty[DataFrame])((acc, st) => Some(step(s, dir, acc, st)))
+      .getOrElse(sys.error("flow: 'clone' needs at least a 'read' before it"))
+    cloneBranchesOf(s, dir, prefix, steps.last)
+  }
+
+  private def cloneBranchesOf(s: SparkSession, dir: String, prefix: DataFrame,
+      ct: JValue): Seq[(String, DataFrame)] = {
+    val branches = ct \ "branches" match {
+      case JArray(xs) if xs.nonEmpty => xs
+      case other => sys.error(s"flow: 'branches' must be a non-empty array, got $other")
+    }
+    val names = branches.map(b => str(b, "name"))
+    require(names.distinct.size == names.size,
+      s"flow: duplicate branch names in $names")
+    branches.map(b =>
+      str(b, "name") -> applyBranchSteps(s, dir, prefix, b \ "steps"))
   }
 
   /** Compile a routing flow ON a bound input frame — the STREAMING
@@ -292,6 +339,9 @@ object Flow {
       case "route" =>
         sys.error("flow: 'route' is only valid as the final step of a " +
           "routing flow — compile it with Flow.routes, not Flow.compile")
+      case "clone" =>
+        sys.error("flow: 'clone' is only valid as the final step of a " +
+          "cloning flow — compile it with Flow.clones, not Flow.compile")
       case other      => sys.error(s"flow: unknown op '$other'")
     }
   }

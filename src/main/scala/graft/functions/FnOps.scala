@@ -1031,5 +1031,67 @@ object FnOps {
         "substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid " +
         "FROM (SELECT event_id, md5('graft-evt:' || event_id::VARCHAR) AS h " +
         "FROM events) t ORDER BY event_id"),
+
+    // Percent-decoding (round-10) [PK: Logstash urldecode filter]: the
+    // encoded string is SYNTHESIZED from table data (multibyte %C3%A9,
+    // space, slash, equals — the escape families a query string carries),
+    // decoded by Spark's native url_decode in one codegen projection.
+    // DuckDB has no url_decode, so the oracle decodes the synthesized
+    // escape set via replace chains — exact over this controlled domain,
+    // which is precisely what makes the key oracle-able.
+    "fn_urldecode" -> Q(
+      (s, d) => T(s, d, "events")
+        .withColumn("enc", concat(lit("caf%C3%A9%20"), col("event_type"),
+          lit("%2Fuser%3D"), col("user_id").cast("string")))
+        .select(col("event_id"), col("enc"),
+          expr("url_decode(enc)").as("dec"))
+        .orderBy(col("event_id")),
+      usEvents("SELECT event_id, enc, replace(replace(replace(replace(enc, " +
+        "'%C3%A9', 'é'), '%20', ' '), '%2F', '/'), '%3D', '=') AS dec " +
+        "FROM (SELECT event_id, 'caf%C3%A9%20' || event_type || " +
+        "'%2Fuser%3D' || user_id::VARCHAR AS enc FROM events) t " +
+        "ORDER BY event_id")),
+
+    // Field clipping (round-10) [PK: Logstash truncate filter]: cap a
+    // field at N characters, carrying the original length and a clipped
+    // flag (the filter's add-tag analogue) so downstream consumers can
+    // tell clipped rows apart. Character semantics, not bytes — the
+    // Spark-portable reading; both engines' length()/substring count
+    // codepoints identically. One codegen projection.
+    "fn_truncate" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          substring(col("text"), 1, 64).as("clipped"),
+          length(col("text")).cast("long").as("orig_len"),
+          (length(col("text")) > 64).as("was_truncated"))
+        .orderBy(col("doc_id")),
+      "SELECT doc_id, left(text, 64) AS clipped, " +
+        "length(text)::BIGINT AS orig_len, " +
+        "length(text) > 64 AS was_truncated " +
+        "FROM documents ORDER BY doc_id"),
+
+    // Keyed deterministic pseudonymization (round-10) [PK: Logstash
+    // anonymize/fingerprint filter, key mode]: HMAC-style masking —
+    // sha2(key || 0x1f-style separator || value) with the key from
+    // session conf (`spark.graft.anonymize.key`), so the SAME key replays
+    // to the SAME token (joinable pseudonyms, the governance property
+    // llm_pii_redact's unkeyed masking lacks) and rotating the key
+    // re-keys every token (FnSpec pins both). Single keyed digest, not
+    // the RFC-2104 nested construction — equivalent strength for
+    // fixed-length keys and expressible identically on both engines; the
+    // separator prevents key/value boundary ambiguity. One codegen
+    // projection, no shuffle but the sort.
+    "fn_anonymize_hmac" -> Q(
+      (s, d) => {
+        val key = s.conf.get("spark.graft.anonymize.key", "graft-default-key")
+        T(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            sha2(concat_ws("|", lit(key),
+              col("user_id").cast("string")), 256).as("user_tok"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, event_type, " +
+        "sha256('graft-default-key|' || user_id::VARCHAR) AS user_tok " +
+        "FROM events ORDER BY event_id")),
   )
 }

@@ -149,6 +149,25 @@ object FlowOps {
       | "aggs":["count(*) AS n","CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total"]}]}
       |]}""".stripMargin
 
+  /** Unconditional fan-out [PK: Logstash clone filter]: every branch sees
+    * EVERY prefix row (vs route's first-match-wins partition) — here one
+    * ingest feeds a by-type rollup AND a by-user-shard rollup. Both
+    * branches project to the same (k, n) shape so the key can union them
+    * under a branch tag for the oracle. */
+  val cloneSpec: String =
+    """{"steps":[
+      |{"op":"read","table":"events"},
+      |{"op":"filter","where":"value > 0"},
+      |{"op":"clone","branches":[
+      | {"name":"by_type","steps":[
+      |  {"op":"agg","groupBy":["event_type"],"aggs":["count(*) AS n"]},
+      |  {"op":"select","columns":["event_type AS k","n"]}]},
+      | {"name":"by_user_shard","steps":[
+      |  {"op":"derive","as":"k","expr":"CAST(user_id % 5 AS STRING)"},
+      |  {"op":"agg","groupBy":["k"],"aggs":["count(*) AS n"]}]}
+      |]}
+      |]}""".stripMargin
+
   /** Dissect + grok as flow instructions over a synthesized log line; the
     * agg consumes fields from both parsers so the oracle certifies each
     * round-trips the source values (see flow_compiled_parse). */
@@ -269,6 +288,27 @@ object FlowOps {
         "SELECT branch, COUNT(*) AS n, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
         "FROM cls GROUP BY 1 ORDER BY branch")),
+
+    // Unconditional duplication into N branches (round-10) [PK: Logstash
+    // clone filter] — route's sibling: every branch receives the FULL
+    // filtered prefix (the oracle's two rollups both scan all value>0
+    // rows, certifying no row was partitioned away). Branch compilation
+    // is shared with route (Flow.applyBranchSteps).
+    "flow_compiled_clone" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        Flow.clones(s, d, cloneSpec)
+          .map { case (name, df) =>
+            df.select(lit(name).as("branch"), col("k"), col("n")) }
+          .reduce(_.unionByName(_))
+          .orderBy(col("branch"), col("k"))
+      },
+      usEvents("WITH src AS (SELECT * FROM events WHERE value > 0) " +
+        "SELECT 'by_type' AS branch, event_type AS k, COUNT(*) AS n " +
+        "FROM src GROUP BY 2 " +
+        "UNION ALL " +
+        "SELECT 'by_user_shard', (user_id % 5)::VARCHAR, COUNT(*) " +
+        "FROM src GROUP BY 2 ORDER BY branch, k")),
 
     // Named-flow registry (round-9 addendum) — the reference's management
     // path [PK]: this key runs `conf/flows/daily_tier_rollup.json` BY

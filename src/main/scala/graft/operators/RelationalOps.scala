@@ -83,6 +83,21 @@ object RelationalOps {
       },
       "SELECT * FROM supplier ORDER BY s_suppkey"),
 
+    // Avro container-file round trip over the common log-pipeline wire
+    // format, via graft.sources.AvroIO (the avro CORE jar ships with
+    // Spark; the spark-avro connector does not in this environment, so
+    // this is a distributed DataFileWriter/DataFileReader pair — one
+    // container file per partition out, one task per file back).
+    "source_avro_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = scratch("source_avro_supplier")
+        val sup = T(s, d, "supplier")
+        graft.sources.AvroIO.write(sup, tmp)
+        graft.sources.AvroIO.read(s, tmp, sup.schema)
+          .orderBy(col("s_suppkey"))
+      },
+      "SELECT * FROM supplier ORDER BY s_suppkey"),
+
     "source_csv_roundtrip" -> Q(
       (s, d) => {
         val tmp = scratch("source_csv_nation")

@@ -233,4 +233,31 @@ class FlowSpec extends SparkSpec {
     // exactly one column per field, no _1/_2 dups from the overwrite
     assert(df.columns.count(_ == "usr") == 1)
   }
+
+  test("clone duplicates the prefix into every branch, unconditionally") {
+    val spec =
+      """{"steps":[
+        |{"op":"read","table":"events"},
+        |{"op":"filter","where":"value > 0"},
+        |{"op":"clone","branches":[
+        | {"name":"archive"},
+        | {"name":"purchases","steps":[{"op":"filter","where":"event_type = 'purchase'"}]}
+        |]}
+        |]}""".stripMargin
+    val outs = Flow.clones(spark, sf001, spec).toMap
+    assert(outs.keySet == Set("archive", "purchases"))
+    val prefix = T(spark, sf001, "events").filter("value > 0")
+    // every branch sees EVERY prefix row (vs route's partition) ...
+    assert(outs("archive").count() == prefix.count())
+    // ... and branch steps still apply on the copy
+    assert(outs("purchases").count() ==
+      prefix.filter("event_type = 'purchase'").count())
+    // misplaced/dup clone fails loudly at compile
+    intercept[RuntimeException](Flow.compile(spark, sf001,
+      """{"steps":[{"op":"read","table":"events"},
+        |{"op":"clone","branches":[{"name":"x"}]}]}""".stripMargin))
+    intercept[IllegalArgumentException](Flow.clones(spark, sf001,
+      """{"steps":[{"op":"read","table":"events"},
+        |{"op":"clone","branches":[{"name":"x"},{"name":"x"}]}]}""".stripMargin))
+  }
 }

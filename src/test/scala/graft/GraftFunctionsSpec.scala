@@ -188,4 +188,26 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSeq == again.toSeq, "uuid minting is not deterministic")
   }
+
+  test("fn_anonymize_hmac: same key replays identically, rotation re-keys") {
+    def toks() = SparkEntry.queries("fn_anonymize_hmac")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    val first = toks()
+    assert(first == toks(), "keyed masking is not replay-stable")
+    // same user => same pseudonym (joinability, the governance property)
+    val byUser = SparkEntry.queries("fn_anonymize_hmac")(spark, sf001)
+      .collect()
+    val ev = T(spark, sf001, "events").select("event_id", "user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tokOfUser = byUser.map(r => ev(r.getLong(0)) -> r.getString(2))
+    assert(tokOfUser.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1),
+      "one user mapped to two pseudonyms under one key")
+    try {
+      spark.conf.set("spark.graft.anonymize.key", "rotated-key-v2")
+      val rotated = toks()
+      assert(first.map(_._1) == rotated.map(_._1))
+      assert(first.zip(rotated).forall { case ((_, a), (_, b)) => a != b },
+        "key rotation left a token unchanged")
+    } finally spark.conf.unset("spark.graft.anonymize.key")
+  }
 }
