@@ -83,4 +83,107 @@ class GateSourceSpec extends SparkSpec {
     val rows = Sinks.drain(key)
     assert(rows.size == 120)
   }
+
+  // ---- Kafka-shaped topic source (GateTopicSource) ----------------------
+
+  /** Hand-built topic: partition p gets `counts(p)` records split into
+    * segment files of `segRows` (base-offset-named, the layout contract) —
+    * built WITHOUT the producer so these tests pin the on-disk format
+    * itself. Returns the expected (partition, off, event_id) set. */
+  private def mkTopic(dir: String, counts: Map[Int, Int],
+      segRows: Int): Set[(Int, Long, Long)] = {
+    val expect = Set.newBuilder[(Int, Long, Long)]
+    counts.foreach { case (p, n) =>
+      val pd = new java.io.File(dir, s"p=$p")
+      pd.mkdirs()
+      (0 until n).grouped(segRows).foreach { seg =>
+        val base = seg.head.toLong
+        val w = new java.io.PrintWriter(
+          new java.io.File(pd, f"$base%020d.log"), "UTF-8")
+        try seg.foreach { i =>
+          val id = p * 1000L + i
+          w.println(s"$id\t${1704067200000000L + i * 60000000L}\t${i % 7}\tclick\t${i / 2.0}")
+          expect += ((p, i.toLong, id))
+        } finally w.close()
+      }
+    }
+    expect.result()
+  }
+
+  private def topicStream(dir: String, rowsPerBatch: Int) =
+    spark.readStream.format("graft.streaming.GateTopicSource")
+      .option("path", dir).option("rowsPerBatch", rowsPerBatch).load()
+
+  test("topic source: every record exactly once, (partition, offset) identity") {
+    val dir = Files.createTempDirectory("graft_topic1").toString
+    val expect = mkTopic(dir, Map(0 -> 18, 1 -> 6), segRows = 7)
+    val q = topicStream(dir, rowsPerBatch = 5).writeStream
+      .outputMode("append").format("memory").queryName("t_topic1").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_topic1")
+      .select($"partition", $"off", $"event_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.distinct.length, "duplicate (partition, off)")
+    assert(got.toSet == expect, "lost or invented records")
+  }
+
+  test("topic source: crash-resume lands mid-partition mid-segment, exactly once") {
+    val dir = Files.createTempDirectory("graft_topic2").toString
+    val out = Files.createTempDirectory("graft_topic2_out").toString
+    val ckpt = Files.createTempDirectory("graft_topic2_ckpt").toString
+    val expect = mkTopic(dir, Map(0 -> 12, 1 -> 12), segRows = 7)
+    // rowsPerBatch=4 => batch 0 commits {0->2, 1->2} — INSIDE segment 0
+    // of both partitions. Stop after the first committed batch, so the
+    // restart must seek into a half-read segment file.
+    val q1 = Sinks.foreachBatchParquet(topicStream(dir, 4), out)
+      .option("checkpointLocation", ckpt).start()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (!new java.io.File(out, "batch_0").exists() &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
+    assert(new java.io.File(out, "batch_0").exists(), "no batch committed in 60s")
+    // the log grows while the consumer is down (new sealed segment)
+    val pd = new java.io.File(dir, "p=1")
+    val w = new java.io.PrintWriter(new java.io.File(pd, f"${12L}%020d.log"), "UTF-8")
+    try (12 until 15).foreach { i =>
+      w.println(s"${1000L + i}\t${1704067200000000L + i * 60000000L}\t${i % 7}\tclick\t${i / 2.0}")
+    } finally w.close()
+    val expect2 = expect ++ (12 until 15).map(i => (1, i.toLong, 1000L + i))
+    val q2 = Sinks.foreachBatchParquet(topicStream(dir, 4), out)
+      .option("checkpointLocation", ckpt).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(s"$out/batch_*")
+      .select($"partition", $"off", $"event_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.distinct.length,
+      "replayed records across the restart")
+    assert(got.toSet == expect2, "lost records across the restart")
+  }
+
+  test("topic source: Trigger.AvailableNow backfills in bounded batches, then terminates") {
+    val dir = Files.createTempDirectory("graft_topic3").toString
+    val out = Files.createTempDirectory("graft_topic3_out").toString
+    val expect = mkTopic(dir, Map(0 -> 13, 1 -> 11), segRows = 5)
+    val q = Sinks.foreachBatchParquet(topicStream(dir, 6), out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    val batches = Option(new java.io.File(out).listFiles()).get
+      .count(_.getName.startsWith("batch_"))
+    assert(batches > 1, "backfill was not admission-bounded")
+    val got = spark.read.parquet(s"$out/batch_*")
+      .select($"partition", $"off", $"event_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.distinct.length && got.toSet == expect)
+  }
+
+  test("topic batch twin == streaming content (GateTopic.readBatch)") {
+    val dir = Files.createTempDirectory("graft_topic4").toString
+    val expect = mkTopic(dir, Map(0 -> 9, 1 -> 9, 2 -> 9), segRows = 4)
+    val got = graft.streaming.GateTopic.readBatch(spark, dir)
+      .select($"partition", $"off", $"event_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == expect && got.length == expect.size)
+  }
 }
