@@ -762,8 +762,13 @@ object StreamOps {
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[StreakOut] = {
       // per-batch dedup: one Long per DISTINCT day, not per event — a hot
-      // key's 50k same-day events must not buffer 50k state entries
+      // key's 50k same-day events must not buffer 50k state entries.
+      // Days the watermark already finalized are dropped at append (the
+      // fold's dayn > lastDayn guard already ignores them; the drop also
+      // stops the no-op duplicate re-emission of the current aggregate).
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       rows.map(e => epochDay(micros(e.ts))).toSeq.distinct
+        .filter(dayn => (dayn + 1) * 86400000000L >= wmUs)
         .foreach(pending.appendValue)
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
@@ -861,8 +866,13 @@ object StreamOps {
         val isP = e.event_type == "purchase"
         byDay(dayn) = (n + 1, hasP || isP, if (isP) pvQ + quant(e.value) else pvQ)
       }
+      // drop days the watermark already finalized (finality key = the
+      // day's end in µs, same as flush): a late day would otherwise rewind
+      // nextDayn and re-emit the already-published gap-fill sequence
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       byDay.foreach { case (dayn, (n, hasP, pvQ)) =>
-        pending.appendValue(PendingDay(dayn, n, hasP, pvQ))
+        if ((dayn + 1) * 86400000000L >= wmUs)
+          pending.appendValue(PendingDay(dayn, n, hasP, pvQ))
       }
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
@@ -957,8 +967,16 @@ object StreamOps {
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[Scd2Out] = {
-      rows.foreach(e =>
-        pending.appendValue(Scd2Pending(micros(e.ts), e.event_id, e.event_type)))
+      // drop late-beyond-watermark rows (the ThrottleProcessor guard): a
+      // stale event folding into the version chain would close the open
+      // version against an EARLIER timestamp and corrupt every version
+      // number after it
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        if (us >= wmUs)
+          pending.appendValue(Scd2Pending(us, e.event_id, e.event_type))
+      }
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
 
@@ -1387,7 +1405,13 @@ object StreamOps {
         val m = epochMinute(micros(e.ts))
         byMin(m) = byMin.getOrElse(m, 0L) + 1L
       }
-      byMin.foreach { case (m, n) => pending.appendValue(PendingMinute(m, n)) }
+      // drop minutes the watermark already finalized (finality key = the
+      // minute's end in µs, same as flush): a late minute would rewind
+      // the tap line and re-emit closed minutes
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      byMin.foreach { case (m, n) =>
+        if ((m + 1) * 60000000L >= wmUs) pending.appendValue(PendingMinute(m, n))
+      }
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
 

@@ -376,6 +376,15 @@ class StreamingSpec extends SparkSpec {
       val want = SparkEntry.queries("stream_scd2")(spark, sf001)
         .collect().map(norm).sortBy(t => (t._1, t._2)).toSeq
       assert(got.nonEmpty && got == want)
+      // a late-beyond-watermark event must be DROPPED, not folded into the
+      // version chain (it would close the open interval against an earlier
+      // timestamp and corrupt every version number after it)
+      val victim = typedEvents.head
+      mem.addData(Seq(Event(888801L, victim.ts, victim.user_id, "error", 0.0)))
+      q.processAllAvailable()
+      val after = spark.table("t_scd2").filter($"user_id" =!= 999999L)
+        .collect().map(norm).sortBy(t => (t._1, t._2)).toSeq
+      assert(after == got, "late event mutated the closed-interval history")
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
