@@ -122,6 +122,28 @@ object RelationalOps {
         "- 1)::BIGINT AS off, event_id, ts, user_id, event_type, value " +
         "FROM events ORDER BY partition, off")),
 
+    // Event-time aggregation over the topic (round-10): per-(partition,
+    // day) counts off GateTopic.readBatch — the BATCH TWIN of streaming
+    // the same topic through the same agg (GateSourceSpec pins
+    // stream ≡ batch, and pins the config-flow variant: ONE Flow spec
+    // over the topic runs as backfill streaming AND as this batch shape).
+    // The oracle recomputes partitions from the producer contract, so a
+    // routing bug would break this key even if readBatch were
+    // self-consistent.
+    "stream_topic_agg" -> Q(
+      (s, d) => {
+        val tmp = scratch("source_gate_topic")
+        graft.streaming.GateTopic.write(T(s, d, "events"), tmp, 4,
+          segmentRows = 1024)
+        graft.streaming.GateTopic.readBatch(s, tmp)
+          .groupBy(col("partition"), date_trunc("DAY", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("partition"), col("day"))
+      },
+      usEvents("SELECT (event_id % 4)::INT AS partition, " +
+        "date_trunc('day', ts) AS day, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2 ORDER BY partition, day")),
+
     "source_csv_roundtrip" -> Q(
       (s, d) => {
         val tmp = scratch("source_csv_nation")

@@ -340,7 +340,14 @@ private class GateTopicStream(path: String, rowsPerBatch: Long)
         override def next(): Boolean = {
           if (off >= r.end) return false
           if (!openUntilPositioned()) return false
-          val (id, tsUs, uid, et, v) = GateTopic.decode(lines.next())
+          val line = lines.next()
+          // fail WITH provenance: a corrupt log line must name its
+          // (partition, offset), not surface as a bare NumberFormatException
+          val (id, tsUs, uid, et, v) =
+            try GateTopic.decode(line)
+            catch { case e: Exception => throw new IllegalStateException(
+              s"GateTopic: corrupt record at p=${r.partition} offset $off " +
+                s"under ${r.pDir}: '$line'", e) }
           current = InternalRow(r.partition, off, id, tsUs, uid,
             UTF8String.fromString(et), v)
           off += 1L

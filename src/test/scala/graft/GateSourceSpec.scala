@@ -186,4 +186,70 @@ class GateSourceSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(got.toSet == expect && got.length == expect.size)
   }
+
+  test("topic stream through the event-time agg == stream_topic_agg batch twin") {
+    val dir = Files.createTempDirectory("graft_topic5").toString
+    graft.streaming.GateTopic.write(
+      T(spark, sf001, "events"), dir, 4, segmentRows = 256)
+    val q = topicStream(dir, rowsPerBatch = 700)
+      .groupBy($"partition", date_trunc("DAY", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("t_topic_agg").start()
+    q.processAllAvailable()
+    q.stop()
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getTimestamp(1).getTime, r.getLong(2))
+    val got = spark.table("t_topic_agg").collect().map(norm).sortBy(t => (t._1, t._2))
+    val want = SparkEntry.queries("stream_topic_agg")(spark, sf001)
+      .collect().map(norm).sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
+  test("ONE flow config runs over the topic as streaming backfill AND as batch") {
+    import graft.flow.Flow
+    val dir = Files.createTempDirectory("graft_topic6").toString
+    graft.streaming.GateTopic.write(
+      T(spark, sf001, "events"), dir, 4, segmentRows = 256)
+    // the lambda-free deployment shape over the production-shaped ingress:
+    // same spec, bound to the live stream and to the batch read-back
+    val spec =
+      """{"steps":[
+        |{"op":"watermark","col":"ts","delay":"10 minutes"},
+        |{"op":"filter","where":"value > 0"},
+        |{"op":"agg","groupBy":["partition","window(ts, '1 day')"],
+        | "aggs":["count(*) AS n"]},
+        |{"op":"select","columns":["partition","window.start AS day","n"]}
+        |]}""".stripMargin
+    val q = Flow.compileOn(spark, sf001, topicStream(dir, 700), spec)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("t_topic_flow").start()
+    q.processAllAvailable()
+    q.stop()
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getTimestamp(1).getTime, r.getLong(2))
+    val got = spark.table("t_topic_flow").collect().map(norm).sortBy(t => (t._1, t._2))
+    val want = Flow.compileOn(spark, sf001,
+        graft.streaming.GateTopic.readBatch(spark, dir), spec)
+      .collect().map(norm).sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got.toSeq == want.toSeq,
+      "flow-over-topic stream != flow-over-topic batch")
+  }
+
+  test("corrupt topic record fails with (partition, offset) provenance") {
+    val dir = Files.createTempDirectory("graft_topic7").toString
+    mkTopic(dir, Map(0 -> 4), segRows = 4)
+    val w = new java.io.PrintWriter(
+      new java.io.File(new java.io.File(dir, "p=0"), f"${4L}%020d.log"), "UTF-8")
+    try w.println("this is not\ta valid record") finally w.close()
+    val q = topicStream(dir, rowsPerBatch = 100).writeStream
+      .outputMode("append").format("memory").queryName("t_topic_bad").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val msg = Option(ex.getCause).map(_.toString).getOrElse("") + ex.getMessage
+    assert(msg.contains("p=0 offset 4") || msg.contains("corrupt record"),
+      s"no provenance in failure: $msg")
+  }
 }
