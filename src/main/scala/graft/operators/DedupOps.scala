@@ -19,7 +19,6 @@ import graft.functions.VectorExpressions.dotF
 object DedupOps {
 
   private val shingleExpr = Shingles.sparkExpr
-  private val shingleCte = Shingles.duckCte(distinct = true)
 
   /** Hot-shingle document-frequency cap for the EXACT-jaccard candidate
     * builders: a shingle present in k documents emits C(k,2) pairs from

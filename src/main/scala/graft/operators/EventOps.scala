@@ -1513,10 +1513,11 @@ object EventOps {
     * division floor((r·85·cnt) / (100·out)) — both engines floor
     * per-edge identically, so no float ever enters the recursion. The
     * 1/N seed and 0.15/N damping base are DERIVED from |V| on both
-    * engines (floor(1e6/N), floor(15e4/N) — an O(1) scalar fetch off the
-    * pinned |V| frame on the Spark side, scalar subselects in the
+    * engines (floor(1e6/N), floor(15e4/N) — a broadcast 1-row count
+    * riding the rank frame on the Spark side, scalar subselects in the
     * oracle), so a changed type-universe keeps the ranks a stochastic
-    * distribution instead of silently breaking a shared literal. */
+    * distribution instead of silently breaking a shared literal, and the
+    * plan stays fully lazy (no driver-side count at build time). */
   private lazy val pagerankQ: Q = Q(
       (s, d) => {
         val edges = T(s, d, "events")
@@ -1531,20 +1532,23 @@ object EventOps {
         val e = edges.join(outc, "src").pinned
         val nodes = T(s, d, "events")
           .select(col("event_type").as("node")).distinct().pinned
-        // O(1) scalar off the pinned |V| frame (broadcast-back pattern,
-        // not corpus materialization): seed = floor(1e6/N) micro-units,
-        // damping base = floor(0.15e6/N)
-        val nN = nodes.count()
-        require(nN > 0L, "pagerank: empty node set")
-        var rank = nodes.withColumn("r", lit(1000000L / nN))
+        // |V| rides as a broadcast 1-row aggregate (the scalar-broadcast
+        // pattern — LAZY, unlike a driver-side count() at plan-build
+        // time): seed = floor(1e6/N) micro-units, base = floor(0.15e6/N),
+        // both integer divisions the oracle's scalar subselects mirror
+        val nn = nodes.agg(count(lit(1)).as("nN"))
+        val seeded = nodes.crossJoin(broadcast(nn))
+        var rank = seeded.select(col("node"),
+          expr("1000000 div nN").as("r"), col("nN"))
         for (_ <- 1 to 3) {
           val contrib = e
             .join(rank.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node"))
             .agg(sum(expr("(r * 85 * cnt) div (100 * outc)")).as("inflow"))
-          rank = nodes.join(contrib, Seq("node"), "left")
+          rank = seeded.join(contrib, Seq("node"), "left")
             .select(col("node"),
-              (coalesce(col("inflow"), lit(0L)) + lit(150000L / nN)).as("r"))
+              (coalesce(col("inflow"), lit(0L)) +
+                expr("150000 div nN")).as("r"), col("nN"))
         }
         rank.select(col("node").as("event_type"),
           col("r").as("rank_micro")).orderBy(col("event_type"))

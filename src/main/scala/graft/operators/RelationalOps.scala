@@ -132,7 +132,9 @@ object RelationalOps {
     // self-consistent.
     "stream_topic_agg" -> Q(
       (s, d) => {
-        val tmp = scratch("source_gate_topic")
+        // own scratch dir (NOT source_gate_topic's): sharing would let
+        // this key's rewrite race that key's lazy read of the same files
+        val tmp = scratch("stream_topic_agg")
         graft.streaming.GateTopic.write(T(s, d, "events"), tmp, 4,
           segmentRows = 1024)
         graft.streaming.GateTopic.readBatch(s, tmp)

@@ -44,11 +44,14 @@ object AvroIO {
     val b = SchemaBuilder.record(name).namespace("graft").fields()
     st.fields.foldLeft(b) { (fb, f) =>
       val t = avroType(f.dataType)
-      val s = if (f.nullable)
-        Schema.createUnion(java.util.Arrays.asList(
-          Schema.create(Schema.Type.NULL), t))
-      else t
-      fb.name(f.name).`type`(s).withDefault(null)
+      // null is a valid default ONLY for the [null, T] union branch; a
+      // non-nullable field must declare no default or Avro 1.12's
+      // SchemaBuilder rejects the schema at build time
+      if (f.nullable)
+        fb.name(f.name).`type`(Schema.createUnion(java.util.Arrays.asList(
+          Schema.create(Schema.Type.NULL), t))).withDefault(null)
+      else
+        fb.name(f.name).`type`(t).noDefault()
     }.endRecord()
   }
 

@@ -73,23 +73,38 @@ object GateTopic {
       .map(f => f.getName.stripSuffix(".log").toLong -> f)
       .sortBy(_._1).toSeq
 
-  // (path, length) -> record count. Segments are append-only and sealed
-  // before a new one starts, so a (path, length) pair is immutable.
+  // (path, length) -> record count, SEALED segments only (a segment is
+  // sealed once a later-based segment exists; the ACTIVE tail segment is
+  // never cached — its length changes on every append, and caching it
+  // would grow this map by one dead entry per append per partition on a
+  // long-running stream). write() invalidates the paths it rewrites.
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
 
-  private[streaming] def recordCount(f: java.io.File): Long =
-    countCache.computeIfAbsent((f.getAbsolutePath, f.length()), _ => {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().size.toLong finally src.close()
-    })
+  private def countLines(f: java.io.File): Long = {
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().size.toLong finally src.close()
+  }
+
+  private[streaming] def recordCount(f: java.io.File,
+      sealed_ : Boolean = true): Long =
+    if (sealed_)
+      countCache.computeIfAbsent((f.getAbsolutePath, f.length()),
+        _ => countLines(f))
+    else countLines(f)
+
+  private def invalidateCounts(prefix: java.io.File): Unit = {
+    val p = prefix.getAbsolutePath + java.io.File.separator
+    countCache.keySet.removeIf(_._1.startsWith(p))
+  }
 
   /** End offset (= record count) per partition. */
   private[streaming] def endOffsets(dir: String): Map[Int, Long] =
     listPartitions(dir).map { p =>
       val segs = segments(partitionDir(dir, p))
-      p -> segs.map { case (base, f) => base + recordCount(f) }
-        .foldLeft(0L)(math.max)
+      p -> segs.zipWithIndex.map { case ((base, f), i) =>
+        base + recordCount(f, sealed_ = i < segs.length - 1)
+      }.foldLeft(0L)(math.max)
     }.toMap
 
   /** tab-separated record line; event_type carries no tabs/newlines by
@@ -117,6 +132,7 @@ object GateTopic {
     require(numPartitions > 0 && segmentRows > 0)
     listPartitions(dir).foreach { p =>
       val pd = partitionDir(dir, p)
+      invalidateCounts(pd) // a rewrite may reuse (path, length) pairs
       Option(pd.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       pd.delete()
     }
@@ -150,15 +166,20 @@ object GateTopic {
         val p = org.apache.spark.TaskContext.getPartitionId()
         val pd = partitionDir(topicDir, p)
         var off = 0L
-        var w: java.io.PrintWriter = null
+        // BufferedWriter, NOT PrintWriter: PrintWriter swallows
+        // IOExceptions behind checkError(), which would let a disk-full
+        // producer task report success over a silently truncated log
+        var w: java.io.BufferedWriter = null
         try {
           it.foreach { case (_, line) =>
             if (off % sr == 0L) {
               if (w != null) w.close()
-              w = new java.io.PrintWriter(
-                new java.io.File(pd, f"$off%020d.log"), "UTF-8")
+              w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+                new java.io.FileOutputStream(
+                  new java.io.File(pd, f"$off%020d.log")),
+                java.nio.charset.StandardCharsets.UTF_8))
             }
-            w.println(line)
+            w.write(line); w.newLine()
             off += 1L
           }
         } finally if (w != null) w.close()
@@ -179,10 +200,11 @@ object GateTopic {
       .flatMap { case (p, pd) =>
         segments(new java.io.File(pd)).iterator.flatMap { case (base, f) =>
           val src = scala.io.Source.fromFile(f, "UTF-8")
-          src.getLines().zipWithIndex.map { case (line, i) =>
+          try src.getLines().zipWithIndex.map { case (line, i) =>
             val (id, tsUs, uid, et, v) = GateTopic.decode(line)
             (p, base + i, id, tsUs, uid, et, v)
-          }.toList // segment-sized; frees the handle eagerly
+          }.toList // materialize the segment BEFORE closing the handle
+          finally src.close()
         }
       }
     spark.createDataFrame(rows).toDF(
@@ -328,8 +350,16 @@ private class GateTopicStream(path: String, rowsPerBatch: Long)
             if (segIdx >= segs.length) return false
             val (base, f) = segs(segIdx)
             segIdx += 1
-            val cnt = GateTopic.recordCount(f)
+            val cnt = GateTopic.recordCount(f,
+              sealed_ = segIdx < segs.length) // tail segment still grows
             if (base + cnt > off) { // segment contains our position
+              // fail LOUDLY on a log gap: if the first overlapping
+              // segment starts past our offset (retention deleted a
+              // segment, or a hand-built log skips a base), a silent
+              // drop(<0) no-op would mislabel every record's offset
+              require(base <= off, s"GateTopic: offset $off not in the " +
+                s"log — first available segment starts at $base " +
+                s"(partition dir ${r.pDir})")
               src = scala.io.Source.fromFile(f, "UTF-8")
               lines = src.getLines().drop((off - base).toInt)
             }

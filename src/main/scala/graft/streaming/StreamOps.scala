@@ -277,7 +277,11 @@ object StreamOps {
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[Attribution] = {
-      rows.foreach(buf.appendValue)
+      // drop late-beyond-watermark rows (the uniform ingest guard): a
+      // stale touch folding in now would overwrite `carry` AFTER later
+      // events already advanced it, mis-attributing the next purchase
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      rows.foreach(e => if (micros(e.ts) >= wmUs) buf.appendValue(e))
       flush(timerValues.getCurrentWatermarkInMs())
     }
 
@@ -405,7 +409,11 @@ object StreamOps {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
-      rows.foreach(buf.appendValue)
+      // drop late-beyond-watermark rows (the uniform ingest guard): a
+      // stale event would immediately close as a spurious 1-event session
+      // the batch twin merges into an existing one
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      rows.foreach(e => if (micros(e.ts) >= wmUs) buf.appendValue(e))
       // Skip the O(N log N) buffer rewrite when nothing can close yet:
       // the earliest close time is non-decreasing as events arrive, so if
       // the watermark hasn't reached the armed timer there is nothing to
@@ -554,7 +562,15 @@ object StreamOps {
 
     override def handleInputRows(key: (Long, String), rows: Iterator[BandDoc],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DedupHit] = {
-      rows.foreach(r => pending.appendValue(PendingDoc(r.doc_id, micros(r.ts))))
+      // drop late-beyond-watermark rows (the uniform ingest guard): a
+      // stale doc folding in now would be marked the DUPLICATE of a doc
+      // that arrived after it, inverting the original/dup roles the batch
+      // twin assigns in global ts order
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      rows.foreach { r =>
+        val us = micros(r.ts)
+        if (us >= wmUs) pending.appendValue(PendingDoc(r.doc_id, us))
+      }
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
 
