@@ -187,25 +187,30 @@ object GateTopic {
   }
 
   /** Batch twin: read the whole topic back as a DataFrame with
-    * (partition, off) provenance — one task per topic partition, driver
-    * handles names only. Used by the oracled `source_gate_topic` key and
-    * as the backfill-equality reference in GateSourceSpec. */
+    * (partition, off) provenance — one task per SEGMENT file (not per
+    * partition: a backfill's parallelism must scale with log size, not
+    * with the topic's partition count; offsets are absolute via each
+    * segment's base, so per-segment tasks lose no ordering information).
+    * Driver handles names only. Used by the oracled `source_gate_topic`
+    * key and as the backfill-equality reference in GateSourceSpec. */
   def readBatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val parts = listPartitions(dir)
     require(parts.nonEmpty, s"GateTopic.readBatch: no p=* dirs under $dir")
-    val files = parts.map(p => p -> partitionDir(dir, p).getAbsolutePath)
+    val segs = parts.flatMap(p =>
+      segments(partitionDir(dir, p)).map { case (base, f) =>
+        (p, base, f.getAbsolutePath)
+      })
+    require(segs.nonEmpty, s"GateTopic.readBatch: no segment files under $dir")
     val rows = spark.sparkContext
-      .parallelize(files, files.length)
-      .flatMap { case (p, pd) =>
-        segments(new java.io.File(pd)).iterator.flatMap { case (base, f) =>
-          val src = scala.io.Source.fromFile(f, "UTF-8")
-          try src.getLines().zipWithIndex.map { case (line, i) =>
-            val (id, tsUs, uid, et, v) = GateTopic.decode(line)
-            (p, base + i, id, tsUs, uid, et, v)
-          }.toList // materialize the segment BEFORE closing the handle
-          finally src.close()
-        }
+      .parallelize(segs, segs.length)
+      .flatMap { case (p, base, path) =>
+        val src = scala.io.Source.fromFile(new java.io.File(path), "UTF-8")
+        try src.getLines().zipWithIndex.map { case (line, i) =>
+          val (id, tsUs, uid, et, v) = GateTopic.decode(line)
+          (p, base + i, id, tsUs, uid, et, v)
+        }.toList // materialize the segment BEFORE closing the handle
+        finally src.close()
       }
     spark.createDataFrame(rows).toDF(
       "partition", "off", "event_id", "ts_us", "user_id", "event_type", "value")
