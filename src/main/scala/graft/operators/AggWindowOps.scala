@@ -714,5 +714,51 @@ object AggWindowOps {
         "FROM events GROUP BY 1) " +
         "SELECT event_type, exact_n, est_n FROM ex JOIN est " +
         "USING (event_type) ORDER BY event_type"),
+
+    // Incremental materialized-view maintenance (round-10) — THE
+    // foundational 100-TB pattern the other agg keys assume but none
+    // demonstrated: a per-user rollup maintained as yesterday's SNAPSHOT
+    // merged with today's DELTA, never a full recompute. The mergeable
+    // state is count / DECIMAL(18,4)-exact sum / min / max — each merges
+    // with one (+ / least / greatest) per key; avg is deliberately NOT
+    // merged (partial avgs don't merge) but re-derived from the merged
+    // sum and count — the algebraic-vs-distributive distinction that
+    // decides what a snapshot may store. The split predicate is
+    // event_id % 3 (regen-proof, arbitrary), because merge correctness
+    // must not depend on HOW the corpus was partitioned. The ORACLE is
+    // the full single-pass recompute: the hash match certifies
+    // merge(snapshot, delta) == recompute(all), which is the entire
+    // contract of incremental maintenance. Scale shape: both partials
+    // are map-side-combined hash aggs sharing one scan-partitioned
+    // exchange; the merge is a keyed full-outer join of two
+    // aggregate-sized (not corpus-sized) frames.
+    "agg_incremental_mv" -> Q(
+      (s, d) => {
+        val ev = T(s, d, "events")
+        def mv(part: org.apache.spark.sql.DataFrame, tag: String) =
+          part.groupBy(col("user_id")).agg(
+            count(lit(1)).as(s"n_$tag"),
+            sum(dec(col("value"))).as(s"q_$tag"), // DECIMAL state, exact
+            min(col("event_id")).as(s"f_$tag"),
+            max(col("event_id")).as(s"l_$tag"))
+        val snap  = mv(ev.filter(col("event_id") % 3 =!= 0), "b")
+        val delta = mv(ev.filter(col("event_id") % 3 === 0), "d")
+        val zeroQ = lit(0).cast("decimal(28,4)")
+        snap.join(delta, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+              .as("n"),
+            (coalesce(col("q_b"), zeroQ) + coalesce(col("q_d"), zeroQ))
+              .cast("double").as("total"),
+            least(col("f_b"), col("f_d")).as("first_id"), // least skips nulls
+            greatest(col("l_b"), col("l_d")).as("last_id"))
+          .withColumn("avg_value", col("total") / col("n"))
+          .orderBy(col("user_id"))
+      },
+      usEvents("SELECT user_id, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total, " +
+        "MIN(event_id) AS first_id, MAX(event_id) AS last_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) " +
+        "AS avg_value FROM events GROUP BY 1 ORDER BY user_id")),
   )
 }

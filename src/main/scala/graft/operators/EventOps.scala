@@ -1497,6 +1497,49 @@ object EventOps {
     // Iterative link analysis over the type-transition graph — see
     // [[pagerankQ]] for the full design rationale.
     "evt_pagerank_transitions" -> pagerankQ,
+
+    // CDC changelog apply (round-10) — the lakehouse UPSERT/MERGE
+    // primitive, sibling of agg_incremental_mv: a keyed SNAPSHOT has a
+    // CHANGELOG of I/U/D ops applied onto it, latest-op-wins by
+    // (ts, event_id), a D tombstone deleting the key. The design point
+    // the key exists to pin: the snapshot must RETAIN tombstones (a
+    // compacted snapshot that dropped its D rows would let an OLDER
+    // changelog row resurrect a deleted key — the classic CDC-compaction
+    // bug), which is why `snap` below keeps op='D' rows and the filter
+    // runs only AFTER the merge. Ops are synthesized from event_type
+    // (error→D, signup→I, else U) and the snapshot/changelog split is
+    // the regen-proof event_id % 3. The ORACLE is the full recompute
+    // (latest op per user over ALL events, tombstones filtered last):
+    // hash match == apply(snapshot, changelog) ≡ recompute(all), the
+    // entire MERGE INTO contract. Scale shape: two row_number windows
+    // and a union, all hash-partitioned on user_id, aggregate-sized
+    // frames after the first window.
+    "evt_cdc_apply" -> Q(
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("user_id"), col("event_id"),
+          col("ts"), col("value"),
+          when(col("event_type") === "error", "D")
+            .when(col("event_type") === "signup", "I")
+            .otherwise("U").as("op"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        def latest(part: org.apache.spark.sql.DataFrame) =
+          part.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+        val snap = latest(ev.filter(col("event_id") % 3 =!= 0)) // keeps D!
+        val chg = ev.filter(col("event_id") % 3 === 0)
+        latest(snap.unionByName(chg))
+          .filter(col("op") =!= "D") // tombstones drop AFTER the merge
+          .select(col("user_id"), col("event_id").as("cur_event_id"),
+            col("op"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      usEvents("SELECT user_id, event_id AS cur_event_id, op, value FROM (" +
+        "SELECT user_id, event_id, value, CASE event_type " +
+        "WHEN 'error' THEN 'D' WHEN 'signup' THEN 'I' ELSE 'U' END AS op, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t " +
+        "WHERE rn = 1 AND op <> 'D' ORDER BY user_id")),
   )
 
   /** PageRank over the event-type transition graph (round-9 addendum) —

@@ -396,4 +396,27 @@ class PropertySpec extends SparkSpec {
         s"epochDay diverges from date_trunc at us=${r.getLong(1)}")
     }
   }
+
+  test("cdc apply: tombstone retention — an older changelog row cannot resurrect a delete") {
+    import org.apache.spark.sql.functions._
+    // user 7: base partition's LATEST op is a delete (event_id 8, %3!=0);
+    // the changelog carries an OLDER update (event_id 3, %3==0). A
+    // snapshot that compacted away its tombstone would resurrect user 7
+    // with the stale row; the key must keep them deleted. user 9 is a
+    // plain alive control.
+    val rows = Seq(
+      (3L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0), // older U, %3==0
+      (8L, ts("2024-01-01 11:00:00"), 7L, "error", 0.0), // newest: D, %3!=0
+      (4L, ts("2024-01-01 09:00:00"), 9L, "view", 2.0),
+      (6L, ts("2024-01-01 12:00:00"), 9L, "purchase", 5.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("evt_cdc_apply")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.contains(7L), s"tombstoned user resurrected: $out")
+    assert(out.get(9L).contains(6L), s"alive user lost or stale: $out")
+  }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }
