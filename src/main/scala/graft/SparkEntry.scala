@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AggWindowOps, DedupOps, DqOps, EventOps, FlowOps, LlmOps, MultimodalOps, RelationalOps, ScaleOps, SubqueryOps, TextOps}
+import graft.operators.{AggWindowOps, DedupOps, DqOps, EventOps, FlowOps, GraphOps, LlmOps, MultimodalOps, RelationalOps, ScaleOps, SubqueryOps, TextOps}
 import graft.functions.FnOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
@@ -15,7 +15,7 @@ object SparkEntry {
     RelationalOps.defs ++ SubqueryOps.defs ++ AggWindowOps.defs ++
       FnOps.defs ++ EventOps.defs ++ LlmOps.defs ++ TextOps.defs ++
       DedupOps.defs ++ MultimodalOps.defs ++ ScaleOps.defs ++ DqOps.defs ++
-      FlowOps.defs
+      FlowOps.defs ++ GraphOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape (SURVEY §7.2): scan → filter → hash agg → sort. */

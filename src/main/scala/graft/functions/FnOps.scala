@@ -273,6 +273,69 @@ object FnOps {
         "greatest(o_orderdate::DATE, DATE '1998-01-01')::TIMESTAMP AS clamped " +
         "FROM orders ORDER BY o_orderkey"),
 
+    // IANA timezone conversion (round-10) — the log-pipeline date filter's
+    // timezone mode [PK: Logstash date filter `timezone`]: UTC instants
+    // rendered into named zones (DST-aware, so New York flips -300/-240
+    // offsets across the fixture's 7 years) and zone-local wall clocks
+    // lifted back to UTC. Everything is emitted as epoch-second BIGINTs:
+    // Spark's from/to_utc_timestamp wall-clock arithmetic maps exactly onto
+    // DuckDB's timezone() (ICU) under the UTC session both harnesses pin,
+    // and integers dodge every timestamp-hashing pitfall. Pure codegen
+    // projections; the tz lookup is a per-row O(1) zone-rules probe.
+    "fn_timezone_suite" -> Q(
+      (s, d) => T(s, d, "orders")
+        .select(col("o_orderkey"),
+          big(unix_timestamp(from_utc_timestamp(col("o_orderdate"),
+            "America/New_York"))).as("ny_wall_s"),
+          big(unix_timestamp(to_utc_timestamp(col("o_orderdate"),
+            "Asia/Tokyo"))).as("tokyo_as_utc_s"),
+          big(hour(from_utc_timestamp(col("o_orderdate"), "Asia/Tokyo")))
+            .as("tokyo_hour"),
+          ((big(unix_timestamp(from_utc_timestamp(col("o_orderdate"),
+            "America/New_York"))) -
+            big(unix_timestamp(col("o_orderdate")))) / 60L)
+            .cast("long").as("ny_offset_min"))
+        .orderBy(col("o_orderkey")),
+      "SELECT o_orderkey, " +
+        "epoch_us(timezone('America/New_York', o_orderdate::TIMESTAMPTZ)) " +
+        "// 1000000 AS ny_wall_s, " +
+        "epoch_us(timezone('UTC', timezone('Asia/Tokyo', o_orderdate))) " +
+        "// 1000000 AS tokyo_as_utc_s, " +
+        "hour(timezone('Asia/Tokyo', o_orderdate::TIMESTAMPTZ))::BIGINT " +
+        "AS tokyo_hour, " +
+        "((epoch_us(timezone('America/New_York', o_orderdate::TIMESTAMPTZ)) " +
+        "// 1000000 - epoch_us(o_orderdate) // 1000000) // 60)::BIGINT " +
+        "AS ny_offset_min FROM orders ORDER BY o_orderkey"),
+
+    // printf-family formatting (round-10): both engines implement C-style
+    // printf (Spark format_string = java.util.Formatter, DuckDB printf =
+    // fmt's printf mode) — width, zero-pad, precision, hex/octal, left
+    // justification, sign all render identically (probed before this key
+    // was declared); thousands grouping via Spark format_number ≡ DuckDB
+    // format('{:,}') on INTEGERS only (floats are unsupported there, a
+    // documented engine gap, so the money column goes through %.2f). One
+    // codegen projection, no UDF.
+    "fn_format_suite" -> Q(
+      (s, d) => T(s, d, "part")
+        .select(col("p_partkey"),
+          format_string("%05d|%.2f|%s", col("p_size"),
+            col("p_retailprice"), col("p_brand")).as("padded"),
+          format_string("%x|%o|%X", col("p_partkey"), col("p_partkey"),
+            col("p_partkey")).as("radix"),
+          format_string("[%8s]|[%-8s]", col("p_brand"), col("p_brand"))
+            .as("justified"),
+          format_number(col("p_partkey") * 1000L + col("p_size"), 0)
+            .as("grouped"),
+          format_string("%+d", col("p_size") - 25).as("signed"))
+        .orderBy(col("p_partkey")),
+      "SELECT p_partkey, " +
+        "printf('%05d|%.2f|%s', p_size, p_retailprice, p_brand) AS padded, " +
+        "printf('%x|%o|%X', p_partkey, p_partkey, p_partkey) AS radix, " +
+        "printf('[%8s]|[%-8s]', p_brand, p_brand) AS justified, " +
+        "format('{:,}', p_partkey * 1000 + p_size) AS grouped, " +
+        "printf('%+d', p_size - 25) AS signed " +
+        "FROM part ORDER BY p_partkey"),
+
     "fn_date_suite" -> Q(
       (s, d) => T(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderdate"),

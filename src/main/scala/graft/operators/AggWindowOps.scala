@@ -142,6 +142,31 @@ object AggWindowOps {
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
 
+    // ROLLUP over a time HIERARCHY (round-10) — the sibling of the CUBE key
+    // above: year ⊃ month subtotals plus the grand total, the report shape
+    // every finance rollup ships. Distinct surface from CUBE: rollup emits
+    // only the hierarchy's prefixes (no month-without-year stratum), which
+    // is what makes it correct for nested dimensions. Same Expand-based
+    // plan (one scan, partial aggs per grouping set) and the same
+    // grouping-id + NULLS FIRST ordering discipline as agg_grouping_sets.
+    "agg_rollup_hierarchy" -> Q(
+      (s, d) => T(s, d, "orders")
+        .select(big(year(col("o_orderdate"))).as("yr"),
+          big(month(col("o_orderdate"))).as("mo"), col("o_totalprice"))
+        .rollup(col("yr"), col("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"),
+          big(grouping(col("yr"))).as("g_yr"), big(grouping(col("mo"))).as("g_mo"))
+        .orderBy(col("g_yr"), col("g_mo"),
+          col("yr").asc_nulls_first, col("mo").asc_nulls_first),
+      "SELECT yr, mo, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+        "GROUPING(yr)::BIGINT AS g_yr, GROUPING(mo)::BIGINT AS g_mo FROM (" +
+        "SELECT year(o_orderdate)::BIGINT AS yr, " +
+        "month(o_orderdate)::BIGINT AS mo, o_totalprice FROM orders) t " +
+        "GROUP BY ROLLUP(yr, mo) " +
+        "ORDER BY g_yr, g_mo, yr ASC NULLS FIRST, mo ASC NULLS FIRST"),
+
     "agg_having" -> Q(
       (s, d) => T(s, d, "orders")
         .groupBy(col("o_custkey"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.{Q, T}
+import graft.Dsl.dec
 import graft.operators.PinSyntax._
 
 /** Data-quality family: the profiling + expectation checks every pipeline
@@ -196,6 +197,108 @@ object DqOps {
         "THEN 'corrupt_json' ELSE 'ok' END AS reason FROM raw) " +
         "SELECT reason, COUNT(*)::BIGINT AS n, MIN(event_id) AS first_id, " +
         "MAX(event_id) AS last_id FROM cls GROUP BY 1 ORDER BY reason"),
+
+    // Referential-integrity sweep (round-10): every FK edge of the star
+    // schema in ONE report — (edge, child rows, orphans). dq_checks proves
+    // one anti-join; this key is the whole-schema version a warehouse gate
+    // actually runs nightly. Scale shape: each edge is a LEFT JOIN where
+    // the parent side is dim-sized (region 5 … customer 15k at sf0.1) so
+    // every one broadcasts; orphans = COUNT(parent key IS NULL) — no
+    // anti-join materialization, just a counted flag, and the five edges
+    // are independent branches that union at the end (each scans only its
+    // own two key columns).
+    "dq_referential_integrity" -> Q(
+      (s, d) => {
+        def edge(name: String, childT: String, childK: String,
+            parentT: String, parentK: String) = {
+          val c = T(s, d, childT).select(col(childK))
+          val p = T(s, d, parentT).select(col(parentK))
+          c.join(broadcast(p), c(childK) === p(parentK), "left")
+            .agg(count(lit(1)).as("n_child"),
+              sum(when(p(parentK).isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
+        }
+        edge("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey")
+          .unionByName(edge("lineitem_orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"))
+          .unionByName(edge("lineitem_part", "lineitem", "l_partkey",
+            "part", "p_partkey"))
+          .unionByName(edge("lineitem_supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"))
+          .unionByName(edge("nation_region", "nation", "n_regionkey",
+            "region", "r_regionkey"))
+          .unionByName(edge("orders_customer", "orders", "o_custkey",
+            "customer", "c_custkey"))
+          .orderBy(col("fk_edge"))
+      },
+      "SELECT fk_edge, n_child, n_orphans FROM (" +
+        "SELECT 'customer_nation' AS fk_edge, COUNT(*)::BIGINT AS n_child, " +
+        "SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_orphans FROM customer c LEFT JOIN nation n " +
+        "ON c.c_nationkey = n.n_nationkey " +
+        "UNION ALL SELECT 'lineitem_orders', COUNT(*)::BIGINT, " +
+        "SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT " +
+        "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "UNION ALL SELECT 'lineitem_part', COUNT(*)::BIGINT, " +
+        "SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT " +
+        "FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey " +
+        "UNION ALL SELECT 'lineitem_supplier', COUNT(*)::BIGINT, " +
+        "SUM(CASE WHEN sp.s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT " +
+        "FROM lineitem l LEFT JOIN supplier sp ON l.l_suppkey = sp.s_suppkey " +
+        "UNION ALL SELECT 'nation_region', COUNT(*)::BIGINT, " +
+        "SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)::BIGINT " +
+        "FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "UNION ALL SELECT 'orders_customer', COUNT(*)::BIGINT, " +
+        "SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT " +
+        "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey" +
+        ") t ORDER BY fk_edge"),
+
+    // Cross-table reconciliation (round-10) — the ledger-tieout DQ class:
+    // does the rolled-up fact tie to the header? Per order, lineitem gross
+    // revenue (DECIMAL-exact) vs o_totalprice, bucketed into a one-row
+    // tieout report (n matched within tolerance / n above / n below /
+    // total abs drift). TPC-H-style synthetic headers do NOT tie to their
+    // lines, which is exactly what the report shape must surface; the
+    // tolerance (1.0) and all comparisons run in DECIMAL so both engines
+    // bucket identically. Scale: one keyed agg on l_orderkey (the fact
+    // table's natural key — map-side partials), one broadcast-sized join
+    // against headers at dim scale... orders is fact-sized, so this is the
+    // standard shuffle-on-key join; the report is a scalar aggregate.
+    "dq_reconcile_orders" -> Q(
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(graft.Dsl.Money) - dec(col("l_discount"))))
+            .as("line_rev"))
+        val o = T(s, d, "orders")
+        val j = o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            dec(col("o_totalprice")).as("header"),
+            coalesce(col("line_rev"), lit(0).cast(graft.Dsl.Money))
+              .cast(graft.Dsl.Money).as("lines"))
+          .withColumn("diff", (col("header") - col("lines"))
+            .cast(graft.Dsl.Money))
+        j.agg(count(lit(1)).as("n_orders"),
+            sum(when(abs(col("diff")) <= 1.0, 1L).otherwise(0L)).as("n_tied"),
+            sum(when(col("diff") > 1.0, 1L).otherwise(0L)).as("n_header_over"),
+            sum(when(col("diff") < -1.0, 1L).otherwise(0L)).as("n_header_under"),
+            sum(abs(col("diff"))).cast("double").as("total_abs_drift"))
+      },
+      "WITH li AS (SELECT l_orderkey, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) " +
+        "AS line_rev FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT o.o_orderkey, " +
+        "CAST(o.o_totalprice AS DECIMAL(18,4)) AS header, " +
+        "CAST(COALESCE(li.line_rev, 0) AS DECIMAL(18,4)) AS lines " +
+        "FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey), " +
+        "dd AS (SELECT CAST(header - lines AS DECIMAL(18,4)) AS diff FROM j) " +
+        "SELECT COUNT(*)::BIGINT AS n_orders, " +
+        "SUM(CASE WHEN abs(diff) <= 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_tied, " +
+        "SUM(CASE WHEN diff > 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_header_over, " +
+        "SUM(CASE WHEN diff < -1.0 THEN 1 ELSE 0 END)::BIGINT AS n_header_under, " +
+        "CAST(SUM(abs(diff)) AS DOUBLE) AS total_abs_drift FROM dd"),
   )
 
   /** The synthetic raw ingest lines for the dead-letter demo (see key

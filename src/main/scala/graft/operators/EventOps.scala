@@ -1540,6 +1540,76 @@ object EventOps {
         "row_number() OVER (PARTITION BY user_id " +
         "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t " +
         "WHERE rn = 1 AND op <> 'D' ORDER BY user_id")),
+
+    // Max concurrent sessions per day (round-10) — the sweep-line / interval
+    // scheduling primitive: how many 30-min-gap sessions overlap at the
+    // busiest instant of each day. The naive formulation is ONE global
+    // ordered running sum (a single-partition window — the classic 100-TB
+    // bottleneck); instead sessions are CLIPPED to day segments
+    // (explode(sequence(st_day, en_day)) — bounded by session span), so the
+    // sweep windows partition by day and every day sweeps in parallel. A
+    // session alive at a day boundary contributes +1 at the day start, which
+    // is exactly the carry-in the global sweep would have accumulated — the
+    // per-day result is identical, the shuffle is keyed. Determinism: the
+    // running sum orders by the unique tuple (t, delta DESC, user, sid)
+    // with an explicit ROWS frame; +1 sorts before −1 at equal t, making
+    // the interval inclusive [st, en] on both engines.
+    "evt_concurrency_sweep" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val o = T(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("tus"))
+        val flagged = o.withColumn("ns",
+          when(lag(col("tus"), 1).over(w).isNull ||
+            col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        val sess = flagged
+          .withColumn("sid", sum(col("ns")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("tus")).as("st"), max(col("tus")).as("en"))
+        val seg = sess
+          .withColumn("dayn", explode(sequence(
+            expr("st div 86400000000"), expr("en div 86400000000"))))
+          .select(col("user_id"), col("sid"), col("dayn"),
+            greatest(col("st"), expr("dayn * 86400000000")).as("sg"),
+            least(col("en"), expr("(dayn + 1) * 86400000000 - 1")).as("eg"))
+        val pts = seg.select(col("dayn"), col("sg").as("t"),
+            lit(1L).as("delta"), col("user_id"), col("sid"))
+          .unionByName(seg.select(col("dayn"), col("eg").as("t"),
+            lit(-1L).as("delta"), col("user_id"), col("sid")))
+        val sweep = Window.partitionBy(col("dayn"))
+          .orderBy(col("t"), col("delta").desc, col("user_id"), col("sid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.withColumn("conc", sum(col("delta")).over(sweep))
+          .groupBy(col("dayn"))
+          .agg(max(col("conc")).as("max_concurrent"))
+          .orderBy(col("dayn"))
+      },
+      usEvents("WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus " +
+        "FROM events), " +
+        "f AS (SELECT user_id, event_id, tus, CASE WHEN " +
+        "lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS ns FROM o " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)), " +
+        "s AS (SELECT user_id, tus, SUM(ns) OVER (PARTITION BY user_id " +
+        "ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+        "b AS (SELECT user_id, sid, MIN(tus) AS st, MAX(tus) AS en " +
+        "FROM s GROUP BY 1, 2), " +
+        "seg AS (SELECT user_id, sid, d.dayn, " +
+        "GREATEST(st, d.dayn * 86400000000) AS sg, " +
+        "LEAST(en, (d.dayn + 1) * 86400000000 - 1) AS eg FROM b, " +
+        "unnest(generate_series(b.st // 86400000000, " +
+        "b.en // 86400000000)) AS d(dayn)), " +
+        "pts AS (SELECT dayn, sg AS t, 1 AS delta, user_id, sid FROM seg " +
+        "UNION ALL SELECT dayn, eg, -1, user_id, sid FROM seg), " +
+        "run AS (SELECT dayn, SUM(delta) OVER (PARTITION BY dayn " +
+        "ORDER BY t, delta DESC, user_id, sid ROWS UNBOUNDED PRECEDING) " +
+        "AS conc FROM pts) " +
+        "SELECT dayn, MAX(conc)::BIGINT AS max_concurrent FROM run " +
+        "GROUP BY 1 ORDER BY dayn")),
   )
 
   /** PageRank over the event-type transition graph (round-9 addendum) —

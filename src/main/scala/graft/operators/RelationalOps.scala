@@ -157,6 +157,39 @@ object RelationalOps {
       },
       "SELECT * FROM nation ORDER BY n_nationkey"),
 
+    // Malformed-input CSV contract (round-10) — ingestion's first real-world
+    // problem: a feed where some rows don't parse. PERMISSIVE mode must (a)
+    // keep every parseable field of a bad row, (b) null only the malformed
+    // field, and (c) capture the raw line in the corrupt-record column —
+    // this key pins all three AT ROW LEVEL (per-key parsed values + corrupt
+    // flag), so a silent fallback to DROPMALFORMED/FAILFAST semantics breaks
+    // the hash. The bad rows are synthesized deterministically from nation
+    // (every 5th key gets an unparseable n_regionkey), so the oracle needs
+    // no CSV reader at all: it states the expected parse outcome straight
+    // from the clean table. Scale: the scratch write is line-shaped and the
+    // read is a plain distributed CSV scan — per-row parse, no driver state.
+    "source_csv_permissive" -> Q(
+      (s, d) => {
+        val tmp = scratch("source_csv_malformed")
+        T(s, d, "nation").select(concat_ws(",",
+            col("n_nationkey"), col("n_name"),
+            when(col("n_nationkey") % 5 === 0, lit("xx"))
+              .otherwise(col("n_regionkey").cast("string"))).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT, _bad STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(tmp)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+            col("_bad").isNotNull.as("is_corrupt"))
+          .orderBy(col("n_nationkey"))
+      },
+      "SELECT n_nationkey, n_name, " +
+        "CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END " +
+        "AS n_regionkey, n_nationkey % 5 = 0 AS is_corrupt " +
+        "FROM nation ORDER BY n_nationkey"),
+
     // JSON-lines source surface (the reference's native event encoding).
     // Doubles survive: Spark writes shortest round-trip representations.
     "source_json_roundtrip" -> Q(
@@ -450,6 +483,48 @@ object RelationalOps {
       "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
         "ORDER BY c_custkey"),
+
+    // NULL-AWARE anti join (round-10) — NOT IN's tri-state truth table,
+    // which join_anti (NOT EXISTS) deliberately sidesteps: one NULL in the
+    // subquery annihilates the whole result, and a NULL probe is UNKNOWN,
+    // never TRUE. The three legs pin all three rows of the table with
+    // counts, so a future planner change that silently falls back to
+    // NOT-EXISTS semantics breaks the hash. Spark plans the single-column
+    // NOT IN as a null-aware BroadcastHashJoin LeftAnti
+    // (spark.sql.optimizeNullAwareAntiJoin, default on) — broadcast-sized
+    // build side here, no BNLJ (PlanAuditSpec sweeps this key like every
+    // other). Goes through spark.sql because the DataFrame API's left_anti
+    // is NOT null-aware — the SQL surface IS the operator.
+    "join_anti_null_aware" -> Q(
+      (s, d) => {
+        T(s, d, "events").createOrReplaceTempView("v_events_naaj")
+        s.sql(
+          """SELECT 'not_in_clean' AS leg, COUNT(*) AS n FROM v_events_naaj
+            |WHERE user_id NOT IN
+            |  (SELECT user_id FROM v_events_naaj WHERE event_type = 'error')
+            |UNION ALL
+            |SELECT 'not_in_null_poisoned', COUNT(*) FROM v_events_naaj
+            |WHERE user_id NOT IN
+            |  (SELECT CASE WHEN event_type = 'error' THEN user_id END
+            |   FROM v_events_naaj WHERE event_type IN ('error', 'signup'))
+            |UNION ALL
+            |SELECT 'null_probe_dropped', COUNT(*) FROM v_events_naaj
+            |WHERE CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END
+            |  NOT IN
+            |  (SELECT user_id FROM v_events_naaj WHERE event_type = 'error')
+            |ORDER BY leg""".stripMargin)
+      },
+      usEvents("SELECT 'not_in_clean' AS leg, COUNT(*) AS n FROM events " +
+        "WHERE user_id NOT IN " +
+        "(SELECT user_id FROM events WHERE event_type = 'error') " +
+        "UNION ALL SELECT 'not_in_null_poisoned', COUNT(*) FROM events " +
+        "WHERE user_id NOT IN " +
+        "(SELECT CASE WHEN event_type = 'error' THEN user_id END " +
+        "FROM events WHERE event_type IN ('error', 'signup')) " +
+        "UNION ALL SELECT 'null_probe_dropped', COUNT(*) FROM events " +
+        "WHERE CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END " +
+        "NOT IN (SELECT user_id FROM events WHERE event_type = 'error') " +
+        "ORDER BY leg")),
 
     "join_broadcast" -> Q(
       (s, d) => {

@@ -28,7 +28,7 @@ class OperatorRegistrySpec extends SparkSpec {
     val prefixes = Seq("scan_", "source_", "sink_", "sql_", "project_",
       "filter_", "drop_", "join_", "sort_", "topk_", "set_", "agg_", "win_",
       "fn_", "evt_", "stream_", "llm_", "mm_", "sub_", "sample_", "scale_",
-      "dq_", "flow_")
+      "dq_", "flow_", "graph_")
     val surveyKeys = keyPattern.findAllMatchIn(survey).map(_.group(1))
       .filter(k => prefixes.exists(k.startsWith)).toSet -
       // narrative function mentions that are not declared keys
