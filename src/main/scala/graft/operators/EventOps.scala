@@ -91,6 +91,19 @@ object EventOps {
       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
       "FROM events GROUP BY 1, 2 ORDER BY bucket, event_type")
 
+  private def sliding(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  private val slidingSql: String = usEvents(
+    "SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts) / 900) * 900 - k.k * 900 " +
+      "AS BIGINT) * INTERVAL 1 SECOND AS wstart, event_type, COUNT(*) AS n " +
+      "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k " +
+      "GROUP BY 1, 2 ORDER BY wstart, event_type")
+
   /** Shared RFM rollup: per-user (recency_us, freq, monetary). Recency is
     * exact integer µs from the corpus max-ts; monetary goes through the
     * decimal sum discipline. Shared by the exact-ntile and
@@ -141,21 +154,20 @@ object EventOps {
 
     // 1h window sliding by 15m: each event lands in 4 epoch-aligned windows,
     // exactly Spark's window(ts, '1 hour', '15 minutes') semantics.
-    "evt_sliding_window_batch" -> Q(
-      (s, d) => T(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("wstart"), col("event_type"), col("n"))
-        .orderBy(col("wstart"), col("event_type")),
-      usEvents("SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts) / 900) * 900 - k.k * 900 " +
-        "AS BIGINT) * INTERVAL 1 SECOND AS wstart, event_type, COUNT(*) AS n " +
-        "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k " +
-        "GROUP BY 1, 2 ORDER BY wstart, event_type")),
+    "evt_sliding_window_batch" -> Q(sliding _, slidingSql),
 
     // ---- §2.J streaming batch twins ----------------------------------
     // Same aggregation the streaming tumbling query emits after watermark
     // close; stream≡batch equivalence asserted in StreamingSpec.
     "stream_tumbling_agg" -> Q(tumbling _, tumblingSql),
+
+    // Streaming twin of the sliding window (round-10): the overlapping-
+    // window shape is where streaming state sizing actually bites — each
+    // event lives in 4 open windows at once, so watermark eviction must
+    // close 4× the state of the tumbling case. StreamOps.slidingAgg is the
+    // streaming side; StreamingSpec pins stream ≡ batch over 3 chunked
+    // MemoryStream batches.
+    "stream_sliding_agg" -> Q(sliding _, slidingSql),
 
     "stream_session_window" -> Q(sessionAgg _, sessionizeSql),
 
@@ -1610,6 +1622,56 @@ object EventOps {
         "AS conc FROM pts) " +
         "SELECT dayn, MAX(conc)::BIGINT AS max_concurrent FROM run " +
         "GROUP BY 1 ORDER BY dayn")),
+
+    // Changepoint detection over the daily event-count series (round-10) —
+    // the first step of binary segmentation (Scott & Knott / PELT family):
+    // for every candidate split day d, score how far the mean level before
+    // d departs from the mean after d. The score is the |difference of
+    // means| as an EXACT rational — numerator and denominator are BIGINT
+    // products of prefix sums (|S_d·(n−d) − (S_n−S_d)·d| over d·(n−d)) —
+    // and only the final ranking division is a double (bit-identical IEEE
+    // division in both engines). Scale shape: the series is day-grained
+    // (corpus-sized agg once, then a ~30-row frame at any sf), the prefix
+    // sums are one tiny ordered window, and the global n/S_n ride along as
+    // a broadcast 1-row aggregate — never a driver scalar.
+    "evt_changepoint_split" -> Q(
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dayn"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("dayn"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pre = daily
+          .withColumn("cum", sum(col("x")).over(w))
+          .withColumn("idx", row_number().over(Window.orderBy(col("dayn"))))
+        val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sn"))
+        pre.crossJoin(broadcast(tot))
+          .filter(col("idx") < col("n")) // a split needs a non-empty right side
+          .select(col("dayn"), col("x"), col("cum"),
+            abs(col("cum") * (col("n") - col("idx")) -
+              (col("sn") - col("cum")) * col("idx")).as("score_num"),
+            (col("idx") * (col("n") - col("idx"))).as("score_den"))
+          .withColumn("score",
+            col("score_num").cast("double") / col("score_den").cast("double"))
+          .withColumn("is_changepoint",
+            col("score") === max(col("score")).over(
+              Window.partitionBy(lit(1))))
+          .orderBy(col("dayn"))
+      },
+      usEvents("WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dayn, " +
+        "COUNT(*)::BIGINT AS x FROM events GROUP BY 1), " +
+        "pre AS (SELECT dayn, x, " +
+        "SUM(x) OVER (ORDER BY dayn ROWS UNBOUNDED PRECEDING)::BIGINT AS cum, " +
+        "row_number() OVER (ORDER BY dayn)::BIGINT AS idx FROM daily), " +
+        "tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sn FROM daily), " +
+        "sc AS (SELECT dayn, x, cum, " +
+        "abs(cum * (n - idx) - (sn - cum) * idx)::BIGINT AS score_num, " +
+        "(idx * (n - idx))::BIGINT AS score_den " +
+        "FROM pre CROSS JOIN tot WHERE idx < n), " +
+        "s2 AS (SELECT *, CAST(score_num AS DOUBLE) / CAST(score_den AS DOUBLE) " +
+        "AS score FROM sc) " +
+        "SELECT dayn, x, cum, score_num, score_den, score, " +
+        "score = MAX(score) OVER () AS is_changepoint FROM s2 ORDER BY dayn")),
   )
 
   /** PageRank over the event-type transition graph (round-9 addendum) —

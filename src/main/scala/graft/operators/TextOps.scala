@@ -735,5 +735,47 @@ object TextOps {
         "SELECT t.doc_id, t.total_lines, COALESCE(k.kept_lines, 0)::BIGINT " +
         "AS kept_lines, COALESCE(k.clean_sig, md5('')) AS clean_sig " +
         "FROM tot t LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
+
+    // Code-vs-prose detection (round-10) — the curation filter every
+    // code/NL mixed crawl needs before domain mixing: symbol density, digit
+    // density, and brace presence vote on whether a doc is code. The
+    // fixture corpus is pure prose, so a deterministic subset (doc_id % 7
+    // == 0) is first REWRITTEN into code shape (underscored identifiers
+    // inside a def/braces wrapper) — the planted ground truth the detector
+    // must then recover exactly. All signals are integer counts (length
+    // deltas after character strips) and the thresholds compare
+    // cross-multiplied (1000 * n_sym vs τ * n_chars), so no ratio ever
+    // leaves integer space. One codegen projection pass, no UDF.
+    "llm_code_detect" -> Q(
+      (s, d) => {
+        val mutated = T(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("def f_"), col("doc_id").cast("string"), lit("(): return {"),
+              translate(col("text"), " ", "_"), lit("}")))
+            .otherwise(col("text")).as("body"))
+        mutated.select(col("doc_id"),
+            length(col("body")).cast("long").as("n_chars"),
+            (length(col("body")) -
+              length(translate(col("body"), "_(){}:", "")))
+              .cast("long").as("n_sym"),
+            (length(col("body")) -
+              length(translate(col("body"), "0123456789", "")))
+              .cast("long").as("n_digit"),
+            col("body").contains("{").as("has_brace"))
+          .withColumn("is_code",
+            col("has_brace") && col("n_sym") * 1000L > col("n_chars") * 20L)
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, n_chars, n_sym, n_digit, has_brace, " +
+        "has_brace AND n_sym * 1000 > n_chars * 20 AS is_code FROM (" +
+        "SELECT doc_id, length(body)::BIGINT AS n_chars, " +
+        "(length(body) - length(replace(replace(replace(replace(replace(" +
+        "replace(body, '_', ''), '(', ''), ')', ''), '{', ''), '}', ''), " +
+        "':', '')))::BIGINT AS n_sym, " +
+        "(length(body) - length(regexp_replace(body, '[0-9]', '', 'g')))" +
+        "::BIGINT AS n_digit, contains(body, '{') AS has_brace FROM (" +
+        "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN " +
+        "'def f_' || doc_id || '(): return {' || replace(text, ' ', '_') " +
+        "|| '}' ELSE text END AS body FROM documents) m) t ORDER BY doc_id"),
   )
 }

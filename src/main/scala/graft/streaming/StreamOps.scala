@@ -56,6 +56,17 @@ object StreamOps {
       .select(col("window.start").as("bucket"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Sliding 1h windows every 15m: the overlapping-window state shape —
+    * each event is live in 4 windows, so the watermark closes 4× the
+    * per-key state of the tumbling case. Stream twin of
+    * `stream_sliding_agg`; stream ≡ batch pinned in StreamingSpec. */
+  def slidingAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+
   /** Session gauge: 30-min inactivity gap, keyed by user. */
   def sessionAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events

@@ -46,6 +46,13 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stream sliding agg == batch sliding agg (3 batches)") {
+    val got = runStream("t_slide", 3)(df => StreamOps.slidingAgg(df))
+      .orderBy($"wstart", $"event_type").collect()
+    val want = SparkEntry.queries("stream_sliding_agg")(spark, sf001).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("flow config compiles streaming too: stream == batch for the shared spec") {
     // ONE JSON spec (FlowOps.streamAggSpec) drives both sides: here it
     // compiles onto a MemoryStream as a Structured Streaming pipeline; the
