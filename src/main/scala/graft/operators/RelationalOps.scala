@@ -190,6 +190,38 @@ object RelationalOps {
         "AS n_regionkey, n_nationkey % 5 = 0 AS is_corrupt " +
         "FROM nation ORDER BY n_nationkey"),
 
+    // Whole-file binary ingestion (round-10) — the `binaryFile` DSv2
+    // source: one row per FILE (path, length, opaque content bytes), the
+    // ingress shape for the multimodal family (mm_* keys consume binary
+    // COLUMNS; this key is where such columns come from). Fixture: the
+    // documents corpus is laid out as one text blob per lang
+    // (sortWithinPartitions from a single upstream partition ⇒ exactly one
+    // deterministically-ordered file per lang dir — the write is
+    // fixture-shaped; production only READS binary files). The key emits
+    // (lang, length, md5(content)), and the oracle recomputes both from
+    // the documents table alone — so the hash match certifies the entire
+    // write→binary-read chain byte-for-byte, newlines included.
+    "source_binary_files" -> Q(
+      (s, d) => {
+        val tmp = scratch("source_binary_langs")
+        T(s, d, "documents").select(col("lang"), col("text"), col("doc_id"))
+          .repartition(1)
+          .sortWithinPartitions(col("lang"), col("doc_id"))
+          .select(col("lang"), col("text"))
+          .write.mode("overwrite").partitionBy("lang").text(tmp)
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.txt")
+          .load(tmp)
+          .select(
+            regexp_extract(col("path"), "lang=([^/]+)/", 1).as("lang"),
+            col("length"), md5(col("content")).as("content_md5"))
+          .orderBy(col("lang"))
+      },
+      "SELECT lang, " +
+        "(SUM(strlen(text)) + COUNT(*))::BIGINT AS length, " + // bytes, not chars
+        "md5(string_agg(text, chr(10) ORDER BY doc_id) || chr(10)) " +
+        "AS content_md5 FROM documents GROUP BY lang ORDER BY lang"),
+
     // JSON-lines source surface (the reference's native event encoding).
     // Doubles survive: Spark writes shortest round-trip representations.
     "source_json_roundtrip" -> Q(

@@ -52,6 +52,32 @@ object Scale {
   /** Writes both sides bucketed+sorted on the join key so the join needs no
     * shuffle at read time (co-located, SMJ over pre-sorted buckets).
     * Returns the joined frame; the caller asserts on the plan. */
+  /** One bucketed table, saved once per (name, memoKey) and read back:
+    * the layout lever behind both the co-located join and the
+    * shuffle-free aggregation keys. */
+  def bucketedTable(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      key: String, buckets: Int, name: String, memoKey: String = ""): DataFrame = {
+    val tbl = if (memoKey.isEmpty) name else s"${name}_${dirTag(memoKey)}"
+    def save(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val whConf = spark.conf.get("spark.sql.warehouse.dir")
+      val whPath = Option(new java.net.URI(whConf).getPath)
+        .filter(_.nonEmpty).getOrElse(whConf)
+      val wh = new java.io.File(whPath, tbl)
+      if (wh.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(wh)
+      }
+      df.write.bucketBy(buckets, key).sortBy(key).saveAsTable(tbl)
+    }
+    if (memoKey.isEmpty) save()
+    else writeOnce(s"bucketedTable|$memoKey|$tbl")(save())
+    spark.table(tbl)
+  }
+
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
       left: DataFrame, right: DataFrame, key: String, buckets: Int,
       leftName: String, rightName: String, memoKey: String = ""): DataFrame = {

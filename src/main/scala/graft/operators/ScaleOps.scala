@@ -108,6 +108,29 @@ object ScaleOps {
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
         "GROUP BY 1 ORDER BY 1"),
 
+    // Shuffle-FREE aggregation via bucketed layout (round-10) — the agg
+    // sibling of scale_bucketed_join: events saved bucketed by user_id mean
+    // a groupBy(user_id) consumes the bucket hash distribution directly and
+    // the plan has NO Exchange at all (ScaleSpec asserts it). At 100 TB
+    // this is the difference between an aggregation that reshuffles the
+    // corpus every run and one that only ever reads co-located files —
+    // the amortize-the-layout-once pattern every nightly rollup wants.
+    "scale_bucketed_agg" -> Q(
+      (s, d) => {
+        val ev = T(s, d, "events")
+          .select(col("user_id"), col("value"), col("event_id"))
+        Scale.bucketedTable(s, ev, "user_id", 8, "graft_scale_ev_agg",
+            memoKey = d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"),
+            min(col("event_id")).as("first_event"))
+          .orderBy(col("user_id"))
+      },
+      usEvents("SELECT user_id, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value, " +
+        "MIN(event_id) AS first_event FROM events " +
+        "GROUP BY 1 ORDER BY user_id")),
+
     // Skew-safe two-phase aggregation: 5 hot group keys spread over 16
     // salts before combining. Result == plain GROUP BY; decimal partials
     // keep the two-phase double sum exact.

@@ -58,6 +58,20 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_b_orders")
   }
 
+  test("bucketed aggregation plans without any exchange") {
+    val ev = T(spark, sf001, "events")
+      .select($"user_id", $"value", $"event_id")
+    val agg = Scale.bucketedTable(spark, ev, "user_id", 8, "graft_b_ev")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // the bucket hash distribution must satisfy the aggregation outright:
+    // no shuffle of any kind between scan and final HashAggregate
+    assert(!plan.contains("Exchange"),
+      s"bucketed agg still shuffles:\n$plan")
+    assert(agg.count() == ev.select($"user_id").distinct().count())
+    spark.sql("DROP TABLE IF EXISTS graft_b_ev")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     val conf = spark.conf
     val saved = Seq(
