@@ -1623,6 +1623,32 @@ object EventOps {
         "SELECT dayn, MAX(conc)::BIGINT AS max_concurrent FROM run " +
         "GROUP BY 1 ORDER BY dayn")),
 
+    // Streaming CDC apply, batch twin (round-10) — evt_cdc_apply proves
+    // merge(snapshot, changelog) ≡ recompute; THIS key is the recompute
+    // with tombstones RETAINED (op='D' rows emitted, not filtered), which
+    // is exactly the final state StreamOps.CdcApplyProcessor's monotone
+    // max fold converges to — StreamingSpec pins the stream's last
+    // emission per key against this frame. One row_number window over
+    // user_id, hash-partitioned, aggregate-sized output.
+    "stream_cdc_apply" -> Q(
+      (s, d) => T(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          when(col("event_type") === "error", "D")
+            .when(col("event_type") === "signup", "I")
+            .otherwise("U").as("op"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("cur_event_id"),
+          col("op"), col("value"))
+        .orderBy(col("user_id")),
+      usEvents("SELECT user_id, event_id AS cur_event_id, op, value FROM (" +
+        "SELECT user_id, event_id, value, CASE event_type " +
+        "WHEN 'error' THEN 'D' WHEN 'signup' THEN 'I' ELSE 'U' END AS op, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t " +
+        "WHERE rn = 1 ORDER BY user_id")),
+
     // Changepoint detection over the daily event-count series (round-10) —
     // the first step of binary segmentation (Scott & Knott / PELT family):
     // for every candidate split day d, score how far the mean level before

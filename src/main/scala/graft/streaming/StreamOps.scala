@@ -1023,6 +1023,71 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Current CDC winner per key (streaming twin of `stream_cdc_apply`'s
+    * batch recompute): event time + id of the latest op, the op itself
+    * (D tombstones RETAINED — the compaction rule evt_cdc_apply pins),
+    * and its payload. */
+  case class CdcCur(tsUs: Long, eventId: Long, op: String, value: Double)
+  case class CdcOut(user_id: Long, cur_event_id: Long, op: String,
+      value: Double, ts_us: Long)
+
+  /** Streaming CDC apply — the keyed UPSERT state machine: every event is
+    * an I/U/D op (the evt_cdc_apply mapping) and state holds only the
+    * per-key WINNER by (event time, event id). The fold is a monotone MAX,
+    * so it is commutative and order-insensitive: out-of-order and even
+    * late-beyond-watermark rows cannot corrupt it (a stale row simply
+    * loses the comparison) — which is why this processor needs NO pending
+    * buffer, no timers, and no watermark-drop guard, unlike the
+    * order-sensitive fold processors above. Emits the new current row on
+    * every winner change (the changelog a downstream materialized view
+    * consumes); state is one tuple per live key. */
+  class CdcApplyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, CdcOut] {
+    @transient private var cur:
+      org.apache.spark.sql.streaming.ValueState[CdcCur] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cur = getHandle.getValueState[CdcCur]("cdc_cur",
+        org.apache.spark.sql.Encoders.product[CdcCur],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CdcOut] = {
+      var c = Option(cur.get())
+      var changed = false
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        val newer = c.forall(o =>
+          us > o.tsUs || (us == o.tsUs && e.event_id > o.eventId))
+        if (newer) {
+          val op = e.event_type match {
+            case "error"  => "D"
+            case "signup" => "I"
+            case _        => "U"
+          }
+          c = Some(CdcCur(us, e.event_id, op, e.value))
+          changed = true
+        }
+      }
+      if (changed) {
+        val w = c.get
+        cur.update(w)
+        Iterator.single(CdcOut(key, w.eventId, w.op, w.value, w.tsUs))
+      } else Iterator.empty
+    }
+  }
+
+  def cdcApplyStream(events: Dataset[Event]): Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new CdcApplyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** One completed task rollup (the streaming twin of an
     * `evt_aggregate_task` output row; the open task lives in state and is
     * never emitted — the Logstash aggregate filter's timeout-discard). */

@@ -337,6 +337,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC apply (transformWithState) final state == batch recompute") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.cdcApplyStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("t_cdc").start()
+    try {
+      // deliver OUT OF ORDER (reverse event order, 3 chunks): the monotone
+      // max fold must converge to the same winners regardless
+      typedEvents.reverse.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // last emission per key IS the current state (changelog contract)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us".desc, $"cur_event_id".desc)
+      val got = spark.table("t_cdc")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"cur_event_id", $"op", $"value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+      val want = SparkEntry.queries("stream_cdc_apply")(spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-static broadcast enrichment == batch twin (3 batches)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
