@@ -414,6 +414,37 @@ object FnOps {
       "SELECT event_id, props, json_extract_string(props, '$.k')::BIGINT AS k " +
         "FROM events ORDER BY event_id"),
 
+    // Nested-JSON document round trip (round-10) — the struct/array JSON
+    // surface fn_json_extract's flat path probe doesn't touch: per-user
+    // events are rolled into ONE nested document (struct with an
+    // array-of-structs), serialized with to_json, parsed back with an
+    // explicit from_json schema, and EXPLODED back to rows. The oracle is
+    // the identity (the original rows straight from the table), so the
+    // hash match certifies serialize→parse→explode loses nothing — the
+    // contract every JSON event-envelope pipeline depends on.
+    // Determinism: collect_list order is pinned by sort_array over the
+    // (event_id-first) struct. Scale: one keyed agg + per-row generate —
+    // both hash-partitioned, no driver state.
+    "fn_json_nested_roundtrip" -> Q(
+      (s, d) => {
+        val nested = T(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(
+            struct(col("event_id"), col("event_type")))).as("evs"))
+        val js = nested.select(col("user_id"),
+          to_json(struct(col("user_id"), col("evs"))).as("doc"))
+        val schema = "user_id BIGINT, " +
+          "evs ARRAY<STRUCT<event_id: BIGINT, event_type: STRING>>"
+        js.select(from_json(col("doc"), schema, Map.empty[String, String])
+            .as("o"))
+          .select(col("o.user_id").as("user_id"), explode(col("o.evs")).as("e"))
+          .select(col("user_id"), col("e.event_id").as("event_id"),
+            col("e.event_type").as("event_type"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      "SELECT user_id, event_id, event_type FROM events " +
+        "ORDER BY user_id, event_id"),
+
     "fn_case_when" -> Q(
       (s, d) => T(s, d, "events")
         .select(col("event_id"), col("event_type"), col("value"),

@@ -142,6 +142,29 @@ object AggWindowOps {
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
 
+    // EXPLICIT grouping sets (round-10) — the third of the trio: CUBE is
+    // every subset, ROLLUP is hierarchy prefixes, GROUPING SETS is an
+    // arbitrary hand-picked list — here ((rf), (ls), ()): per-flag totals,
+    // per-status totals, and the grand total, WITHOUT the (rf, ls) cross
+    // stratum either sibling would force. Same single-scan Expand plan.
+    "agg_grouping_sets_explicit" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+          big(grouping(col("l_returnflag"))).as("g_rf"),
+          big(grouping(col("l_linestatus"))).as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "GROUPING(l_returnflag)::BIGINT AS g_rf, " +
+        "GROUPING(l_linestatus)::BIGINT AS g_ls FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, " +
+        "l_linestatus ASC NULLS FIRST"),
+
     // ROLLUP over a time HIERARCHY (round-10) — the sibling of the CUBE key
     // above: year ⊃ month subtotals plus the grand total, the report shape
     // every finance rollup ships. Distinct surface from CUBE: rollup emits

@@ -777,5 +777,43 @@ object TextOps {
         "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN " +
         "'def f_' || doc_id || '(): return {' || replace(text, ' ', '_') " +
         "|| '}' ELSE text END AS body FROM documents) m) t ORDER BY doc_id"),
+
+    // HTML boilerplate stripping (round-10) — the first transform of every
+    // web-crawl curation pipeline: drop markup, decode entities, collapse
+    // whitespace. The fixture corpus is plain text, so docs are first
+    // deterministically WRAPPED into an HTML shell (nav boilerplate, body
+    // tags, &amp;/&lt; entities spliced between words) — ground truth the
+    // stripper must invert exactly: the key certifies strip(wrap(text)) ==
+    // text plus the boilerplate-free length accounting. Pure
+    // regexp_replace/replace codegen chain, identical semantics both
+    // engines (probed), one projection pass — at 100 TB this runs at scan
+    // speed with zero shuffle.
+    "llm_html_strip" -> Q(
+      (s, d) => {
+        val wrapped = T(s, d, "documents").select(col("doc_id"),
+          concat(lit("<html><nav>menu &amp; links</nav><body><p class=\"c\">"),
+            regexp_replace(col("text"), " ", "</p> <p>&nbsp;"),
+            lit("</p></body></html>")).as("html"))
+        wrapped.select(col("doc_id"),
+            length(col("html")).cast("long").as("html_len"),
+            trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(col("html"), "<[^>]*>", " "),
+              "&nbsp;", " "), "&amp;", "&"), "&lt;", "<"),
+              " +", " ")).as("clean"))
+          .select(col("doc_id"), col("html_len"),
+            length(col("clean")).cast("long").as("clean_len"),
+            md5(col("clean")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, html_len, length(clean)::BIGINT AS clean_len, " +
+        "md5(clean) AS clean_md5 FROM (" +
+        "SELECT doc_id, length(html)::BIGINT AS html_len, " +
+        "trim(regexp_replace(replace(replace(replace(" +
+        "regexp_replace(html, '<[^>]*>', ' ', 'g'), " +
+        "'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), ' +', ' ', 'g')) " +
+        "AS clean FROM (" +
+        "SELECT doc_id, '<html><nav>menu &amp; links</nav><body><p class=\"c\">' " +
+        "|| replace(text, ' ', '</p> <p>&nbsp;') || '</p></body></html>' " +
+        "AS html FROM documents) w) t ORDER BY doc_id"),
   )
 }
