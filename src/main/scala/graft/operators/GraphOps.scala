@@ -60,27 +60,31 @@ object GraphOps {
       "FROM c2 a JOIN c2 b ON a.hb = b.hb AND a.event_type = b.event_type " +
       "AND a.user_id < b.user_id)"
 
-  /** Undirected co-occurrence edges (src < dst), hot-cell-capped. */
-  private def edges(s: SparkSession, d: String): DataFrame = {
-    val c = cells(s, d)
-    val ok = c.groupBy(col("hb"), col("event_type"))
-      .agg(count(lit(1)).as("cell_n"))
-      .filter(col("cell_n") <= MaxCellUsers)
-      .select(col("hb"), col("event_type"))
-    val c2 = c.join(ok, Seq("hb", "event_type"))
-    val a = c2.select(col("hb"), col("event_type"), col("user_id").as("src"))
-    val b = c2.select(col("hb"), col("event_type"), col("user_id").as("dst"))
-    a.join(b, Seq("hb", "event_type"))
-      .filter(col("src") < col("dst"))
-      .select(col("src"), col("dst")).distinct()
-  }
+  /** Undirected co-occurrence edges (src < dst), hot-cell-capped. ALL four
+    * graph keys consume this frame, so it is computed ONCE per (input dir)
+    * as a committed snapshot (the cluster-family discipline,
+    * Scale.snapshotOnce): the first key to run pays the distinct + capped
+    * self-join; every later key — same run or a crash replay — reads the
+    * committed parquet back. Bump the version if the edge SEMANTICS change. */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Scale.snapshotOnce(s, "graph_cooccur", 1, d) {
+      val c = cells(s, d)
+      val ok = c.groupBy(col("hb"), col("event_type"))
+        .agg(count(lit(1)).as("cell_n"))
+        .filter(col("cell_n") <= MaxCellUsers)
+        .select(col("hb"), col("event_type"))
+      val c2 = c.join(ok, Seq("hb", "event_type"))
+      val a = c2.select(col("hb"), col("event_type"), col("user_id").as("src"))
+      val b = c2.select(col("hb"), col("event_type"), col("user_id").as("dst"))
+      a.join(b, Seq("hb", "event_type"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst")).distinct()
+    }
 
-  /** Both directions, for traversal keys. Pinned: BFS/LPA consume it once
-    * per round and the edge build (window-free but join-heavy) should run
-    * exactly once per key, not once per round. */
+  /** Both directions, for traversal keys — two scans of the snapshot. */
   private def symEdges(s: SparkSession, d: String): DataFrame = {
     val e = edges(s, d)
-    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).pinned
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   private val symSql =
