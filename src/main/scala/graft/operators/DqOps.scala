@@ -201,19 +201,22 @@ object DqOps {
     // Referential-integrity sweep (round-10): every FK edge of the star
     // schema in ONE report — (edge, child rows, orphans). dq_checks proves
     // one anti-join; this key is the whole-schema version a warehouse gate
-    // actually runs nightly. Scale shape: each edge is a LEFT JOIN where
-    // the parent side is dim-sized (region 5 … customer 15k at sf0.1) so
-    // every one broadcasts; orphans = COUNT(parent key IS NULL) — no
-    // anti-join materialization, just a counted flag, and the five edges
-    // are independent branches that union at the end (each scans only its
-    // own two key columns).
+    // actually runs nightly. Scale shape: each edge is a LEFT JOIN on the
+    // parent KEY COLUMN only; truly dim-sized parents (region 5, nation
+    // 25, supplier/part) broadcast under the optimizer's threshold on
+    // their own, while fact-sized parents (orders, customer — they grow
+    // with sf) take the keyed shuffle join a forced broadcast hint would
+    // have turned into an executor OOM at 100 TB. Orphans = COUNT(parent
+    // key IS NULL) — no anti-join materialization, and the six edges are
+    // independent branches that union at the end (each scans only its own
+    // two key columns).
     "dq_referential_integrity" -> Q(
       (s, d) => {
         def edge(name: String, childT: String, childK: String,
             parentT: String, parentK: String) = {
           val c = T(s, d, childT).select(col(childK))
           val p = T(s, d, parentT).select(col(parentK))
-          c.join(broadcast(p), c(childK) === p(parentK), "left")
+          c.join(p, c(childK) === p(parentK), "left")
             .agg(count(lit(1)).as("n_child"),
               sum(when(p(parentK).isNull, 1L).otherwise(0L)).as("n_orphans"))
             .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))

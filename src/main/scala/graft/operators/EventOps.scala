@@ -749,6 +749,66 @@ object EventOps {
         "FROM events) t WHERE event_type = 'purchase' " +
         "GROUP BY 1 ORDER BY channel")),
 
+    // Linear MULTI-touch attribution (round-10) — evt_attribution's
+    // sibling: instead of the last touch taking everything, every touch in
+    // the conversion path (all non-purchase events since the previous
+    // purchase) shares the credit equally. Credit is integer micro-units —
+    // each channel's share is ONE floor division (cnt·1e6 div n_touches),
+    // so both engines produce identical integers and a path's credit never
+    // exceeds 1e6 (floor loss is deterministic). A touchless conversion
+    // credits '(none)'. Same scale shape as the aggregate-task family:
+    // one user-partitioned window to number conversion paths, then keyed
+    // aggs — one shuffle on user_id, channel-sized output.
+    "evt_attribution_linear" -> Q(
+      (s, d) => {
+        val priorW = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = T(s, d, "events")
+          .withColumn("task", coalesce(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .over(priorW), lit(0L)))
+        val tasks = ev.groupBy(col("user_id"), col("task"))
+          .agg(max(when(col("event_type") === "purchase", col("event_id")))
+            .as("conv_id"),
+            sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+              .as("n_touches"))
+          .filter(col("conv_id").isNotNull)
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .groupBy(col("user_id"), col("task"),
+            col("event_type").as("channel"))
+          .agg(count(lit(1)).as("cnt"))
+        val credited = touches.join(tasks, Seq("user_id", "task"))
+          .select(col("channel"),
+            expr("(cnt * 1000000) div n_touches").as("credit"))
+        val none = tasks.filter(col("n_touches") === 0)
+          .select(lit("(none)").as("channel"), lit(1000000L).as("credit"))
+        credited.unionByName(none)
+          .groupBy(col("channel"))
+          .agg(sum(col("credit")).as("credit_micro"),
+            count(lit(1)).as("n_task_channels"))
+          .orderBy(col("channel"))
+      },
+      usEvents("WITH ev AS (SELECT user_id, event_id, event_type, " +
+        "COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS task " +
+        "FROM events), " +
+        "tasks AS (SELECT user_id, task, " +
+        "MAX(CASE WHEN event_type = 'purchase' THEN event_id END) AS conv_id, " +
+        "SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_touches FROM ev GROUP BY 1, 2), " +
+        "t2 AS (SELECT * FROM tasks WHERE conv_id IS NOT NULL), " +
+        "touches AS (SELECT user_id, task, event_type AS channel, " +
+        "COUNT(*)::BIGINT AS cnt FROM ev WHERE event_type <> 'purchase' " +
+        "GROUP BY 1, 2, 3), " +
+        "cr AS (SELECT channel, (cnt * 1000000) // n_touches AS credit " +
+        "FROM touches JOIN t2 USING (user_id, task) " +
+        "UNION ALL SELECT '(none)', 1000000 FROM t2 WHERE n_touches = 0) " +
+        "SELECT channel, SUM(credit)::BIGINT AS credit_micro, " +
+        "COUNT(*)::BIGINT AS n_task_channels FROM cr " +
+        "GROUP BY 1 ORDER BY channel")),
+
     // Gaps-and-islands: longest consecutive-day activity streak per user.
     // The classic integer trick — day_number − row_number is constant
     // within a run of consecutive days — turns streak detection into two

@@ -65,7 +65,11 @@ object GraphOps {
     * as a committed snapshot (the cluster-family discipline,
     * Scale.snapshotOnce): the first key to run pays the distinct + capped
     * self-join; every later key — same run or a crash replay — reads the
-    * committed parquet back. Bump the version if the edge SEMANTICS change. */
+    * committed parquet back. Bump the version if the edge SEMANTICS change.
+    * Like the cluster family, the snapshot memo survives JVM restarts and
+    * therefore assumes the input dir is immutable (the TESTDATA.md
+    * contract); a mutable input would need writeOnce's per-JVM memo
+    * instead. */
   private def edges(s: SparkSession, d: String): DataFrame =
     Scale.snapshotOnce(s, "graph_cooccur", 1, d) {
       val c = cells(s, d)

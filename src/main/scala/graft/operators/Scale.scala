@@ -49,17 +49,20 @@ object Scale {
       .agg(sum(col("partial_sum")).as("total"), sum(col("partial_n")).as("n"))
   }
 
-  /** Writes both sides bucketed+sorted on the join key so the join needs no
-    * shuffle at read time (co-located, SMJ over pre-sorted buckets).
-    * Returns the joined frame; the caller asserts on the plan. */
-  /** One bucketed table, saved once per (name, memoKey) and read back:
-    * the layout lever behind both the co-located join and the
-    * shuffle-free aggregation keys. */
+  /** One bucketed+sorted table, saved once per (name, memoKey) and read
+    * back: the layout lever behind both the co-located join and the
+    * shuffle-free aggregation keys. Memoized runs write to input-tagged
+    * table names so distinct inputs in one JVM cannot alias each other's
+    * scratch tables. */
   def bucketedTable(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       key: String, buckets: Int, name: String, memoKey: String = ""): DataFrame = {
     val tbl = if (memoKey.isEmpty) name else s"${name}_${dirTag(memoKey)}"
     def save(): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      // DROP leaves the managed location behind if a previous run aborted —
+      // clear it so saveAsTable never hits LOCATION_ALREADY_EXISTS.
+      // URI.getPath is null for opaque/relative warehouse configs — fall
+      // back to the raw string rather than NPE inside new File(null, name).
       val whConf = spark.conf.get("spark.sql.warehouse.dir")
       val whPath = Option(new java.net.URI(whConf).getPath)
         .filter(_.nonEmpty).getOrElse(whConf)
@@ -78,41 +81,17 @@ object Scale {
     spark.table(tbl)
   }
 
+  /** Writes both sides bucketed+sorted on the join key so the join needs no
+    * shuffle at read time (co-located, SMJ over pre-sorted buckets).
+    * Returns the joined frame; the caller asserts on the plan. */
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
       left: DataFrame, right: DataFrame, key: String, buckets: Int,
       leftName: String, rightName: String, memoKey: String = ""): DataFrame = {
-    def save(df: DataFrame, name: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      // DROP leaves the managed location behind if a previous run aborted —
-      // clear it so saveAsTable never hits LOCATION_ALREADY_EXISTS.
-      // URI.getPath is null for opaque/relative warehouse configs — fall
-      // back to the raw string rather than NPE inside new File(null, name).
-      val whConf = spark.conf.get("spark.sql.warehouse.dir")
-      val whPath = Option(new java.net.URI(whConf).getPath)
-        .filter(_.nonEmpty).getOrElse(whConf)
-      val wh = new java.io.File(whPath, name)
-      if (wh.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(wh)
-      }
-      df.write.bucketBy(buckets, key).sortBy(key).saveAsTable(name)
-    }
-    // Memoized runs write to input-tagged table names so distinct inputs
-    // in one JVM cannot alias each other's scratch tables.
-    val (lName, rName) =
-      if (memoKey.isEmpty) (leftName, rightName)
-      else (s"${leftName}_${dirTag(memoKey)}", s"${rightName}_${dirTag(memoKey)}")
-    if (memoKey.isEmpty) { save(left, lName); save(right, rName) }
-    else writeOnce(s"bucketed|$memoKey|$lName|$rName") {
-      save(left, lName); save(right, rName)
-    }
+    val l = bucketedTable(spark, left, key, buckets, leftName, memoKey)
+    val r = bucketedTable(spark, right, key, buckets, rightName, memoKey)
     // merge hint: the point is the co-located sort-merge plan (broadcast
     // would hide the bucketing; at 100 TB neither side broadcasts anyway).
-    spark.table(lName).hint("merge")
-      .join(spark.table(rName).hint("merge"), key)
+    l.hint("merge").join(r.hint("merge"), key)
   }
 
   /** Lineage-cut pin for a frame consumed by multiple downstream plan
