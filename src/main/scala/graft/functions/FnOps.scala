@@ -524,6 +524,47 @@ object FnOps {
         "|| '/' || doc_id || '?q=' || lang || '&n=' || n_chars AS url " +
         "FROM documents) t ORDER BY doc_id"),
 
+    // URL CANONICALIZATION (round-10) — the normalize step url-keyed dedup
+    // depends on (llm_url_dedup hashes urls; this key makes equivalent
+    // urls hash equal first): lowercase scheme+host, strip the default
+    // port and any fragment, drop a trailing slash, and SORT the query
+    // parameters (a=1&b=2 ≡ b=2&a=1 — sort_array over the split pairs,
+    // the same canonical form both engines produce). Fixture urls are
+    // synthesized messy on purpose: uppercased scheme/host, :443, shuffled
+    // params, #fragment. One codegen projection chain, no UDF.
+    "fn_url_normalize" -> Q(
+      (s, d) => {
+        val raw = T(s, d, "documents").select(col("doc_id"),
+          concat(lit("HTTPS://WWW.Example.COM:443/"), col("lang"), lit("/"),
+            col("doc_id").cast("string"),
+            lit("/?z="), col("n_chars").cast("string"),
+            lit("&a="), col("lang"), lit("#frag")).as("url"))
+        raw.select(col("doc_id"), col("url"),
+            concat(
+              lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)),
+              lit("://"),
+              lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1)),
+              regexp_replace(
+                regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*(/[^?#]*)?", 1),
+                "/$", ""),
+              when(regexp_extract(col("url"), "\\?([^#]*)", 1) === "", lit(""))
+                .otherwise(concat(lit("?"), array_join(sort_array(
+                  split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&")),
+                  "&")))).as("canonical"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, url, " +
+        "lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' || " +
+        "lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) || " +
+        "regexp_replace(regexp_extract(url, " +
+        "'^[A-Za-z]+://[^/?#]*(/[^?#]*)?', 1), '/$', '') || " +
+        "CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN '' " +
+        "ELSE '?' || array_to_string(list_sort(string_split(" +
+        "regexp_extract(url, '\\?([^#]*)', 1), '&')), '&') END AS canonical " +
+        "FROM (SELECT doc_id, 'HTTPS://WWW.Example.COM:443/' || lang || '/' " +
+        "|| doc_id || '/?z=' || n_chars || '&a=' || lang || '#frag' AS url " +
+        "FROM documents) t ORDER BY doc_id"),
+
     // Key=value parsing (the Logstash-class kv filter [PK]): build a kv
     // string, parse it back. Spark uses the native str_to_map; the oracle
     // parses with regexes — equal results prove the map semantics. Doubles
