@@ -749,6 +749,86 @@ object EventOps {
         "FROM events) t WHERE event_type = 'purchase' " +
         "GROUP BY 1 ORDER BY channel")),
 
+    // Dwell time per event type (round-10) — the screen-time metric: the
+    // gap to a user's NEXT event is attributed to the current event's type
+    // (the page you were on is the page you dwelt on); a user's last event
+    // contributes nothing (no observed exit). One lead window per user,
+    // exact integer µs everywhere, then a type-keyed rollup with a
+    // DECIMAL-exact mean — one shuffle on user_id, 5-row output.
+    "evt_dwell_time" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        T(s, d, "events")
+          .select(col("event_type"), expr("unix_micros(ts)").as("tus"),
+            col("user_id"), col("event_id"))
+          .withColumn("dwell_us", lead(col("tus"), 1).over(w) - col("tus"))
+          .filter(col("dwell_us").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_dwells"),
+            sum(col("dwell_us")).as("total_dwell_us"),
+            max(col("dwell_us")).as("max_dwell_us"))
+          // FLOOR division on both engines (Spark div ≡ DuckDB //): a
+          // double-divide-then-cast would truncate in Spark but ROUND in
+          // DuckDB — the half-even trap §7.4 warns about
+          .withColumn("mean_dwell_us",
+            expr("total_dwell_us div n_dwells"))
+          .select(col("event_type"), col("n_dwells"), col("total_dwell_us"),
+            col("mean_dwell_us"), col("max_dwell_us"))
+          .orderBy(col("event_type"))
+      },
+      usEvents("SELECT event_type, COUNT(*) AS n_dwells, " +
+        "SUM(dwell_us)::BIGINT AS total_dwell_us, " +
+        "SUM(dwell_us)::BIGINT // COUNT(*) AS mean_dwell_us, " +
+        "MAX(dwell_us) AS max_dwell_us FROM (" +
+        "SELECT event_type, lead(epoch_us(ts)) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) - epoch_us(ts) AS dwell_us FROM events) t " +
+        "WHERE dwell_us IS NOT NULL GROUP BY 1 ORDER BY event_type")),
+
+    // Bot detection by inter-arrival regularity (round-10) — the abuse
+    // heuristic every event pipeline runs: humans are bursty, scripts are
+    // metronomes, so a LOW coefficient of variation of per-user gaps flags
+    // automation. All moments are exact integer µs sums (the agg_corr_regr
+    // discipline) and the CV² comparison is cross-multiplied —
+    // n·Σg² − (Σg)² < τ²·(Σg)² flags CV < τ — so no division or sqrt ever
+    // enters either engine and the flag is bit-identical. One window pass
+    // + one keyed agg; user-sized output.
+    "evt_bot_detect" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("tus"))
+          // gaps in SECONDS for the moment math: a multi-day µs gap
+          // squared overflows BIGINT (and Spark would wrap silently where
+          // DuckDB errors); second-grain squares stay far inside 2^63
+          .withColumn("gap_s",
+            expr("(tus - lag(tus, 1) OVER (PARTITION BY user_id " +
+              "ORDER BY tus, event_id)) div 1000000"))
+          .filter(col("gap_s").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("gap_s")).as("sum_g"),
+            sum(col("gap_s") * col("gap_s")).as("sum_g2"))
+          .filter(col("n_gaps") >= 5)
+          .select(col("user_id"), col("n_gaps"),
+            expr("sum_g div n_gaps").as("mean_gap_s"),
+            // CV < 0.5  ⇔  4·(n·Σg² − (Σg)²) < (Σg)²   (integer-exact)
+            ((col("n_gaps") * col("sum_g2") - col("sum_g") * col("sum_g")) * 4L
+              < col("sum_g") * col("sum_g")).as("bot_like"))
+          .orderBy(col("user_id"))
+      },
+      usEvents("SELECT user_id, n_gaps, sum_g // n_gaps AS mean_gap_s, " +
+        "(n_gaps * sum_g2 - sum_g * sum_g) * 4 < sum_g * sum_g AS bot_like " +
+        "FROM (SELECT user_id, COUNT(*)::BIGINT AS n_gaps, " +
+        "SUM(gap_s)::BIGINT AS sum_g, " +
+        "SUM(gap_s * gap_s)::BIGINT AS sum_g2 FROM (" +
+        "SELECT user_id, (epoch_us(ts) - lag(epoch_us(ts)) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s " +
+        "FROM events) g WHERE gap_s IS NOT NULL GROUP BY 1) t " +
+        "WHERE n_gaps >= 5 ORDER BY user_id")),
+
     // Linear MULTI-touch attribution (round-10) — evt_attribution's
     // sibling: instead of the last touch taking everything, every touch in
     // the conversion path (all non-purchase events since the previous
