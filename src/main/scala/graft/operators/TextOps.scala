@@ -299,6 +299,74 @@ object TextOps {
         "len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_hits " +
         "FROM events WHERE props IS NOT NULL ORDER BY event_id"),
 
+    // Typed PII patterns (round-10) — llm_pii_redact masks digit runs;
+    // real governance needs TYPED detectors (email, phone, ssn-shaped,
+    // ip) each with its own placeholder, applied in one pass with
+    // per-type hit counts for the audit log. PII is synthesized
+    // deterministically into the text (the planted ground truth the
+    // detector must count exactly: 1 email + 1 phone per doc, an
+    // ssn-shape on doc_id % 3, an ip on doc_id % 5); the replace chain
+    // runs most-specific-first so the ssn pattern cannot half-match a
+    // phone. Identical regex class syntax both engines; one codegen
+    // projection pass.
+    "llm_pii_patterns" -> Q(
+      (s, d) => {
+        val planted = T(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@mail.example.com tel: +1-555-01"),
+            lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" ssn: 123-45-6"),
+                lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" ip: 10.0."),
+                pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+              .otherwise(lit(""))).as("body"))
+        // [.] / [+] character classes instead of backslash escapes: the
+        // SAME pattern string then survives Scala, Spark SQL literal
+        // parsing (expr), and DuckDB SQL unchanged — backslashes would be
+        // eaten differently at each layer (e.g. Spark SQL turns '\.' into
+        // '.', silently making the ip dots match ANY separator)
+        val email = "[a-z0-9]+@[a-z.]+[.][a-z]+"
+        val phone = "[+]1-[0-9]{3}-[0-9]{4}"
+        val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+        val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+        planted.select(col("doc_id"),
+            expr(s"cast(size(regexp_extract_all(body, '$email', 0)) as bigint)")
+              .as("n_email"),
+            expr(s"cast(size(regexp_extract_all(body, '$ssn', 0)) as bigint)")
+              .as("n_ssn"),
+            expr(s"cast(size(regexp_extract_all(body, '$ip', 0)) as bigint)")
+              .as("n_ip"),
+            md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              col("body"), email, "<EMAIL>"), ssn, "<SSN>"),
+              phone, "<PHONE>"), ip, "<IP>")).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, " +
+        "len(regexp_extract_all(body, '[a-z0-9]+@[a-z.]+[.][a-z]+'))::BIGINT " +
+        "AS n_email, " +
+        "len(regexp_extract_all(body, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))::BIGINT " +
+        "AS n_ssn, " +
+        "len(regexp_extract_all(body, " +
+        "'[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))::BIGINT AS n_ip, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "body, '[a-z0-9]+@[a-z.]+[.][a-z]+', '<EMAIL>', 'g'), " +
+        "'[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'), " +
+        "'[+]1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), " +
+        "'[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g')) " +
+        "AS redacted_md5 FROM (" +
+        "SELECT doc_id, text || ' contact: user' || doc_id || " +
+        "'@mail.example.com tel: +1-555-01' || " +
+        "lpad((doc_id % 100)::VARCHAR, 2, '0') || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' ssn: 123-45-6' || " +
+        "lpad((doc_id % 1000)::VARCHAR, 3, '0') ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' ip: 10.0.' || " +
+        "(doc_id % 256)::VARCHAR || '.7' ELSE '' END AS body " +
+        "FROM documents) p ORDER BY doc_id"),
+
     // Sequence packing (concat-and-chop): assign each doc its token span in
     // a per-lang packed token stream and the 2048-token context window its
     // span starts in — the greedy packing step of an LLM pretraining
