@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.{Q, T}
-import graft.Dsl.dec
+import graft.Dsl.{dec, usEvents}
 import graft.operators.PinSyntax._
 
 /** Data-quality family: the profiling + expectation checks every pipeline
@@ -255,6 +255,56 @@ object DqOps {
         "SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT " +
         "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey" +
         ") t ORDER BY fk_edge"),
+
+    // Distribution-drift detection (round-10) — the MLOps DQ gate: has
+    // the value distribution shifted between a reference slice and a
+    // current slice? (Here: event_id parity splits the fixture into two
+    // deterministic halves; production points this at last-week vs
+    // today.) Values bucket into deciles of the fixed [0, 250) domain;
+    // the drift statistic is CHI-SQUARE, Σ(o−e)²/e — chosen over the
+    // fashionable PSI precisely because PSI needs ln(), whose libm
+    // rounding may differ between a JVM and DuckDB, while chi-square is
+    // one rational per bucket: the numerator (ref_total·cur_n −
+    // cur_total·ref_n)² and denominator are exact BIGINT products, and
+    // only the final per-bucket division is an IEEE double both engines
+    // compute bit-identically. One scan, one 10-row pivot agg.
+    "dq_chi_square_drift" -> Q(
+      (s, d) => {
+        val b = T(s, d, "events")
+          .select((col("event_id") % 2 === 0).as("is_ref"),
+            least(floor(col("value") / 25.0).cast("long"), lit(9L))
+              .as("bucket"))
+        val counts = b.groupBy(col("bucket"))
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_n"))
+        val tot = counts.agg(sum(col("ref_n")).as("ref_t"),
+          sum(col("cur_n")).as("cur_t"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("ref_n"), col("cur_n"),
+            // scaled difference² / expected, all-integer until ONE division:
+            // ((ref_t·cur_n − cur_t·ref_n)²) / (ref_t·cur_t·(ref_n+cur_n))
+            ((col("ref_t") * col("cur_n") - col("cur_t") * col("ref_n")) *
+              (col("ref_t") * col("cur_n") - col("cur_t") * col("ref_n")))
+              .cast("double")
+              ./((col("ref_t") * col("cur_t") *
+                (col("ref_n") + col("cur_n"))).cast("double"))
+              .as("chi2_term"))
+          .orderBy(col("bucket"))
+      },
+      usEvents("WITH b AS (SELECT event_id % 2 = 0 AS is_ref, " +
+        "LEAST(CAST(floor(value / 25.0) AS BIGINT), 9) AS bucket " +
+        "FROM events), " +
+        "c AS (SELECT bucket, " +
+        "SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS ref_n, " +
+        "SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)::BIGINT AS cur_n " +
+        "FROM b GROUP BY 1), " +
+        "t AS (SELECT SUM(ref_n)::BIGINT AS ref_t, " +
+        "SUM(cur_n)::BIGINT AS cur_t FROM c) " +
+        "SELECT bucket, ref_n, cur_n, " +
+        "CAST((ref_t * cur_n - cur_t * ref_n) * " +
+        "(ref_t * cur_n - cur_t * ref_n) AS DOUBLE) / " +
+        "CAST(ref_t * cur_t * (ref_n + cur_n) AS DOUBLE) AS chi2_term " +
+        "FROM c CROSS JOIN t ORDER BY bucket")),
 
     // Cross-table reconciliation (round-10) — the ledger-tieout DQ class:
     // does the rolled-up fact tie to the header? Per order, lineitem gross

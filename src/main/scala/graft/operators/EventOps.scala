@@ -1023,6 +1023,57 @@ object EventOps {
         "IS NULL AS is_current " +
         "FROM i ORDER BY user_id, version")),
 
+    // POINT-IN-TIME dimension lookup against the SCD2 intervals
+    // (round-10) — the warehouse query the versioned dim exists for:
+    // "what state was this user in an hour before this event?". Probes
+    // (every 7th event, shifted back 1h) join the validity intervals on
+    // user equality + a half-open range [valid_from, valid_to); probes
+    // before the user's first version surface state NULL via the left
+    // join. Scale shape: the equi-key (user_id) carries the join — the
+    // range is a residual filter over that user's FEW versions, so this
+    // is one keyed shuffle, never a theta join (and the plan audit would
+    // catch a BNLJ regression).
+    "join_scd2_pointintime" -> Q(
+      (s, d) => {
+        val dim = scd2Intervals(s, d)
+        val probes = T(s, d, "events")
+          .filter(col("event_id") % 7 === 0)
+          .select(col("event_id"), col("user_id").as("p_uid"),
+            (unix_micros(col("ts")) - 3600000000L).as("probe_us"))
+        probes.join(dim,
+            probes("p_uid") === dim("user_id") &&
+              probes("probe_us") >= dim("valid_from_us") &&
+              (dim("valid_to_us").isNull ||
+                probes("probe_us") < dim("valid_to_us")),
+            "left")
+          .select(col("event_id"), col("p_uid").as("user_id"),
+            col("probe_us"), col("state").as("state_at_probe"),
+            col("version"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("WITH c AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN lag(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) IS DISTINCT FROM event_type " +
+        "THEN 1 ELSE 0 END AS chg FROM events), " +
+        "v AS (SELECT user_id, ts, event_type, " +
+        "SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS version FROM c), " +
+        "i AS (SELECT user_id, version, MIN(event_type) AS state, " +
+        "MIN(epoch_us(ts))::BIGINT AS valid_from_us " +
+        "FROM v GROUP BY 1, 2), " +
+        "dim AS (SELECT user_id, version, state, valid_from_us, " +
+        "lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)" +
+        "::BIGINT AS valid_to_us FROM i), " +
+        "p AS (SELECT event_id, user_id AS p_uid, " +
+        "epoch_us(ts) - 3600000000 AS probe_us FROM events " +
+        "WHERE event_id % 7 = 0) " +
+        "SELECT p.event_id, p.p_uid AS user_id, p.probe_us, " +
+        "dim.state AS state_at_probe, dim.version FROM p " +
+        "LEFT JOIN dim ON p.p_uid = dim.user_id " +
+        "AND p.probe_us >= dim.valid_from_us " +
+        "AND (dim.valid_to_us IS NULL OR p.probe_us < dim.valid_to_us) " +
+        "ORDER BY event_id")),
+
     // Batch twin of StreamOps.scd2Stream: the CLOSED intervals of
     // evt_scd2_state (is_current = false) — exactly what the streaming
     // processor emits in append mode; the open interval lives in state.
