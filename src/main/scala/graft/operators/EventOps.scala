@@ -749,6 +749,67 @@ object EventOps {
         "FROM events) t WHERE event_type = 'purchase' " +
         "GROUP BY 1 ORDER BY channel")),
 
+    // Overlapping-interval MERGE (round-10) — the second classic interval
+    // primitive (evt_streaks is gaps-and-islands on a day grid; this is
+    // the continuous-time version): per (user, event_type) session bounds
+    // become per-user interval sets that may overlap across types, and
+    // overlapping intervals coalesce into maximal islands via the
+    // running-max trick — an interval starts a new island iff its start
+    // exceeds the cummax of all PRIOR ends. Two windows + two keyed aggs,
+    // all integer µs; the (start, end, type) ordering tuple is a total
+    // order so the island numbering is deterministic on both engines.
+    "evt_interval_merge" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("tus"), col("event_id"))
+        val iv = T(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("tus"))
+          .withColumn("ns", when(lag(col("tus"), 1).over(w).isNull ||
+            col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+          .withColumn("sid", sum(col("ns")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("event_type"), col("sid"))
+          .agg(min(col("tus")).as("st"), max(col("tus")).as("en"))
+        val byStart = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("en"), col("event_type"))
+        val prior = byStart.rowsBetween(Window.unboundedPreceding, -1)
+        iv.withColumn("new_island",
+            when(max(col("en")).over(prior).isNull ||
+              col("st") > max(col("en")).over(prior), 1L).otherwise(0L))
+          .withColumn("island", sum(col("new_island")).over(
+            byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("st")).as("merged_start_us"),
+            max(col("en")).as("merged_end_us"),
+            count(lit(1)).as("n_source_intervals"))
+          .orderBy(col("user_id"), col("island"))
+      },
+      usEvents("WITH o AS (SELECT user_id, event_type, event_id, " +
+        "epoch_us(ts) AS tus FROM events), " +
+        "f AS (SELECT user_id, event_type, tus, CASE WHEN " +
+        "lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS ns FROM o WINDOW w AS " +
+        "(PARTITION BY user_id, event_type ORDER BY tus, event_id)), " +
+        "s AS (SELECT user_id, event_type, tus, SUM(ns) OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY tus " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+        "iv AS (SELECT user_id, event_type, sid, MIN(tus) AS st, " +
+        "MAX(tus) AS en FROM s GROUP BY 1, 2, 3), " +
+        "m AS (SELECT user_id, event_type, st, en, CASE WHEN " +
+        "MAX(en) OVER p IS NULL OR st > MAX(en) OVER p THEN 1 ELSE 0 END " +
+        "AS new_island FROM iv WINDOW p AS (PARTITION BY user_id " +
+        "ORDER BY st, en, event_type " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "isl AS (SELECT user_id, st, en, SUM(new_island) OVER " +
+        "(PARTITION BY user_id ORDER BY st, en, event_type " +
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS island FROM m) " +
+        "SELECT user_id, island, MIN(st)::BIGINT AS merged_start_us, " +
+        "MAX(en)::BIGINT AS merged_end_us, " +
+        "COUNT(*)::BIGINT AS n_source_intervals FROM isl " +
+        "GROUP BY 1, 2 ORDER BY user_id, island")),
+
     // Dwell time per event type (round-10) — the screen-time metric: the
     // gap to a user's NEXT event is attributed to the current event's type
     // (the page you were on is the page you dwelt on); a user's last event

@@ -846,6 +846,43 @@ object TextOps {
         "'def f_' || doc_id || '(): return {' || replace(text, ' ', '_') " +
         "|| '}' ELSE text END AS body FROM documents) m) t ORDER BY doc_id"),
 
+    // Unicode fold normalization (round-10) — the accent-strip + case-fold
+    // every multilingual curation pipeline applies before tokenizing or
+    // hashing (café/Café/cafe must dedup together). Neither engine ships
+    // NFKC offline, so the fold is an EXPLICIT codepoint map through
+    // translate() — one identical 44-char accent table on both sides
+    // (probed), which also makes the fold auditable rather than
+    // locale-dependent. Accent-strip runs BEFORE lower() so lower only
+    // ever sees ASCII and engine ICU differences cannot surface.
+    // Accented tokens are planted deterministically (doc_id-indexed) as
+    // ground truth. One codegen projection.
+    "llm_unicode_fold" -> Q(
+      (s, d) => {
+        val accents = "àáâäçèéêëìíîïñòóôöùúûüÀÁÂÄÇÈÉÊËÌÍÎÏÑÒÓÔÖÙÚÛÜ"
+        val plain = "aaaaceeeeiiiinoooouuuuAAAACEEEEIIIINOOOOUUUU"
+        val planted = T(s, d, "documents").select(col("doc_id"),
+          concat(element_at(
+              array(lit("Café"), lit("naïve"), lit("Über"), lit("Señor"),
+                lit("Àccent")),
+              (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+            lit(" "), col("text")).as("body"))
+        planted.select(col("doc_id"),
+            length(col("body")).cast("long").as("n_chars_raw"),
+            lower(translate(col("body"), accents, plain)).as("folded"))
+          .select(col("doc_id"), col("n_chars_raw"),
+            length(col("folded")).cast("long").as("n_chars_folded"),
+            md5(col("folded")).as("folded_md5"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, length(body)::BIGINT AS n_chars_raw, " +
+        "length(folded)::BIGINT AS n_chars_folded, md5(folded) AS folded_md5 " +
+        "FROM (SELECT doc_id, body, lower(translate(body, " +
+        "'àáâäçèéêëìíîïñòóôöùúûüÀÁÂÄÇÈÉÊËÌÍÎÏÑÒÓÔÖÙÚÛÜ', " +
+        "'aaaaceeeeiiiinoooouuuuAAAACEEEEIIIINOOOOUUUU')) AS folded FROM (" +
+        "SELECT doc_id, (['Café', 'naïve', 'Über', 'Señor', 'Àccent'])" +
+        "[(doc_id % 5) + 1] || ' ' || text AS body FROM documents) p) t " +
+        "ORDER BY doc_id"),
+
     // HTML boilerplate stripping (round-10) — the first transform of every
     // web-crawl curation pipeline: drop markup, decode entities, collapse
     // whitespace. The fixture corpus is plain text, so docs are first
