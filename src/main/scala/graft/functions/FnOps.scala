@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, T}
 import graft.Dsl._
@@ -564,6 +565,104 @@ object FnOps {
         "FROM (SELECT doc_id, 'HTTPS://WWW.Example.COM:443/' || lang || '/' " +
         "|| doc_id || '/?z=' || n_chars || '&a=' || lang || '#frag' AS url " +
         "FROM documents) t ORDER BY doc_id"),
+
+    // Safe-cast contract (round-10) — ingestion's type gate: TRY_CAST
+    // semantics across the legs where Spark and DuckDB provably agree
+    // (probed): clean ints, garbage → NULL, scientific-notation doubles,
+    // whitespace-trimmed ints, out-of-range BIGINT → NULL, invalid
+    // calendar dates → NULL, and try_divide's divide-by-zero → NULL
+    // (DuckDB twin: x / NULLIF(y, 0)). Deliberately EXCLUDES non-integer
+    // strings cast to ints — DuckDB rounds ('4.5' → 5) and accepts
+    // scientific notation ('4.5e2' → 450) where Spark returns NULL — those
+    // legs are engine divergences, not a contract, so the scientific leg
+    // is masked out of the BIGINT column on BOTH sides identically.
+    "fn_try_cast_suite" -> Q(
+      (s, d) => T(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"),
+          when(col("n_nationkey") % 5 === 0,
+            concat(lit("garbage-"), col("n_nationkey").cast("string")))
+            .when(col("n_nationkey") % 5 === 1, col("n_nationkey").cast("string"))
+            .when(col("n_nationkey") % 5 === 2, lit("4.5e2"))
+            .when(col("n_nationkey") % 5 === 3,
+              concat(lit(" "), col("n_nationkey").cast("string"), lit(" ")))
+            .otherwise(lit("99999999999999999999")).as("raw"))
+        .select(col("n_nationkey"), col("raw"),
+          when(col("n_nationkey") % 5 === 2, lit(null))
+            .otherwise(col("raw")).try_cast("bigint").as("as_bigint"),
+          col("raw").try_cast("double").as("as_double"),
+          lit("2024-13-01").try_cast("date").cast("timestamp").as("bad_date"),
+          try_divide(col("n_regionkey"), col("n_nationkey") % 3).as("safe_div"))
+        .orderBy(col("n_nationkey")),
+      "SELECT n_nationkey, raw, TRY_CAST(CASE WHEN n_nationkey % 5 = 2 " +
+        "THEN NULL ELSE raw END AS BIGINT) AS as_bigint, " +
+        "TRY_CAST(raw AS DOUBLE) AS as_double, " +
+        "TRY_CAST('2024-13-01' AS DATE)::TIMESTAMP AS bad_date, " +
+        "n_regionkey / NULLIF(n_nationkey % 3, 0) AS safe_div FROM (" +
+        "SELECT n_nationkey, n_regionkey, CASE n_nationkey % 5 " +
+        "WHEN 0 THEN 'garbage-' || n_nationkey " +
+        "WHEN 1 THEN n_nationkey::VARCHAR " +
+        "WHEN 2 THEN '4.5e2' " +
+        "WHEN 3 THEN ' ' || n_nationkey || ' ' " +
+        "ELSE '99999999999999999999' END AS raw FROM nation) t " +
+        "ORDER BY n_nationkey"),
+
+    // Multiline log reassembly (round-10) [PK: Logstash multiline codec] —
+    // stack traces arrive as N physical lines, continuation lines marked
+    // by leading whitespace, and must be re-glued into one logical event.
+    // Lines are synthesized from events (errors emit a 3-line trace,
+    // everything else one line), then reassembled: a line starts a new
+    // message iff it has no leading space, message id = running count of
+    // starts PER SOURCE SHARD (user_id) — reassembly is inherently
+    // sequential per source, so the window partitions by shard and scales
+    // with shard count, never one global sort. (event_id, line_no) is the
+    // total order; output is one row per logical message with its glued
+    // md5.
+    "fn_multiline_assemble" -> Q(
+      (s, d) => {
+        val lines = T(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            posexplode(when(col("event_type") === "error",
+              array(
+                concat(lit("ERR "), col("event_id").cast("string"), lit(" boom")),
+                concat(lit("  at frame1:"), col("event_id").cast("string")),
+                concat(lit("  at frame2:"), col("event_id").cast("string"))))
+              .otherwise(array(
+                concat(lit("INFO "), col("event_id").cast("string"), lit(" ok"))))))
+          .withColumnRenamed("pos", "line_no")
+          .withColumnRenamed("col", "line")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("event_id"), col("line_no"))
+        lines
+          .withColumn("is_start",
+            when(!col("line").startsWith(" "), 1L).otherwise(0L))
+          .withColumn("msg_id", sum(col("is_start")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("msg_id"))
+          .agg(min(col("event_id")).as("start_event_id"),
+            count(lit(1)).as("n_lines"),
+            // collect_list order is NOT guaranteed — pin it by collecting
+            // the (event_id, line_no, line) structs and sorting before glue
+            md5(concat_ws("\n", transform(sort_array(collect_list(
+              struct(col("event_id"), col("line_no"), col("line")))),
+              x => x.getField("line")))).as("msg_md5"))
+          .orderBy(col("user_id"), col("msg_id"))
+      },
+      usEvents("WITH l AS (SELECT user_id, event_id, ln.line_no, ln.line " +
+        "FROM events, LATERAL (" +
+        "SELECT unnest(generate_series(0, CASE WHEN event_type = 'error' " +
+        "THEN 2 ELSE 0 END)) AS line_no, " +
+        "unnest(CASE WHEN event_type = 'error' THEN " +
+        "['ERR ' || event_id || ' boom', '  at frame1:' || event_id, " +
+        "'  at frame2:' || event_id] " +
+        "ELSE ['INFO ' || event_id || ' ok'] END) AS line) ln), " +
+        "m AS (SELECT user_id, event_id, line_no, line, " +
+        "SUM(CASE WHEN line NOT LIKE ' %' THEN 1 ELSE 0 END) OVER (" +
+        "PARTITION BY user_id ORDER BY event_id, line_no " +
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS msg_id FROM l) " +
+        "SELECT user_id, msg_id, MIN(event_id) AS start_event_id, " +
+        "COUNT(*)::BIGINT AS n_lines, " +
+        "md5(string_agg(line, chr(10) ORDER BY event_id, line_no)) AS msg_md5 " +
+        "FROM m GROUP BY 1, 2 ORDER BY user_id, msg_id")),
 
     // Key=value parsing (the Logstash-class kv filter [PK]): build a kv
     // string, parse it back. Spark uses the native str_to_map; the oracle

@@ -77,6 +77,48 @@ object MultimodalOps {
         "ELSE 'webp' END AS format " +
         "FROM documents ORDER BY doc_id"),
 
+    // 2D tile grid (round-10) — the patching step every vision pipeline
+    // runs before embedding (ViT patches, tiled OCR): given the stubbed
+    // (width, height) from mm_decode_meta's deterministic dims, lay a
+    // 224×224 tile grid over the image with edge-clamped partial tiles.
+    // The decode is the documented stub; the TILING math — ceil-div grid
+    // shape, per-tile offsets and clamped extents, row-major tile ids —
+    // is the real Spark-side work, all integer, one explode per image
+    // (bounded by the grid size, never corpus-quadratic).
+    "mm_tile_grid" -> Q(
+      (s, d) => {
+        val dims = T(s, d, "documents")
+          .withColumn("payload", col("text").cast("binary"))
+          .select(col("doc_id"),
+            big(length(col("payload")) % 640 + 1).as("width"),
+            big((length(col("payload")) * 7) % 480 + 1).as("height"))
+        val t = lit(224L)
+        dims
+          .withColumn("tiles_x", expr("(width + 223) div 224"))
+          .withColumn("tiles_y", expr("(height + 223) div 224"))
+          .withColumn("tile_id",
+            explode(sequence(lit(0L), col("tiles_x") * col("tiles_y") - 1)))
+          .select(col("doc_id"), col("tile_id"),
+            (pmod(col("tile_id"), col("tiles_x")) * t).as("off_x"),
+            (expr("tile_id div tiles_x") * t).as("off_y"),
+            least(t, col("width") - pmod(col("tile_id"), col("tiles_x")) * t)
+              .as("tile_w"),
+            least(t, col("height") - expr("tile_id div tiles_x") * t)
+              .as("tile_h"))
+          .orderBy(col("doc_id"), col("tile_id"))
+      },
+      "SELECT doc_id, tile_id, (tile_id % tiles_x) * 224 AS off_x, " +
+        "(tile_id // tiles_x) * 224 AS off_y, " +
+        "LEAST(224, width - (tile_id % tiles_x) * 224) AS tile_w, " +
+        "LEAST(224, height - (tile_id // tiles_x) * 224) AS tile_h FROM (" +
+        "SELECT doc_id, width, height, tiles_x, " +
+        "unnest(generate_series(0, tiles_x * tiles_y - 1)) AS tile_id FROM (" +
+        "SELECT doc_id, width, height, (width + 223) // 224 AS tiles_x, " +
+        "(height + 223) // 224 AS tiles_y FROM (" +
+        "SELECT doc_id, (octet_length(encode(text)) % 640 + 1)::BIGINT AS width, " +
+        "(octet_length(encode(text)) * 7 % 480 + 1)::BIGINT AS height " +
+        "FROM documents) d0) d1) g ORDER BY doc_id, tile_id"),
+
     // Frame sampling: slice 4 fixed-stride 16-byte "frames" out of each
     // payload (video keyframe shape) and hash each frame.
     "mm_frame_sample" -> Q(
