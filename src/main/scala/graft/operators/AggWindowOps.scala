@@ -142,6 +142,41 @@ object AggWindowOps {
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
 
+    // Rolling MEDIAN (round-10) — the robust-trend window the moving
+    // average family lacks (one spike ruins a mean; the median shrugs):
+    // per user, the median of the last 5 event values. Spark has no
+    // windowed median, so the frame's values are collected (bounded: ≤ 5
+    // elements), sorted, and the middle picked explicitly — odd count
+    // takes the middle element, even count averages the two middles,
+    // matching DuckDB's continuous-interpolation `median() OVER` exactly.
+    // Values quantized to 0.1-cent integers first so the only double ever
+    // produced is ONE exact-integer halving. Bounded frame ⇒ O(5 log 5)
+    // per row, shuffle only on user_id.
+    "win_rolling_median" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            floor(col("value") * 10000).cast("long").as("vq"), col("ts"))
+          .withColumn("arr", sort_array(collect_list(col("vq")).over(w)))
+          .withColumn("n", size(col("arr")).cast("long"))
+          .select(col("event_id"), col("user_id"), col("n").as("n_in_frame"),
+            when(col("n") % 2 === 1,
+              element_at(col("arr"), ((col("n") + 1L) / 2L).cast("int"))
+                .cast("double"))
+              .otherwise((element_at(col("arr"), (col("n") / 2L).cast("int")) +
+                element_at(col("arr"), (col("n") / 2L + 1L).cast("int")))
+                .cast("double") / 2.0).as("median_q"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, user_id, " +
+        "COUNT(*) OVER w AS n_in_frame, median(vq) OVER w AS median_q " +
+        "FROM (SELECT event_id, user_id, ts, " +
+        "CAST(floor(value * 10000) AS BIGINT) AS vq FROM events) t " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id")),
+
     // EXPLICIT grouping sets (round-10) — the third of the trio: CUBE is
     // every subset, ROLLUP is hierarchy prefixes, GROUPING SETS is an
     // arbitrary hand-picked list — here ((rf), (ls), ()): per-flag totals,
