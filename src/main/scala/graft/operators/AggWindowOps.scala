@@ -142,6 +142,35 @@ object AggWindowOps {
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
 
+    // Period-over-period change (round-10) — the growth metric every
+    // dashboard leads with: each user-day's event count vs the user's
+    // previous ACTIVE day, as an exact rational (delta and base emitted
+    // as BIGINTs, plus the conventional percentage as ONE IEEE division —
+    // identical both engines). First active day has no base → NULLs.
+    "win_pct_change" -> Q(
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("dayn"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("dayn"))
+        daily
+          .withColumn("prev_n", lag(col("n"), 1).over(w))
+          .select(col("user_id"), col("dayn"), col("n"), col("prev_n"),
+            (col("n") - col("prev_n")).as("delta"),
+            ((col("n") - col("prev_n")).cast("double") * 100.0 /
+              col("prev_n").cast("double")).as("pct_change"))
+          .orderBy(col("user_id"), col("dayn"))
+      },
+      usEvents("SELECT user_id, dayn, n, prev_n, (n - prev_n)::BIGINT " +
+        "AS delta, CAST(n - prev_n AS DOUBLE) * 100.0 / " +
+        "CAST(prev_n AS DOUBLE) AS pct_change FROM (" +
+        "SELECT user_id, dayn, n, lag(n) OVER (PARTITION BY user_id " +
+        "ORDER BY dayn) AS prev_n FROM (" +
+        "SELECT user_id, epoch_us(ts) // 86400000000 AS dayn, " +
+        "COUNT(*)::BIGINT AS n FROM events GROUP BY 1, 2) daily) t " +
+        "ORDER BY user_id, dayn")),
+
     // Rolling MEDIAN (round-10) — the robust-trend window the moving
     // average family lacks (one spike ruins a mean; the median shrugs):
     // per user, the median of the last 5 event values. Spark has no

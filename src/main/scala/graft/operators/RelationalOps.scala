@@ -840,6 +840,30 @@ object RelationalOps {
         "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t " +
         "ORDER BY o_custkey"),
 
+    // Symmetric difference (round-10) — the set-op family's last member:
+    // customers who bought in exactly ONE of two status slices, with a
+    // side tag saying which. Two EXCEPT legs unioned; each leg is the
+    // proven distinct + anti-join shape, and the tag makes the output
+    // self-describing for the downstream diff report.
+    "set_symmetric_diff" -> Q(
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        open.except(fin).select(col("o_custkey"), lit("open_only").as("side"))
+          .unionByName(fin.except(open)
+            .select(col("o_custkey"), lit("finished_only").as("side")))
+          .orderBy(col("o_custkey"), col("side"))
+      },
+      "SELECT o_custkey, side FROM (" +
+        "SELECT o_custkey, 'open_only' AS side FROM (" +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' EXCEPT " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') a " +
+        "UNION ALL SELECT o_custkey, 'finished_only' FROM (" +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' EXCEPT " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') b) t " +
+        "ORDER BY o_custkey, side"),
+
     "set_except" -> Q(
       (s, d) => {
         val o = T(s, d, "orders")
