@@ -283,6 +283,15 @@ object FnOps {
     // DuckDB's timezone() (ICU) under the UTC session both harnesses pin,
     // and integers dodge every timestamp-hashing pitfall. Pure codegen
     // projections; the tz lookup is a per-row O(1) zone-rules probe.
+    // ENGINE-COUPLING NOTE (r11, the probed-engine-gap convention): the
+    // DST-sensitive legs assume the JVM tzdata and DuckDB's ICU tzdata
+    // agree on America/New_York's historical transitions — true on this
+    // image (probed), but a tzdata version skew on another machine could
+    // flip an offset near a transition instant with both engines
+    // individually "correct". The fixture's o_orderdate instants are all
+    // midnight UTC (= 19:00/20:00 NY prev-day, hours from any 02:00 local
+    // transition), so only a rule change to the DST calendar itself — not
+    // a minor tzdata rev — could break the hash.
     "fn_timezone_suite" -> Q(
       (s, d) => T(s, d, "orders")
         .select(col("o_orderkey"),
@@ -1327,5 +1336,72 @@ object FnOps {
       usEvents("SELECT event_id, event_type, " +
         "sha256('graft-default-key|' || user_id::VARCHAR) AS user_tok " +
         "FROM events ORDER BY event_id")),
+
+    // Human-readable byte-size parsing (round-11) [PK: Logstash `bytes`
+    // filter]: "10 MB" / "1.5GiB" / "300kB" → a BIGINT byte count. SI
+    // units are 1000-based, IEC (…iB) 1024-based; the numeric part may
+    // carry a decimal fraction, so the multiply runs in DECIMAL — exact
+    // in both engines (DECIMAL(20,6) × DECIMAL(15,0) stays inside both
+    // engines' 38-digit cap) — and floors to BIGINT. An unknown unit
+    // yields NULL bytes (the filter's tag-on-failure analogue), pinned by
+    // the 'XB' fixture case. Fixture strings are synthesized
+    // deterministically from part (mixed casing/spacing/fractions cover
+    // the real grammar); the parse itself is ONE codegen projection —
+    // anchored regexp_extracts + a CASE ladder, no UDF, no shuffle but
+    // the output sort.
+    "fn_bytes_parse" -> Q(
+      (s, d) => {
+        val pat = "^([0-9]+[.]?[0-9]*)[ ]?([A-Za-z]+)$"
+        val sizeStr = when(col("p_partkey") % 7 === 0,
+            concat(col("p_size").cast("string"), lit(" B")))
+          .when(col("p_partkey") % 7 === 1,
+            concat(col("p_size").cast("string"), lit("kB")))
+          .when(col("p_partkey") % 7 === 2,
+            concat(col("p_size").cast("string"), lit(".5 MiB")))
+          .when(col("p_partkey") % 7 === 3,
+            concat(col("p_size").cast("string"), lit(" GB")))
+          .when(col("p_partkey") % 7 === 4, lit("1.5GiB"))
+          .when(col("p_partkey") % 7 === 5,
+            concat(col("p_size").cast("string"), lit(" XB")))
+          .otherwise(concat(col("p_size").cast("string"), lit(" TiB")))
+        val unit = regexp_extract(col("size_str"), pat, 2)
+        T(s, d, "part")
+          .select(col("p_partkey"), sizeStr.as("size_str"))
+          .withColumn("num",
+            regexp_extract(col("size_str"), pat, 1)
+              .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .withColumn("mult",
+            when(unit === "B", 1L).when(unit.isin("kB", "KB"), 1000L)
+              .when(unit === "KiB", 1024L)
+              .when(unit === "MB", 1000000L).when(unit === "MiB", 1048576L)
+              .when(unit === "GB", 1000000000L)
+              .when(unit === "GiB", 1073741824L)
+              .when(unit === "TB", 1000000000000L)
+              .when(unit === "TiB", 1099511627776L)
+              .cast(org.apache.spark.sql.types.DecimalType(15, 0)))
+          .select(col("p_partkey"), col("size_str"),
+            floor(col("num") * col("mult")).cast("long").as("bytes"))
+          .orderBy(col("p_partkey"))
+      },
+      "SELECT p_partkey, size_str, " +
+        "CAST(floor(CAST(regexp_extract(size_str, " +
+        "'^([0-9]+[.]?[0-9]*)[ ]?([A-Za-z]+)$', 1) AS DECIMAL(20,6)) * " +
+        "(CASE regexp_extract(size_str, " +
+        "'^([0-9]+[.]?[0-9]*)[ ]?([A-Za-z]+)$', 2) " +
+        "WHEN 'B' THEN 1 WHEN 'kB' THEN 1000 WHEN 'KB' THEN 1000 " +
+        "WHEN 'KiB' THEN 1024 WHEN 'MB' THEN 1000000 " +
+        "WHEN 'MiB' THEN 1048576 WHEN 'GB' THEN 1000000000 " +
+        "WHEN 'GiB' THEN 1073741824 WHEN 'TB' THEN 1000000000000 " +
+        "WHEN 'TiB' THEN 1099511627776 END)::DECIMAL(15,0)) AS BIGINT) " +
+        "AS bytes FROM (" +
+        "SELECT p_partkey, CASE p_partkey % 7 " +
+        "WHEN 0 THEN p_size::VARCHAR || ' B' " +
+        "WHEN 1 THEN p_size::VARCHAR || 'kB' " +
+        "WHEN 2 THEN p_size::VARCHAR || '.5 MiB' " +
+        "WHEN 3 THEN p_size::VARCHAR || ' GB' " +
+        "WHEN 4 THEN '1.5GiB' " +
+        "WHEN 5 THEN p_size::VARCHAR || ' XB' " +
+        "ELSE p_size::VARCHAR || ' TiB' END AS size_str FROM part) t " +
+        "ORDER BY p_partkey"),
   )
 }

@@ -264,10 +264,13 @@ object DqOps {
     // the drift statistic is CHI-SQUARE, Σ(o−e)²/e — chosen over the
     // fashionable PSI precisely because PSI needs ln(), whose libm
     // rounding may differ between a JVM and DuckDB, while chi-square is
-    // one rational per bucket: the numerator (ref_total·cur_n −
-    // cur_total·ref_n)² and denominator are exact BIGINT products, and
-    // only the final per-bucket division is an IEEE double both engines
-    // compute bit-identically. One scan, one 10-row pivot agg.
+    // one rational per bucket. Overflow discipline (r11): the raw products
+    // ref_t·cur_n reach 2⁶³ once totals hit ~1e10 rows, so the difference
+    // (ref_t·cur_n − cur_t·ref_n) and the denominator run in 128-bit-exact
+    // space — DECIMAL(38,0) here, HUGEINT in the oracle — good to ~1e11
+    // rows per side; both are then cast to DOUBLE (round-to-nearest in
+    // both engines) and the square + division are single IEEE double ops
+    // both engines compute bit-identically. One scan, one 10-row pivot agg.
     "dq_chi_square_drift" -> Q(
       (s, d) => {
         val b = T(s, d, "events")
@@ -279,15 +282,18 @@ object DqOps {
             sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_n"))
         val tot = counts.agg(sum(col("ref_n")).as("ref_t"),
           sum(col("cur_n")).as("cur_t"))
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        def w(c: String) = col(c).cast(d19)
         counts.crossJoin(broadcast(tot))
           .select(col("bucket"), col("ref_n"), col("cur_n"),
-            // scaled difference² / expected, all-integer until ONE division:
-            // ((ref_t·cur_n − cur_t·ref_n)²) / (ref_t·cur_t·(ref_n+cur_n))
-            ((col("ref_t") * col("cur_n") - col("cur_t") * col("ref_n")) *
-              (col("ref_t") * col("cur_n") - col("cur_t") * col("ref_n")))
-              .cast("double")
-              ./((col("ref_t") * col("cur_t") *
-                (col("ref_n") + col("cur_n"))).cast("double"))
+            // scaled difference² / expected: difference and denominator in
+            // exact DECIMAL(38,0), ONE double square + ONE double division
+            ((w("ref_t") * w("cur_n") - w("cur_t") * w("ref_n"))
+              .cast("double") *
+              (w("ref_t") * w("cur_n") - w("cur_t") * w("ref_n"))
+                .cast("double"))
+              ./((w("ref_t") * w("cur_t") *
+                (w("ref_n") + w("cur_n"))).cast("double"))
               .as("chi2_term"))
           .orderBy(col("bucket"))
       },
@@ -301,9 +307,9 @@ object DqOps {
         "t AS (SELECT SUM(ref_n)::BIGINT AS ref_t, " +
         "SUM(cur_n)::BIGINT AS cur_t FROM c) " +
         "SELECT bucket, ref_n, cur_n, " +
-        "CAST((ref_t * cur_n - cur_t * ref_n) * " +
-        "(ref_t * cur_n - cur_t * ref_n) AS DOUBLE) / " +
-        "CAST(ref_t * cur_t * (ref_n + cur_n) AS DOUBLE) AS chi2_term " +
+        "CAST(ref_t::HUGEINT * cur_n - cur_t::HUGEINT * ref_n AS DOUBLE) * " +
+        "CAST(ref_t::HUGEINT * cur_n - cur_t::HUGEINT * ref_n AS DOUBLE) / " +
+        "CAST(ref_t::HUGEINT * cur_t * (ref_n + cur_n) AS DOUBLE) AS chi2_term " +
         "FROM c CROSS JOIN t ORDER BY bucket")),
 
     // Cross-table reconciliation (round-10) — the ledger-tieout DQ class:

@@ -849,15 +849,18 @@ object EventOps {
     // Bot detection by inter-arrival regularity (round-10) — the abuse
     // heuristic every event pipeline runs: humans are bursty, scripts are
     // metronomes, so a LOW coefficient of variation of per-user gaps flags
-    // automation. All moments are exact integer µs sums (the agg_corr_regr
+    // automation. All moments are exact integer sums (the agg_corr_regr
     // discipline) and the CV² comparison is cross-multiplied —
     // n·Σg² − (Σg)² < τ²·(Σg)² flags CV < τ — so no division or sqrt ever
-    // enters either engine and the flag is bit-identical. One window pass
-    // + one keyed agg; user-sized output.
+    // enters either engine and the flag is bit-identical. Overflow
+    // discipline (r11): gaps are winsorized at one week (a longer gap is a
+    // dormancy boundary, not bot cadence — and it bounds Σg² at BIGINT
+    // scale to ~2.5e7 gaps/user), and the cross-multiplied comparison runs
+    // in DECIMAL(38,0) here / HUGEINT in the oracle, exact past 1e12 gaps
+    // per user. One window pass + one keyed agg; user-sized output.
     "evt_bot_detect" -> Q(
       (s, d) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
         T(s, d, "events")
           .select(col("user_id"), col("event_id"),
             expr("unix_micros(ts)").as("tus"))
@@ -865,28 +868,29 @@ object EventOps {
           // squared overflows BIGINT (and Spark would wrap silently where
           // DuckDB errors); second-grain squares stay far inside 2^63
           .withColumn("gap_s",
-            expr("(tus - lag(tus, 1) OVER (PARTITION BY user_id " +
-              "ORDER BY tus, event_id)) div 1000000"))
+            least(expr("(tus - lag(tus, 1) OVER (PARTITION BY user_id " +
+              "ORDER BY tus, event_id)) div 1000000"), lit(604800L)))
           .filter(col("gap_s").isNotNull)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_gaps"),
             sum(col("gap_s")).as("sum_g"),
-            sum(col("gap_s") * col("gap_s")).as("sum_g2"))
+            sum((col("gap_s") * col("gap_s")).cast(d38)).as("sum_g2"))
           .filter(col("n_gaps") >= 5)
           .select(col("user_id"), col("n_gaps"),
             expr("sum_g div n_gaps").as("mean_gap_s"),
-            // CV < 0.5  ⇔  4·(n·Σg² − (Σg)²) < (Σg)²   (integer-exact)
-            ((col("n_gaps") * col("sum_g2") - col("sum_g") * col("sum_g")) * 4L
-              < col("sum_g") * col("sum_g")).as("bot_like"))
+            // CV < 0.5  ⇔  4·n·Σg² < 5·(Σg)²  (128-bit-exact integer space)
+            (col("n_gaps").cast(d38) * col("sum_g2") * 4L
+              < col("sum_g").cast(d38) * col("sum_g").cast(d38) * 5L)
+              .as("bot_like"))
           .orderBy(col("user_id"))
       },
       usEvents("SELECT user_id, n_gaps, sum_g // n_gaps AS mean_gap_s, " +
-        "(n_gaps * sum_g2 - sum_g * sum_g) * 4 < sum_g * sum_g AS bot_like " +
+        "n_gaps::HUGEINT * sum_g2 * 4 < sum_g::HUGEINT * sum_g * 5 AS bot_like " +
         "FROM (SELECT user_id, COUNT(*)::BIGINT AS n_gaps, " +
         "SUM(gap_s)::BIGINT AS sum_g, " +
-        "SUM(gap_s * gap_s)::BIGINT AS sum_g2 FROM (" +
-        "SELECT user_id, (epoch_us(ts) - lag(epoch_us(ts)) OVER (" +
-        "PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s " +
+        "SUM(gap_s * gap_s)::HUGEINT AS sum_g2 FROM (" +
+        "SELECT user_id, LEAST((epoch_us(ts) - lag(epoch_us(ts)) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id)) // 1000000, 604800) AS gap_s " +
         "FROM events) g WHERE gap_s IS NOT NULL GROUP BY 1) t " +
         "WHERE n_gaps >= 5 ORDER BY user_id")),
 

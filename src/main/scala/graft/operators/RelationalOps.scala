@@ -198,9 +198,15 @@ object RelationalOps {
     // (sortWithinPartitions from a single upstream partition ⇒ exactly one
     // deterministically-ordered file per lang dir — the write is
     // fixture-shaped; production only READS binary files). The key emits
-    // (lang, length, md5(content)), and the oracle recomputes both from
-    // the documents table alone — so the hash match certifies the entire
-    // write→binary-read chain byte-for-byte, newlines included.
+    // (lang, total length, md5 over the path-ordered concatenation of the
+    // lang's files), and the oracle recomputes both from the documents
+    // table alone — so the hash match certifies the entire
+    // write→binary-read chain byte-for-byte, newlines included. The read
+    // side AGGREGATES per lang (r11): if a file-splitting conf
+    // (maxRecordsPerFile, codec suffixes) ever shards a lang dir into
+    // several files, the within-task shard names still sort in write order
+    // (part-…-c000 < c001), so the path-ordered concat — and the key —
+    // stay byte-identical at any file count.
     "source_binary_files" -> Q(
       (s, d) => {
         val tmp = scratch("source_binary_langs")
@@ -214,7 +220,14 @@ object RelationalOps {
           .load(tmp)
           .select(
             regexp_extract(col("path"), "lang=([^/]+)/", 1).as("lang"),
-            col("length"), md5(col("content")).as("content_md5"))
+            col("path"), col("length"), col("content"))
+          .groupBy(col("lang"))
+          .agg(sum(col("length")).as("length"),
+            md5(concat_ws("",
+              transform(
+                array_sort(collect_list(struct(col("path"), col("content")))),
+                f => f.getField("content").cast("string"))))
+              .as("content_md5"))
           .orderBy(col("lang"))
       },
       "SELECT lang, " +
