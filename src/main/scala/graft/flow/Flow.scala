@@ -40,6 +40,7 @@ import graft.T
   *    "dict":{"200":"ok","404":"missing"},"default":"other"},
   *   {"op":"dissect","field":"line","pattern":"%{a} [%{b}] x=%{c}"},
   *   {"op":"grok","field":"line","pattern":"%{IPV4:ip} %{INT:n:int}"},
+  *   {"op":"cep","field":"path","pattern":"a>(b|c)*>d","as":"matched"},
   *   {"op":"orderBy","by":["s desc","a"]}, {"op":"limit","n":10}
   * ]}
   * }}}
@@ -313,6 +314,15 @@ object Flow {
         df.withColumn(str(st, "as"),
           strOpt(st, "default").map(dflt => coalesce(lookup, lit(dflt)))
             .getOrElse(lookup))
+      case "cep" =>
+        // Sequence-pattern match as config (round-11) [PK: the reference's
+        // signal-correlation shape; SQL MATCH_RECOGNIZE's pattern clause]:
+        // a compact `a>(b|c)*>d` pattern over a token-joined sequence
+        // column compiles (see [[Cep]]) to ONE regex shared verbatim with
+        // the DuckDB oracle, evaluated by regexp_like inside codegen.
+        df.withColumn(str(st, "as"),
+          org.apache.spark.sql.functions.regexp_like(
+            col(str(st, "field")), lit(Cep.compile(str(st, "pattern")))))
       case "grok" =>
         // Named-pattern extraction as config [PK: Logstash grok filter]:
         // the ONE-PASS GrokCapture machinery the fn_grok_* keys pin (one

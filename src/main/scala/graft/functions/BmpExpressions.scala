@@ -111,7 +111,7 @@ object BmpImpl extends Serializable {
       s"BmpDecode: unsupported BMP (bpp=$bpp, compression=$compression)")
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
-    require(w > 0 && h > 0 && w.toLong * h <= 1 << 26,
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
       s"BmpDecode: implausible dims ${w}x$h")
     val rowSize = ((w * 3 + 3) / 4) * 4
     require(payload.length >= pixelOff + rowSize * h,

@@ -1954,6 +1954,63 @@ object EventOps {
         "AS score FROM sc) " +
         "SELECT dayn, x, cum, score_num, score_den, score, " +
         "score = MAX(score) OVER () AS is_changepoint FROM s2 ORDER BY dayn")),
+
+    // General sequence-pattern matching (round-11) — the CEP form of the
+    // reference's signal correlation [PK] and the general operator behind
+    // evt_funnel/evt_funnel_ordered's hard-coded patterns: CONFIGURABLE
+    // `a>(b|c)*>d` patterns (graft.flow.Cep grammar) matched CONTIGUOUSLY
+    // within each session. The patterns arrive via the Flow config path
+    // (the flow_compiled_parse discipline — a `cep` instruction per
+    // pattern compiles to regexp_like inside codegen; no NFA interpreter,
+    // no per-row state object). The per-session token string is bounded
+    // by the evt_top_paths rn≤8 cap BEFORE collect, so a bot session
+    // contributes 8 tokens, not 10⁶, and the regex input is ≤ ~72 chars.
+    // The SAME compiled regexes (Cep.compile at registry-build time) are
+    // embedded in the oracle — Java and RE2 evaluate the emitted subset
+    // (alternation, non-capturing groups, greedy quantifiers) identically.
+    // Scale shape: one session window + one keyed agg build the paths;
+    // both regex matches ride ONE projection; output is 4 rows.
+    "evt_pattern_match" -> Q(
+      (s, d) => {
+        val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        val paths = sessionized(s, d)
+          .withColumn("rn", row_number().over(bySession))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(concat(concat_ws(">", transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))), lit(">")).as("path"))
+        val cepSpec =
+          """{"steps":[
+            |{"op":"cep","field":"path","as":"m_browse_buy",
+            | "pattern":"view>(view|click)*>purchase"},
+            |{"op":"cep","field":"path","as":"m_error_recovery",
+            | "pattern":"error>.*>purchase"},
+            |{"op":"agg","groupBy":["m_browse_buy","m_error_recovery"],
+            | "aggs":["count(*) AS n_sessions"]}
+            |]}""".stripMargin
+        graft.flow.Flow.compileOn(s, d, paths, cepSpec)
+          .orderBy(col("m_browse_buy"), col("m_error_recovery"))
+      },
+      usEvents("WITH se AS (SELECT user_id, event_id, event_type, ts, " +
+        "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_seq FROM (SELECT user_id, event_id, " +
+        "event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts FROM events) x), " +
+        "rn AS (SELECT user_id, session_seq, event_type, row_number() OVER " +
+        "(PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn " +
+        "FROM se), " +
+        "p AS (SELECT user_id, session_seq, string_agg(event_type || '>', '' " +
+        "ORDER BY rn) AS path FROM rn WHERE rn <= 8 GROUP BY 1, 2) " +
+        "SELECT regexp_matches(path, '" +
+        graft.flow.Cep.compile("view>(view|click)*>purchase") +
+        "') AS m_browse_buy, regexp_matches(path, '" +
+        graft.flow.Cep.compile("error>.*>purchase") +
+        "') AS m_error_recovery, COUNT(*) AS n_sessions FROM p " +
+        "GROUP BY 1, 2 ORDER BY m_browse_buy, m_error_recovery")),
   )
 
   /** PageRank over the event-type transition graph (round-9 addendum) —

@@ -291,32 +291,35 @@ object MultimodalOps {
         "AS n_sampled " +
         "FROM documents ORDER BY doc_id"),
 
-    // Perceptual-hash near-dup over the opaque payload (round-8 addendum):
-    // a 32-bit DIFFERENCE hash (dHash) — bit i = (sample_i > sample_{i+1})
-    // over 33 evenly-strided samples of the payload — then the SAME
-    // banded-LSH candidate join + hamming filter discipline as
-    // llm_simhash_hamming_join, but keyed on the MEDIA signature: 4 × 8-bit
-    // bands, earlier-band-differs dedup across the 4 joins, bit_count(xor)
-    // <= 3. A real build swaps the sampled-byte gradient for a decoded
-    // 8×8-thumbnail gradient (true image dHash) with the same signature
-    // width, bands, and joins. Scale shape: signatures are ONE projection
-    // pass (no shuffle); only (doc_id, sig, bands) — ~24 bytes/row — enters
-    // the self-join shuffles; each 8-bit band buckets the corpus ~256-ways
-    // so candidate pairs stay ~n²/256 per band, and the hamming filter runs
-    // post-join on two longs. Docs shorter than 33 samples are excluded on
-    // BOTH sides (stride 0 would alias every sample to position 1 and
-    // cluster all short docs into one all-zero-sig bucket).
-    // CHARACTER semantics on both sides (the mm_resize_stub pin): ord-of-
-    // sampled-char is engine-independent on this all-ASCII corpus.
+    // Perceptual-hash near-dup over DECODED PIXELS (rebased round-11, was
+    // sampled raw bytes since round 8): a TRUE image dHash — bit i =
+    // (gray_i > gray_{i+1}) over 33 evenly-strided samples of the decoded
+    // grayscale pixel array (BmpSynth→BmpDecode, the mm_decode_real real
+    // parse) — then the SAME banded-LSH candidate join + hamming filter
+    // discipline as llm_simhash_hamming_join, keyed on the MEDIA
+    // signature: 4 × 8-bit bands, earlier-band-differs dedup across the 4
+    // joins, bit_count(xor) <= 3. Scale shape: decode + signature are ONE
+    // projection pass (no shuffle — pixels never leave it); only
+    // (doc_id, sig, bands) — ~24 bytes/row — enters the self-join
+    // shuffles; each 8-bit band buckets the corpus ~256-ways so candidate
+    // pairs stay ~n²/256 per band, and the hamming filter runs post-join
+    // on two longs. Images smaller than 33 px are excluded on BOTH sides
+    // (stride 0 would alias every sample to position 1 and cluster them
+    // into one all-zero-sig bucket); the fixture dims floor at 40 px. The
+    // oracle recomputes each sampled gray from the generator formula
+    // (pixel k = ord of text byte k·mod·len), independent of the parser.
     "mm_phash_near_dup" -> Q(
       (s, d) => {
+        val img = BmpExpressions.bmpDecode(s)(
+          BmpExpressions.bmpSynth(s)(col("text").cast("binary")))
         val sigExpr = (0 until 32).map(i =>
-          when(expr(s"ascii(substring(text, $i * stride + 1, 1))") >
-            expr(s"ascii(substring(text, ${i + 1} * stride + 1, 1))"),
+          when(expr(s"element_at(pixels, $i * stride + 1)") >
+            expr(s"element_at(pixels, ${i + 1} * stride + 1)"),
             lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
         val sigs = T(s, d, "documents")
-          .filter(length(col("text")) >= 33)
-          .withColumn("stride", expr("length(text) div 33"))
+          .select(col("doc_id"), img.getField("pixels").as("pixels"))
+          .filter(size(col("pixels")) >= 33)
+          .withColumn("stride", expr("cast(size(pixels) div 33 as int)"))
           .select(col("doc_id"), sigExpr.as("phash"))
           .select(Seq(col("doc_id"), col("phash")) ++
             (0 until 4).map(j =>
@@ -342,12 +345,17 @@ object MultimodalOps {
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      "WITH sig AS (SELECT doc_id, " +
+      "WITH dims AS (SELECT doc_id, text, strlen(text) AS len, " +
+        "(strlen(text) % 24 + 8) * ((strlen(text) * 7) % 16 + 5) AS np " +
+        "FROM documents), " +
+        "st AS (SELECT doc_id, text, len, np // 33 AS stride FROM dims " +
+        "WHERE np >= 33), " +
+        "sig AS (SELECT doc_id, " +
         (0 until 32).map(i =>
-          s"(CASE WHEN ord(substr(text, $i * (length(text) // 33) + 1, 1)) > " +
-            s"ord(substr(text, ${i + 1} * (length(text) // 33) + 1, 1)) " +
+          s"(CASE WHEN ord(substr(text, (($i * stride) % len + 1)::INT, 1)) > " +
+            s"ord(substr(text, ((${i + 1} * stride) % len + 1)::INT, 1)) " +
             s"THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ") +
-        " AS phash FROM documents WHERE length(text) >= 33), " +
+        " AS phash FROM st), " +
         "sigb AS (SELECT doc_id, phash, " +
         (0 until 4).map(j => s"(phash >> ${8 * j}) & 255 AS band$j")
           .mkString(", ") +
