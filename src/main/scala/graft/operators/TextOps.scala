@@ -425,6 +425,104 @@ object TextOps {
         "FROM documents) w WHERE length(word) >= 2) p GROUP BY 1, 2) c) r " +
         "WHERE rn <= 5 ORDER BY lang, rn"),
 
+    // Iterative BPE TRAINING (round-11) — llm_bpe_pairs runs only the
+    // first merge; this key runs the real trainer loop: 3 merge rounds
+    // per lang stratum, each round (a) counting adjacent SYMBOL pairs
+    // over the current segmentation, (b) electing the most frequent pair
+    // (ties break on pair text — merge-order determinism is spec-pinned),
+    // (c) re-segmenting every word with a LEFT-TO-RIGHT NON-OVERLAPPING
+    // merge fold (the real BPE rule: 'a a a' under merge (a,a) → [aa, a])
+    // expressed as ONE aggregate() lambda — Spark's aggregate() and
+    // DuckDB's list_reduce() fold identically, so the oracle re-runs the
+    // whole trainer as per-round CTEs. Output is the merge table
+    // (lang × round → pair, count). Scale shape: the pagerank discipline
+    // — each round's words frame is PINNED so round N never re-derives
+    // rounds 1..N-1; per-round cost is one explode + one keyed count +
+    // one |langs|-sized broadcast join; the elected-pair frame is
+    // lang-sized; iteration count is a constant.
+    "llm_bpe_train" -> Q(
+      (s, d) => {
+        import graft.operators.PinSyntax._
+        // left-to-right merge fold: if the accumulated tail symbol is pa
+        // and the next symbol is pb, fuse them; the fused token no longer
+        // equals pa, so overlapping candidates skip — exact BPE order.
+        val tail = "regexp_extract(acc, '([^ ]+)$', 1)"
+        val mergeFold =
+          "aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1), " +
+            s"(acc, x) -> CASE WHEN $tail = pa AND x = pb " +
+            s"THEN concat(substring(acc, 1, length(acc) - length($tail)), " +
+            "pa, pb) ELSE concat(acc, ' ', x) END)"
+        var words = T(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .select(col("lang"), array_join(split(col("word"), ""), " ").as("ws"))
+          .pinned
+        var merges: org.apache.spark.sql.DataFrame = null
+        for (r <- 1 to 3) {
+          val top = words
+            .withColumn("syms", split(col("ws"), " "))
+            .filter(size(col("syms")) >= 2)
+            .select(col("lang"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> " +
+                "concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+              .as("pair"))
+            .groupBy(col("lang"), col("pair"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("lang"))
+                .orderBy(col("n").desc, col("pair"))))
+            .filter(col("rn") === 1)
+            .select(col("lang"), col("pair"), col("n"))
+            .pinned
+          val tagged = top.select(col("lang"), lit(r.toLong).as("round"),
+            col("pair"), col("n"))
+          merges = if (merges == null) tagged else merges.unionByName(tagged)
+          words = words
+            .join(broadcast(top.select(col("lang"),
+              split(col("pair"), " ").getItem(0).as("pa"),
+              split(col("pair"), " ").getItem(1).as("pb"))),
+              Seq("lang"), "left")
+            .withColumn("syms", split(col("ws"), " "))
+            .select(col("lang"),
+              when(col("pa").isNull, col("ws"))
+                .otherwise(expr(mergeFold)).as("ws"))
+            .pinned
+        }
+        merges.orderBy(col("lang"), col("round"))
+      },
+      {
+        // per-round CTE chain: wN re-segments with the SAME fold rule
+        val duckTail = "regexp_extract(acc, '([^ ]+)$', 1)"
+        def mergeSql(round: Int): String =
+          s"w$round AS (SELECT w.lang, CASE WHEN t.pair IS NULL THEN w.ws " +
+            "ELSE list_reduce(string_split(w.ws, ' '), (acc, x) -> " +
+            s"CASE WHEN $duckTail = string_split(t.pair, ' ')[1] " +
+            "AND x = string_split(t.pair, ' ')[2] " +
+            s"THEN substr(acc, 1, length(acc) - length($duckTail)) || " +
+            "replace(t.pair, ' ', '') " +
+            "ELSE acc || ' ' || x END) END AS ws " +
+            s"FROM w${round - 1} w LEFT JOIN t$round t USING (lang))"
+        def roundSql(round: Int): String =
+          s"p$round AS (SELECT lang, (syms[i] || ' ' || syms[i + 1]) AS pair " +
+            "FROM (SELECT lang, syms, " +
+            "unnest(generate_series(1, len(syms) - 1)) AS i " +
+            s"FROM (SELECT lang, string_split(ws, ' ') AS syms FROM w${round - 1}) a) b), " +
+            s"t$round AS (SELECT lang, pair, COUNT(*)::BIGINT AS n FROM p$round " +
+            "GROUP BY 1, 2 QUALIFY row_number() OVER (PARTITION BY lang " +
+            "ORDER BY n DESC, pair) = 1)"
+        "WITH w0 AS (SELECT lang, " +
+          "array_to_string(string_split(word, ''), ' ') AS ws " +
+          "FROM (SELECT lang, unnest(string_split(text, ' ')) AS word " +
+          "FROM documents) t WHERE length(word) >= 2), " +
+          roundSql(1) + ", " + mergeSql(1) + ", " +
+          roundSql(2) + ", " + mergeSql(2) + ", " +
+          roundSql(3) + " " +
+          "SELECT lang, round, pair, n FROM (" +
+          "SELECT lang, 1::BIGINT AS round, pair, n FROM t1 UNION ALL " +
+          "SELECT lang, 2::BIGINT, pair, n FROM t2 UNION ALL " +
+          "SELECT lang, 3::BIGINT, pair, n FROM t3) m ORDER BY lang, round"
+      }),
+
     // Gopher-style rule filter: per-document quality gates (token count
     // band, mean-word-length band, stopword presence) and the combined
     // keep flag — the rule-based pre-filter of a training-data pipeline.
