@@ -420,6 +420,24 @@ class ScaleSpec extends SparkSpec {
     assert(merged == whole, "partial CMS sketches did not merge to the whole")
   }
 
+  test("scale_manifest_prune: the manifest plans a strict subset of files") {
+    val (files, total, (lo, hi)) =
+      graft.operators.ScaleOps.manifestPlan(spark, sf001)
+    assert(total >= 4, s"layout should produce several files, got $total")
+    assert(files.nonEmpty, "pruning must keep at least one intersecting file")
+    assert(files.size < total,
+      s"manifest pruning skipped nothing (${files.size}/$total files read " +
+        s"for bounds [$lo, $hi]) — the [30%,45%] box must not cover every range")
+    // the pruned scan misses no rows: pruned+filtered ≡ direct filtered scan
+    val pruned = spark.read.parquet(files: _*)
+      .filter(org.apache.spark.sql.functions.col("l_orderkey").between(lo, hi))
+      .count()
+    val direct = graft.T(spark, sf001, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey").between(lo, hi))
+      .count()
+    assert(pruned == direct, s"pruned=$pruned direct=$direct")
+  }
+
   test("agg_count_min_est: CMS estimate dominates the exact count") {
     val rows = SparkEntry.queries("agg_count_min_est")(spark, sf001)
       .collect().toSeq
