@@ -1403,5 +1403,29 @@ object FnOps {
         "WHEN 5 THEN p_size::VARCHAR || ' XB' " +
         "ELSE p_size::VARCHAR || ' TiB' END AS size_str FROM part) t " +
         "ORDER BY p_partkey"),
+
+    // XML field extraction (round-11) [PK: Logstash xml filter]: an XML
+    // payload is synthesized from nation (element text, nested element,
+    // and an ATTRIBUTE — the three access shapes), then parsed back with
+    // Spark's built-in xpath functions (xpath_string / xpath_int — real
+    // XPath evaluation, codegen projection, no UDF). DuckDB has no XPath,
+    // so the oracle states the expected extraction straight from the
+    // source columns (the source_csv_permissive discipline): the hash
+    // match certifies the synthesize→parse round trip exactly. The corpus
+    // nation names are [A-Z ]-safe (no XML escaping needed — asserted by
+    // the synthesis being injective on that alphabet).
+    "fn_xml_extract" -> Q(
+      (s, d) => T(s, d, "nation")
+        .withColumn("xml", concat(
+          lit("<rec id=\""), col("n_nationkey").cast("string"),
+          lit("\"><name>"), col("n_name"), lit("</name><region>"),
+          col("n_regionkey").cast("string"), lit("</region></rec>")))
+        .select(col("n_nationkey"),
+          expr("xpath_string(xml, '/rec/name')").as("name"),
+          big(expr("xpath_int(xml, '/rec/region')")).as("region"),
+          big(expr("xpath_int(xml, '/rec/@id')")).as("id_attr"))
+        .orderBy(col("n_nationkey")),
+      "SELECT n_nationkey, n_name AS name, n_regionkey::BIGINT AS region, " +
+        "n_nationkey::BIGINT AS id_attr FROM nation ORDER BY n_nationkey"),
   )
 }

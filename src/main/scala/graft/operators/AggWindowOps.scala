@@ -872,5 +872,34 @@ object AggWindowOps {
         "MIN(event_id) AS first_id, MAX(event_id) AS last_id, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) " +
         "AS avg_value FROM events GROUP BY 1 ORDER BY user_id")),
+
+    // TIME-based window frames (round-11) — RANGE BETWEEN INTERVAL, the
+    // frame mode the row-count keys (win_moving_avg etc.) cannot express:
+    // "everything in the trailing hour" follows the EVENT-TIME axis, so
+    // sparse and bursty users get correct physics (a ROWS 5 PRECEDING
+    // frame spans minutes for a bot and weeks for a lurker). Both engines
+    // bound the frame by ts-peers identically (ties are frame peers in
+    // RANGE mode — included on both sides), the count is integer, and the
+    // moving sum runs in DECIMAL so the engines' different frame-
+    // aggregation internals (sliding vs segment tree) cannot diverge.
+    // Scale shape: user-partitioned frames, one window pass, no global
+    // ordering anywhere but the output sort.
+    "win_time_range_sum" -> Q(
+      (s, d) => {
+        val frame = "OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .select(col("event_id"),
+            expr(s"cast(count(*) $frame as bigint)").as("n_1h"),
+            expr("cast(sum(cast(value as decimal(18,4))) " +
+              s"$frame as double)").as("sum_1h"))
+          .orderBy(col("event_id"))
+      },
+      usEvents("SELECT event_id, COUNT(*) OVER w ::BIGINT AS n_1h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id")),
   )
 }

@@ -178,6 +178,83 @@ object MultimodalOps {
         "(tile_sum_gray // (tile_w * tile_h))::BIGINT AS mean_gray " +
         "FROM ts ORDER BY doc_id, tile_id"),
 
+    // Per-image pixel HISTOGRAM over the real decode (round-11) — the
+    // first statistic any vision-quality gate computes (exposure check,
+    // dedup pre-filter): 16 gray bins of 16 levels each, counted straight
+    // off the decoded pixel array, plus the dominant bin (first-max —
+    // deterministic under ties on both engines: array_position and
+    // list_position both return the FIRST occurrence). All integer; the
+    // 16 bin counts are one projection over the decode, and only the
+    // 16-value digest string + mode leave it.
+    "mm_histogram" -> Q(
+      (s, d) => {
+        val img = BmpExpressions.bmpDecode(s)(
+          BmpExpressions.bmpSynth(s)(col("text").cast("binary")))
+        T(s, d, "documents")
+          .select(col("doc_id"), img.getField("pixels").as("pixels"))
+          .withColumn("bins", expr(
+            "transform(sequence(0, 15), k -> " +
+              "cast(size(filter(pixels, p -> p div 16 = k)) as bigint))"))
+          .select(col("doc_id"),
+            concat_ws(",", transform(col("bins"), c => c.cast("string")))
+              .as("hist_csv"),
+            big(expr("array_position(bins, array_max(bins))")).as("mode_bin_1b"),
+            big(expr("array_max(bins)")).as("mode_count"))
+          .orderBy(col("doc_id"))
+      },
+      "WITH dims AS (SELECT doc_id, text, strlen(text) AS len, " +
+        "(strlen(text) % 24 + 8)::BIGINT AS width, " +
+        "(strlen(text) * 7 % 16 + 5)::BIGINT AS height FROM documents), " +
+        "px AS (SELECT doc_id, " +
+        "list_transform(generate_series(0, (width*height - 1)::INT), " +
+        "k -> ord(substr(text, ((k % len) + 1)::INT, 1))) AS pixels FROM dims), " +
+        "h AS (SELECT doc_id, list_transform(generate_series(0, 15), " +
+        "k -> len(list_filter(pixels, p -> p // 16 = k))::BIGINT) AS bins " +
+        "FROM px) " +
+        "SELECT doc_id, array_to_string(bins, ',') AS hist_csv, " +
+        "list_position(bins, list_aggregate(bins, 'max'))::BIGINT AS mode_bin_1b, " +
+        "list_aggregate(bins, 'max')::BIGINT AS mode_count " +
+        "FROM h ORDER BY doc_id"),
+
+    // Gradient ENERGY over the real decode (round-11) — the blur/detail
+    // screen (and the scalar the full dHash generalizes): total absolute
+    // horizontal gradient (within rows — the (k+1)%width boundary guard
+    // stops row-wrap artifacts) and vertical gradient (across rows),
+    // exact integers off the decoded array. The same shape a Sobel/
+    // Laplacian sharpness score takes; one projection, digest-only output.
+    "mm_edge_energy" -> Q(
+      (s, d) => {
+        val img = BmpExpressions.bmpDecode(s)(
+          BmpExpressions.bmpSynth(s)(col("text").cast("binary")))
+        T(s, d, "documents")
+          .select(col("doc_id"), img.getField("width").as("width"),
+            img.getField("pixels").as("pixels"))
+          .select(col("doc_id"),
+            big(expr(
+              "aggregate(filter(sequence(0, size(pixels) - 2), " +
+                "k -> (k + 1) % width != 0), 0L, (a, k) -> " +
+                "a + abs(element_at(pixels, k + 2) - element_at(pixels, k + 1)))"))
+              .as("h_energy"),
+            big(expr(
+              "aggregate(sequence(0, size(pixels) - width - 1), 0L, (a, k) -> " +
+                "a + abs(element_at(pixels, k + width + 1) - element_at(pixels, k + 1)))"))
+              .as("v_energy"))
+          .orderBy(col("doc_id"))
+      },
+      "WITH dims AS (SELECT doc_id, text, strlen(text) AS len, " +
+        "(strlen(text) % 24 + 8)::INT AS width, " +
+        "(strlen(text) * 7 % 16 + 5)::INT AS height FROM documents), " +
+        "px AS (SELECT doc_id, width, " +
+        "list_transform(generate_series(0, (width*height - 1)::INT), " +
+        "k -> ord(substr(text, ((k % len) + 1)::INT, 1))) AS pixels FROM dims) " +
+        "SELECT doc_id, " +
+        "list_sum(list_transform(list_filter(generate_series(0, len(pixels) - 2), " +
+        "k -> (k + 1) % width != 0), " +
+        "k -> abs(pixels[(k + 2)::INT] - pixels[(k + 1)::INT])))::BIGINT AS h_energy, " +
+        "list_sum(list_transform(generate_series(0, len(pixels) - width - 1), " +
+        "k -> abs(pixels[(k + width + 1)::INT] - pixels[(k + 1)::INT])))::BIGINT AS v_energy " +
+        "FROM px ORDER BY doc_id"),
+
     // 2D tile grid (round-10) — the patching step every vision pipeline
     // runs before embedding (ViT patches, tiled OCR): given the stubbed
     // (width, height) from mm_decode_meta's deterministic dims, lay a

@@ -155,6 +155,34 @@ object SubqueryOps {
       "SELECT event_id, user_id, event_type, value FROM events " +
         "WHERE md5(event_id::VARCHAR) < '2' ORDER BY event_id"),
 
+    // STRATIFIED deterministic sampling (round-11) — the training-data
+    // MIXTURE step (the north-star pipeline's "30% en, 10% code, 5% de"
+    // dial): per-stratum keep rates as hex-prefix thresholds over the
+    // same md5 coin as sample_hash_deterministic (en 1/2, de 1/4, others
+    // 1/16 here), so the sample is reproducible row-identity sampling —
+    // re-running or re-sharding cannot change membership, and both
+    // engines draw the identical sample. Output is the mixture report
+    // (per-lang totals, kept counts, kept-id checksum) — the thing a
+    // mixture dial is tuned against. One projection + one keyed agg.
+    "sample_stratified" -> Q(
+      (s, d) => {
+        val thr = when(col("lang") === "en", lit("8"))
+          .when(col("lang") === "de", lit("4")).otherwise(lit("1"))
+        T(s, d, "documents")
+          .withColumn("keep", md5(col("doc_id").cast("string")) < thr)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"))
+          .orderBy(col("lang"))
+      },
+      "SELECT lang, COUNT(*)::BIGINT AS n_total, " +
+        "SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept, " +
+        "SUM(CASE WHEN keep THEN doc_id END)::BIGINT AS kept_id_sum FROM (" +
+        "SELECT lang, doc_id, md5(doc_id::VARCHAR) < (CASE " +
+        "WHEN lang = 'en' THEN '8' WHEN lang = 'de' THEN '4' " +
+        "ELSE '1' END) AS keep FROM documents) t GROUP BY 1 ORDER BY lang"),
+
     // Quantified comparisons (> ALL / > ANY) — the §2.C subquery form Spark
     // has no surface syntax for: `x > ALL (S)` compiles to `x > max(S)`
     // and `x > ANY (S)` to `x > min(S)`, with the empty-S corner guarded:
