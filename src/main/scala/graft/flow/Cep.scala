@@ -29,6 +29,36 @@ package graft.flow
 object Cep {
   private val Name = "[a-z][a-z0-9_]*"
 
+  /** COUNT-mode parse: a quantifier-free pattern as its step atoms —
+    * `Some(alternatives)` per literal step, `None` for the `.` wildcard.
+    * Occurrence counting uses POSITION semantics over the token array
+    * (every start index whose k-token window matches — well-defined,
+    * overlap-friendly, and identical in any engine) because regex-based
+    * counting cannot be made boundary-exact without lookbehind, which
+    * RE2 (the oracle engine) does not support. Quantified steps make a
+    * count ambiguous, so they are rejected loudly. */
+  def literalSteps(pattern: String): Seq[Option[Seq[String]]] = {
+    require(pattern.nonEmpty, "cep: empty pattern")
+    val steps = pattern.split(">", -1).toSeq
+    require(steps.forall(_.nonEmpty),
+      s"cep: empty step in '$pattern' (doubled or trailing '>')")
+    steps.map { s0 =>
+      require(!Set('*', '+', '?').contains(s0.last),
+        s"cep: count mode requires a quantifier-free pattern, got '$s0' in '$pattern'")
+      if (s0 == ".") None
+      else if (s0.startsWith("(") && s0.endsWith(")")) {
+        val alts = s0.substring(1, s0.length - 1).split("[|]", -1).toSeq
+        require(alts.nonEmpty && alts.forall(_.matches(Name)),
+          s"cep: bad alternation '$s0' in '$pattern'")
+        Some(alts)
+      } else {
+        require(s0.matches(Name),
+          s"cep: bad token '$s0' in '$pattern' (want $Name | (a|b) | .)")
+        Some(Seq(s0))
+      }
+    }
+  }
+
   def compile(pattern: String): String = {
     require(pattern.nonEmpty, "cep: empty pattern")
     val steps = pattern.split(">", -1).toSeq

@@ -318,11 +318,38 @@ object Flow {
         // Sequence-pattern match as config (round-11) [PK: the reference's
         // signal-correlation shape; SQL MATCH_RECOGNIZE's pattern clause]:
         // a compact `a>(b|c)*>d` pattern over a token-joined sequence
-        // column compiles (see [[Cep]]) to ONE regex shared verbatim with
-        // the DuckDB oracle, evaluated by regexp_like inside codegen.
-        df.withColumn(str(st, "as"),
-          org.apache.spark.sql.functions.regexp_like(
-            col(str(st, "field")), lit(Cep.compile(str(st, "pattern")))))
+        // column. mode "match" (default) compiles (see [[Cep]]) to ONE
+        // regex shared verbatim with the DuckDB oracle, evaluated by
+        // regexp_like inside codegen; mode "count" counts occurrence
+        // START POSITIONS of a quantifier-free pattern over the token
+        // array (Cep.literalSteps documents why regex counting can't be
+        // boundary-exact without lookbehind) — one filter/size HOF, still
+        // one codegen projection.
+        strOpt(st, "mode").getOrElse("match") match {
+          case "match" =>
+            df.withColumn(str(st, "as"),
+              org.apache.spark.sql.functions.regexp_like(
+                col(str(st, "field")), lit(Cep.compile(str(st, "pattern")))))
+          case "count" =>
+            val steps = Cep.literalSteps(str(st, "pattern"))
+            val k = steps.length
+            // toks drops empty strings (the trailing-separator artifact)
+            val toks = s"filter(split(${str(st, "field")}, '>'), x -> x != '')"
+            val conds = steps.zipWithIndex.collect {
+              case (Some(alts), j) =>
+                val in = alts.map(a => s"'$a'").mkString("(", ", ", ")")
+                s"element_at($toks, i + $j) IN $in"
+            }
+            val cond = if (conds.isEmpty) "true" else conds.mkString(" AND ")
+            // the size guard stops sequence() from running backwards on
+            // sessions shorter than the pattern
+            df.withColumn(str(st, "as"), expr(
+              s"CASE WHEN size($toks) >= $k THEN " +
+                s"size(filter(sequence(1, size($toks) - ${k - 1}), " +
+                s"i -> $cond)) ELSE 0 END").cast("long"))
+          case other =>
+            sys.error(s"flow: cep mode '$other' (want match|count)")
+        }
       case "grok" =>
         // Named-pattern extraction as config [PK: Logstash grok filter]:
         // the ONE-PASS GrokCapture machinery the fn_grok_* keys pin (one

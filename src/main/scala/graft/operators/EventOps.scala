@@ -2011,6 +2011,70 @@ object EventOps {
         graft.flow.Cep.compile("error>.*>purchase") +
         "') AS m_error_recovery, COUNT(*) AS n_sessions FROM p " +
         "GROUP BY 1, 2 ORDER BY m_browse_buy, m_error_recovery")),
+
+    // Pattern OCCURRENCE counting (round-11) — evt_pattern_match's
+    // quantitative sibling: how MANY times does a (quantifier-free)
+    // sequence occur per session, rolled up to corpus totals + session
+    // reach. Counting uses START-POSITION semantics over the bounded
+    // token array (every index whose k-token window matches — the `cep`
+    // op's count mode; Cep.literalSteps documents why regex counting
+    // cannot be boundary-exact under RE2), so adjacent and overlapping
+    // runs count naturally and both engines agree exactly. Same rn≤8
+    // bound, same config path; the count is one filter/size HOF per
+    // pattern inside one projection; output is ONE row.
+    "evt_pattern_count" -> Q(
+      (s, d) => {
+        val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        val paths = sessionized(s, d)
+          .withColumn("rn", row_number().over(bySession))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(concat(concat_ws(">", transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))), lit(">")).as("path"))
+        val spec =
+          """{"steps":[
+            |{"op":"cep","field":"path","as":"c_vc","mode":"count",
+            | "pattern":"view>click"},
+            |{"op":"cep","field":"path","as":"c_eb","mode":"count",
+            | "pattern":"error>.>purchase"},
+            |{"op":"agg","groupBy":[],
+            | "aggs":["count(*) AS n_sessions",
+            |  "CAST(sum(c_vc) AS BIGINT) AS view_click_total",
+            |  "CAST(sum(CASE WHEN c_vc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS view_click_sessions",
+            |  "CAST(sum(c_eb) AS BIGINT) AS err_buy_total",
+            |  "CAST(sum(CASE WHEN c_eb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS err_buy_sessions"]}
+            |]}""".stripMargin
+        graft.flow.Flow.compileOn(s, d, paths, spec)
+      },
+      usEvents("WITH se AS (SELECT user_id, event_id, event_type, ts, " +
+        "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_seq FROM (SELECT user_id, event_id, " +
+        "event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts FROM events) x), " +
+        "rn AS (SELECT user_id, session_seq, event_type, row_number() OVER " +
+        "(PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn " +
+        "FROM se), " +
+        "p AS (SELECT user_id, session_seq, string_agg(event_type || '>', '' " +
+        "ORDER BY rn) AS path FROM rn WHERE rn <= 8 GROUP BY 1, 2), " +
+        "tk AS (SELECT list_filter(string_split(path, '>'), x -> x != '') " +
+        "AS toks FROM p), " +
+        "c AS (SELECT " +
+        "CASE WHEN len(toks) >= 2 THEN len(list_filter(" +
+        "generate_series(1, len(toks) - 1), i -> toks[i] = 'view' AND " +
+        "toks[i+1] = 'click')) ELSE 0 END AS c_vc, " +
+        "CASE WHEN len(toks) >= 3 THEN len(list_filter(" +
+        "generate_series(1, len(toks) - 2), i -> toks[i] = 'error' AND " +
+        "toks[i+2] = 'purchase')) ELSE 0 END AS c_eb FROM tk) " +
+        "SELECT COUNT(*) AS n_sessions, " +
+        "SUM(c_vc)::BIGINT AS view_click_total, " +
+        "SUM(CASE WHEN c_vc > 0 THEN 1 ELSE 0 END)::BIGINT AS view_click_sessions, " +
+        "SUM(c_eb)::BIGINT AS err_buy_total, " +
+        "SUM(CASE WHEN c_eb > 0 THEN 1 ELSE 0 END)::BIGINT AS err_buy_sessions " +
+        "FROM c")),
   )
 
   /** PageRank over the event-type transition graph (round-9 addendum) —

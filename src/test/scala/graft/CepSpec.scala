@@ -1,12 +1,12 @@
 package graft
 
 import graft.flow.Cep
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the Cep pattern→regex compiler: emitted subset, contiguity and
   * token-boundary semantics (via Java's engine — the oracle gate covers
-  * RE2 agreement on the same strings). */
-class CepSpec extends AnyFunSuite {
+  * RE2 agreement on the same strings), plus the count-mode position
+  * semantics through the flow op. */
+class CepSpec extends SparkSpec {
 
   private def m(pattern: String, path: String): Boolean =
     java.util.regex.Pattern.compile(Cep.compile(pattern)).matcher(path).find()
@@ -37,6 +37,36 @@ class CepSpec extends AnyFunSuite {
     assert(!m("a>.>c", "a>c>"))
     assert(m("a>.*>c", "a>c>"))
     assert(m("a>.*>c", "a>x>y>c>"))
+  }
+
+  test("count mode: literalSteps parses atoms, rejects quantifiers") {
+    assert(Cep.literalSteps("a>(b|c)>.") ==
+      Seq(Some(Seq("a")), Some(Seq("b", "c")), None))
+    intercept[IllegalArgumentException](Cep.literalSteps("a>b*>c"))
+    intercept[IllegalArgumentException](Cep.literalSteps("a>b+"))
+    intercept[IllegalArgumentException](Cep.literalSteps("a?>b"))
+  }
+
+  test("count mode positions: adjacent and overlapping runs all count") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("view>click>view>click>"),
+        org.apache.spark.sql.Row("view>view>view>"),
+        org.apache.spark.sql.Row("click>")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType))))
+    val spec =
+      """{"steps":[
+        |{"op":"cep","field":"path","as":"c_vc","mode":"count","pattern":"view>click"},
+        |{"op":"cep","field":"path","as":"c_vv","mode":"count","pattern":"view>view"}
+        |]}""".stripMargin
+    val got = graft.flow.Flow.compileOn(spark, sf001, df, spec)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("view>click>view>click>", 2L, 0L),
+      ("view>view>view>", 0L, 2L), // overlapping positions 1 and 2 both count
+      ("click>", 0L, 0L)))
   }
 
   test("bad patterns fail loudly") {
