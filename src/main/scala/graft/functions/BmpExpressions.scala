@@ -134,6 +134,38 @@ object BmpImpl extends Serializable {
   }
 }
 
+/** Single-pass 16-bin grayscale histogram over a decoded pixel array —
+  * the per-bin filter() formulation scans the array 16×; this is one
+  * tight loop (the reason it is a native expression, like the decode). */
+object GrayHistImpl extends Serializable {
+  val Bins = 16
+  def compute(px: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val out = new Array[Long](Bins)
+    val n = px.numElements()
+    var i = 0
+    while (i < n) { out(px.getInt(i) / 16) += 1; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** pixels array<int> (gray 0..255) → array<long> of 16 bin counts. */
+case class GrayHist16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    GrayHistImpl.compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val impl = ctx.addReferenceObj("grayHistImpl", GrayHistImpl,
+        GrayHistImpl.getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $impl.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** payload bytes → synthesized BMP container (codegen'd). */
 case class BmpSynth(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
@@ -179,5 +211,11 @@ object BmpExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bmp_decode", exprs => BmpDecode(exprs.head), "built-in")
     org.apache.spark.sql.functions.call_function("graft_bmp_decode", container)
+  }
+
+  def grayHist16(spark: SparkSession)(pixels: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gray_hist16", exprs => GrayHist16(exprs.head), "built-in")
+    org.apache.spark.sql.functions.call_function("graft_gray_hist16", pixels)
   }
 }

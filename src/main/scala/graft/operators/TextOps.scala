@@ -435,10 +435,15 @@ object TextOps {
     // expressed as ONE aggregate() lambda — Spark's aggregate() and
     // DuckDB's list_reduce() fold identically, so the oracle re-runs the
     // whole trainer as per-round CTEs. Output is the merge table
-    // (lang × round → pair, count). Scale shape: the pagerank discipline
-    // — each round's words frame is PINNED so round N never re-derives
-    // rounds 1..N-1; per-round cost is one explode + one keyed count +
-    // one |langs|-sized broadcast join; the elected-pair frame is
+    // (lang × round → pair, count). Scale shape: the trainer runs on the
+    // WEIGHTED VOCABULARY, not raw occurrences — the corpus is collapsed
+    // once to (lang, word, cnt) and every later pass (pair counts, merge
+    // folds) touches one row per DISTINCT word with its multiplicity (the
+    // structure real tokenizer trainers use: pair counts are Σ cnt, so
+    // the merge table is bit-identical to per-occurrence counting while
+    // the per-round work is vocab-sized, not corpus-sized). Per the
+    // pagerank discipline each round's vocab frame is PINNED so round N
+    // never re-derives rounds 1..N-1; the elected-pair frame is
     // lang-sized; iteration count is a constant.
     "llm_bpe_train" -> Q(
       (s, d) => {
@@ -452,22 +457,25 @@ object TextOps {
             s"(acc, x) -> CASE WHEN $tail = pa AND x = pb " +
             s"THEN concat(substring(acc, 1, length(acc) - length($tail)), " +
             "pa, pb) ELSE concat(acc, ' ', x) END)"
-        var words = T(s, d, "documents")
+        var vocab = T(s, d, "documents")
           .select(col("lang"), explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) >= 2)
-          .select(col("lang"), array_join(split(col("word"), ""), " ").as("ws"))
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("lang"),
+            array_join(split(col("word"), ""), " ").as("ws"), col("cnt"))
           .pinned
         var merges: org.apache.spark.sql.DataFrame = null
         for (r <- 1 to 3) {
-          val top = words
+          val top = vocab
             .withColumn("syms", split(col("ws"), " "))
             .filter(size(col("syms")) >= 2)
-            .select(col("lang"), explode(expr(
+            .select(col("lang"), col("cnt"), explode(expr(
               "transform(sequence(1, size(syms) - 1), i -> " +
                 "concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
               .as("pair"))
             .groupBy(col("lang"), col("pair"))
-            .agg(count(lit(1)).as("n"))
+            .agg(sum(col("cnt")).as("n"))
             .withColumn("rn", row_number().over(
               Window.partitionBy(col("lang"))
                 .orderBy(col("n").desc, col("pair"))))
@@ -477,7 +485,7 @@ object TextOps {
           val tagged = top.select(col("lang"), lit(r.toLong).as("round"),
             col("pair"), col("n"))
           merges = if (merges == null) tagged else merges.unionByName(tagged)
-          words = words
+          vocab = vocab
             .join(broadcast(top.select(col("lang"),
               split(col("pair"), " ").getItem(0).as("pa"),
               split(col("pair"), " ").getItem(1).as("pb"))),
@@ -485,7 +493,7 @@ object TextOps {
             .withColumn("syms", split(col("ws"), " "))
             .select(col("lang"),
               when(col("pa").isNull, col("ws"))
-                .otherwise(expr(mergeFold)).as("ws"))
+                .otherwise(expr(mergeFold)).as("ws"), col("cnt"))
             .pinned
         }
         merges.orderBy(col("lang"), col("round"))

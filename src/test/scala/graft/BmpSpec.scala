@@ -69,6 +69,19 @@ class BmpSpec extends SparkSpec {
     intercept[IllegalArgumentException](BmpImpl.decode(bad8bpp))
   }
 
+  test("GrayHist16 single pass == brute-force per-bin count") {
+    val src = Array.tabulate(123)(i => (32 + (i * 53) % 95).toByte)
+    val px = expectedPixels(src)
+    val hist = graft.functions.GrayHistImpl
+      .compute(new org.apache.spark.sql.catalyst.util.GenericArrayData(px))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    assert(hist.sum == px.length)
+    (0 until 16).foreach { k =>
+      assert(hist(k) == px.count(_ / 16 == k), s"bin $k")
+    }
+  }
+
   test("codegen and interpreted paths agree through the Column API") {
     val df = spark.range(5).selectExpr(
       "cast(concat('payload-', repeat(cast(id as string), cast(40 + id as int))) as binary) as p")
