@@ -1427,5 +1427,65 @@ object FnOps {
         .orderBy(col("n_nationkey")),
       "SELECT n_nationkey, n_name AS name, n_regionkey::BIGINT AS region, " +
         "n_nationkey::BIGINT AS id_attr FROM nation ORDER BY n_nationkey"),
+
+    // User-agent parsing (round-11) [PK: Logstash useragent filter]: four
+    // realistic UA strings (Chrome/Linux, Safari/macOS, Firefox/Windows,
+    // curl — the bot case) are synthesized per order and parsed back with
+    // the precedence ladder a real UA parser needs (Chrome claims the
+    // Safari token, so Chrome tests FIRST; Safari's version lives in
+    // `Version/`, not the `Safari/` build id), plus OS family and a bot
+    // flag. Anchored RE2-safe regexes in one codegen projection. The
+    // oracle states the expected parse from the synthesis key (the
+    // source_csv_permissive round-trip discipline).
+    "fn_useragent_parse" -> Q(
+      (s, d) => {
+        val ua = when(col("o_custkey") % 4 === 0, lit(
+            "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 " +
+              "Chrome/103.0.5060.53 Safari/537.36"))
+          .when(col("o_custkey") % 4 === 1, lit(
+            "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) " +
+              "Version/15.5 Safari/605.1.15"))
+          .when(col("o_custkey") % 4 === 2, lit(
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:102.0) " +
+              "Gecko/20100101 Firefox/102.0"))
+          .otherwise(lit("curl/7.84.0"))
+        T(s, d, "orders")
+          .select(col("o_orderkey"), ua.as("ua"))
+          .withColumn("family",
+            when(col("ua").contains("Chrome/"), "chrome")
+              .when(col("ua").contains("Firefox/"), "firefox")
+              .when(col("ua").contains("Version/") &&
+                col("ua").contains("Safari/"), "safari")
+              .when(col("ua").startsWith("curl/"), "curl")
+              .otherwise("other"))
+          .withColumn("major",
+            when(col("family") === "chrome",
+              regexp_extract(col("ua"), "Chrome/([0-9]+)", 1))
+              .when(col("family") === "firefox",
+                regexp_extract(col("ua"), "Firefox/([0-9]+)", 1))
+              .when(col("family") === "safari",
+                regexp_extract(col("ua"), "Version/([0-9]+)", 1))
+              .when(col("family") === "curl",
+                regexp_extract(col("ua"), "curl/([0-9]+)", 1))
+              .otherwise(lit(null)).cast("long"))
+          .withColumn("os",
+            when(col("ua").contains("X11"), "linux")
+              .when(col("ua").contains("Mac OS X"), "macos")
+              .when(col("ua").contains("Windows NT"), "windows")
+              .otherwise("(none)"))
+          .withColumn("is_bot", col("family") === "curl")
+          .select(col("o_orderkey"), col("family"), col("major"),
+            col("os"), col("is_bot"))
+          .orderBy(col("o_orderkey"))
+      },
+      "SELECT o_orderkey, " +
+        "CASE o_custkey % 4 WHEN 0 THEN 'chrome' WHEN 1 THEN 'safari' " +
+        "WHEN 2 THEN 'firefox' ELSE 'curl' END AS family, " +
+        "CASE o_custkey % 4 WHEN 0 THEN 103 WHEN 1 THEN 15 WHEN 2 THEN 102 " +
+        "ELSE 7 END::BIGINT AS major, " +
+        "CASE o_custkey % 4 WHEN 0 THEN 'linux' WHEN 1 THEN 'macos' " +
+        "WHEN 2 THEN 'windows' ELSE '(none)' END AS os, " +
+        "o_custkey % 4 = 3 AS is_bot " +
+        "FROM orders ORDER BY o_orderkey"),
   )
 }

@@ -312,6 +312,62 @@ object DqOps {
         "CAST(ref_t::HUGEINT * cur_t * (ref_n + cur_n) AS DOUBLE) AS chi2_term " +
         "FROM c CROSS JOIN t ORDER BY bucket")),
 
+    // A/B-test significance gate (round-11) — the experimentation readout
+    // every event platform ships: users split into two arms (user_id
+    // parity — the deterministic assignment a real platform hashes), and
+    // per event type the pooled two-proportion z-test decides whether the
+    // arms' rates differ at α=0.05. The whole test is ONE cross-multiplied
+    // inequality — z² > 3.8416 ⇔ 10⁴·(c1·n2−c2·n1)²·N > 38416·n1·n2·c·(N−c)
+    // — with the difference and n1·n2 exact in DECIMAL(38,0)/HUGEINT and
+    // the comparison in IEEE doubles built by the IDENTICAL left-assoc
+    // expression tree on both engines (the chi-square discipline; exact
+    // past 1e9-event arms). Rate deltas ship as integer micro-units. One
+    // scan, one keyed agg + one broadcast 1-row arms frame.
+    "dq_ab_significance" -> Q(
+      (s, d) => {
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val ev = T(s, d, "events")
+          .select((col("user_id") % 2 === 0).as("arm_a"), col("event_type"))
+        val arms = ev.agg(
+          sum(when(col("arm_a"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n2"))
+        ev.groupBy(col("event_type"))
+          .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("c1"),
+            sum(when(!col("arm_a"), 1L).otherwise(0L)).as("c2"))
+          .crossJoin(broadcast(arms))
+          .withColumn("diff_d",
+            (col("c1").cast(d19) * col("n2").cast(d19) -
+              col("c2").cast(d19) * col("n1").cast(d19)).cast("double"))
+          .select(col("event_type"), col("c1"), col("n1"), col("c2"), col("n2"),
+            (expr("(c1 * 1000000) div n1") - expr("(c2 * 1000000) div n2"))
+              .as("rate_diff_micro"),
+            (lit(10000.0) * col("diff_d") * col("diff_d") *
+              (col("n1") + col("n2")).cast("double") >
+              lit(38416.0) *
+                (col("n1").cast(d19) * col("n2").cast(d19)).cast("double") *
+                (col("c1") + col("c2")).cast("double") *
+                (col("n1") + col("n2") - col("c1") - col("c2")).cast("double"))
+              .as("significant"))
+          .orderBy(col("event_type"))
+      },
+      usEvents("WITH ev AS (SELECT user_id % 2 = 0 AS arm_a, event_type " +
+        "FROM events), " +
+        "arms AS (SELECT SUM(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS n1, " +
+        "SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END)::BIGINT AS n2 FROM ev), " +
+        "c AS (SELECT event_type, " +
+        "SUM(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS c1, " +
+        "SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END)::BIGINT AS c2 " +
+        "FROM ev GROUP BY 1) " +
+        "SELECT event_type, c1, n1, c2, n2, " +
+        "(c1 * 1000000) // n1 - (c2 * 1000000) // n2 AS rate_diff_micro, " +
+        "10000.0 * CAST(c1::HUGEINT * n2 - c2::HUGEINT * n1 AS DOUBLE) * " +
+        "CAST(c1::HUGEINT * n2 - c2::HUGEINT * n1 AS DOUBLE) * " +
+        "CAST(n1 + n2 AS DOUBLE) > " +
+        "38416.0 * CAST(n1::HUGEINT * n2 AS DOUBLE) * " +
+        "CAST(c1 + c2 AS DOUBLE) * CAST(n1 + n2 - c1 - c2 AS DOUBLE) " +
+        "AS significant " +
+        "FROM c CROSS JOIN arms ORDER BY event_type")),
+
     // Cross-table reconciliation (round-10) — the ledger-tieout DQ class:
     // does the rolled-up fact tie to the header? Per order, lineitem gross
     // revenue (DECIMAL-exact) vs o_totalprice, bucketed into a one-row
