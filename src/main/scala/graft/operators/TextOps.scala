@@ -446,90 +446,45 @@ object TextOps {
     // never re-derives rounds 1..N-1; the elected-pair frame is
     // lang-sized; iteration count is a constant.
     "llm_bpe_train" -> Q(
+      (s, d) => bpeTrain(s, d)._3.orderBy(col("lang"), col("round")),
+      bpeDuckCtes(finalMerge = false) + " " +
+        "SELECT lang, round, pair, n FROM (" +
+        "SELECT lang, 1::BIGINT AS round, pair, n FROM t1 UNION ALL " +
+        "SELECT lang, 2::BIGINT, pair, n FROM t2 UNION ALL " +
+        "SELECT lang, 3::BIGINT, pair, n FROM t3) m ORDER BY lang, round"),
+
+    // BPE APPLICATION (round-11) — the trainer's consumer: re-segment the
+    // corpus with the 3 learned merges and report the compression the
+    // vocabulary buys per lang (the number a tokenizer build is actually
+    // judged on: symbols before vs after, saved count, ratio in integer
+    // micro-units). Reuses the exact trainer chain (one definition, both
+    // keys) on the weighted vocab; the oracle extends the same CTE chain
+    // through the final merge and aggregates per-occurrence — equal by
+    // the Σcnt identity. Output is |langs| rows.
+    "llm_bpe_apply" -> Q(
       (s, d) => {
-        import graft.operators.PinSyntax._
-        // left-to-right merge fold: if the accumulated tail symbol is pa
-        // and the next symbol is pb, fuse them; the fused token no longer
-        // equals pa, so overlapping candidates skip — exact BPE order.
-        val tail = "regexp_extract(acc, '([^ ]+)$', 1)"
-        val mergeFold =
-          "aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1), " +
-            s"(acc, x) -> CASE WHEN $tail = pa AND x = pb " +
-            s"THEN concat(substring(acc, 1, length(acc) - length($tail)), " +
-            "pa, pb) ELSE concat(acc, ' ', x) END)"
-        var vocab = T(s, d, "documents")
-          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-          .filter(length(col("word")) >= 2)
-          .groupBy(col("lang"), col("word"))
-          .agg(count(lit(1)).as("cnt"))
-          .select(col("lang"),
-            array_join(split(col("word"), ""), " ").as("ws"), col("cnt"))
-          .pinned
-        var merges: org.apache.spark.sql.DataFrame = null
-        for (r <- 1 to 3) {
-          val top = vocab
-            .withColumn("syms", split(col("ws"), " "))
-            .filter(size(col("syms")) >= 2)
-            .select(col("lang"), col("cnt"), explode(expr(
-              "transform(sequence(1, size(syms) - 1), i -> " +
-                "concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
-              .as("pair"))
-            .groupBy(col("lang"), col("pair"))
-            .agg(sum(col("cnt")).as("n"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("lang"))
-                .orderBy(col("n").desc, col("pair"))))
-            .filter(col("rn") === 1)
-            .select(col("lang"), col("pair"), col("n"))
-            .pinned
-          val tagged = top.select(col("lang"), lit(r.toLong).as("round"),
-            col("pair"), col("n"))
-          merges = if (merges == null) tagged else merges.unionByName(tagged)
-          vocab = vocab
-            .join(broadcast(top.select(col("lang"),
-              split(col("pair"), " ").getItem(0).as("pa"),
-              split(col("pair"), " ").getItem(1).as("pb"))),
-              Seq("lang"), "left")
-            .withColumn("syms", split(col("ws"), " "))
-            .select(col("lang"),
-              when(col("pa").isNull, col("ws"))
-                .otherwise(expr(mergeFold)).as("ws"), col("cnt"))
-            .pinned
-        }
-        merges.orderBy(col("lang"), col("round"))
+        val (vocab0, vocab3, _) = bpeTrain(s, d)
+        val before = vocab0.groupBy(col("lang"))
+          .agg(sum(col("cnt")).as("n_words"),
+            sum(col("cnt") * size(split(col("ws"), " "))).as("syms_before"))
+        val after = vocab3.groupBy(col("lang"))
+          .agg(sum(col("cnt") * size(split(col("ws"), " "))).as("syms_after"))
+        before.join(after, "lang")
+          .select(col("lang"), col("n_words"), col("syms_before"),
+            col("syms_after"),
+            (col("syms_before") - col("syms_after")).as("saved"),
+            expr("(syms_after * 1000000) div syms_before").as("ratio_micro"))
+          .orderBy(col("lang"))
       },
-      {
-        // per-round CTE chain: wN re-segments with the SAME fold rule
-        val duckTail = "regexp_extract(acc, '([^ ]+)$', 1)"
-        def mergeSql(round: Int): String =
-          s"w$round AS (SELECT w.lang, CASE WHEN t.pair IS NULL THEN w.ws " +
-            "ELSE list_reduce(string_split(w.ws, ' '), (acc, x) -> " +
-            s"CASE WHEN $duckTail = string_split(t.pair, ' ')[1] " +
-            "AND x = string_split(t.pair, ' ')[2] " +
-            s"THEN substr(acc, 1, length(acc) - length($duckTail)) || " +
-            "replace(t.pair, ' ', '') " +
-            "ELSE acc || ' ' || x END) END AS ws " +
-            s"FROM w${round - 1} w LEFT JOIN t$round t USING (lang))"
-        def roundSql(round: Int): String =
-          s"p$round AS (SELECT lang, (syms[i] || ' ' || syms[i + 1]) AS pair " +
-            "FROM (SELECT lang, syms, " +
-            "unnest(generate_series(1, len(syms) - 1)) AS i " +
-            s"FROM (SELECT lang, string_split(ws, ' ') AS syms FROM w${round - 1}) a) b), " +
-            s"t$round AS (SELECT lang, pair, COUNT(*)::BIGINT AS n FROM p$round " +
-            "GROUP BY 1, 2 QUALIFY row_number() OVER (PARTITION BY lang " +
-            "ORDER BY n DESC, pair) = 1)"
-        "WITH w0 AS (SELECT lang, " +
-          "array_to_string(string_split(word, ''), ' ') AS ws " +
-          "FROM (SELECT lang, unnest(string_split(text, ' ')) AS word " +
-          "FROM documents) t WHERE length(word) >= 2), " +
-          roundSql(1) + ", " + mergeSql(1) + ", " +
-          roundSql(2) + ", " + mergeSql(2) + ", " +
-          roundSql(3) + " " +
-          "SELECT lang, round, pair, n FROM (" +
-          "SELECT lang, 1::BIGINT AS round, pair, n FROM t1 UNION ALL " +
-          "SELECT lang, 2::BIGINT, pair, n FROM t2 UNION ALL " +
-          "SELECT lang, 3::BIGINT, pair, n FROM t3) m ORDER BY lang, round"
-      }),
+      bpeDuckCtes(finalMerge = true) + " " +
+        "SELECT lang, n_words, syms_before, syms_after, " +
+        "syms_before - syms_after AS saved, " +
+        "(syms_after * 1000000) // syms_before AS ratio_micro FROM (" +
+        "SELECT lang, COUNT(*)::BIGINT AS n_words, " +
+        "SUM(len(string_split(ws, ' ')))::BIGINT AS syms_before " +
+        "FROM w0 GROUP BY 1) b JOIN (" +
+        "SELECT lang, SUM(len(string_split(ws, ' ')))::BIGINT AS syms_after " +
+        "FROM w3 GROUP BY 1) a USING (lang) ORDER BY lang"),
 
     // Gopher-style rule filter: per-document quality gates (token count
     // band, mean-word-length band, stopword presence) and the combined
@@ -1027,4 +982,97 @@ object TextOps {
         "|| replace(text, ' ', '</p> <p>&nbsp;') || '</p></body></html>' " +
         "AS html FROM documents) w) t ORDER BY doc_id"),
   )
+
+  /** The shared BPE trainer (llm_bpe_train / llm_bpe_apply): 3 merge
+    * rounds over the weighted vocabulary. Returns (initial vocab, final
+    * vocab, merge table) — each frame (lang, ws spaced-symbol string,
+    * cnt) / (lang, round, pair, n). ONE definition so the two keys cannot
+    * drift; see llm_bpe_train's comment for the algorithmic contract. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    import graft.operators.PinSyntax._
+    // left-to-right merge fold: if the accumulated tail symbol is pa and
+    // the next symbol is pb, fuse them; the fused token no longer equals
+    // pa, so overlapping candidates skip — exact BPE order.
+    val tail = "regexp_extract(acc, '([^ ]+)$', 1)"
+    val mergeFold =
+      "aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1), " +
+        s"(acc, x) -> CASE WHEN $tail = pa AND x = pb " +
+        s"THEN concat(substring(acc, 1, length(acc) - length($tail)), " +
+        "pa, pb) ELSE concat(acc, ' ', x) END)"
+    val vocab0 = T(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("lang"),
+        array_join(split(col("word"), ""), " ").as("ws"), col("cnt"))
+      .pinned
+    var vocab = vocab0
+    var merges: org.apache.spark.sql.DataFrame = null
+    for (r <- 1 to 3) {
+      val top = vocab
+        .withColumn("syms", split(col("ws"), " "))
+        .filter(size(col("syms")) >= 2)
+        .select(col("lang"), col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("lang"), col("pair"))
+        .agg(sum(col("cnt")).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("n").desc, col("pair"))))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("pair"), col("n"))
+        .pinned
+      val tagged = top.select(col("lang"), lit(r.toLong).as("round"),
+        col("pair"), col("n"))
+      merges = if (merges == null) tagged else merges.unionByName(tagged)
+      vocab = vocab
+        .join(broadcast(top.select(col("lang"),
+          split(col("pair"), " ").getItem(0).as("pa"),
+          split(col("pair"), " ").getItem(1).as("pb"))),
+          Seq("lang"), "left")
+        .withColumn("syms", split(col("ws"), " "))
+        .select(col("lang"),
+          when(col("pa").isNull, col("ws"))
+            .otherwise(expr(mergeFold)).as("ws"), col("cnt"))
+        .pinned
+    }
+    (vocab0, vocab, merges)
+  }
+
+  /** The trainer's DuckDB twin as a per-round CTE chain (w0, p1/t1/w1,
+    * …, t3[, w3]) — per-OCCURRENCE rows (no vocab weighting: equal by the
+    * Σcnt identity). `finalMerge` appends w3 for consumers of the final
+    * segmentation (llm_bpe_apply). */
+  private def bpeDuckCtes(finalMerge: Boolean): String = {
+    val duckTail = "regexp_extract(acc, '([^ ]+)$', 1)"
+    def mergeSql(round: Int): String =
+      s"w$round AS (SELECT w.lang, CASE WHEN t.pair IS NULL THEN w.ws " +
+        "ELSE list_reduce(string_split(w.ws, ' '), (acc, x) -> " +
+        s"CASE WHEN $duckTail = string_split(t.pair, ' ')[1] " +
+        "AND x = string_split(t.pair, ' ')[2] " +
+        s"THEN substr(acc, 1, length(acc) - length($duckTail)) || " +
+        "replace(t.pair, ' ', '') " +
+        "ELSE acc || ' ' || x END) END AS ws " +
+        s"FROM w${round - 1} w LEFT JOIN t$round t USING (lang))"
+    def roundSql(round: Int): String =
+      s"p$round AS (SELECT lang, (syms[i] || ' ' || syms[i + 1]) AS pair " +
+        "FROM (SELECT lang, syms, " +
+        "unnest(generate_series(1, len(syms) - 1)) AS i " +
+        s"FROM (SELECT lang, string_split(ws, ' ') AS syms FROM w${round - 1}) a) b), " +
+        s"t$round AS (SELECT lang, pair, COUNT(*)::BIGINT AS n FROM p$round " +
+        "GROUP BY 1, 2 QUALIFY row_number() OVER (PARTITION BY lang " +
+        "ORDER BY n DESC, pair) = 1)"
+    "WITH w0 AS (SELECT lang, " +
+      "array_to_string(string_split(word, ''), ' ') AS ws " +
+      "FROM (SELECT lang, unnest(string_split(text, ' ')) AS word " +
+      "FROM documents) t WHERE length(word) >= 2), " +
+      roundSql(1) + ", " + mergeSql(1) + ", " +
+      roundSql(2) + ", " + mergeSql(2) + ", " +
+      roundSql(3) + (if (finalMerge) ", " + mergeSql(3) else "")
+  }
 }
