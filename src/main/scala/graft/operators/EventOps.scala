@@ -213,6 +213,48 @@ object EventOps {
         "WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error' " +
         "AND g1 <= 86400000000 AND g2 <= 86400000000 ORDER BY user_id, event_id")),
 
+    // Batch twin of StreamOps.patternAlertTws — streaming CEP: the
+    // configurable contiguous sequence pattern (the SAME Cep grammar
+    // string, StreamOps.PatternAlert, compiled once by Cep.literalSteps
+    // for twin, machine, and oracle) matched over each user's
+    // (ts, event_id)-ordered stream; one lag window per pattern step,
+    // alert = the completing event. StreamingSpec pins the
+    // transformWithState machine (constant k−1-type state per user) to
+    // exactly these rows, including across micro-batch seams.
+    "stream_pattern_alert" -> Q(
+      (s, d) => {
+        val steps = graft.flow.Cep.literalSteps(
+          graft.streaming.StreamOps.PatternAlert)
+        val k = steps.length
+        val conds = steps.zipWithIndex.map { case (atoms, j) =>
+          val c = if (j == k - 1) col("event_type")
+            else lag(col("event_type"), k - 1 - j).over(arrivalW)
+          atoms.map(alts => c.isin(alts: _*)).getOrElse(c.isNotNull)
+        }
+        T(s, d, "events")
+          .withColumn("hit", conds.reduce(_ && _))
+          .filter(col("hit"))
+          .select(col("user_id"), col("event_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      {
+        val steps = graft.flow.Cep.literalSteps(
+          graft.streaming.StreamOps.PatternAlert)
+        val k = steps.length
+        val lags = (0 until k - 1)
+          .map(j => s"lag(event_type, ${k - 1 - j}) OVER w AS s$j")
+          .mkString(", ")
+        val conds = steps.zipWithIndex.map { case (atoms, j) =>
+          val ref = if (j == k - 1) "event_type" else s"s$j"
+          atoms.map(a => s"$ref IN (${a.map(x => s"'$x'").mkString(", ")})")
+            .getOrElse(s"$ref IS NOT NULL")
+        }.mkString(" AND ")
+        usEvents("SELECT user_id, event_id FROM (" +
+          s"SELECT user_id, event_id, event_type, $lags FROM events " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t " +
+          s"WHERE $conds ORDER BY user_id, event_id")
+      }),
+
     // Batch twin of StreamOps.attributionTws (the per-purchase frame under
     // evt_attribution's channel rollup): one trailing-frame window carries
     // the last non-purchase touch onto each purchase. StreamingSpec pins

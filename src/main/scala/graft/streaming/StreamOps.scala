@@ -314,6 +314,69 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** The shared CEP alert pattern (stream_pattern_alert's batch twin and
+    * [[patternAlertTws]] compile the SAME Cep grammar string). */
+  val PatternAlert: String = "view>(view|click)>purchase"
+
+  /** One CEP hit: the event that completes a contiguous pattern match. */
+  case class PatternHit(user_id: Long, event_id: Long)
+
+  private case class TypeTail(tail: Seq[String])
+
+  /** Streaming CEP (round-11) — the `cep` flow op's stateful sibling: a
+    * configurable quantifier-free sequence pattern (Cep.literalSteps
+    * grammar, alternations + wildcards) matched CONTIGUOUSLY over each
+    * user's event stream, emitting the completing event of every hit.
+    * Per-user state is exactly the last k−1 event types (k = pattern
+    * length) — CONSTANT-size state per key, the property that makes CEP
+    * viable on an unbounded stream; a production deployment would add a
+    * TTLConfig to GC long-idle users (k−1 strings each, so NONE here is
+    * deliberate, not an oversight). Events fold in deterministic
+    * (ts, event_id) order within each micro-batch — the statefulAlert
+    * ordering discipline — so emission ≡ the batch twin's lag-window
+    * formulation. */
+  class PatternProcessor(steps: Seq[Option[Seq[String]]])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, PatternHit] {
+    private val k = steps.length
+    @transient private var tailState:
+      org.apache.spark.sql.streaming.ValueState[TypeTail] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tailState = getHandle.getValueState[TypeTail]("tail",
+        org.apache.spark.sql.Encoders.product[TypeTail],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PatternHit] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var tail = Option(tailState.get()).map(_.tail).getOrElse(Seq.empty)
+      val out = Seq.newBuilder[PatternHit]
+      sorted.foreach { e =>
+        val win = (tail :+ e.event_type).takeRight(k)
+        if (win.size == k &&
+            steps.zip(win).forall { case (a, t) => a.forall(_.contains(t)) })
+          out += PatternHit(e.user_id, e.event_id)
+        tail = win.takeRight(k - 1)
+      }
+      tailState.update(TypeTail(tail))
+      out.result().iterator
+    }
+  }
+
+  def patternAlertTws(events: Dataset[Event],
+      pattern: String = PatternAlert): Dataset[PatternHit] = {
+    import events.sparkSession.implicits._
+    val steps = graft.flow.Cep.literalSteps(pattern)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternProcessor(steps),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** One finished session (the gate/flow sessionization signal). */
   case class SessionOut(user_id: Long, n_events: Long, first_event_id: Long,
       last_event_id: Long, session_value: Double)

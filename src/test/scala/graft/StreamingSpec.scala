@@ -192,6 +192,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState CEP pattern machine == batch twin") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val q = StreamOps.patternAlertTws(mem.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("t_cep").start()
+      // feed in thirds so pattern windows straddle micro-batch seams
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("t_cep").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = SparkEntry.queries("stream_pattern_alert")(spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(want.nonEmpty, "fixture should produce at least one CEP hit")
+      assert(got == want)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("CEP pattern completes across a micro-batch seam") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val base = 1704067200000L
+      def ev(id: Long, minute: Long, typ: String) =
+        Event(id, new java.sql.Timestamp(base + minute * 60000L), 9L, typ, 1.0)
+      val mem = MemoryStream[Event]
+      val q = StreamOps.patternAlertTws(mem.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("t_cep2").start()
+      mem.addData(Seq(ev(1, 0, "view"), ev(2, 1, "click")))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(3, 2, "purchase"), ev(4, 3, "purchase")))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("t_cep2").collect().map(_.getLong(1)).sorted
+      // view>click>purchase completes at id 3 across the seam; the second
+      // purchase does not re-fire (the window has slid past the click)
+      assert(got.toSeq == Seq(3L))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState attribution == batch twin incl. late cross-batch touch") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
