@@ -368,6 +368,59 @@ object DqOps {
         "AS significant " +
         "FROM c CROSS JOIN arms ORDER BY event_type")),
 
+    // Benford first-digit audit (round-11) — the forensic-accounting DQ
+    // screen: natural multi-scale quantities follow log10(1+1/d) first-
+    // digit frequencies, and a synthetic/tampered column does not. The
+    // expected distribution ships as EXACT integer 1e5-scale constants
+    // (30103+17609+…+4576 = 100000 — no log() crosses either engine), the
+    // per-digit chi² term follows the dq_chi_square_drift overflow
+    // discipline (difference exact in DECIMAL(38,0)/HUGEINT, square +
+    // divide as identical left-assoc double trees — safe past 1e10 rows),
+    // and the fixture's uniform `value` column rightly FAILS the law
+    // (large terms), which is the screen's point. One scan, 9-row output.
+    "dq_benford" -> Q(
+      (s, d) => {
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val exp = typedLit(Map(
+          "1" -> 30103L, "2" -> 17609L, "3" -> 12494L, "4" -> 9691L,
+          "5" -> 7918L, "6" -> 6695L, "7" -> 5799L, "8" -> 5115L,
+          "9" -> 4576L))
+        val counts = T(s, d, "events")
+          .filter(col("value") >= 1.0)
+          .select(substring(expr("cast(cast(floor(value) as bigint) as string)"),
+            1, 1).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+          .withColumn("exp_100k", element_at(exp, col("digit")))
+        val tot = counts.agg(sum(col("n_obs")).as("total"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"), col("exp_100k"), col("total"),
+            ((col("n_obs").cast(d19) * lit(100000L).cast(d19) -
+              col("total").cast(d19) * col("exp_100k").cast(d19))
+              .cast("double") *
+              (col("n_obs").cast(d19) * lit(100000L).cast(d19) -
+                col("total").cast(d19) * col("exp_100k").cast(d19))
+                .cast("double"))
+              ./(lit(100000.0) * col("total").cast("double") *
+                col("exp_100k").cast("double"))
+              .as("chi2_term"))
+          .orderBy(col("digit"))
+      },
+      usEvents("WITH c AS (SELECT substr((floor(value)::BIGINT)::VARCHAR, 1, 1) " +
+        "AS digit, COUNT(*)::BIGINT AS n_obs FROM events WHERE value >= 1.0 " +
+        "GROUP BY 1), " +
+        "e AS (SELECT digit, n_obs, CASE digit WHEN '1' THEN 30103 " +
+        "WHEN '2' THEN 17609 WHEN '3' THEN 12494 WHEN '4' THEN 9691 " +
+        "WHEN '5' THEN 7918 WHEN '6' THEN 6695 WHEN '7' THEN 5799 " +
+        "WHEN '8' THEN 5115 WHEN '9' THEN 4576 END::BIGINT AS exp_100k " +
+        "FROM c), " +
+        "t AS (SELECT SUM(n_obs)::BIGINT AS total FROM e) " +
+        "SELECT digit, n_obs, exp_100k, total, " +
+        "CAST(n_obs::HUGEINT * 100000 - total::HUGEINT * exp_100k AS DOUBLE) * " +
+        "CAST(n_obs::HUGEINT * 100000 - total::HUGEINT * exp_100k AS DOUBLE) / " +
+        "(100000.0 * CAST(total AS DOUBLE) * CAST(exp_100k AS DOUBLE)) " +
+        "AS chi2_term " +
+        "FROM e CROSS JOIN t ORDER BY digit")),
+
     // Cross-table reconciliation (round-10) — the ledger-tieout DQ class:
     // does the rolled-up fact tie to the header? Per order, lineitem gross
     // revenue (DECIMAL-exact) vs o_totalprice, bucketed into a one-row
