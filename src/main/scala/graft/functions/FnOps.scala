@@ -792,80 +792,6 @@ object FnOps {
         "'.' || ((user_id * 7) % 256) || '.' || ((event_id * 13) % 256) AS ip " +
         "FROM events) t ORDER BY event_id"),
 
-    // User-agent parsing (round-8 addendum; the Logstash `useragent`
-    // filter): an ORDERED regex dispatch — first match wins, the public
-    // uap-core discipline — over a deterministic 5-UA rotation (canonical
-    // real-world strings keyed by event_id % 5). Family/os/device are
-    // CASE chains of contains-tests; the major version is extracted ONLY
-    // inside a branch that guarantees a match (an unguarded no-match
-    // extract is '' which casts to NULL in Spark but errors in DuckDB —
-    // the dialect trap this key pins). One projection pass, all codegen
-    // builtins, no UDF.
-    "fn_useragent_parse" -> Q(
-      (s, d) => {
-        val uas = Seq(
-          "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
-          "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
-          "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
-          "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148",
-          "curl/8.4.0")
-        val uaCol = element_at(array(uas.map(lit): _*),
-          (col("event_id") % 5 + 1).cast("int"))
-        T(s, d, "events")
-          .withColumn("ua", uaCol)
-          .select(col("event_id"), col("ua"),
-            when(col("ua").contains("Firefox/"), "Firefox")
-              .when(col("ua").contains("Chrome/"), "Chrome")
-              .when(col("ua").contains("Version/") &&
-                col("ua").contains("Safari/"), "Safari")
-              .when(col("ua").contains("iPhone"), "Mobile Safari")
-              .when(col("ua").startsWith("curl/"), "curl")
-              .otherwise("Other").as("family"),
-            when(col("ua").contains("Firefox/"),
-              regexp_extract(col("ua"), "Firefox/(\\d+)", 1).cast("long"))
-              .when(col("ua").contains("Chrome/"),
-                regexp_extract(col("ua"), "Chrome/(\\d+)", 1).cast("long"))
-              .when(col("ua").contains("Version/"),
-                regexp_extract(col("ua"), "Version/(\\d+)", 1).cast("long"))
-              .when(col("ua").startsWith("curl/"),
-                regexp_extract(col("ua"), "curl/(\\d+)", 1).cast("long"))
-              .as("major"),
-            when(col("ua").contains("Windows NT"), "Windows")
-              .when(col("ua").contains("iPhone"), "iOS")
-              .when(col("ua").contains("Mac OS X"), "macOS")
-              .when(col("ua").contains("Linux"), "Linux")
-              .otherwise("Other").as("os"),
-            when(col("ua").contains("iPhone") ||
-              col("ua").contains("Mobile"), "mobile")
-              .when(col("ua").startsWith("curl/"), "bot")
-              .otherwise("desktop").as("device"))
-          .orderBy(col("event_id"))
-      },
-      "WITH u AS (SELECT event_id, CASE event_id % 5 " +
-        "WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36' " +
-        "WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15' " +
-        "WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0' " +
-        "WHEN 3 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148' " +
-        "ELSE 'curl/8.4.0' END AS ua FROM events) " +
-        "SELECT event_id, ua, " +
-        "CASE WHEN ua LIKE '%Firefox/%' THEN 'Firefox' " +
-        "WHEN ua LIKE '%Chrome/%' THEN 'Chrome' " +
-        "WHEN ua LIKE '%Version/%' AND ua LIKE '%Safari/%' THEN 'Safari' " +
-        "WHEN ua LIKE '%iPhone%' THEN 'Mobile Safari' " +
-        "WHEN ua LIKE 'curl/%' THEN 'curl' ELSE 'Other' END AS family, " +
-        "CASE WHEN ua LIKE '%Firefox/%' THEN regexp_extract(ua, 'Firefox/(\\d+)', 1)::BIGINT " +
-        "WHEN ua LIKE '%Chrome/%' THEN regexp_extract(ua, 'Chrome/(\\d+)', 1)::BIGINT " +
-        "WHEN ua LIKE '%Version/%' THEN regexp_extract(ua, 'Version/(\\d+)', 1)::BIGINT " +
-        "WHEN ua LIKE 'curl/%' THEN regexp_extract(ua, 'curl/(\\d+)', 1)::BIGINT " +
-        "END AS major, " +
-        "CASE WHEN ua LIKE '%Windows NT%' THEN 'Windows' " +
-        "WHEN ua LIKE '%iPhone%' THEN 'iOS' " +
-        "WHEN ua LIKE '%Mac OS X%' THEN 'macOS' " +
-        "WHEN ua LIKE '%Linux%' THEN 'Linux' ELSE 'Other' END AS os, " +
-        "CASE WHEN ua LIKE '%iPhone%' OR ua LIKE '%Mobile%' THEN 'mobile' " +
-        "WHEN ua LIKE 'curl/%' THEN 'bot' ELSE 'desktop' END AS device " +
-        "FROM u ORDER BY event_id"),
-
     // GeoIP-style range enrich (round-8 addendum; the Logstash `geoip`
     // filter): each event's ip_int (fn_ip_mask's synth) picks up its
     // country from a RANGE-keyed block dim. The geo database is a STUB
