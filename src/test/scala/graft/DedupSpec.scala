@@ -219,7 +219,7 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should contain at least one fuzzy pair")
   }
 
-  test("multimodal stub decode: typed batch path equals SQL path") {
+  test("multimodal real decode: typed batch path yields container-true features") {
     val viaTyped = SparkEntry.queries("mm_feature_extract")(spark, sf001).collect()
     assert(viaTyped.length == 500)
     val first = viaTyped.head
