@@ -340,7 +340,23 @@ object Flow {
                 val in = alts.map(a => s"'$a'").mkString("(", ", ", ")")
                 s"element_at($toks, i + $j) IN $in"
             }
-            val cond = if (conds.isEmpty) "true" else conds.mkString(" AND ")
+            // WITHIN time bound (round-12) — the MATCH_RECOGNIZE / CEP
+            // "A then B within W" clause: an occurrence only counts when
+            // the span from its first to its last matched step fits the
+            // window. Needs `epochs`, an array<long> of µs timestamps
+            // ALIGNED with the token sequence (built from the same
+            // sorted collect); integer µs on both engines — no float
+            // enters the compare.
+            val withinCond = intOpt(st, "within_s").map { w =>
+              val eps = strOpt(st, "epochs").getOrElse(sys.error(
+                "flow: cep within_s needs 'epochs' (aligned array<long> µs column)"))
+              s"element_at($eps, i + ${k - 1}) - element_at($eps, i) <= " +
+                s"${w.toLong * 1000000L}L"
+            }
+            val cond = (conds ++ withinCond) match {
+              case Nil => "true"
+              case cs  => cs.mkString(" AND ")
+            }
             // the size guard stops sequence() from running backwards on
             // sessions shorter than the pattern
             df.withColumn(str(st, "as"), expr(
@@ -419,6 +435,12 @@ object Flow {
   private def int(v: JValue, k: String): Int = v \ k match {
     case JInt(x) => x.toInt
     case other   => sys.error(s"flow: field '$k' must be an int, got $other")
+  }
+
+  private def intOpt(v: JValue, k: String): Option[Int] = v \ k match {
+    case JInt(x)  => Some(x.toInt)
+    case JNothing => None
+    case other    => sys.error(s"flow: field '$k' must be an int, got $other")
   }
 
   private def bool(v: JValue, k: String): Boolean = v \ k match {

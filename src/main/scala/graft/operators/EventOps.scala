@@ -2117,6 +2117,141 @@ object EventOps {
         "SUM(c_eb)::BIGINT AS err_buy_total, " +
         "SUM(CASE WHEN c_eb > 0 THEN 1 ELSE 0 END)::BIGINT AS err_buy_sessions " +
         "FROM c")),
+
+    // Pattern WITHIN time bound (round-12) — the clause the r11 verdict
+    // flagged missing: "A then B WITHIN W", SQL MATCH_RECOGNIZE's pattern
+    // window and the CEP staple. Extends the flow `cep` count op with
+    // `within_s` + an `epochs` array (µs timestamps built from the SAME
+    // sorted collect as the token path, so the two sequences align by
+    // construction): an occurrence counts only when the span from its
+    // first to its last matched step fits the window. The compare is
+    // integer µs on both engines — no float enters it. The key counts
+    // `view>.` occurrences bounded at 600 s next to the unbounded count
+    // (CepSpec pins bounded ≤ unbounded and the 0/∞ degenerate bounds);
+    // same rn≤8 cap, one session window + one keyed agg, output ONE row.
+    "evt_pattern_within" -> Q(
+      (s, d) => {
+        val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        val paths = sessionized(s, d)
+          .withColumn("rn", row_number().over(bySession))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            concat(concat_ws(">", transform(
+              sort_array(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type"))), lit(">")).as("path"),
+            transform(
+              sort_array(collect_list(struct(col("rn"),
+                unix_micros(col("ts")).as("eus")))),
+              x => x.getField("eus")).as("eps"))
+        val spec =
+          """{"steps":[
+            |{"op":"cep","field":"path","as":"c_unb","mode":"count",
+            | "pattern":"view>."},
+            |{"op":"cep","field":"path","as":"c_w600","mode":"count",
+            | "pattern":"view>.","within_s":600,"epochs":"eps"},
+            |{"op":"agg","groupBy":[],
+            | "aggs":["count(*) AS n_sessions",
+            |  "CAST(sum(c_unb) AS BIGINT) AS unbounded_total",
+            |  "CAST(sum(c_w600) AS BIGINT) AS within_600s_total",
+            |  "CAST(sum(CASE WHEN c_w600 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS within_600s_sessions"]}
+            |]}""".stripMargin
+        graft.flow.Flow.compileOn(s, d, paths, spec)
+      },
+      usEvents("WITH se AS (SELECT user_id, event_id, event_type, ts, " +
+        "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_seq FROM (SELECT user_id, event_id, " +
+        "event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts FROM events) x), " +
+        "rn AS (SELECT user_id, session_seq, event_type, epoch_us(ts) AS eus, " +
+        "row_number() OVER (PARTITION BY user_id, session_seq " +
+        "ORDER BY ts, event_id) AS rn FROM se), " +
+        "p AS (SELECT user_id, session_seq, " +
+        "list(event_type ORDER BY rn) AS toks, " +
+        "list(eus ORDER BY rn) AS eps " +
+        "FROM rn WHERE rn <= 8 GROUP BY 1, 2), " +
+        "c AS (SELECT " +
+        "CASE WHEN len(toks) >= 2 THEN len(list_filter(" +
+        "generate_series(1, len(toks) - 1), i -> toks[i] = 'view')) " +
+        "ELSE 0 END AS c_unb, " +
+        "CASE WHEN len(toks) >= 2 THEN len(list_filter(" +
+        "generate_series(1, len(toks) - 1), i -> toks[i] = 'view' AND " +
+        "eps[i+1] - eps[i] <= 600000000)) ELSE 0 END AS c_w600 FROM p) " +
+        "SELECT COUNT(*) AS n_sessions, " +
+        "SUM(c_unb)::BIGINT AS unbounded_total, " +
+        "SUM(c_w600)::BIGINT AS within_600s_total, " +
+        "SUM(CASE WHEN c_w600 > 0 THEN 1 ELSE 0 END)::BIGINT " +
+        "AS within_600s_sessions FROM c")),
+
+    // Pattern MEASURES — matched-span extraction (round-12; the r11
+    // verdict's other CEP gap): occurrences stop being booleans/counts
+    // and report WHICH events matched, MATCH_RECOGNIZE's MEASURES clause
+    // (FIRST(...)/LAST(...) over the match span). Every occurrence of
+    // `(view|click)>.` WITHIN 900 s emits its start position, the two
+    // matched types, the first/last event ids and the exact µs duration —
+    // the row shape downstream alerting/attribution joins on. The matched
+    // spans come from the same aligned (toks, eids, eps) arrays (ONE
+    // sorted collect per session); the explode is bounded by matches per
+    // ≤8-token session, never corpus-quadratic. Integer µs everywhere.
+    "evt_pattern_measures" -> Q(
+      (s, d) => {
+        val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        sessionized(s, d)
+          .withColumn("rn", row_number().over(bySession))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(sort_array(collect_list(struct(col("rn"), col("event_type"),
+            col("event_id"), unix_micros(col("ts")).as("eus")))).as("seq"))
+          .filter(size(col("seq")) >= 2)
+          .withColumn("toks", transform(col("seq"), x => x.getField("event_type")))
+          .withColumn("eids", transform(col("seq"), x => x.getField("event_id")))
+          .withColumn("eps", transform(col("seq"), x => x.getField("eus")))
+          .withColumn("i", explode(expr(
+            "filter(sequence(1, size(toks) - 1), i -> " +
+              "element_at(toks, i) IN ('view', 'click') AND " +
+              "element_at(eps, i + 1) - element_at(eps, i) <= 900000000L)")))
+          .select(col("user_id"), col("session_seq"),
+            big(col("i")).as("start_rn"),
+            expr("element_at(toks, i)").as("first_type"),
+            expr("element_at(toks, i + 1)").as("next_type"),
+            expr("element_at(eids, i)").as("first_event_id"),
+            expr("element_at(eids, i + 1)").as("last_event_id"),
+            big(expr("element_at(eps, i + 1) - element_at(eps, i)"))
+              .as("duration_us"))
+          .orderBy(col("user_id"), col("session_seq"), col("start_rn"))
+      },
+      usEvents("WITH se AS (SELECT user_id, event_id, event_type, ts, " +
+        "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_seq FROM (SELECT user_id, event_id, " +
+        "event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts FROM events) x), " +
+        "rn AS (SELECT user_id, session_seq, event_type, event_id, " +
+        "epoch_us(ts) AS eus, row_number() OVER (PARTITION BY user_id, " +
+        "session_seq ORDER BY ts, event_id) AS rn FROM se), " +
+        "p AS (SELECT user_id, session_seq, " +
+        "list(event_type ORDER BY rn) AS toks, " +
+        "list(event_id ORDER BY rn) AS eids, " +
+        "list(eus ORDER BY rn) AS eps " +
+        "FROM rn WHERE rn <= 8 GROUP BY 1, 2), " +
+        "m AS (SELECT user_id, session_seq, toks, eids, eps, " +
+        "unnest(list_filter(generate_series(1, len(toks) - 1), i -> " +
+        "toks[i] IN ('view', 'click') AND " +
+        "eps[i+1] - eps[i] <= 900000000)) AS i " +
+        "FROM p WHERE len(toks) >= 2) " +
+        // session_seq is a window-SUM (HUGEINT in DuckDB) — cast back to
+        // BIGINT or the pandas bridge floats it and the schema check fails
+        "SELECT user_id, session_seq::BIGINT AS session_seq, " +
+        "i::BIGINT AS start_rn, " +
+        "toks[i] AS first_type, toks[i+1] AS next_type, " +
+        "eids[i] AS first_event_id, eids[i+1] AS last_event_id, " +
+        "(eps[i+1] - eps[i])::BIGINT AS duration_us " +
+        "FROM m ORDER BY user_id, session_seq, start_rn")),
   )
 
   /** PageRank over the event-type transition graph (round-9 addendum) —

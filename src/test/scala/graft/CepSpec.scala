@@ -69,6 +69,45 @@ class CepSpec extends SparkSpec {
       ("click>", 0L, 0L)))
   }
 
+  test("within bound: only occurrences whose span fits the window count") {
+    import org.apache.spark.sql.{Row, types => t}
+    val schema = t.StructType(Seq(
+      t.StructField("path", t.StringType),
+      t.StructField("eps", t.ArrayType(t.LongType))))
+    // gaps (µs): 100s, 700s, 50s — view starts at positions 1, 2, 3
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("view>view>view>click>",
+          Seq(0L, 100000000L, 800000000L, 850000000L))),
+      schema)
+    def count(spec: String): Long =
+      graft.flow.Flow.compileOn(spark, sf001, df, spec).collect()(0).getLong(0)
+    def specFor(extra: String): String =
+      s"""{"steps":[{"op":"cep","field":"path","as":"c","mode":"count",
+         | "pattern":"view>."$extra},
+         |{"op":"agg","groupBy":[],"aggs":["CAST(sum(c) AS BIGINT) AS c"]}]}"""
+        .stripMargin
+    assert(count(specFor("")) == 3L) // unbounded: all 3 starts
+    assert(count(specFor(""","within_s":600,"epochs":"eps"""")) == 2L,
+      "the 700s gap must fall out of a 600s window")
+    assert(count(specFor(""","within_s":0,"epochs":"eps"""")) == 0L,
+      "degenerate 0s window matches nothing with positive gaps")
+    assert(count(specFor(""","within_s":100000,"epochs":"eps"""")) == 3L,
+      "a huge window degenerates to the unbounded count")
+  }
+
+  test("within bound without epochs fails loudly") {
+    import org.apache.spark.sql.{Row, types => t}
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row("a>b>")),
+      t.StructType(Seq(t.StructField("path", t.StringType))))
+    val spec =
+      """{"steps":[{"op":"cep","field":"path","as":"c","mode":"count",
+        | "pattern":"a>b","within_s":60}]}""".stripMargin
+    intercept[RuntimeException](
+      graft.flow.Flow.compileOn(spark, sf001, df, spec).collect())
+  }
+
   test("bad patterns fail loudly") {
     intercept[IllegalArgumentException](Cep.compile(""))
     intercept[IllegalArgumentException](Cep.compile("a>>b"))

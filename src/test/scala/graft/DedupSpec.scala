@@ -219,6 +219,23 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should contain at least one fuzzy pair")
   }
 
+  test("ann index upsert: replay short-circuits on the marker, results stable") {
+    val dir = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_scratch"),
+      s"annindex_${graft.operators.Scale.dirTag(sf001)}").toString
+    val r1 = SparkEntry.queries("llm_ann_index_upsert")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(graft.streaming.KeepSetPublish.latestEpoch(dir).contains(1L))
+    val marker = new java.io.File(dir, "epoch_1.commit")
+    val stamp = marker.lastModified()
+    val r2 = SparkEntry.queries("llm_ann_index_upsert")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(r1 == r2, "replayed upsert must read the identical snapshot")
+    assert(marker.lastModified() == stamp,
+      "replay must not republish (marker rewritten)")
+    assert(graft.streaming.KeepSetPublish.latestEpoch(dir).contains(1L))
+  }
+
   test("multimodal real decode: typed batch path yields container-true features") {
     val viaTyped = SparkEntry.queries("mm_feature_extract")(spark, sf001).collect()
     assert(viaTyped.length == 500)
