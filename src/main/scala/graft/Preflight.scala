@@ -23,6 +23,16 @@ object Preflight {
         .agg(count(lit(1)).as("n"), max(col("ts")).as("mx")).head()
       require(r.getLong(0) > 0, s"events table at $sfDir is empty")
       require(!r.isNullAt(1), "events.ts read back all-NULL")
+      // The mm_* real-decode keys synthesize containers from text bytes
+      // (BmpImpl/PngImpl.synth require len > 0) and their oracles compute
+      // k mod len — both undefined on an empty document. Assert the
+      // corpus-wide invariant HERE, at the graded sf dir, rather than
+      // failing deep inside a codegen'd expression (r11 advice item).
+      val dmin = T(spark, sfDir, "documents")
+        .agg(min(length(col("text"))).as("mn")).head()
+      require(!dmin.isNullAt(0) && dmin.getInt(0) > 0,
+        s"documents.text at $sfDir has empty rows — the mm_* decode " +
+          "fixture contract (len > 0) is broken")
     } catch {
       // NonFatal only: an OOM/StackOverflow during the probe is a JVM
       // failure, not environment drift — rewrapping it would misattribute

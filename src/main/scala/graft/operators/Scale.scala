@@ -133,11 +133,28 @@ object Scale {
     * job. `version` is part of the path: bump it when the computing
     * logic's SEMANTICS change, so a stale snapshot from an older build
     * can never satisfy a newer contract. */
+  /** Cheap content fingerprint of an input dir: md5 over the recursive
+    * (relative-path, size, mtime) listing — metadata-only, no data read.
+    * Folded into every snapshot name so regenerating fixtures IN PLACE
+    * under the same path invalidates prior snapshots instead of silently
+    * serving stale data (the cross-JVM staleness the r11 advice flagged).
+    * The same contract an Iceberg/Delta snapshot id gives a table cache. */
+  def contentTag(inputDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(inputDir)
+    val sig = walk(root).map(f =>
+      s"${f.getAbsolutePath.stripPrefix(root.getAbsolutePath)}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+    graft.Dsl.md5Hex(sig).take(8)
+  }
+
   def snapshotOnce(spark: org.apache.spark.sql.SparkSession, name: String,
       version: Int, inputDir: String)(compute: => DataFrame): DataFrame = {
     val dir = new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft_scratch"),
-      s"snap_${name}_v${version}_${dirTag(inputDir)}").toString
+      s"snap_${name}_v${version}_${dirTag(inputDir)}_${contentTag(inputDir)}").toString
     if (graft.streaming.KeepSetPublish.latestEpoch(dir).isEmpty)
       graft.streaming.KeepSetPublish.publish(compute, dir, 0L): Unit
     graft.streaming.KeepSetPublish.readLatest(spark, dir)

@@ -447,4 +447,25 @@ class ScaleSpec extends SparkSpec {
       s"CMS underestimated ${r.getString(0)}: est=${r.getLong(2)} " +
         s"exact=${r.getLong(1)}"))
   }
+
+  test("snapshot contentTag invalidates on in-place fixture regeneration") {
+    val dir = java.nio.file.Files.createTempDirectory("ctag").toFile
+    try {
+      val f = new java.io.File(dir, "part-0.parquet")
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      val t1 = graft.operators.Scale.contentTag(dir.toString)
+      assert(t1 == graft.operators.Scale.contentTag(dir.toString),
+        "tag must be stable for unchanged content")
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3, 4))
+      val t2 = graft.operators.Scale.contentTag(dir.toString)
+      assert(t1 != t2, "size change must change the tag")
+      val g = new java.io.File(dir, "part-1.parquet")
+      java.nio.file.Files.write(g.toPath, Array[Byte](9))
+      assert(graft.operators.Scale.contentTag(dir.toString) != t2,
+        "new file must change the tag")
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete(): Unit
+    }
+  }
 }
