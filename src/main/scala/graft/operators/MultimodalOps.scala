@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, T}
 import graft.Dsl._
-import graft.functions.{BmpExpressions, BmpImpl, PngExpressions}
+import graft.functions.{BmpExpressions, BmpImpl, JpegExpressions, PngExpressions, WavExpressions}
 
 /** Multimodal-column plumbing (north star mandate): media payloads live as
   * opaque `binary` columns with typed metadata beside them. As of round 12
@@ -206,6 +206,128 @@ object MultimodalOps {
         "list_sum(pixels)::BIGINT AS sum_gray, " +
         "md5(array_to_string(pixels, ',')) AS pixels_md5 " +
         "FROM px ORDER BY doc_id"),
+
+    // JPEG METADATA off a real marker walk (round-12): the header side of
+    // the format real corpora actually use. Scan data is STUBBED (the
+    // container carries no entropy segment — full Huffman/DCT decode is
+    // declared out of scope; JpegExpressions documents it loudly), but the
+    // MARKER-SEGMENT WALK is the real thing a lake scanner runs per blob:
+    // SOI, then variable-length segments (0xFF marker + big-endian length
+    // that INCLUDES its own two bytes — the classic off-by-two) skipped
+    // until SOF0 yields the dims. The synthesized COM segment's length
+    // varies per document, so SOF0's offset MOVES row to row and a
+    // fixed-offset cheat cannot match the oracle, which recomputes dims
+    // and the aspect bucket from the synthesis formulas. Constant bytes
+    // touched per blob regardless of image size — the 100-TB point of a
+    // metadata-only pass.
+    "mm_jpeg_meta" -> Q(
+      (s, d) => {
+        val m = JpegExpressions.jpegMeta(s)(
+          JpegExpressions.jpegSynth(s)(col("text").cast("binary")))
+        T(s, d, "documents")
+          .select(col("doc_id"), m.as("m"))
+          .select(col("doc_id"),
+            big(col("m.width")).as("width"),
+            big(col("m.height")).as("height"),
+            big(col("m.n_segments")).as("n_segments"),
+            when(col("m.width") > col("m.height"), "landscape")
+              .when(col("m.width") < col("m.height"), "portrait")
+              .otherwise("square").as("orientation"))
+          .orderBy(col("doc_id"))
+      },
+      "SELECT doc_id, (strlen(text) % 18 + 11)::BIGINT AS width, " +
+        "(strlen(text) * 3 % 14 + 7)::BIGINT AS height, " +
+        "4::BIGINT AS n_segments, " +
+        "CASE WHEN strlen(text) % 18 + 11 > strlen(text) * 3 % 14 + 7 " +
+        "THEN 'landscape' WHEN strlen(text) % 18 + 11 < strlen(text) * 3 % 14 + 7 " +
+        "THEN 'portrait' ELSE 'square' END AS orientation " +
+        "FROM documents ORDER BY doc_id"),
+
+    // REAL audio decode (round-12) — the third modality: each document's
+    // bytes become a GENUINE RIFF/WAVE container (WavSynth: real fmt
+    // chunk — PCM/mono/16-bit with a length-derived sample rate — an
+    // ancillary LIST chunk, and a word-aligned data chunk of 16-bit LE
+    // samples spanning negative and positive territory) and are decoded
+    // back by a REAL parser (WavDecode: RIFF magic, chunk walk honoring
+    // the spec's odd-size pad byte, fmt validation, unknown chunks
+    // skipped, signed int16 reassembly). Features are the first pass any
+    // audio-quality gate runs: total |amplitude|, peak, exact energy
+    // (sum of squares, 64-bit), plus the full-sample md5. The oracle
+    // recomputes every sample from the generator formula — a sign error
+    // in the int16 reassembly or a mis-skipped chunk breaks the hash.
+    // One codegen projection; samples never shuffle.
+    "mm_wav_decode_real" -> Q(
+      (s, d) => {
+        val au = WavExpressions.wavDecode(s)(
+          WavExpressions.wavSynth(s)(col("text").cast("binary")))
+        T(s, d, "documents")
+          .select(col("doc_id"), au.as("au"))
+          .select(col("doc_id"),
+            big(col("au.sample_rate")).as("sample_rate"),
+            big(col("au.n_samples")).as("n_samples"),
+            big(expr("aggregate(au.samples, 0L, (a, x) -> a + abs(x))"))
+              .as("sum_abs"),
+            big(expr("aggregate(au.samples, 0L, (a, x) -> greatest(a, cast(abs(x) as bigint)))"))
+              .as("peak"),
+            big(expr("aggregate(au.samples, 0L, (a, x) -> a + cast(x as bigint) * x)"))
+              .as("energy"),
+            md5(concat_ws(",",
+              transform(col("au.samples"), c => c.cast("string"))))
+              .as("samples_md5"))
+          .orderBy(col("doc_id"))
+      },
+      "WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents), " +
+        "s AS (SELECT doc_id, (8000 + (len % 3) * 4000)::BIGINT AS sample_rate, " +
+        "2 * len AS n, list_transform(generate_series(0, (2*len - 1)::INT), " +
+        "k -> (ord(substr(text, ((k % len) + 1)::INT, 1)) - 96) * 256 + k % 13) " +
+        "AS smp FROM d) " +
+        "SELECT doc_id, sample_rate, n::BIGINT AS n_samples, " +
+        "list_sum(list_transform(smp, x -> abs(x)))::BIGINT AS sum_abs, " +
+        "list_max(list_transform(smp, x -> abs(x)))::BIGINT AS peak, " +
+        "list_sum(list_transform(smp, x -> x::BIGINT * x))::BIGINT AS energy, " +
+        "md5(array_to_string(smp, ',')) AS samples_md5 " +
+        "FROM s ORDER BY doc_id"),
+
+    // Audio FRAME energy over the real decode (round-12) — the windowed
+    // loudness pass (VAD, silence trimming, loudness normalization all
+    // start here): 64-sample frames with an edge-clamped tail, each
+    // reduced to its exact energy and peak. The frame explode is bounded
+    // by n/64 per doc; slices happen in-row (slice HOF over the decoded
+    // array), only frame digests reach the sort. The audio sibling of
+    // mm_tile_stats.
+    "mm_wav_frame_energy" -> Q(
+      (s, d) => {
+        val au = WavExpressions.wavDecode(s)(
+          WavExpressions.wavSynth(s)(col("text").cast("binary")))
+        T(s, d, "documents")
+          .select(col("doc_id"), au.getField("n_samples").as("n"),
+            au.getField("samples").as("samples"))
+          .withColumn("frame_idx",
+            explode(sequence(lit(0), expr("(n + 63) div 64") - 1)))
+          .withColumn("frame_n", least(lit(64), col("n") - col("frame_idx") * 64))
+          .withColumn("w", expr("slice(samples, frame_idx * 64 + 1, frame_n)"))
+          .select(col("doc_id"), big(col("frame_idx")).as("frame_idx"),
+            big(col("frame_n")).as("frame_n"),
+            big(expr("aggregate(w, 0L, (a, x) -> a + cast(x as bigint) * x)"))
+              .as("energy"),
+            big(expr("aggregate(w, 0L, (a, x) -> greatest(a, cast(abs(x) as bigint)))"))
+              .as("peak"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      "WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents), " +
+        "s AS (SELECT doc_id, 2 * len AS n, " +
+        "list_transform(generate_series(0, (2*len - 1)::INT), " +
+        "k -> (ord(substr(text, ((k % len) + 1)::INT, 1)) - 96) * 256 + k % 13) " +
+        "AS smp FROM d), " +
+        "fr AS (SELECT doc_id, n, smp, " +
+        "unnest(generate_series(0, (n + 63) // 64 - 1)) AS f FROM s), " +
+        "fx AS (SELECT doc_id, f, LEAST(64, n - f * 64) AS fn, " +
+        "list_slice(smp, (f * 64 + 1)::INT, (f * 64 + LEAST(64, n - f * 64))::INT) AS w " +
+        "FROM fr) " +
+        "SELECT doc_id, f::BIGINT AS frame_idx, fn::BIGINT AS frame_n, " +
+        "list_sum(list_transform(w, x -> x::BIGINT * x))::BIGINT AS energy, " +
+        "list_max(list_transform(w, x -> abs(x)))::BIGINT AS peak " +
+        "FROM fx ORDER BY doc_id, frame_idx"),
 
     // Per-tile pixel statistics over the REAL decode (round-11) —
     // mm_tile_grid's pixel-backed sibling: 8×8 tiles over the decoded
