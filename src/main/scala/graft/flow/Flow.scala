@@ -357,12 +357,32 @@ object Flow {
               case Nil => "true"
               case cs  => cs.mkString(" AND ")
             }
+            val starts = s"filter(sequence(1, size($toks) - ${k - 1}), " +
+              s"i -> $cond)"
+            // AFTER MATCH SKIP semantics (round-12): default counts every
+            // start position (overlap-friendly); "past_last" counts
+            // non-overlapping occurrences greedily left to right — SQL
+            // MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW. The scan
+            // is ONE fold over the ascending start positions with the
+            // (nextAllowed, count) state packed into a single long
+            // (base 10^6 — positions and counts are session-bounded), so
+            // the identical arithmetic runs as aggregate() here and
+            // list_reduce() in the oracle.
+            val counted = strOpt(st, "skip") match {
+              case None => s"size($starts)"
+              case Some("past_last") =>
+                s"aggregate($starts, 1000000L, (acc, p) -> " +
+                  s"CASE WHEN p >= acc div 1000000 THEN " +
+                  s"cast((p + $k) as bigint) * 1000000 + acc % 1000000 + 1 " +
+                  s"ELSE acc END) % 1000000"
+              case Some(other) =>
+                sys.error(s"flow: cep skip '$other' (want past_last)")
+            }
             // the size guard stops sequence() from running backwards on
             // sessions shorter than the pattern
             df.withColumn(str(st, "as"), expr(
               s"CASE WHEN size($toks) >= $k THEN " +
-                s"size(filter(sequence(1, size($toks) - ${k - 1}), " +
-                s"i -> $cond)) ELSE 0 END").cast("long"))
+                s"$counted ELSE 0 END").cast("long"))
           case other =>
             sys.error(s"flow: cep mode '$other' (want match|count)")
         }

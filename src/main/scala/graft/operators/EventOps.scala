@@ -2252,6 +2252,71 @@ object EventOps {
         "eids[i] AS first_event_id, eids[i+1] AS last_event_id, " +
         "(eps[i+1] - eps[i])::BIGINT AS duration_us " +
         "FROM m ORDER BY user_id, session_seq, start_rn")),
+
+    // AFTER MATCH SKIP semantics (round-12) — the occurrence-counting
+    // ambiguity MATCH_RECOGNIZE resolves with its AFTER MATCH clause,
+    // now a first-class `skip` option on the flow cep op: the default
+    // counts every start position (overlap-friendly; a 3-run of browse
+    // events holds TWO `(view|click)>(view|click)` occurrences), while
+    // `skip: past_last` counts greedy non-overlapping matches (the same
+    // 3-run holds ONE — the second starts inside the first match). The
+    // non-overlap scan is ONE fold over the ascending start positions
+    // with (nextAllowed, count) packed into a single long, identical
+    // arithmetic as aggregate() in Spark and list_reduce() in DuckDB —
+    // no NFA, no per-row state object, still one codegen projection.
+    // CepSpec pins overlap ≥ nonoverlap and the exact greedy scan.
+    "evt_pattern_nonoverlap" -> Q(
+      (s, d) => {
+        val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        val paths = sessionized(s, d)
+          .withColumn("rn", row_number().over(bySession))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(concat(concat_ws(">", transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))), lit(">")).as("path"))
+        val spec =
+          """{"steps":[
+            |{"op":"cep","field":"path","as":"c_all","mode":"count",
+            | "pattern":"(view|click)>(view|click)"},
+            |{"op":"cep","field":"path","as":"c_noov","mode":"count",
+            | "pattern":"(view|click)>(view|click)","skip":"past_last"},
+            |{"op":"agg","groupBy":[],
+            | "aggs":["count(*) AS n_sessions",
+            |  "CAST(sum(c_all) AS BIGINT) AS overlap_total",
+            |  "CAST(sum(c_noov) AS BIGINT) AS nonoverlap_total",
+            |  "CAST(sum(CASE WHEN c_noov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS match_sessions"]}
+            |]}""".stripMargin
+        graft.flow.Flow.compileOn(s, d, paths, spec)
+      },
+      usEvents("WITH se AS (SELECT user_id, event_id, event_type, ts, " +
+        "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_seq FROM (SELECT user_id, event_id, " +
+        "event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts FROM events) x), " +
+        "rn AS (SELECT user_id, session_seq, event_type, row_number() OVER " +
+        "(PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn " +
+        "FROM se), " +
+        "p AS (SELECT user_id, session_seq, string_agg(event_type || '>', '' " +
+        "ORDER BY rn) AS path FROM rn WHERE rn <= 8 GROUP BY 1, 2), " +
+        "tk AS (SELECT list_filter(string_split(path, '>'), x -> x != '') " +
+        "AS toks FROM p), " +
+        "st AS (SELECT toks, CASE WHEN len(toks) >= 2 THEN " +
+        "list_filter(generate_series(1, len(toks) - 1), i -> " +
+        "toks[i] IN ('view', 'click') AND toks[i+1] IN ('view', 'click')) " +
+        "ELSE []::BIGINT[] END AS starts FROM tk), " +
+        "c AS (SELECT len(starts) AS c_all, " +
+        "list_reduce(list_prepend(1000000::BIGINT, starts), (acc, p) -> " +
+        "CASE WHEN p >= acc // 1000000 THEN (p + 2) * 1000000 + " +
+        "acc % 1000000 + 1 ELSE acc END) % 1000000 AS c_noov FROM st) " +
+        "SELECT COUNT(*) AS n_sessions, " +
+        "SUM(c_all)::BIGINT AS overlap_total, " +
+        "SUM(c_noov)::BIGINT AS nonoverlap_total, " +
+        "SUM(CASE WHEN c_noov > 0 THEN 1 ELSE 0 END)::BIGINT " +
+        "AS match_sessions FROM c")),
   )
 
   /** PageRank over the event-type transition graph (round-9 addendum) —

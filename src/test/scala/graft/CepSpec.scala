@@ -96,6 +96,30 @@ class CepSpec extends SparkSpec {
       "a huge window degenerates to the unbounded count")
   }
 
+  test("skip past_last: greedy non-overlapping scan vs start-position count") {
+    import org.apache.spark.sql.{Row, types => t}
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("view>view>view>click>"), // starts 1,2,3 → overlap 3, greedy 2
+        Row("view>click>"), //            start 1     → 1, 1
+        Row("error>")), //                              0, 0
+      t.StructType(Seq(t.StructField("path", t.StringType))))
+    val spec =
+      """{"steps":[
+        |{"op":"cep","field":"path","as":"c_all","mode":"count",
+        | "pattern":"(view|click)>(view|click)"},
+        |{"op":"cep","field":"path","as":"c_noov","mode":"count",
+        | "pattern":"(view|click)>(view|click)","skip":"past_last"}
+        |]}""".stripMargin
+    val got = graft.flow.Flow.compileOn(spark, sf001, df, spec)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("view>view>view>click>", 3L, 2L),
+      ("view>click>", 1L, 1L),
+      ("error>", 0L, 0L)))
+    got.foreach { case (_, all, noov) => assert(noov <= all) }
+  }
+
   test("within bound without epochs fails loudly") {
     import org.apache.spark.sql.{Row, types => t}
     val df = spark.createDataFrame(
