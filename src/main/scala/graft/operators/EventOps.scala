@@ -255,6 +255,57 @@ object EventOps {
           s"WHERE $conds ORDER BY user_id, event_id")
       }),
 
+    // Batch twin of StreamOps.patternWithinTws (round-12) — streaming CEP
+    // with the WITHIN bound: same configurable pattern as
+    // stream_pattern_alert (the shared Cep grammar string), but a hit
+    // only fires when the span from the pattern's first to last event
+    // fits StreamOps.PatternWithinUs (24 h). In the lag-window
+    // formulation the span is ONE extra lag over ts — integer µs both
+    // engines. StreamingSpec pins the transformWithState machine (k−1
+    // types + k−1 timestamps per user — still constant state) to exactly
+    // these rows across micro-batch seams, including a seam where the
+    // bound bites.
+    "stream_pattern_within" -> Q(
+      (s, d) => {
+        val steps = graft.flow.Cep.literalSteps(
+          graft.streaming.StreamOps.PatternAlert)
+        val k = steps.length
+        val conds = steps.zipWithIndex.map { case (atoms, j) =>
+          val c = if (j == k - 1) col("event_type")
+            else lag(col("event_type"), k - 1 - j).over(arrivalW)
+          atoms.map(alts => c.isin(alts: _*)).getOrElse(c.isNotNull)
+        }
+        val span = unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), k - 1).over(arrivalW))
+        T(s, d, "events")
+          .withColumn("hit", conds.reduce(_ && _) &&
+            span <= graft.streaming.StreamOps.PatternWithinUs)
+          .filter(col("hit"))
+          .select(col("user_id"), col("event_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      {
+        val steps = graft.flow.Cep.literalSteps(
+          graft.streaming.StreamOps.PatternAlert)
+        val k = steps.length
+        val lags = (0 until k - 1)
+          .map(j => s"lag(event_type, ${k - 1 - j}) OVER w AS s$j")
+          .mkString(", ")
+        val conds = steps.zipWithIndex.map { case (atoms, j) =>
+          val ref = if (j == k - 1) "event_type" else s"s$j"
+          atoms.map(a => s"$ref IN (${a.map(x => s"'$x'").mkString(", ")})")
+            .getOrElse(s"$ref IS NOT NULL")
+        }.mkString(" AND ")
+        usEvents("SELECT user_id, event_id FROM (" +
+          s"SELECT user_id, event_id, event_type, $lags, " +
+          s"epoch_us(ts) - epoch_us(lag(ts, ${k - 1}) OVER w) AS span_us " +
+          "FROM events " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t " +
+          s"WHERE $conds AND span_us <= " +
+          s"${graft.streaming.StreamOps.PatternWithinUs} " +
+          "ORDER BY user_id, event_id")
+      }),
+
     // Batch twin of StreamOps.attributionTws (the per-purchase frame under
     // evt_attribution's channel rollup): one trailing-frame window carries
     // the last non-purchase touch onto each purchase. StreamingSpec pins

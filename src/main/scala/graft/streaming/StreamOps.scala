@@ -377,6 +377,68 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** The WITHIN bound shared by [[patternWithinTws]], its batch twin
+    * (stream_pattern_within) and the oracle: 24 h in µs. */
+  val PatternWithinUs: Long = 86400L * 1000000L
+
+  private case class TypeTimeTail(types: Seq[String], tss: Seq[Long])
+
+  /** Streaming CEP with a WITHIN time bound (round-12) — the stateful
+    * sibling of the flow cep op's `within_s`: the pattern only fires when
+    * the span from its first to its last matched event fits the window
+    * ("A then B then C within 24 h" — the reference-style signal
+    * correlation bound). State per user grows by exactly the k−1 event
+    * TIMESTAMPS next to the k−1 types — still constant-size per key; the
+    * bound check is one long subtraction at emission time, so the
+    * processor stays O(1) per event. Same deterministic in-batch
+    * (ts, event_id) fold as [[PatternProcessor]], so emission ≡ the batch
+    * twin's lag-window formulation across micro-batch seams. */
+  class PatternWithinProcessor(steps: Seq[Option[Seq[String]]], withinUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, PatternHit] {
+    private val k = steps.length
+    @transient private var tailState:
+      org.apache.spark.sql.streaming.ValueState[TypeTimeTail] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tailState = getHandle.getValueState[TypeTimeTail]("ttail",
+        org.apache.spark.sql.Encoders.product[TypeTimeTail],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PatternHit] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var tail = Option(tailState.get())
+        .map(t => (t.types, t.tss)).getOrElse((Seq.empty[String], Seq.empty[Long]))
+      val out = Seq.newBuilder[PatternHit]
+      sorted.foreach { e =>
+        val types = (tail._1 :+ e.event_type).takeRight(k)
+        val tss = (tail._2 :+ micros(e.ts)).takeRight(k)
+        if (types.size == k &&
+            steps.zip(types).forall { case (a, t) => a.forall(_.contains(t)) } &&
+            tss.last - tss.head <= withinUs)
+          out += PatternHit(e.user_id, e.event_id)
+        tail = (types.takeRight(k - 1), tss.takeRight(k - 1))
+      }
+      tailState.update(TypeTimeTail(tail._1, tail._2))
+      out.result().iterator
+    }
+  }
+
+  def patternWithinTws(events: Dataset[Event],
+      pattern: String = PatternAlert,
+      withinUs: Long = PatternWithinUs): Dataset[PatternHit] = {
+    import events.sparkSession.implicits._
+    val steps = graft.flow.Cep.literalSteps(pattern)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternWithinProcessor(steps, withinUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** One finished session (the gate/flow sessionization signal). */
   case class SessionOut(user_id: Long, n_events: Long, first_event_id: Long,
       last_event_id: Long, session_value: Double)

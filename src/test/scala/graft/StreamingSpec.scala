@@ -215,6 +215,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState WITHIN-bounded CEP machine == batch twin") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val q = StreamOps.patternWithinTws(mem.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("t_cepw").start()
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("t_cepw").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = SparkEntry.queries("stream_pattern_within")(spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val unbounded = SparkEntry.queries("stream_pattern_alert")(spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(want.nonEmpty, "the 24h bound should still fire on the fixture")
+      assert(want.size < unbounded.size, "the 24h bound should exclude hits")
+      assert(got == want)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("WITHIN bound excludes a too-slow pattern across a micro-batch seam") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val base = 1704067200000L
+      def ev(id: Long, minute: Long, typ: String) =
+        Event(id, new java.sql.Timestamp(base + minute * 60000L), 9L, typ, 1.0)
+      val mem = MemoryStream[Event]
+      // 30-minute window: the fast chain fits, the slow one must not fire
+      val q = StreamOps.patternWithinTws(mem.toDS(), withinUs = 30L * 60000000L)
+        .writeStream
+        .outputMode("append").format("memory").queryName("t_cepw2").start()
+      mem.addData(Seq(ev(1, 0, "view"), ev(2, 5, "click")))
+      q.processAllAvailable()
+      // completes at minute 10 (span 10 min <= 30) → fires across the seam
+      mem.addData(Seq(ev(3, 10, "purchase")))
+      q.processAllAvailable()
+      // a second chain whose span (31+ min) exceeds the bound
+      mem.addData(Seq(ev(4, 100, "view"), ev(5, 110, "click")))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(6, 140, "purchase"))) // span 40 min > 30
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("t_cepw2").collect().map(_.getLong(1)).sorted
+      assert(got.toSeq == Seq(3L),
+        "only the within-bound chain may fire; the slow chain must not")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("CEP pattern completes across a micro-batch seam") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
