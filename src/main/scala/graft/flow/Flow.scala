@@ -1,7 +1,7 @@
 package graft.flow
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, expr, lit, map, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, explode, expr, lit, map, when}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -386,6 +386,40 @@ object Flow {
           case other =>
             sys.error(s"flow: cep mode '$other' (want match|count)")
         }
+      case "cep_spans" =>
+        // Matched-span EXTRACTION as config (round-12) — MATCH_RECOGNIZE's
+        // ONE ROW PER MATCH shape: every start position of a
+        // quantifier-free pattern over an ALIGNED token array explodes
+        // into its own row, and downstream `derive` steps read the
+        // MEASURES off sibling aligned arrays (ids, epochs) with
+        // element_at — FIRST(x)/LAST(x) as plain config expressions.
+        // `toks` names an array<string> column; optional `within_s` +
+        // `epochs` bound the span exactly as the count mode does.
+        // Sessions without a match drop (explode of an empty array), the
+        // MATCH_RECOGNIZE default.
+        val steps = Cep.literalSteps(str(st, "pattern"))
+        val k = steps.length
+        val toks = str(st, "toks")
+        val conds = steps.zipWithIndex.collect {
+          case (Some(alts), j) =>
+            val in = alts.map(a => s"'$a'").mkString("(", ", ", ")")
+            s"element_at($toks, i + $j) IN $in"
+        }
+        val withinCond = intOpt(st, "within_s").map { w =>
+          val eps = strOpt(st, "epochs").getOrElse(sys.error(
+            "flow: cep_spans within_s needs 'epochs' (aligned array<long> µs column)"))
+          s"element_at($eps, i + ${k - 1}) - element_at($eps, i) <= " +
+            s"${w.toLong * 1000000L}L"
+        }
+        val cond = (conds ++ withinCond) match {
+          case Nil => "true"
+          case cs  => cs.mkString(" AND ")
+        }
+        df.withColumn(str(st, "as"), explode(expr(
+          s"CASE WHEN size($toks) >= $k THEN " +
+            s"filter(sequence(1, size($toks) - ${k - 1}), i -> $cond) " +
+            s"ELSE cast(array() as array<int>) END")))
+
       case "grok" =>
         // Named-pattern extraction as config [PK: Logstash grok filter]:
         // the ONE-PASS GrokCapture machinery the fn_grok_* keys pin (one

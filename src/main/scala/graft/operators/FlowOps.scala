@@ -335,6 +335,76 @@ object FlowOps {
         "SUM(user_id)::BIGINT AS uid_sum " +
         "FROM events GROUP BY 1 ORDER BY 1")),
 
+    // MATCH_RECOGNIZE as config (round-12) — the full pattern → ONE ROW
+    // PER MATCH → MEASURES story through the instruction surface: the
+    // `cep_spans` op explodes every within-bounded `(view|click)>.`
+    // occurrence over the aligned (toks, eids, eps) arrays, and plain
+    // `derive` steps read the measures (FIRST/LAST event id, exact µs
+    // duration) with element_at — no dedicated measures machinery, the
+    // config model composes it. Oracled with evt_pattern_measures' EXACT
+    // SQL, certifying config ≡ hand-written ≡ oracle (the
+    // flow_compiled_curation discipline).
+    "flow_compiled_measures" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        val packed = EventOps.sessionized(s, d)
+          .withColumn("rn", row_number().over(bySession))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(sort_array(collect_list(struct(col("rn"), col("event_type"),
+            col("event_id"), unix_micros(col("ts")).as("eus")))).as("seq"))
+          .select(col("user_id"), col("session_seq"),
+            transform(col("seq"), x => x.getField("event_type")).as("toks"),
+            transform(col("seq"), x => x.getField("event_id")).as("eids"),
+            transform(col("seq"), x => x.getField("eus")).as("eps"))
+        val spec =
+          """{"steps":[
+            |{"op":"cep_spans","toks":"toks","epochs":"eps","as":"i",
+            | "pattern":"(view|click)>.","within_s":900},
+            |{"op":"derive","as":"start_rn","expr":"cast(i as bigint)"},
+            |{"op":"derive","as":"first_type","expr":"element_at(toks, i)"},
+            |{"op":"derive","as":"next_type","expr":"element_at(toks, i + 1)"},
+            |{"op":"derive","as":"first_event_id","expr":"element_at(eids, i)"},
+            |{"op":"derive","as":"last_event_id","expr":"element_at(eids, i + 1)"},
+            |{"op":"derive","as":"duration_us",
+            | "expr":"cast(element_at(eps, i + 1) - element_at(eps, i) as bigint)"},
+            |{"op":"select","columns":["user_id","session_seq","start_rn",
+            |  "first_type","next_type","first_event_id","last_event_id",
+            |  "duration_us"]},
+            |{"op":"orderBy","by":["user_id","session_seq","start_rn"]}
+            |]}""".stripMargin
+        Flow.compileOn(s, d, packed, spec)
+      },
+      usEvents("WITH se AS (SELECT user_id, event_id, event_type, ts, " +
+        "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_seq FROM (SELECT user_id, event_id, " +
+        "event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts FROM events) x), " +
+        "rn AS (SELECT user_id, session_seq, event_type, event_id, " +
+        "epoch_us(ts) AS eus, row_number() OVER (PARTITION BY user_id, " +
+        "session_seq ORDER BY ts, event_id) AS rn FROM se), " +
+        "p AS (SELECT user_id, session_seq, " +
+        "list(event_type ORDER BY rn) AS toks, " +
+        "list(event_id ORDER BY rn) AS eids, " +
+        "list(eus ORDER BY rn) AS eps " +
+        "FROM rn WHERE rn <= 8 GROUP BY 1, 2), " +
+        "m AS (SELECT user_id, session_seq, toks, eids, eps, " +
+        "unnest(list_filter(generate_series(1, len(toks) - 1), i -> " +
+        "toks[i] IN ('view', 'click') AND " +
+        "eps[i+1] - eps[i] <= 900000000)) AS i " +
+        "FROM p WHERE len(toks) >= 2) " +
+        "SELECT user_id, session_seq::BIGINT AS session_seq, " +
+        "i::BIGINT AS start_rn, " +
+        "toks[i] AS first_type, toks[i+1] AS next_type, " +
+        "eids[i] AS first_event_id, eids[i+1] AS last_event_id, " +
+        "(eps[i+1] - eps[i])::BIGINT AS duration_us " +
+        "FROM m ORDER BY user_id, session_seq, start_rn")),
+
     "flow_named_rollup" -> Q(
       (s, d) => graft.flow.FlowRegistry.run(s, d, "daily_tier_rollup"),
       usEvents("SELECT CASE event_type WHEN 'purchase' THEN 'revenue' " +

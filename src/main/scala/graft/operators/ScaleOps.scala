@@ -86,6 +86,61 @@ object ScaleOps {
     (mp * 5 / 100, mp * 15 / 100, ms * 5 / 100, ms * 15 / 100)
   }
 
+  /** Stats'd catalog tables + the deliberately mis-ordered star join,
+    * shared by scale_cbo_reorder and ScaleSpec's plan assertions. The
+    * declared order joins the two FACTS first (orders ⋈ customer) with
+    * the selective dim (nation, filtered 1/25) LAST — the shape CBO's DP
+    * reorderer must fix. `cbo = false` returns the same query on the
+    * plain session (the negative twin the spec compares against). */
+  def cboQuery(s0: org.apache.spark.sql.SparkSession, d: String,
+      cbo: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val tag = Scale.dirTag(d)
+    val (to, tc, tn) = (s"graft_cbo_orders_$tag",
+      s"graft_cbo_customer_$tag", s"graft_cbo_nation_$tag")
+    Scale.writeOnce(s"cbo_tables|$d") {
+      // a previous JVM's warehouse dir survives while the (per-JVM)
+      // metastore forgot the table — clear both or saveAsTable dies with
+      // LOCATION_ALREADY_EXISTS (the bucketedTable discipline)
+      Seq(to, tc, tn).foreach { t =>
+        s0.sql(s"DROP TABLE IF EXISTS $t")
+        val whConf = s0.conf.get("spark.sql.warehouse.dir")
+        val whPath = Option(new java.net.URI(whConf).getPath)
+          .filter(_.nonEmpty).getOrElse(whConf)
+        val wh = new java.io.File(whPath, t)
+        if (wh.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(wh)
+        }
+      }
+      T(s0, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .write.mode("overwrite").saveAsTable(to)
+      T(s0, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .write.mode("overwrite").saveAsTable(tc)
+      T(s0, d, "nation").select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").saveAsTable(tn)
+      // the metastore numbers a lake maintains per snapshot; the DP
+      // reorderer costs joins from rowCount + column NDVs
+      Seq(to, tc, tn).foreach(t =>
+        s0.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"): Unit)
+    }
+    val s = if (cbo) isoSession(s0, "cbo")(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    else s0
+    s.table(to)
+      .join(s.table(tc), col("o_custkey") === col("c_custkey"))
+      .join(s.table(tn).filter(col("n_name") === "NATION_7"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        big(countDistinct(col("o_custkey"))).as("n_customers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Co-located join: both sides written bucketed+sorted on the join key,
@@ -788,6 +843,29 @@ object ScaleOps {
     // zorderBox discipline) so the key is selective and oracle-green at
     // every sf; result ≡ the plain filtered scan (oracle); the
     // files-actually-skipped assertion lives in ScaleSpec.
+    // Cost-based join REORDER (round-12) — the optimizer lever the rest
+    // of the scale family doesn't cover: with table/column statistics
+    // (ANALYZE TABLE, the metastore numbers a lake keeps per snapshot)
+    // and spark.sql.cbo.joinReorder on, Catalyst's DP reorderer rewrites
+    // a DELIBERATELY bad declared order — fact ⋈ fact first, selective
+    // dim last — into the selective-first shape. At 100 TB the declared
+    // order of a 5-way analyst join is routinely wrong by orders of
+    // magnitude of intermediate rows; stats + CBO is how the engine
+    // stops paying for it. The three tables land once per JVM as
+    // stats'd catalog tables (writeOnce — at scale this is the
+    // metastore, maintained by the lake, not per query); the query runs
+    // on an isolated CBO-enabled session so the flag never leaks into
+    // sibling keys. ScaleSpec asserts the reorder actually happened
+    // (the optimized plan joins customer⋈nation before orders, and the
+    // no-CBO twin plan differs); the oracle proves values are unchanged.
+    "scale_cbo_reorder" -> Q(
+      (s0, d) => cboQuery(s0, d),
+      "SELECT o_orderpriority, COUNT(*) AS n_orders, " +
+        "COUNT(DISTINCT o_custkey)::BIGINT AS n_customers " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_7' GROUP BY 1 ORDER BY o_orderpriority"),
+
     "scale_manifest_prune" -> Q(
       (s0, d) => {
         val (files, _, (lo, hi)) = manifestPlan(s0, d)

@@ -468,4 +468,22 @@ class ScaleSpec extends SparkSpec {
       dir.delete(): Unit
     }
   }
+
+  test("scale_cbo_reorder: stats + CBO rewrite the fact-fact-first declared order") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val withCbo = graft.operators.ScaleOps.cboQuery(spark, sf001)
+    val noCbo = graft.operators.ScaleOps.cboQuery(spark, sf001, cbo = false)
+    def deepestJoin(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.last
+    // declared order: orders joins customer at the bottom; CBO must move
+    // the selective customer-nation join down instead
+    assert(deepestJoin(noCbo).toString.contains("graft_cbo_orders"),
+      "negative twin: without CBO the declared fact-first order persists")
+    assert(!deepestJoin(withCbo).toString.contains("graft_cbo_orders"),
+      s"CBO should join customer x nation first, got:\n${deepestJoin(withCbo)}")
+    // and the rewrite must not change values
+    val a = withCbo.collect().map(_.toSeq).toSeq
+    val b = noCbo.collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
