@@ -866,6 +866,46 @@ object ScaleOps {
         "JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE n_name = 'NATION_7' GROUP BY 1 ORDER BY o_orderpriority"),
 
+    // Snapshot TIME TRAVEL (round-12) — the AS OF read every versioned
+    // lake table (Delta/Iceberg) offers, on the engine's own marker-last
+    // epoch protocol: published epochs are immutable directories, so an
+    // old version stays byte-stable while newer versions land beside it,
+    // and a reader that pins epoch 0 is isolated from concurrent upserts
+    // for free — no locks, the immutability IS the isolation. The key
+    // publishes two versions of a rollup (epoch 0 = the first three
+    // order loads, o_orderkey % 4 != 3; epoch 1 = all four), reads
+    // epoch 0 via readEpoch (time travel), epoch 1 via readLatest, and
+    // emits the per-priority version diff — the audit query ("what did
+    // this table say last week?") that motivates time travel. Replays
+    // short-circuit on the markers. Both snapshots are |priorities|-row
+    // aggregates: versioned state is rollup-sized, never corpus-sized.
+    "scale_time_travel" -> Q(
+      (s, d) => {
+        val dir = scratch(s"timetravel_${Scale.dirTag(d)}")
+        val KSP = graft.streaming.KeepSetPublish
+        if (!KSP.latestEpoch(dir).contains(1L)) {
+          val v0 = T(s, d, "orders")
+            .filter(col("o_orderkey") % 4 =!= 3)
+            .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          val v1 = T(s, d, "orders")
+            .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          KSP.publish(v0, dir, 0L)
+          KSP.publish(v1, dir, 1L)
+        }
+        val old = KSP.readEpoch(s, dir, 0L)
+          .select(col("o_orderpriority"), col("n").as("n_v0"))
+        val cur = KSP.readLatest(s, dir)
+          .select(col("o_orderpriority"), col("n").as("n_v1"))
+        old.join(cur, "o_orderpriority")
+          .withColumn("n_added", col("n_v1") - col("n_v0"))
+          .orderBy(col("o_orderpriority"))
+      },
+      "SELECT o_orderpriority, " +
+        "SUM(CASE WHEN o_orderkey % 4 <> 3 THEN 1 ELSE 0 END)::BIGINT AS n_v0, " +
+        "COUNT(*) AS n_v1, " +
+        "SUM(CASE WHEN o_orderkey % 4 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_added " +
+        "FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
+
     "scale_manifest_prune" -> Q(
       (s0, d) => {
         val (files, _, (lo, hi)) = manifestPlan(s0, d)

@@ -72,4 +72,17 @@ object KeepSetPublish {
       s"KeepSetPublish.readLatest: no committed epoch under $dir"))
     spark.read.parquet(Paths.get(dir, s"epoch=$epoch").toString)
   }
+
+  /** TIME TRAVEL (round-12): reads a SPECIFIC committed epoch — the AS OF
+    * read every snapshot-versioned lake table offers. Because publishes
+    * are immutable dirs gated by markers, an old epoch stays intact and
+    * byte-stable while newer epochs land beside it; readers pin a version
+    * and are isolated from concurrent upserts for free. Fails loudly on
+    * an uncommitted epoch (an unmarked dir is a crashed attempt, never
+    * data). */
+  def readEpoch(spark: SparkSession, dir: String, epochId: Long): DataFrame = {
+    require(new File(dir, s"epoch_$epochId.commit").exists(),
+      s"KeepSetPublish.readEpoch: epoch $epochId not committed under $dir")
+    spark.read.parquet(Paths.get(dir, s"epoch=$epochId").toString)
+  }
 }

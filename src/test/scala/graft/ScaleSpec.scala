@@ -486,4 +486,16 @@ class ScaleSpec extends SparkSpec {
     val b = noCbo.collect().map(_.toSeq).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("scale_time_travel: old epoch stays pinned, uncommitted epochs rejected") {
+    SparkEntry.queries("scale_time_travel")(spark, sf001).collect() // publish
+    val dir = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_scratch"),
+      s"timetravel_${graft.operators.Scale.dirTag(sf001)}").toString
+    val KSP = graft.streaming.KeepSetPublish
+    val v0 = KSP.readEpoch(spark, dir, 0L).agg(sum("n")).head().getLong(0)
+    val v1 = KSP.readLatest(spark, dir).agg(sum("n")).head().getLong(0)
+    assert(v0 < v1, "the pinned old version must predate the latest")
+    intercept[IllegalArgumentException](KSP.readEpoch(spark, dir, 99L))
+  }
 }
