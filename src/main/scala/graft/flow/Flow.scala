@@ -1,7 +1,8 @@
 package graft.flow
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, explode, expr, lit, map, when}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, explode, expr, lag, lit, map, sum, when}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -386,6 +387,29 @@ object Flow {
           case other =>
             sys.error(s"flow: cep mode '$other' (want match|count)")
         }
+      case "sessionize" =>
+        // Gap-based sessionization as config (round-12) — the #1 event-
+        // analytics primitive, until now hand-written per key (the
+        // EventOps.sessionized shape): a new session starts when the gap
+        // to the previous event exceeds `gap_s`. The running window-SUM of
+        // session starts IS the session id — one window pass, no state
+        // machine. `tiebreak` pins total order under equal timestamps
+        // (the determinism discipline every windowed key follows); the
+        // internal prev-ts column is dropped so the step is transparent
+        // to downstream instructions.
+        val byCol = str(st, "by"); val tsCol = str(st, "ts")
+        val gapS = int(st, "gap_s"); val outCol = str(st, "as")
+        val ord = Seq(col(tsCol)) ++ strOpt(st, "tiebreak").map(col).toSeq
+        val w = Window.partitionBy(col(byCol)).orderBy(ord: _*)
+        df.withColumn("_graft_prev_ts", lag(col(tsCol), 1).over(w))
+          .withColumn(outCol, sum(
+            when(col("_graft_prev_ts").isNull ||
+              col(tsCol).cast("double") - col("_graft_prev_ts").cast("double")
+                > gapS.toDouble, 1L)
+              .otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .drop("_graft_prev_ts")
+
       case "cep_spans" =>
         // Matched-span EXTRACTION as config (round-12) — MATCH_RECOGNIZE's
         // ONE ROW PER MATCH shape: every start position of a

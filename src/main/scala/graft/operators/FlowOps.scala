@@ -405,6 +405,85 @@ object FlowOps {
         "(eps[i+1] - eps[i])::BIGINT AS duration_us " +
         "FROM m ORDER BY user_id, session_seq, start_rn")),
 
+    // Gap-based SESSIONIZATION as config (round-12) — the #1 event-
+    // analytics primitive joins the instruction surface: the `sessionize`
+    // op (window-SUM of gap-starts, tiebreak-pinned total order — exactly
+    // the EventOps.sessionized shape every hand-written evt_* key uses)
+    // arrives from JSON, feeds a per-session rollup and a one-row corpus
+    // summary. Oracled with the standard sessionization CTE, certifying
+    // config ≡ hand-written ≡ oracle for the primitive itself.
+    "flow_compiled_sessionize" -> Q(
+      (s, d) => Flow.compile(s, d,
+        """{"steps":[
+          |{"op":"read","table":"events"},
+          |{"op":"sessionize","by":"user_id","ts":"ts","gap_s":1800,
+          | "as":"session_seq","tiebreak":"event_id"},
+          |{"op":"agg","groupBy":["user_id","session_seq"],
+          | "aggs":["count(*) AS n_events"]},
+          |{"op":"agg","groupBy":[],
+          | "aggs":["count(*) AS n_sessions",
+          |  "CAST(sum(n_events) AS BIGINT) AS n_events",
+          |  "CAST(max(n_events) AS BIGINT) AS max_session_len",
+          |  "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons"]}
+          |]}""".stripMargin),
+      usEvents("WITH se AS (SELECT user_id, " +
+        "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_seq FROM (SELECT user_id, event_id, ts, " +
+        "lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev_ts FROM events) x), " +
+        "g AS (SELECT user_id, session_seq, COUNT(*) AS n_events " +
+        "FROM se GROUP BY 1, 2) " +
+        "SELECT COUNT(*) AS n_sessions, SUM(n_events)::BIGINT AS n_events, " +
+        "MAX(n_events)::BIGINT AS max_session_len, " +
+        "SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_singletons FROM g")),
+
+    // Data-quality EXPECTATIONS as config (round-12) — the Great-
+    // Expectations/dbt-test shape through the existing instruction set
+    // (no dedicated op needed: violation flags are `derive` steps, the
+    // gate is one agg): four declarative rules over orders — not-null,
+    // positive-range, set-membership, format-regex — each emitting its
+    // violation count and pass boolean plus the overall gate verdict.
+    // The membership rule DELIBERATELY excludes status 'P' so the gate
+    // genuinely trips on the fixture (a suite that always passes proves
+    // nothing). One scan, one agg; rules are scan-local codegen.
+    "flow_compiled_expectations" -> Q(
+      (s, d) => Flow.compile(s, d,
+        """{"steps":[
+          |{"op":"read","table":"orders"},
+          |{"op":"derive","as":"v_null","expr":"CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END"},
+          |{"op":"derive","as":"v_range","expr":"CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END"},
+          |{"op":"derive","as":"v_set","expr":"CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END"},
+          |{"op":"derive","as":"v_fmt","expr":"CASE WHEN o_orderpriority RLIKE '^[1-5]-' THEN 0 ELSE 1 END"},
+          |{"op":"agg","groupBy":[],
+          | "aggs":["count(*) AS n_rows",
+          |  "CAST(sum(v_null) AS BIGINT) AS null_violations",
+          |  "CAST(sum(v_range) AS BIGINT) AS range_violations",
+          |  "CAST(sum(v_set) AS BIGINT) AS set_violations",
+          |  "CAST(sum(v_fmt) AS BIGINT) AS fmt_violations",
+          |  "sum(v_null) = 0 AS null_ok",
+          |  "sum(v_range) = 0 AS range_ok",
+          |  "sum(v_set) = 0 AS set_ok",
+          |  "sum(v_fmt) = 0 AS fmt_ok",
+          |  "sum(v_null) + sum(v_range) + sum(v_set) + sum(v_fmt) = 0 AS all_ok"]}
+          |]}""".stripMargin),
+      "SELECT COUNT(*) AS n_rows, " +
+        "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_violations, " +
+        "SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)::BIGINT AS range_violations, " +
+        "SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END)::BIGINT AS set_violations, " +
+        "SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END)::BIGINT AS fmt_violations, " +
+        "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS null_ok, " +
+        "SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) = 0 AS range_ok, " +
+        "SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END) = 0 AS set_ok, " +
+        "SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) = 0 AS fmt_ok, " +
+        "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) + " +
+        "SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) + " +
+        "SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END) + " +
+        "SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) = 0 AS all_ok " +
+        "FROM orders"),
+
     "flow_named_rollup" -> Q(
       (s, d) => graft.flow.FlowRegistry.run(s, d, "daily_tier_rollup"),
       usEvents("SELECT CASE event_type WHEN 'purchase' THEN 'revenue' " +
