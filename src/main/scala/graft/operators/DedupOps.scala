@@ -1040,6 +1040,101 @@ object DedupOps {
         "ORDER BY sim DESC, nb_id)::BIGINT AS rn FROM scored) z " +
         "WHERE rn <= 3 ORDER BY q_id, rn"),
 
+    // PERSISTED + INCREMENTAL IVF index (round-12) — llm_ann_index_upsert's
+    // cell-probe sibling, so BOTH vector-index families carry the epoch
+    // discipline: the CELL ASSIGNMENT table (vec → nearest codebook cell)
+    // is published via marker-last epochs (epoch 0 = base corpus
+    // vec_id % 10 < 8, generation 0; epoch 1 = merged after the delta's
+    // assignments upsert). The codebook itself (the 10 coarse centroids,
+    // vec_id < 10) is the separately-trained artifact a real IVF keeps
+    // fixed between refits, so it is NOT re-derived per batch. The delta
+    // batch scores ONLY its own top-2 probes against the broadcast
+    // codebook, probes the PERSISTED generation-0 assignments through the
+    // keyed cell join, and exact-cosine-ranks top-3 base neighbors —
+    // no assignment rebuild, replays short-circuit on the marker. The
+    // oracle recomputes the same delta→base cell candidates relationally,
+    // blind to persistence.
+    "llm_ivf_index_upsert" -> Q(
+      (s, d) => {
+        val dir = new java.io.File(new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_scratch"),
+          s"ivfindex_${Scale.dirTag(d)}").toString
+        val KSP = graft.streaming.KeepSetPublish
+        val dot = dotF(s) _
+        val e = T(s, d, "embeddings")
+          .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+        val cents = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+            col("norm").as("cnorm"))
+        def top2Of(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("vec_id"), col("embedding"), col("norm"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
+              .as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
+          .filter(col("rn") <= 2)
+          .pinned // codebook scoring materializes once per frame
+        if (!KSP.latestEpoch(dir).contains(1L)) {
+          val assign = top2Of(e).filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid").as("cell"))
+          val base = assign.filter(col("vec_id") % 10 < 8)
+            .withColumn("generation", lit(0))
+          val delta = assign.filter(col("vec_id") % 10 >= 8)
+            .withColumn("generation", lit(1))
+          KSP.publish(base, dir, 0L)
+          KSP.publish(base.unionByName(delta), dir, 1L)
+        }
+        val baseAssign = KSP.readLatest(s, dir)
+          .filter(col("generation") === 0)
+          .select(col("vec_id").as("t_id"), col("cell"))
+        val probes = top2Of(e.filter(col("vec_id") % 10 >= 8))
+          .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+        val cand = probes.join(baseAssign, Seq("cell"))
+          .filter(col("q_id") =!= col("t_id"))
+          .select(col("q_id"), col("t_id")).distinct()
+        val qs = e.filter(col("vec_id") % 10 >= 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val ts = e.filter(col("vec_id") % 10 < 8)
+          .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+            col("norm").as("t_norm"))
+        cand.join(broadcast(qs), "q_id").join(broadcast(ts), "t_id")
+          .select(col("q_id"), col("t_id"),
+            (dot(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+              .as("rawsim"))
+          .withColumn("rn", big(row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("rawsim").desc, col("t_id")))))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("t_id"),
+            round(col("rawsim"), 4).as("sim"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "asim AS (SELECT v.vec_id, c.cid, list_inner_product(v.emb, c.cemb) / " +
+        "(sqrt(list_inner_product(v.emb, v.emb)) * " +
+        "sqrt(list_inner_product(c.cemb, c.cemb))) AS sim FROM v CROSS JOIN c), " +
+        "ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY sim DESC, cid) AS rn FROM asim), " +
+        "assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1 " +
+        "AND vec_id % 10 < 8), " +
+        "probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2 " +
+        "AND vec_id % 10 >= 8), " +
+        "cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS t_id " +
+        "FROM probes p JOIN assign a ON a.cell = p.cell " +
+        "AND a.vec_id <> p.vec_id), " +
+        "scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
+        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
+        "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +
+        "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id) " +
+        "SELECT q_id, rn, t_id, round(rawsim, 4) AS sim FROM " +
+        "(SELECT q_id, t_id, rawsim, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY rawsim DESC, t_id)::BIGINT AS rn FROM scored) z " +
+        "WHERE rn <= 3 ORDER BY q_id, rn"),
+
     // MinHash+LSH with md5-derived signatures: functionally the same
     // candidate-pair machinery as llm_near_dedup_minhash, but the hash
     // family (min over md5('k:' || shingle) per seed k) exists in BOTH
