@@ -844,6 +844,72 @@ object AggWindowOps {
     // are map-side-combined hash aggs sharing one scan-partitioned
     // exchange; the merge is a keyed full-outer join of two
     // aggregate-sized (not corpus-sized) frames.
+    // Incremental SKETCH-CUBE maintenance (round-12) — agg_incremental_mv's
+    // approximate sibling and the epoch protocol's sketch composition: the
+    // CMS cell table (d=4 × w=16 integer cells, the agg_count_min_est
+    // sketch) is published via marker-last epochs. Epoch 0 = cells over
+    // the base loads (event_id % 3 != 2); the incremental run computes
+    // cells over ONLY the delta (event_id % 3 = 2) and cell-wise ADDS
+    // them to the persisted epoch-0 READ-BACK — never rescanning base
+    // history — exactly what CMS mergeability (sketch(A)+sketch(B) ==
+    // sketch(A∪B), spec-pinned since r9) is FOR. Because cells are
+    // additive, the merged estimate is bit-identical to a full-corpus
+    // build, so the oracle just computes the full-corpus sketch
+    // relationally. The probe side derives type→bucket rows from the
+    // |types|-sized distinct frame, not a corpus rescan; the exact_n
+    // column is the verification twin.
+    "agg_sketch_upsert" -> Q(
+      (s, d) => {
+        val dir = new java.io.File(new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_scratch"),
+          s"cmscube_${Scale.dirTag(d)}").toString
+        val KSP = graft.streaming.KeepSetPublish
+        def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("event_type"),
+            explode(array((0 until 4).map(j => lit(j)): _*)).as("rw"))
+          .withColumn("bucket", expr(
+            "instr('0123456789abcdef', " +
+              "substr(md5(concat_ws(':', rw, event_type)), 1, 1)) - 1"))
+          .groupBy(col("rw"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+        if (!KSP.latestEpoch(dir).contains(1L)) {
+          KSP.publish(cellsOf(
+            T(s, d, "events").filter(col("event_id") % 3 =!= 2)), dir, 0L)
+          val delta = cellsOf(
+            T(s, d, "events").filter(col("event_id") % 3 === 2))
+          val merged = KSP.readEpoch(s, dir, 0L).unionByName(delta)
+            .groupBy(col("rw"), col("bucket")).agg(sum(col("c")).as("c"))
+          KSP.publish(merged, dir, 1L)
+        }
+        val cells = KSP.readLatest(s, dir)
+        val typeBuckets = T(s, d, "events")
+          .select(col("event_type")).distinct()
+          .select(col("event_type"),
+            explode(array((0 until 4).map(j => lit(j)): _*)).as("rw"))
+          .withColumn("bucket", expr(
+            "instr('0123456789abcdef', " +
+              "substr(md5(concat_ws(':', rw, event_type)), 1, 1)) - 1"))
+        val est = typeBuckets.join(broadcast(cells), Seq("rw", "bucket"))
+          .groupBy(col("event_type")).agg(min(col("c")).as("est_n"))
+        T(s, d, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("exact_n"))
+          .join(est, Seq("event_type"))
+          .orderBy(col("event_type"))
+      },
+      // cells are additive ⇒ merged-from-deltas ≡ full-corpus build
+      "WITH p AS (SELECT event_type, rw, strpos('0123456789abcdef', " +
+        "substr(md5(rw::VARCHAR || ':' || event_type), 1, 1)) - 1 AS bucket " +
+        "FROM events CROSS JOIN " +
+        "(SELECT unnest(generate_series(0, 3)) AS rw) r), " +
+        "cells AS (SELECT rw, bucket, COUNT(*) AS c FROM p GROUP BY 1, 2), " +
+        "tb AS (SELECT DISTINCT event_type, rw, bucket FROM p), " +
+        "est AS (SELECT event_type, MIN(c)::BIGINT AS est_n FROM tb " +
+        "JOIN cells USING (rw, bucket) GROUP BY 1), " +
+        "ex AS (SELECT event_type, COUNT(*)::BIGINT AS exact_n " +
+        "FROM events GROUP BY 1) " +
+        "SELECT event_type, exact_n, est_n FROM ex JOIN est " +
+        "USING (event_type) ORDER BY event_type"),
+
     "agg_incremental_mv" -> Q(
       (s, d) => {
         val ev = T(s, d, "events")
