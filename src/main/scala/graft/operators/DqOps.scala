@@ -467,6 +467,93 @@ object DqOps {
         "SUM(CASE WHEN diff > 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_header_over, " +
         "SUM(CASE WHEN diff < -1.0 THEN 1 ELSE 0 END)::BIGINT AS n_header_under, " +
         "CAST(SUM(abs(diff)) AS DOUBLE) AS total_abs_drift FROM dd"),
+
+    // Multi-variant experiment readout (round-12; the r11 verdict's item 8)
+    // — real platforms rarely stop at A/B: k=4 deterministic arms
+    // (user_id % 4), per metric (event_type) the k-proportion chi-square
+    // homogeneity test at α=0.05 / 3 df (critical value 7.8147). Each
+    // arm's two table cells collapse algebraically to ONE term
+    // diff_i²/(C·(N−C)·n_i) with diff_i = c_i·N − C·n_i — difference and
+    // denominator factors EXACT in DECIMAL(38,0)/HUGEINT (safe past
+    // 1e10-event arms), then one square + one divide per arm in doubles
+    // and a FIXED left-assoc 4-term sum, so both engines build the
+    // identical IEEE tree (the dq_chi_square_drift discipline, k-ary).
+    // Arms pivot to fixed columns — no row-order-dependent double sum
+    // crosses the engines. One scan, one keyed agg + one broadcast 1-row
+    // arms frame; output is |event_type|-bounded.
+    "dq_multivariant_significance" -> Q(
+      (s, d) => {
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val ev = T(s, d, "events")
+          .select((col("user_id") % 4).as("arm"), col("event_type"))
+        def cnt(i: Int) = sum(when(col("arm") === i, 1L).otherwise(0L))
+        val arms = ev.agg(cnt(0).as("n0"), cnt(1).as("n1"),
+          cnt(2).as("n2"), cnt(3).as("n3"))
+        val base = ev.groupBy(col("event_type"))
+          .agg(cnt(0).as("c0"), cnt(1).as("c1"), cnt(2).as("c2"),
+            cnt(3).as("c3"))
+          .crossJoin(broadcast(arms))
+          .withColumn("bigN",
+            col("n0") + col("n1") + col("n2") + col("n3"))
+          .withColumn("bigC",
+            col("c0") + col("c1") + col("c2") + col("c3"))
+        def term(i: Int) = {
+          val diff = (col(s"c$i").cast(d19) * col("bigN").cast(d19) -
+            col("bigC").cast(d19) * col(s"n$i").cast(d19)).cast("double")
+          diff * diff / (col("bigC").cast("double") *
+            (col("bigN") - col("bigC")).cast("double") *
+            col(s"n$i").cast("double"))
+        }
+        base.select(col("event_type"),
+            col("c0"), col("c1"), col("c2"), col("c3"),
+            expr("(c0 * 1000000) div n0").as("rate0_micro"),
+            expr("(c1 * 1000000) div n1").as("rate1_micro"),
+            expr("(c2 * 1000000) div n2").as("rate2_micro"),
+            expr("(c3 * 1000000) div n3").as("rate3_micro"),
+            (term(0) + term(1) + term(2) + term(3)).as("chi2"),
+            (term(0) + term(1) + term(2) + term(3) > lit(7.8147))
+              .as("significant"))
+          .orderBy(col("event_type"))
+      },
+      usEvents("WITH ev AS (SELECT user_id % 4 AS arm, event_type " +
+        "FROM events), " +
+        "arms AS (SELECT " +
+        "SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0, " +
+        "SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1, " +
+        "SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END)::BIGINT AS n2, " +
+        "SUM(CASE WHEN arm = 3 THEN 1 ELSE 0 END)::BIGINT AS n3 FROM ev), " +
+        "c AS (SELECT event_type, " +
+        "SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS c0, " +
+        "SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS c1, " +
+        "SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END)::BIGINT AS c2, " +
+        "SUM(CASE WHEN arm = 3 THEN 1 ELSE 0 END)::BIGINT AS c3 " +
+        "FROM ev GROUP BY 1), " +
+        "b AS (SELECT *, n0 + n1 + n2 + n3 AS bigN, " +
+        "c0 + c1 + c2 + c3 AS bigC FROM c CROSS JOIN arms), " +
+        "t AS (SELECT event_type, c0, c1, c2, c3, " +
+        "(c0 * 1000000) // n0 AS rate0_micro, " +
+        "(c1 * 1000000) // n1 AS rate1_micro, " +
+        "(c2 * 1000000) // n2 AS rate2_micro, " +
+        "(c3 * 1000000) // n3 AS rate3_micro, " +
+        "CAST(c0::HUGEINT * bigN - bigC::HUGEINT * n0 AS DOUBLE) * " +
+        "CAST(c0::HUGEINT * bigN - bigC::HUGEINT * n0 AS DOUBLE) / " +
+        "(CAST(bigC AS DOUBLE) * CAST(bigN - bigC AS DOUBLE) * " +
+        "CAST(n0 AS DOUBLE)) + " +
+        "CAST(c1::HUGEINT * bigN - bigC::HUGEINT * n1 AS DOUBLE) * " +
+        "CAST(c1::HUGEINT * bigN - bigC::HUGEINT * n1 AS DOUBLE) / " +
+        "(CAST(bigC AS DOUBLE) * CAST(bigN - bigC AS DOUBLE) * " +
+        "CAST(n1 AS DOUBLE)) + " +
+        "CAST(c2::HUGEINT * bigN - bigC::HUGEINT * n2 AS DOUBLE) * " +
+        "CAST(c2::HUGEINT * bigN - bigC::HUGEINT * n2 AS DOUBLE) / " +
+        "(CAST(bigC AS DOUBLE) * CAST(bigN - bigC AS DOUBLE) * " +
+        "CAST(n2 AS DOUBLE)) + " +
+        "CAST(c3::HUGEINT * bigN - bigC::HUGEINT * n3 AS DOUBLE) * " +
+        "CAST(c3::HUGEINT * bigN - bigC::HUGEINT * n3 AS DOUBLE) / " +
+        "(CAST(bigC AS DOUBLE) * CAST(bigN - bigC AS DOUBLE) * " +
+        "CAST(n3 AS DOUBLE)) AS chi2 FROM b) " +
+        "SELECT event_type, c0, c1, c2, c3, rate0_micro, rate1_micro, " +
+        "rate2_micro, rate3_micro, chi2, chi2 > 7.8147 AS significant " +
+        "FROM t ORDER BY event_type")),
   )
 
   /** The synthetic raw ingest lines for the dead-letter demo (see key

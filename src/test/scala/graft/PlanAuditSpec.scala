@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "evt_rfm_segments_approx" -> scalar, // same, approx percentiles
     "dq_ab_significance" -> scalar, // global arms/total frame for the z-test
     "dq_benford" -> scalar, // global first-digit total for expecteds
+    "dq_multivariant_significance" -> scalar, // global 1-row k-arm sizes frame
     "dq_chi_square_drift" -> scalar, // global ref/cur totals for expecteds
     "evt_changepoint_split" -> scalar, // global n/S_n for split scores
     "evt_pagerank_transitions" -> scalar, // |V| rides as broadcast 1-row
