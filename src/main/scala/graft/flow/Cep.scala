@@ -45,18 +45,66 @@ object Cep {
     steps.map { s0 =>
       require(!Set('*', '+', '?').contains(s0.last),
         s"cep: count mode requires a quantifier-free pattern, got '$s0' in '$pattern'")
-      if (s0 == ".") None
-      else if (s0.startsWith("(") && s0.endsWith(")")) {
-        val alts = s0.substring(1, s0.length - 1).split("[|]", -1).toSeq
-        require(alts.nonEmpty && alts.forall(_.matches(Name)),
-          s"cep: bad alternation '$s0' in '$pattern'")
-        Some(alts)
-      } else {
-        require(s0.matches(Name),
-          s"cep: bad token '$s0' in '$pattern' (want $Name | (a|b) | .)")
-        Some(Seq(s0))
-      }
+      atom(s0, pattern)
     }
+  }
+
+  private def atom(body: String, pattern: String): Option[Seq[String]] =
+    if (body == ".") None
+    else if (body.startsWith("(") && body.endsWith(")")) {
+      val alts = body.substring(1, body.length - 1).split("[|]", -1).toSeq
+      require(alts.nonEmpty && alts.forall(_.matches(Name)),
+        s"cep: bad alternation '$body' in '$pattern'")
+      Some(alts)
+    } else {
+      require(body.matches(Name),
+        s"cep: bad token '$body' in '$pattern' (want $Name | (a|b) | .)")
+      Some(Seq(body))
+    }
+
+  /** COUNT-mode parse WITH bounded quantifiers (round-12; the r11
+    * verdict's "quantifiers in count mode" gap): each quantified step
+    * expands to its explicit repetition counts — `?`→{0,1},
+    * `*`→{0..maxRep}, `+`→{1..maxRep} — and the cartesian product over
+    * steps yields a SET of literal step sequences. Count semantics are
+    * EXISTENTIAL: a start position counts when ANY expansion matches
+    * there (each expansion is the plain fixed-length window test, so the
+    * whole family stays one codegen'd HOF in any engine and overlapping
+    * matches of DIFFERENT lengths at one start still count once — the
+    * well-defined generalization of the quantifier-free position count).
+    * `maxRep` truncates the unbounded `*`/`+` language the way RE2
+    * truncates bounded repetition — runs longer than maxRep at one step
+    * are NOT counted; callers pick the bound (flow config `max_rep`,
+    * default 2) to fit their pattern. A quantifier-free pattern expands
+    * to exactly one sequence ≡ [[literalSteps]]. Expansion count is
+    * capped loudly (≤ 64) and an all-optional pattern (empty expansion)
+    * is rejected — an empty match is meaningless for position counts. */
+  def expandedSteps(pattern: String,
+      maxRep: Int = 2): Seq[Seq[Option[Seq[String]]]] = {
+    require(pattern.nonEmpty, "cep: empty pattern")
+    require(maxRep >= 1, s"cep: max_rep must be >= 1, got $maxRep")
+    val steps = pattern.split(">", -1).toSeq
+    require(steps.forall(_.nonEmpty),
+      s"cep: empty step in '$pattern' (doubled or trailing '>')")
+    val perStep: Seq[(Option[Seq[String]], Seq[Int])] = steps.map { s0 =>
+      val (body, reps) =
+        if (s0.endsWith("*")) (s0.init, 0 to maxRep)
+        else if (s0.endsWith("+")) (s0.init, 1 to maxRep)
+        else if (s0.endsWith("?")) (s0.init, 0 to 1)
+        else (s0, 1 to 1)
+      require(body.nonEmpty, s"cep: bare quantifier '$s0' in '$pattern'")
+      (atom(body, pattern), reps)
+    }
+    val expansions = perStep.foldLeft(Seq(Seq.empty[Option[Seq[String]]])) {
+      case (acc, (a, reps)) =>
+        for { pre <- acc; r <- reps } yield pre ++ Seq.fill(r)(a)
+    }.distinct
+    require(expansions.size <= 64,
+      s"cep: pattern '$pattern' expands to ${expansions.size} sequences " +
+        s"at max_rep=$maxRep (cap 64) — lower max_rep or simplify")
+    require(expansions.forall(_.nonEmpty),
+      s"cep: pattern '$pattern' admits an empty match (every step optional)")
+    expansions
   }
 
   def compile(pattern: String): String = {

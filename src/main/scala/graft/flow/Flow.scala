@@ -332,33 +332,50 @@ object Flow {
               org.apache.spark.sql.functions.regexp_like(
                 col(str(st, "field")), lit(Cep.compile(str(st, "pattern")))))
           case "count" =>
-            val steps = Cep.literalSteps(str(st, "pattern"))
-            val k = steps.length
+            // Bounded quantifiers (round-12): the pattern expands to its
+            // literal step sequences (Cep.expandedSteps — `?`/`*`/`+`
+            // become explicit repetition counts up to `max_rep`, default
+            // 2) and a start position counts when ANY expansion matches
+            // there. A quantifier-free pattern is the 1-expansion special
+            // case — bit-identical to the round-11 behavior. Longer
+            // expansions guard their window with CASE WHEN (conditional
+            // evaluation is guaranteed; a bare AND may still evaluate the
+            // out-of-range element_at under ANSI mode and throw).
+            val exps = Cep.expandedSteps(str(st, "pattern"),
+              intOpt(st, "max_rep").getOrElse(2))
+            val minK = exps.map(_.length).min
             // toks drops empty strings (the trailing-separator artifact)
             val toks = s"filter(split(${str(st, "field")}, '>'), x -> x != '')"
-            val conds = steps.zipWithIndex.collect {
-              case (Some(alts), j) =>
-                val in = alts.map(a => s"'$a'").mkString("(", ", ", ")")
-                s"element_at($toks, i + $j) IN $in"
-            }
             // WITHIN time bound (round-12) — the MATCH_RECOGNIZE / CEP
             // "A then B within W" clause: an occurrence only counts when
             // the span from its first to its last matched step fits the
-            // window. Needs `epochs`, an array<long> of µs timestamps
-            // ALIGNED with the token sequence (built from the same
-            // sorted collect); integer µs on both engines — no float
-            // enters the compare.
-            val withinCond = intOpt(st, "within_s").map { w =>
-              val eps = strOpt(st, "epochs").getOrElse(sys.error(
-                "flow: cep within_s needs 'epochs' (aligned array<long> µs column)"))
-              s"element_at($eps, i + ${k - 1}) - element_at($eps, i) <= " +
-                s"${w.toLong * 1000000L}L"
+            // window (per expansion, its OWN last step). Needs `epochs`,
+            // an array<long> of µs timestamps ALIGNED with the token
+            // sequence (built from the same sorted collect); integer µs
+            // on both engines — no float enters the compare.
+            def expCond(steps: Seq[Option[Seq[String]]]): String = {
+              val k = steps.length
+              val conds = steps.zipWithIndex.collect {
+                case (Some(alts), j) =>
+                  val in = alts.map(a => s"'$a'").mkString("(", ", ", ")")
+                  s"element_at($toks, i + $j) IN $in"
+              }
+              val withinCond = intOpt(st, "within_s").map { w =>
+                val eps = strOpt(st, "epochs").getOrElse(sys.error(
+                  "flow: cep within_s needs 'epochs' (aligned array<long> µs column)"))
+                s"element_at($eps, i + ${k - 1}) - element_at($eps, i) <= " +
+                  s"${w.toLong * 1000000L}L"
+              }
+              val inner = (conds ++ withinCond) match {
+                case Nil => "true"
+                case cs  => cs.mkString(" AND ")
+              }
+              if (k == minK) s"($inner)"
+              else s"(CASE WHEN i + ${k - 1} <= size($toks) " +
+                s"THEN $inner ELSE false END)"
             }
-            val cond = (conds ++ withinCond) match {
-              case Nil => "true"
-              case cs  => cs.mkString(" AND ")
-            }
-            val starts = s"filter(sequence(1, size($toks) - ${k - 1}), " +
+            val cond = exps.map(expCond).mkString(" OR ")
+            val starts = s"filter(sequence(1, size($toks) - ${minK - 1}), " +
               s"i -> $cond)"
             // AFTER MATCH SKIP semantics (round-12): default counts every
             // start position (overlap-friendly); "past_last" counts
@@ -372,6 +389,11 @@ object Flow {
             val counted = strOpt(st, "skip") match {
               case None => s"size($starts)"
               case Some("past_last") =>
+                // greedy skip needs ONE match length; quantifiers make
+                // "past last row" ambiguous, so they are rejected loudly
+                require(exps.size == 1, "flow: cep skip past_last requires " +
+                  s"a quantifier-free pattern, got '${str(st, "pattern")}'")
+                val k = exps.head.length
                 s"aggregate($starts, 1000000L, (acc, p) -> " +
                   s"CASE WHEN p >= acc div 1000000 THEN " +
                   s"cast((p + $k) as bigint) * 1000000 + acc % 1000000 + 1 " +
@@ -380,9 +402,9 @@ object Flow {
                 sys.error(s"flow: cep skip '$other' (want past_last)")
             }
             // the size guard stops sequence() from running backwards on
-            // sessions shorter than the pattern
+            // sessions shorter than the shortest expansion
             df.withColumn(str(st, "as"), expr(
-              s"CASE WHEN size($toks) >= $k THEN " +
+              s"CASE WHEN size($toks) >= $minK THEN " +
                 s"$counted ELSE 0 END").cast("long"))
           case other =>
             sys.error(s"flow: cep mode '$other' (want match|count)")

@@ -2368,6 +2368,85 @@ object EventOps {
         "SUM(c_noov)::BIGINT AS nonoverlap_total, " +
         "SUM(CASE WHEN c_noov > 0 THEN 1 ELSE 0 END)::BIGINT " +
         "AS match_sessions FROM c")),
+
+    // QUANTIFIED pattern counting (round-12; the r11 verdict's last CEP
+    // gap): `?`/`*`/`+` reach count mode via bounded expansion —
+    // Cep.expandedSteps turns each quantifier into explicit repetition
+    // counts (max_rep, default 2) and the cartesian product into a SET
+    // of literal step sequences; a start position counts when ANY
+    // expansion matches there (existential — one count per start even
+    // when several lengths match, the well-defined generalization of
+    // the position count; runs longer than max_rep are NOT counted, the
+    // documented truncation RE2 applies to bounded repetition). The
+    // whole family is still ONE codegen'd HOF per pattern — longer
+    // expansions CASE-guard their window so ANSI element_at never reads
+    // out of range. `view>click*>purchase` (the browse-run funnel) and
+    // `error>.?>purchase` (recovery with at most one step between)
+    // expand to 3 + 2 sequences; same rn≤8 session bound; ONE row out.
+    "evt_pattern_quantified" -> Q(
+      (s, d) => {
+        val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        val paths = sessionized(s, d)
+          .withColumn("rn", row_number().over(bySession))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(concat(concat_ws(">", transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))), lit(">")).as("path"))
+        val spec =
+          """{"steps":[
+            |{"op":"cep","field":"path","as":"c_bb","mode":"count",
+            | "pattern":"view>click*>purchase","max_rep":2},
+            |{"op":"cep","field":"path","as":"c_rec","mode":"count",
+            | "pattern":"error>.?>purchase"},
+            |{"op":"agg","groupBy":[],
+            | "aggs":["count(*) AS n_sessions",
+            |  "CAST(sum(c_bb) AS BIGINT) AS browse_buy_total",
+            |  "CAST(sum(CASE WHEN c_bb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS browse_buy_sessions",
+            |  "CAST(sum(c_rec) AS BIGINT) AS recovery_total",
+            |  "CAST(sum(CASE WHEN c_rec > 0 THEN 1 ELSE 0 END) AS BIGINT) AS recovery_sessions"]}
+            |]}""".stripMargin
+        graft.flow.Flow.compileOn(s, d, paths, spec)
+      },
+      usEvents("WITH se AS (SELECT user_id, event_id, event_type, ts, " +
+        "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+        "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_seq FROM (SELECT user_id, event_id, " +
+        "event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts FROM events) x), " +
+        "rn AS (SELECT user_id, session_seq, event_type, row_number() OVER " +
+        "(PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn " +
+        "FROM se), " +
+        "p AS (SELECT user_id, session_seq, string_agg(event_type || '>', '' " +
+        "ORDER BY rn) AS path FROM rn WHERE rn <= 8 GROUP BY 1, 2), " +
+        "tk AS (SELECT list_filter(string_split(path, '>'), x -> x != '') " +
+        "AS toks FROM p), " +
+        // the same existential OR over the expansions, with the same
+        // CASE-guarded windows for the longer ones
+        "c AS (SELECT " +
+        "CASE WHEN len(toks) >= 2 THEN len(list_filter(" +
+        "generate_series(1, len(toks) - 1), i -> " +
+        "(toks[i] = 'view' AND toks[i+1] = 'purchase') OR " +
+        "(CASE WHEN i + 2 <= len(toks) THEN toks[i] = 'view' AND " +
+        "toks[i+1] = 'click' AND toks[i+2] = 'purchase' ELSE false END) OR " +
+        "(CASE WHEN i + 3 <= len(toks) THEN toks[i] = 'view' AND " +
+        "toks[i+1] = 'click' AND toks[i+2] = 'click' AND " +
+        "toks[i+3] = 'purchase' ELSE false END))) ELSE 0 END AS c_bb, " +
+        "CASE WHEN len(toks) >= 2 THEN len(list_filter(" +
+        "generate_series(1, len(toks) - 1), i -> " +
+        "(toks[i] = 'error' AND toks[i+1] = 'purchase') OR " +
+        "(CASE WHEN i + 2 <= len(toks) THEN toks[i] = 'error' AND " +
+        "toks[i+2] = 'purchase' ELSE false END))) ELSE 0 END AS c_rec " +
+        "FROM tk) " +
+        "SELECT COUNT(*) AS n_sessions, " +
+        "SUM(c_bb)::BIGINT AS browse_buy_total, " +
+        "SUM(CASE WHEN c_bb > 0 THEN 1 ELSE 0 END)::BIGINT " +
+        "AS browse_buy_sessions, " +
+        "SUM(c_rec)::BIGINT AS recovery_total, " +
+        "SUM(CASE WHEN c_rec > 0 THEN 1 ELSE 0 END)::BIGINT " +
+        "AS recovery_sessions FROM c")),
   )
 
   /** PageRank over the event-type transition graph (round-9 addendum) —

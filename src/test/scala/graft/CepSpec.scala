@@ -132,6 +132,65 @@ class CepSpec extends SparkSpec {
       graft.flow.Flow.compileOn(spark, sf001, df, spec).collect())
   }
 
+  test("expandedSteps: bounded quantifier expansion arithmetic") {
+    // quantifier-free ≡ literalSteps, exactly one expansion
+    assert(Cep.expandedSteps("a>(b|c)>.") == Seq(Cep.literalSteps("a>(b|c)>.")))
+    // a>b*>c at max_rep 2: lengths 2, 3, 4
+    val e = Cep.expandedSteps("a>b*>c", 2)
+    assert(e.map(_.length).sorted == Seq(2, 3, 4))
+    assert(e.contains(Seq(Some(Seq("a")), Some(Seq("c")))))
+    assert(e.contains(Seq(Some(Seq("a")), Some(Seq("b")), Some(Seq("b")),
+      Some(Seq("c")))))
+    // `?` is {0,1} regardless of max_rep; `+` is {1..max_rep}
+    assert(Cep.expandedSteps("a?>b", 5).map(_.length).sorted == Seq(1, 2))
+    assert(Cep.expandedSteps("a>b+", 3).map(_.length).sorted == Seq(2, 3, 4))
+    // wildcard quantifies too
+    assert(Cep.expandedSteps("a>.?>c").map(_.length).sorted == Seq(2, 3))
+    // all-optional (empty match) and bare quantifiers reject loudly
+    intercept[IllegalArgumentException](Cep.expandedSteps("a?>b*"))
+    intercept[IllegalArgumentException](Cep.expandedSteps("*>b"))
+    // expansion cap: 7 starred steps at max_rep 2 = 3^7 > 64
+    intercept[IllegalArgumentException](
+      Cep.expandedSteps("a*>b*>c*>d*>e*>f*>g*", 2))
+  }
+
+  test("count mode: quantified patterns count existentially per start") {
+    import org.apache.spark.sql.{Row, types => t}
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("a>b>b>c>"), // a>b*>c: the 4-window at 1 (two b's)
+        Row("a>c>"),     // the 0-rep window
+        Row("a>a>c>"),   // starts 1 (a>a?>c via 3-window) and 2 (2-window)
+        Row("a>b>b>b>c>")), // run of 3 b's: beyond max_rep 2 — NOT counted
+      t.StructType(Seq(t.StructField("path", t.StringType))))
+    val spec =
+      """{"steps":[
+        |{"op":"cep","field":"path","as":"c_abc","mode":"count",
+        | "pattern":"a>b*>c","max_rep":2},
+        |{"op":"cep","field":"path","as":"c_aac","mode":"count",
+        | "pattern":"a>a?>c"}
+        |]}""".stripMargin
+    val got = graft.flow.Flow.compileOn(spark, sf001, df, spec)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("a>b>b>c>", 1L, 0L),
+      ("a>c>", 1L, 1L),
+      ("a>a>c>", 1L, 2L),
+      ("a>b>b>b>c>", 0L, 0L)))
+  }
+
+  test("skip past_last rejects quantified patterns loudly") {
+    import org.apache.spark.sql.{Row, types => t}
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row("a>b>")),
+      t.StructType(Seq(t.StructField("path", t.StringType))))
+    val spec =
+      """{"steps":[{"op":"cep","field":"path","as":"c","mode":"count",
+        | "pattern":"a>b*>c","skip":"past_last"}]}""".stripMargin
+    intercept[IllegalArgumentException](
+      graft.flow.Flow.compileOn(spark, sf001, df, spec).collect())
+  }
+
   test("bad patterns fail loudly") {
     intercept[IllegalArgumentException](Cep.compile(""))
     intercept[IllegalArgumentException](Cep.compile("a>>b"))
