@@ -494,6 +494,64 @@ object TextOps {
       (s, d) => gopherFlags(s, d).orderBy(col("doc_id")),
       gopherFlagsSql + " ORDER BY doc_id"),
 
+    // Preference-pair mining (round-12) — the DPO/RLHF data-prep shape: per
+    // language, documents rank by a deterministic integer quality score
+    // (stop_hits·10⁵ + n_words — the gopher signals, fixed-point so no
+    // float ever orders rows) and the i-th best pairs with the i-th worst
+    // (i ≤ 4), STRICT margin only — ties and self-pairs drop, so a group
+    // smaller than 2·K yields fewer (possibly zero) pairs rather than a
+    // degenerate chosen==rejected row. Two window passes (score desc /
+    // asc, doc_id tiebreaks both total orders) + one tiny (lang, idx)
+    // equi-join; WindowGroupLimit pushes both rank≤4 filters below the
+    // exchange, so at corpus scale only K rows per group survive the
+    // shuffle. The pair frame is what a reward-model/DPO trainer joins
+    // text back onto — ids + scores only ship here.
+    "llm_preference_pairs" -> Q(
+      (s, d) => {
+        val scored = T(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"), col("lang"),
+            (big(size(filter(col("words"),
+              w => w === "a" || w === "the"))) * lit(100000L) +
+              big(size(col("words")))).as("score"))
+        val best = scored.withColumn("pair_idx", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("pair_idx") <= 4)
+          .select(col("lang"), big(col("pair_idx")).as("pair_idx"),
+            col("doc_id").as("chosen_doc_id"), col("score").as("chosen_score"))
+        val worst = scored.withColumn("pair_idx", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("score"), col("doc_id").desc)))
+          .filter(col("pair_idx") <= 4)
+          .select(col("lang"), big(col("pair_idx")).as("pair_idx"),
+            col("doc_id").as("rejected_doc_id"),
+            col("score").as("rejected_score"))
+        best.join(worst, Seq("lang", "pair_idx"))
+          .filter(col("chosen_score") > col("rejected_score"))
+          .select(col("lang"), col("pair_idx"), col("chosen_doc_id"),
+            col("chosen_score"), col("rejected_doc_id"), col("rejected_score"),
+            (col("chosen_score") - col("rejected_score")).as("margin"))
+          .orderBy(col("lang"), col("pair_idx"))
+      },
+      "WITH sc AS (SELECT doc_id, lang, " +
+        "len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))" +
+        "::BIGINT * 100000 + len(string_split(text, ' '))::BIGINT AS score " +
+        "FROM documents), " +
+        "b AS (SELECT lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY score DESC, doc_id)::BIGINT AS pair_idx, " +
+        "doc_id AS chosen_doc_id, score AS chosen_score FROM sc " +
+        "QUALIFY pair_idx <= 4), " +
+        "w AS (SELECT lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY score, doc_id DESC)::BIGINT AS pair_idx, " +
+        "doc_id AS rejected_doc_id, score AS rejected_score FROM sc " +
+        "QUALIFY pair_idx <= 4) " +
+        "SELECT lang, pair_idx, chosen_doc_id, chosen_score, " +
+        "rejected_doc_id, rejected_score, " +
+        "chosen_score - rejected_score AS margin " +
+        "FROM b JOIN w USING (lang, pair_idx) " +
+        "WHERE chosen_score > rejected_score ORDER BY lang, pair_idx"),
+
     // Fixed-size overlapping chunker — the training/RAG prep step that is
     // llm_pack_sequences' inverse: window 32 tokens, stride 24 (8-token
     // overlap), chunk starts at 0, 24, 48, … while < n_tokens, the tail
