@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, T}
 import graft.Dsl.{dec, usEvents}
@@ -420,6 +421,92 @@ object DqOps {
         "(100000.0 * CAST(total AS DOUBLE) * CAST(exp_100k AS DOUBLE)) " +
         "AS chi2_term " +
         "FROM e CROSS JOIN t ORDER BY digit")),
+
+    // Group-sequential experiment monitoring (round-12) — the "peek during
+    // the run" readout real platforms ship next to the fixed-horizon gate:
+    // K=4 interim looks over the event timeline (equal µs quarters between
+    // the corpus min/max ts — one integer division assigns the look), each
+    // look testing the CUMULATIVE two-proportion statistic against an
+    // O'Brien-Fleming-shaped boundary z_k² = z_K²·K/k, stricter early. The
+    // boundary ships as EXACT integers — 163864 div k at 10⁴ scale
+    // (z_K = 2.024, the textbook OBF final look) — and the test is the
+    // dq_ab_significance cross-multiplied inequality with crit_k in place
+    // of 38416: difference and products exact in DECIMAL(38,0)/HUGEINT,
+    // identical left-assoc double trees both engines. first_crossed_look
+    // rides an unpartitioned window over the |K|-row frame (4 rows — not
+    // a scale risk). One scan + one keyed agg; the min/max frame is the
+    // standard broadcast 1-row scalar.
+    "dq_sequential_probe" -> Q(
+      (s, d) => {
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val evts = T(s, d, "events")
+        val mm = evts.agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+        val lk = evts
+          .select((col("user_id") % 2 === 0).as("arm_a"),
+            (col("event_type") === "purchase").as("conv"),
+            unix_micros(col("ts")).as("eus"))
+          .crossJoin(broadcast(mm))
+          .withColumn("look",
+            expr("1 + ((eus - mn) * 4) div (mx - mn + 1)"))
+          .groupBy(col("look"))
+          .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("dn1"),
+            sum(when(!col("arm_a"), 1L).otherwise(0L)).as("dn2"),
+            sum(when(col("arm_a") && col("conv"), 1L).otherwise(0L)).as("dc1"),
+            sum(when(!col("arm_a") && col("conv"), 1L).otherwise(0L)).as("dc2"))
+        val cumW = Window.orderBy(col("look"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = lk.select(col("look"),
+            sum(col("dn1")).over(cumW).as("n1"),
+            sum(col("dn2")).over(cumW).as("n2"),
+            sum(col("dc1")).over(cumW).as("c1"),
+            sum(col("dc2")).over(cumW).as("c2"))
+          .withColumn("crit_e4", expr("163864 div look").cast("long"))
+          .withColumn("diff_d",
+            (col("c1").cast(d19) * col("n2").cast(d19) -
+              col("c2").cast(d19) * col("n1").cast(d19)).cast("double"))
+          .withColumn("crossed",
+            lit(10000.0) * col("diff_d") * col("diff_d") *
+              (col("n1") + col("n2")).cast("double") >
+              col("crit_e4").cast("double") *
+                (col("n1").cast(d19) * col("n2").cast(d19)).cast("double") *
+                (col("c1") + col("c2")).cast("double") *
+                (col("n1") + col("n2") - col("c1") - col("c2")).cast("double"))
+        cum.select(col("look"), col("n1"), col("c1"), col("n2"), col("c2"),
+            col("crit_e4"), col("crossed"),
+            min(when(col("crossed"), col("look"))).over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)).as("first_crossed_look"))
+          .orderBy(col("look"))
+      },
+      usEvents("WITH mm AS (SELECT epoch_us(MIN(ts)) AS mn, " +
+        "epoch_us(MAX(ts)) AS mx FROM events), " +
+        "ev AS (SELECT user_id % 2 = 0 AS arm_a, " +
+        "event_type = 'purchase' AS conv, " +
+        "1 + ((epoch_us(ts) - mn) * 4) // (mx - mn + 1) AS look " +
+        "FROM events CROSS JOIN mm), " +
+        "lk AS (SELECT look, " +
+        "SUM(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS dn1, " +
+        "SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END)::BIGINT AS dn2, " +
+        "SUM(CASE WHEN arm_a AND conv THEN 1 ELSE 0 END)::BIGINT AS dc1, " +
+        "SUM(CASE WHEN NOT arm_a AND conv THEN 1 ELSE 0 END)::BIGINT AS dc2 " +
+        "FROM ev GROUP BY 1), " +
+        "cum AS (SELECT look, " +
+        "SUM(dn1) OVER (ORDER BY look)::BIGINT AS n1, " +
+        "SUM(dn2) OVER (ORDER BY look)::BIGINT AS n2, " +
+        "SUM(dc1) OVER (ORDER BY look)::BIGINT AS c1, " +
+        "SUM(dc2) OVER (ORDER BY look)::BIGINT AS c2 FROM lk), " +
+        "t AS (SELECT look, n1, c1, n2, c2, " +
+        "(163864 // look)::BIGINT AS crit_e4, " +
+        "10000.0 * CAST(c1::HUGEINT * n2 - c2::HUGEINT * n1 AS DOUBLE) * " +
+        "CAST(c1::HUGEINT * n2 - c2::HUGEINT * n1 AS DOUBLE) * " +
+        "CAST(n1 + n2 AS DOUBLE) > " +
+        "CAST(163864 // look AS DOUBLE) * " +
+        "CAST(n1::HUGEINT * n2 AS DOUBLE) * CAST(c1 + c2 AS DOUBLE) * " +
+        "CAST(n1 + n2 - c1 - c2 AS DOUBLE) AS crossed FROM cum) " +
+        "SELECT look, n1, c1, n2, c2, crit_e4, crossed, " +
+        "MIN(CASE WHEN crossed THEN look END) OVER ()::BIGINT " +
+        "AS first_crossed_look FROM t ORDER BY look")),
 
     // Cross-table reconciliation (round-10) — the ledger-tieout DQ class:
     // does the rolled-up fact tie to the header? Per order, lineitem gross

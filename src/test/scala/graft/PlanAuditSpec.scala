@@ -41,6 +41,7 @@ class PlanAuditSpec extends SparkSpec {
     "dq_ab_significance" -> scalar, // global arms/total frame for the z-test
     "dq_benford" -> scalar, // global first-digit total for expecteds
     "dq_multivariant_significance" -> scalar, // global 1-row k-arm sizes frame
+    "dq_sequential_probe" -> scalar, // global 1-row min/max ts frame for looks
     "dq_chi_square_drift" -> scalar, // global ref/cur totals for expecteds
     "evt_changepoint_split" -> scalar, // global n/S_n for split scores
     "evt_pagerank_transitions" -> scalar, // |V| rides as broadcast 1-row
