@@ -306,6 +306,60 @@ object EventOps {
           "ORDER BY user_id, event_id")
       }),
 
+    // Batch twin of StreamOps.patternQuantifiedTws (round-12) — streaming
+    // CEP over a QUANTIFIED pattern: the shared grammar string expands
+    // once (Cep.expandedSteps, the bounded-expansion discipline the flow
+    // count mode uses) and an event is a hit when ANY expansion's
+    // lag-window ending at it matches — existential, one hit per
+    // completing event even when several expansion lengths match; runs
+    // longer than the bound are not hits (the documented truncation).
+    // One lag column per distance serves every expansion; NULL lags from
+    // short histories AND/OR to false identically in both engines.
+    // StreamingSpec pins the transformWithState machine (last maxK−1
+    // types per user — constant state, |expansions| suffix checks per
+    // event) to exactly these rows across micro-batch seams.
+    "stream_pattern_quantified" -> Q(
+      (s, d) => {
+        val exps = graft.flow.Cep.expandedSteps(
+          graft.streaming.StreamOps.PatternQuantified,
+          graft.streaming.StreamOps.PatternMaxRep)
+        def condOf(steps: Seq[Option[Seq[String]]]) = {
+          val k = steps.length
+          steps.zipWithIndex.map { case (atoms, j) =>
+            val lagN = k - 1 - j
+            val c = if (lagN == 0) col("event_type")
+              else lag(col("event_type"), lagN).over(arrivalW)
+            atoms.map(alts => c.isin(alts: _*)).getOrElse(c.isNotNull)
+          }.reduce(_ && _)
+        }
+        T(s, d, "events")
+          .withColumn("hit", exps.map(condOf).reduce(_ || _))
+          .filter(col("hit"))
+          .select(col("user_id"), col("event_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      {
+        val exps = graft.flow.Cep.expandedSteps(
+          graft.streaming.StreamOps.PatternQuantified,
+          graft.streaming.StreamOps.PatternMaxRep)
+        val maxLag = exps.map(_.length).max - 1
+        val lags = (1 to maxLag)
+          .map(n => s"lag(event_type, $n) OVER w AS l$n").mkString(", ")
+        val ors = exps.map { steps =>
+          val k = steps.length
+          steps.zipWithIndex.map { case (atoms, j) =>
+            val lagN = k - 1 - j
+            val ref = if (lagN == 0) "event_type" else s"l$lagN"
+            atoms.map(a => s"$ref IN (${a.map(x => s"'$x'").mkString(", ")})")
+              .getOrElse(s"$ref IS NOT NULL")
+          }.mkString(" AND ")
+        }.map(c => s"($c)").mkString(" OR ")
+        usEvents("SELECT user_id, event_id FROM (" +
+          s"SELECT user_id, event_id, event_type, $lags FROM events " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t " +
+          s"WHERE $ors ORDER BY user_id, event_id")
+      }),
+
     // Batch twin of StreamOps.attributionTws (the per-purchase frame under
     // evt_attribution's channel rollup): one trailing-frame window carries
     // the last non-purchase touch onto each purchase. StreamingSpec pins

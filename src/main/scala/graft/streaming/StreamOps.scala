@@ -439,6 +439,73 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** The shared QUANTIFIED pattern (stream_pattern_quantified's batch
+    * twin and [[patternQuantifiedTws]] expand the SAME grammar string at
+    * the same bound). */
+  val PatternQuantified: String = "view>click*>purchase"
+  val PatternMaxRep: Int = 2
+
+  /** Streaming CEP over a QUANTIFIED pattern (round-12) — the stateful
+    * sibling of the flow cep op's bounded-expansion count mode: the
+    * pattern expands once at plan build (Cep.expandedSteps, `?`/`*`/`+`
+    * as explicit repetition counts up to maxRep) and an event emits a
+    * hit when ANY expansion's window ENDING at that event matches —
+    * existential, one hit per completing event even when several
+    * expansion lengths match (the well-defined streaming analogue of
+    * the batch position count; >maxRep runs are not hits, the same
+    * documented truncation). State per user is the last maxK−1 event
+    * types — still CONSTANT-size per key; per event the machine does
+    * |expansions| suffix checks over that buffer, O(1) for a bounded
+    * pattern. Same deterministic in-batch (ts, event_id) fold as
+    * [[PatternProcessor]], so emission ≡ the batch twin's lag-window
+    * formulation across micro-batch seams. */
+  class PatternAnyProcessor(exps: Seq[Seq[Option[Seq[String]]]])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, PatternHit] {
+    private val maxK = exps.map(_.length).max
+    @transient private var tailState:
+      org.apache.spark.sql.streaming.ValueState[TypeTail] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tailState = getHandle.getValueState[TypeTail]("atail",
+        org.apache.spark.sql.Encoders.product[TypeTail],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PatternHit] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var tail = Option(tailState.get()).map(_.tail).getOrElse(Seq.empty)
+      val out = Seq.newBuilder[PatternHit]
+      sorted.foreach { e =>
+        val win = (tail :+ e.event_type).takeRight(maxK)
+        val hit = exps.exists { steps =>
+          val k = steps.length
+          win.size >= k && steps.zip(win.takeRight(k)).forall {
+            case (a, t) => a.forall(_.contains(t))
+          }
+        }
+        if (hit) out += PatternHit(e.user_id, e.event_id)
+        tail = win.takeRight(maxK - 1)
+      }
+      tailState.update(TypeTail(tail))
+      out.result().iterator
+    }
+  }
+
+  def patternQuantifiedTws(events: Dataset[Event],
+      pattern: String = PatternQuantified,
+      maxRep: Int = PatternMaxRep): Dataset[PatternHit] = {
+    import events.sparkSession.implicits._
+    val exps = graft.flow.Cep.expandedSteps(pattern, maxRep)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternAnyProcessor(exps),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** One finished session (the gate/flow sessionization signal). */
   case class SessionOut(user_id: Long, n_events: Long, first_event_id: Long,
       last_event_id: Long, session_value: Double)
