@@ -918,6 +918,47 @@ object ScaleOps {
         "WHERE l_orderkey BETWEEN (SELECT max(l_orderkey) * 30 // 100 " +
         "FROM lineitem) AND (SELECT max(l_orderkey) * 45 // 100 FROM lineitem) " +
         "ORDER BY l_orderkey, l_linenumber"),
+
+    // Snapshot EXPIRY (round-12) — the expire_snapshots maintenance that
+    // completes the epoch lifecycle (publish → time travel → EXPIRE):
+    // without retention GC a versioned table's storage grows without
+    // bound, which at 100 TB is the difference between a lake and a
+    // landfill. Three progressive loads publish as epochs 0/1/2, then
+    // expire(keepLast=1) retires 0 and 1 MARKER-FIRST (readers stop
+    // trusting before bytes vanish — the exact inverse of the marker-last
+    // publish, so a crash anywhere leaves live-or-invisible, never
+    // half-trusted) and drops tombstones that (a) make the audit count
+    // replay-stable and (b) retire the ids forever — republishing an
+    // expired id is rejected, or a pinned time-travel reader would
+    // silently read different data. The oracle recomputes the surviving
+    // epoch's rollup and pins epochs_expired=2 — the protocol's exact
+    // cumulative ledger on every run, first or replayed. ScaleSpec
+    // asserts the filesystem half: dirs gone, latest intact, readEpoch
+    // on a retired id throws, reuse throws.
+    "scale_snapshot_expire" -> Q(
+      (s, d) => {
+        val dir = scratch(s"snapexpire_${Scale.dirTag(d)}")
+        val KSP = graft.streaming.KeepSetPublish
+        if (!KSP.latestEpoch(dir).contains(2L)) {
+          // self-healing replay: publish() no-ops on committed epochs, and
+          // latest≠2 implies expire below never ran (it requires epoch 2)
+          for (e <- 0L to 2L) {
+            val v = T(s, d, "orders")
+              .filter(col("o_orderkey") % 4 <= e)
+              .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+            KSP.publish(v, dir, e): Unit
+          }
+        }
+        KSP.expire(dir, keepLast = 1): Unit
+        KSP.readLatest(s, dir)
+          .select(col("o_orderpriority"), col("n"),
+            lit(KSP.expiredEpochs(dir).size.toLong).as("epochs_expired"))
+          .orderBy(col("o_orderpriority"))
+      },
+      "SELECT o_orderpriority, " +
+        "SUM(CASE WHEN o_orderkey % 4 <= 2 THEN 1 ELSE 0 END)::BIGINT AS n, " +
+        "2::BIGINT AS epochs_expired " +
+        "FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
   )
 
   /** Manifest-layout scratch path for input dir `d` (exposed for

@@ -38,6 +38,11 @@ object KeepSetPublish {
   def publish(df: DataFrame, dir: String, epochId: Long): Boolean = {
     val root = new File(dir)
     root.mkdirs()
+    // a retired id must not be re-published: a time-travel reader that
+    // pinned it would silently read different data (see [[expire]])
+    require(!new File(root, s"epoch_$epochId.expired").exists(),
+      s"KeepSetPublish.publish: epoch $epochId was expired under $dir — " +
+        "retired ids cannot be reused")
     val marker = new File(root, s"epoch_$epochId.commit")
     if (marker.exists()) return false
     val tmp = new File(root, s"_tmp_epoch_$epochId")
@@ -84,5 +89,43 @@ object KeepSetPublish {
     require(new File(dir, s"epoch_$epochId.commit").exists(),
       s"KeepSetPublish.readEpoch: epoch $epochId not committed under $dir")
     spark.read.parquet(Paths.get(dir, s"epoch=$epochId").toString)
+  }
+
+  /** RETENTION GC (round-12) — the expire_snapshots maintenance every
+    * versioned lake runs, on the same marker protocol: every committed
+    * epoch EXCEPT the newest `keepLast` is deleted MARKER-FIRST — the
+    * exact inverse of publish's marker-last, so readers stop trusting an
+    * epoch before any of its bytes vanish and a crash at any point
+    * leaves either a fully-live epoch or an invisible dir (never a
+    * half-trusted one). Each expiry drops an `epoch_<id>.expired`
+    * tombstone so (a) the audit ledger survives replays — a re-run
+    * expires nothing new and still reports the same cumulative count via
+    * [[expiredEpochs]] — and (b) an expired id is recorded as retired;
+    * publishing a NEW epoch under a retired id is a protocol violation
+    * (time travel to it would silently read different data) and is
+    * rejected by [[publish]]. Returns the ids expired by THIS call. */
+  def expire(dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1,
+      s"KeepSetPublish.expire: keepLast must be >= 1, got $keepLast")
+    val re = "^epoch_([0-9]+)\\.commit$".r
+    val committed = Option(new File(dir).listFiles()).toSeq.flatten
+      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      .sorted
+    val toExpire = committed.dropRight(keepLast)
+    toExpire.foreach { id =>
+      Files.deleteIfExists(new File(dir, s"epoch_$id.commit").toPath): Unit
+      deleteRecursively(new File(dir, s"epoch=$id"))
+      Files.write(new File(dir, s"epoch_$id.expired").toPath,
+        "expired\n".getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    toExpire
+  }
+
+  /** Ids retired by [[expire]] under `dir` (the tombstone ledger). */
+  def expiredEpochs(dir: String): Seq[Long] = {
+    val re = "^epoch_([0-9]+)\\.expired$".r
+    Option(new File(dir).listFiles()).toSeq.flatten
+      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      .sorted
   }
 }

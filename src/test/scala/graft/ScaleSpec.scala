@@ -498,4 +498,27 @@ class ScaleSpec extends SparkSpec {
     assert(v0 < v1, "the pinned old version must predate the latest")
     intercept[IllegalArgumentException](KSP.readEpoch(spark, dir, 99L))
   }
+
+  test("scale_snapshot_expire: marker-first GC retires old epochs for good") {
+    SparkEntry.queries("scale_snapshot_expire")(spark, sf001).collect()
+    val dir = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_scratch"),
+      s"snapexpire_${graft.operators.Scale.dirTag(sf001)}").toString
+    val KSP = graft.streaming.KeepSetPublish
+    // epochs 0 and 1 are gone — dirs, markers, and reader trust
+    for (e <- Seq(0L, 1L)) {
+      assert(!new java.io.File(dir, s"epoch=$e").exists(), s"dir $e survives")
+      assert(!new java.io.File(dir, s"epoch_$e.commit").exists(),
+        s"marker $e survives")
+      intercept[IllegalArgumentException](KSP.readEpoch(spark, dir, e))
+    }
+    // the latest epoch is intact and readable
+    assert(KSP.latestEpoch(dir).contains(2L))
+    assert(KSP.readLatest(spark, dir).count() > 0)
+    // the tombstone ledger is replay-stable and ids are retired forever
+    assert(KSP.expiredEpochs(dir) == Seq(0L, 1L))
+    assert(KSP.expire(dir, 1).isEmpty, "replayed expire must be a no-op")
+    intercept[IllegalArgumentException](
+      KSP.publish(spark.range(1).toDF(), dir, 0L))
+  }
 }
