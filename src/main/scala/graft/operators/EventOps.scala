@@ -306,6 +306,58 @@ object EventOps {
           "ORDER BY user_id, event_id")
       }),
 
+    // Batch twin of StreamOps.patternSpanTws (round-12) — streaming CEP
+    // with MEASURES emission: every hit of the shared PatternAlert
+    // grammar reports WHICH events matched (first/last event id, exact µs
+    // span — the payload a notification sink routes), not just the
+    // completing event. In the lag-window formulation the measures are
+    // two extra lags (event_id and ts at distance k−1); conditions are
+    // identical to stream_pattern_alert, so every alert row here pairs
+    // 1:1 with a hit there. StreamingSpec pins the transformWithState
+    // machine (k−1 (type,id,ts) triples per user — constant state) to
+    // exactly these rows across micro-batch seams.
+    "stream_pattern_measures" -> Q(
+      (s, d) => {
+        val steps = graft.flow.Cep.literalSteps(
+          graft.streaming.StreamOps.PatternAlert)
+        val k = steps.length
+        val conds = steps.zipWithIndex.map { case (atoms, j) =>
+          val c = if (j == k - 1) col("event_type")
+            else lag(col("event_type"), k - 1 - j).over(arrivalW)
+          atoms.map(alts => c.isin(alts: _*)).getOrElse(c.isNotNull)
+        }
+        T(s, d, "events")
+          .withColumn("hit", conds.reduce(_ && _))
+          .withColumn("first_event_id", lag(col("event_id"), k - 1).over(arrivalW))
+          .withColumn("span_us", unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), k - 1).over(arrivalW)))
+          .filter(col("hit"))
+          .select(col("user_id"), col("first_event_id"),
+            col("event_id").as("last_event_id"), col("span_us"))
+          .orderBy(col("user_id"), col("last_event_id"))
+      },
+      {
+        val steps = graft.flow.Cep.literalSteps(
+          graft.streaming.StreamOps.PatternAlert)
+        val k = steps.length
+        val lags = (0 until k - 1)
+          .map(j => s"lag(event_type, ${k - 1 - j}) OVER w AS s$j")
+          .mkString(", ")
+        val conds = steps.zipWithIndex.map { case (atoms, j) =>
+          val ref = if (j == k - 1) "event_type" else s"s$j"
+          atoms.map(a => s"$ref IN (${a.map(x => s"'$x'").mkString(", ")})")
+            .getOrElse(s"$ref IS NOT NULL")
+        }.mkString(" AND ")
+        usEvents("SELECT user_id, first_event_id, event_id AS last_event_id, " +
+          "span_us FROM (" +
+          s"SELECT user_id, event_id, event_type, $lags, " +
+          s"lag(event_id, ${k - 1}) OVER w AS first_event_id, " +
+          s"epoch_us(ts) - epoch_us(lag(ts, ${k - 1}) OVER w) AS span_us " +
+          "FROM events " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t " +
+          s"WHERE $conds ORDER BY user_id, last_event_id")
+      }),
+
     // Batch twin of StreamOps.patternQuantifiedTws (round-12) — streaming
     // CEP over a QUANTIFIED pattern: the shared grammar string expands
     // once (Cep.expandedSteps, the bounded-expansion discipline the flow

@@ -494,6 +494,72 @@ object StreamOps {
     }
   }
 
+  /** One CEP match SPAN: the MEASURES payload — which events matched.
+    * first/last ids bound the contiguous window; span_us is exact µs. */
+  case class PatternSpan(user_id: Long, first_event_id: Long,
+      last_event_id: Long, span_us: Long)
+
+  private case class TypeIdTimeTail(types: Seq[String], ids: Seq[Long],
+      tss: Seq[Long])
+
+  /** Streaming CEP with MEASURES emission (round-12) — the alerting
+    * payload sibling of [[PatternProcessor]]: a hit reports WHICH events
+    * matched (first/last event id and the exact µs span — the
+    * MATCH_RECOGNIZE MEASURES the batch cep_spans op extracts), not just
+    * that one completed. State per user grows to the k−1 (type, id, ts)
+    * triples — still CONSTANT-size per key. Same deterministic in-batch
+    * (ts, event_id) fold, so emission ≡ the batch twin's lag-window
+    * formulation across micro-batch seams; this is the row a
+    * notification sink actually routes (the stream_pattern_alert
+    * kill/restart test's topology with the full payload). */
+  class PatternSpanProcessor(steps: Seq[Option[Seq[String]]])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, PatternSpan] {
+    private val k = steps.length
+    @transient private var tailState:
+      org.apache.spark.sql.streaming.ValueState[TypeIdTimeTail] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tailState = getHandle.getValueState[TypeIdTimeTail]("stail",
+        org.apache.spark.sql.Encoders.product[TypeIdTimeTail],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PatternSpan] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var tail = Option(tailState.get())
+        .map(t => (t.types, t.ids, t.tss))
+        .getOrElse((Seq.empty[String], Seq.empty[Long], Seq.empty[Long]))
+      val out = Seq.newBuilder[PatternSpan]
+      sorted.foreach { e =>
+        val types = (tail._1 :+ e.event_type).takeRight(k)
+        val ids = (tail._2 :+ e.event_id).takeRight(k)
+        val tss = (tail._3 :+ micros(e.ts)).takeRight(k)
+        if (types.size == k &&
+            steps.zip(types).forall { case (a, t) => a.forall(_.contains(t)) })
+          out += PatternSpan(e.user_id, ids.head, e.event_id,
+            tss.last - tss.head)
+        tail = (types.takeRight(k - 1), ids.takeRight(k - 1),
+          tss.takeRight(k - 1))
+      }
+      tailState.update(TypeIdTimeTail(tail._1, tail._2, tail._3))
+      out.result().iterator
+    }
+  }
+
+  def patternSpanTws(events: Dataset[Event],
+      pattern: String = PatternAlert): Dataset[PatternSpan] = {
+    import events.sparkSession.implicits._
+    val steps = graft.flow.Cep.literalSteps(pattern)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternSpanProcessor(steps),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def patternQuantifiedTws(events: Dataset[Event],
       pattern: String = PatternQuantified,
       maxRep: Int = PatternMaxRep): Dataset[PatternHit] = {

@@ -240,6 +240,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MEASURES span machine == batch twin") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val q = StreamOps.patternSpanTws(mem.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("t_cepm").start()
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("t_cepm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val want = SparkEntry.queries("stream_pattern_measures")(spark, sf001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(want.nonEmpty, "fixture should produce at least one span")
+      assert(got == want)
+      // the span payload pairs 1:1 with the boolean-alert machine's hits
+      val alerts = SparkEntry.queries("stream_pattern_alert")(spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(want.map(s => (s._1, s._3)) == alerts)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState quantified-pattern machine == batch twin") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
