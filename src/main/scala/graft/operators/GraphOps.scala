@@ -110,6 +110,37 @@ object GraphOps {
   private val symSql =
     "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)"
 
+  /** Strong (weight ≥ [[MinStrongWeight]]) edges — the sparsified graph
+    * the link-prediction and k-core keys run on; a committed SNAPSHOT like
+    * the raw co-occurrence graph (r11, was a per-execution pin): the
+    * capped pair build is the dominant cost and re-ran on every
+    * execution — bench reps and replays now read the parquet back. */
+  private def strongEdges(s: SparkSession, d: String): DataFrame =
+    Scale.snapshotOnce(s, "graph_strong", 1, d) {
+      val c = cells(s, d)
+      val ok = c.groupBy(col("hb"), col("event_type"))
+        .agg(count(lit(1)).as("cell_n"))
+        .filter(col("cell_n") <= MaxCellUsers)
+        .select(col("hb"), col("event_type"))
+      val c2 = c.join(ok, Seq("hb", "event_type"))
+      val a0 = c2.select(col("hb"), col("event_type"), col("user_id").as("src"))
+      val b0 = c2.select(col("hb"), col("event_type"), col("user_id").as("dst"))
+      a0.join(b0, Seq("hb", "event_type"))
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= MinStrongWeight)
+        .select(col("src"), col("dst"))
+    }
+
+  /** DuckDB twin of [[strongEdges]] + its symmetric view (CTE fragments;
+    * compose after `cellsSql`). */
+  private val strongSql =
+    "sw AS (SELECT a.user_id AS src, b.user_id AS dst, " +
+      "COUNT(*) AS w FROM c2 a JOIN c2 b ON a.hb = b.hb " +
+      "AND a.event_type = b.event_type AND a.user_id < b.user_id " +
+      s"GROUP BY 1, 2 HAVING COUNT(*) >= $MinStrongWeight), " +
+      "ssym AS (SELECT src, dst FROM sw UNION ALL SELECT dst, src FROM sw)"
+
   val defs: Seq[(String, Q)] = Seq(
 
     // The edge builder as its own oracled key: the capped self-join IS the
@@ -186,25 +217,7 @@ object GraphOps {
     // edges are removed by one keyed anti-join. Frames stay graph-sized.
     "graph_common_neighbors" -> Q(
       (s, d) => {
-        // the strong-edge frame is a committed SNAPSHOT like the raw
-        // co-occurrence graph (r11, was a per-execution pin): the capped
-        // pair build is this key's dominant cost and re-ran on every
-        // execution — bench reps and replays now read the parquet back
-        val strong = Scale.snapshotOnce(s, "graph_strong", 1, d) {
-          val c = cells(s, d)
-          val ok = c.groupBy(col("hb"), col("event_type"))
-            .agg(count(lit(1)).as("cell_n"))
-            .filter(col("cell_n") <= MaxCellUsers)
-            .select(col("hb"), col("event_type"))
-          val c2 = c.join(ok, Seq("hb", "event_type"))
-          val a0 = c2.select(col("hb"), col("event_type"), col("user_id").as("src"))
-          val b0 = c2.select(col("hb"), col("event_type"), col("user_id").as("dst"))
-          a0.join(b0, Seq("hb", "event_type"))
-            .filter(col("src") < col("dst"))
-            .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-            .filter(col("w") >= MinStrongWeight)
-            .select(col("src"), col("dst"))
-        }
+        val strong = strongEdges(s, d)
         val sym = strong.unionByName(
           strong.select(col("dst").as("src"), col("src").as("dst")))
         val deg = sym.groupBy(col("src").as("pivot"))
@@ -222,12 +235,7 @@ object GraphOps {
             "left_anti")
           .orderBy(col("u"), col("v"))
       },
-      usEvents(s"WITH $cellsSql, " +
-        "sw AS (SELECT a.user_id AS src, b.user_id AS dst, " +
-        "COUNT(*) AS w FROM c2 a JOIN c2 b ON a.hb = b.hb " +
-        "AND a.event_type = b.event_type AND a.user_id < b.user_id " +
-        s"GROUP BY 1, 2 HAVING COUNT(*) >= $MinStrongWeight), " +
-        "ssym AS (SELECT src, dst FROM sw UNION ALL SELECT dst, src FROM sw), " +
+      usEvents(s"WITH $cellsSql, $strongSql, " +
         "deg AS (SELECT src AS pivot, COUNT(*) AS deg FROM ssym GROUP BY 1 " +
         s"HAVING COUNT(*) <= $MaxPivotDegree), " +
         "bp AS (SELECT ssym.src AS pivot, ssym.dst AS leaf FROM ssym " +
@@ -238,6 +246,48 @@ object GraphOps {
         "SELECT u, v, common FROM w WHERE NOT EXISTS (" +
         "SELECT 1 FROM sw WHERE sw.src = w.u AND sw.dst = w.v) " +
         "ORDER BY u, v")),
+
+    // k-CORE peeling, 3 bounded rounds (round-12) — the density filter
+    // community/spam pipelines run before anything expensive: repeatedly
+    // remove nodes of degree < k until only the k-core remains. Runs on
+    // the STRONG graph (the raw co-occurrence graph is near-complete, so
+    // its 3-core is everyone — sparsification first makes the core mean
+    // something). Three synchronous peels, the same constant-rounds /
+    // graph-sized-state contract as label_prop: each round is one degree
+    // aggregate + two keyed semi-joins over the (pinned) surviving edge
+    // frame, never corpus-sized state; a full k-core fixpoint needs
+    // unbounded rounds — the bound is the documented iterative contract,
+    // and each extra round is the same three operators. Output is each
+    // round-3 survivor with its degree inside the surviving subgraph —
+    // pure integer math, deterministic in both engines.
+    "graph_kcore_peel" -> Q(
+      (s, d) => {
+        val strong = strongEdges(s, d)
+        var e = strong.unionByName(
+          strong.select(col("dst").as("src"), col("src").as("dst")))
+        for (_ <- 1 to 3) {
+          val surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select(col("src"))
+          e = e.join(surv, "src")
+            .join(surv.withColumnRenamed("src", "dst"), "dst")
+            .select(col("src"), col("dst")).pinned
+        }
+        e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+          .select(col("src").as("user_id"), col("degree"))
+          .orderBy(col("user_id"))
+      },
+      usEvents(s"WITH $cellsSql, $strongSql, " +
+        "s1 AS (SELECT src FROM ssym GROUP BY 1 HAVING COUNT(*) >= 3), " +
+        "e1 AS (SELECT e.src, e.dst FROM ssym e " +
+        "JOIN s1 a ON e.src = a.src JOIN s1 b ON e.dst = b.src), " +
+        "s2 AS (SELECT src FROM e1 GROUP BY 1 HAVING COUNT(*) >= 3), " +
+        "e2 AS (SELECT e.src, e.dst FROM e1 e " +
+        "JOIN s2 a ON e.src = a.src JOIN s2 b ON e.dst = b.src), " +
+        "s3 AS (SELECT src FROM e2 GROUP BY 1 HAVING COUNT(*) >= 3), " +
+        "e3 AS (SELECT e.src, e.dst FROM e2 e " +
+        "JOIN s3 a ON e.src = a.src JOIN s3 b ON e.dst = b.src) " +
+        "SELECT src AS user_id, COUNT(*)::BIGINT AS degree FROM e3 " +
+        "GROUP BY 1 ORDER BY user_id")),
 
     // Synchronous label propagation, 3 rounds: label(v) ← the most frequent
     // label among v's neighbors, ties to the smallest label (a total order,
