@@ -257,14 +257,19 @@ object GraphOps {
     // aggregate + two keyed semi-joins over the (pinned) surviving edge
     // frame, never corpus-sized state; a full k-core fixpoint needs
     // unbounded rounds — the bound is the documented iterative contract,
-    // and each extra round is the same three operators. Output is each
-    // round-3 survivor with its degree inside the surviving subgraph —
-    // pure integer math, deterministic in both engines.
+    // and each extra round is the same three operators. Output is EVERY
+    // strong-graph node with its in_core flag and post-peel degree (0 for
+    // the peeled) — node-sized, so the frame stays non-empty even where
+    // the core itself is (the sf0.001 smoke fixture's 3-core is empty,
+    // and "nobody survives" is a real answer the report must carry).
+    // Pure integer math, deterministic in both engines.
     "graph_kcore_peel" -> Q(
       (s, d) => {
         val strong = strongEdges(s, d)
-        var e = strong.unionByName(
+        val sym = strong.unionByName(
           strong.select(col("dst").as("src"), col("src").as("dst")))
+        val nodes = sym.select(col("src")).distinct()
+        var e = sym
         for (_ <- 1 to 3) {
           val surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= 3).select(col("src"))
@@ -272,8 +277,11 @@ object GraphOps {
             .join(surv.withColumnRenamed("src", "dst"), "dst")
             .select(col("src"), col("dst")).pinned
         }
-        e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-          .select(col("src").as("user_id"), col("degree"))
+        val deg3 = e.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+        nodes.join(deg3, Seq("src"), "left")
+          .select(col("src").as("user_id"),
+            coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+            col("core_degree").isNotNull.as("in_core"))
           .orderBy(col("user_id"))
       },
       usEvents(s"WITH $cellsSql, $strongSql, " +
@@ -285,9 +293,14 @@ object GraphOps {
         "JOIN s2 a ON e.src = a.src JOIN s2 b ON e.dst = b.src), " +
         "s3 AS (SELECT src FROM e2 GROUP BY 1 HAVING COUNT(*) >= 3), " +
         "e3 AS (SELECT e.src, e.dst FROM e2 e " +
-        "JOIN s3 a ON e.src = a.src JOIN s3 b ON e.dst = b.src) " +
-        "SELECT src AS user_id, COUNT(*)::BIGINT AS degree FROM e3 " +
-        "GROUP BY 1 ORDER BY user_id")),
+        "JOIN s3 a ON e.src = a.src JOIN s3 b ON e.dst = b.src), " +
+        "nod AS (SELECT DISTINCT src FROM ssym), " +
+        "d3 AS (SELECT src, COUNT(*)::BIGINT AS core_degree FROM e3 " +
+        "GROUP BY 1) " +
+        "SELECT n.src AS user_id, " +
+        "COALESCE(d3.core_degree, 0)::BIGINT AS core_degree, " +
+        "d3.src IS NOT NULL AS in_core " +
+        "FROM nod n LEFT JOIN d3 ON n.src = d3.src ORDER BY user_id")),
 
     // Synchronous label propagation, 3 rounds: label(v) ← the most frequent
     // label among v's neighbors, ties to the smallest label (a total order,
@@ -332,6 +345,143 @@ object GraphOps {
         }.mkString(", ")
         base + ", " + iters +
           " SELECT u AS user_id, label FROM l3 ORDER BY user_id"
+      }),
+
+    // Per-node triangle count + wedge capacity on the STRONG graph. The
+    // src<dst orientation makes each triangle (a<b<c) enumerable exactly
+    // once as e(a,b)⋈e(b,c)⋈e(a,c) — two keyed equi-joins over the
+    // sparsified edge snapshot, never a cartesian; at 1000 executors the
+    // joins hash-partition on the shared node id. Output is node-sized:
+    // every strong-graph node with its triangle count (0 where none — the
+    // sf0.001 fixture's strong graph is triangle-free, and like kcore the
+    // frame must carry that answer rather than vanish), its symmetric
+    // degree, and wedges = C(deg,2) — the exact-integer numerator and
+    // denominator of the local clustering coefficient, left as a rational
+    // pair so both engines stay in integer space.
+    "graph_triangle_count" -> Q(
+      (s, d) => {
+        val e = strongEdges(s, d)
+        val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+        val e2 = e.select(col("src").as("b"), col("dst").as("c"))
+        val e3 = e.select(col("src").as("a"), col("dst").as("c"))
+        val tri = e1.join(e2, "b").join(e3, Seq("a", "c")).pinned
+        val perNode = tri.select(col("a").as("u"))
+          .unionByName(tri.select(col("b").as("u")))
+          .unionByName(tri.select(col("c").as("u")))
+          .groupBy(col("u")).agg(count(lit(1)).as("triangles"))
+        val deg = e.unionByName(
+            e.select(col("dst").as("src"), col("src").as("dst")))
+          .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        deg.join(perNode, deg("src") === perNode("u"), "left")
+          .select(col("src").as("user_id"), col("degree"),
+            expr("degree * (degree - 1) div 2").as("wedges"),
+            coalesce(col("triangles"), lit(0L)).as("triangles"))
+          .orderBy(col("user_id"))
+      },
+      usEvents(s"WITH $cellsSql, $strongSql, " +
+        "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c " +
+        "FROM sw e1 JOIN sw e2 ON e1.dst = e2.src " +
+        "JOIN sw e3 ON e3.src = e1.src AND e3.dst = e2.dst), " +
+        "pern AS (SELECT a AS u FROM tri UNION ALL SELECT b FROM tri " +
+        "UNION ALL SELECT c FROM tri), " +
+        "tc AS (SELECT u, COUNT(*)::BIGINT AS triangles FROM pern " +
+        "GROUP BY 1), " +
+        "deg AS (SELECT src, COUNT(*)::BIGINT AS degree FROM ssym " +
+        "GROUP BY 1) " +
+        "SELECT deg.src AS user_id, deg.degree, " +
+        "(deg.degree * (deg.degree - 1) // 2)::BIGINT AS wedges, " +
+        "COALESCE(tc.triangles, 0)::BIGINT AS triangles " +
+        "FROM deg LEFT JOIN tc ON deg.src = tc.u ORDER BY user_id")),
+
+    // PageRank, 3 synchronous rounds, damping 0.85, in EXACT scaled-integer
+    // arithmetic: ranks live in micro-units (start 1_000_000), each round
+    // contributes rank div degree along every out-edge and the update is
+    // 150000 + (85 * Σ inbound) div 100 — floor division at the same two
+    // points in both engines, so every round is bit-identical and the
+    // oracle replays it (the label-prop determinism discipline applied to
+    // the one graph metric everyone asks for). Same scale contract as the
+    // other iterative keys: constant rounds, each one |E| keyed join +
+    // hash aggregate over the pinned co-occurrence snapshot, node-sized
+    // state, nothing on the driver. DuckDB's SUM promotes to HUGEINT, so
+    // the oracle casts the update back to BIGINT (the §7.4 overflow
+    // pitfall, applied in reverse — values stay far below 2^63).
+    "graph_pagerank" -> Q(
+      (s, d) => {
+        val sym = symEdges(s, d)
+        val deg = sym.groupBy(col("src").as("u"))
+          .agg(count(lit(1)).as("d")).pinned
+        var rank = deg.select(col("u"), lit(1000000L).as("pr"))
+        for (_ <- 1 to 3) {
+          val contrib = rank.join(deg, "u")
+            .select(col("u"), expr("pr div d").as("c"))
+          rank = sym.join(contrib, sym("src") === contrib("u"))
+            .groupBy(col("dst").as("u"))
+            .agg(sum(col("c")).as("s"))
+            .select(col("u"),
+              (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
+            .pinned
+        }
+        rank.select(col("u").as("user_id"), col("pr").as("rank_micro"))
+          .orderBy(col("user_id"))
+      },
+      usEvents {
+        val base = s"WITH $cellsSql, $symSql, " +
+          "deg AS (SELECT src AS u, COUNT(*)::BIGINT AS d FROM sym " +
+          "GROUP BY 1), " +
+          "r0 AS (SELECT u, 1000000::BIGINT AS pr FROM deg)"
+        val iters = (1 to 3).map { i =>
+          s"r$i AS (SELECT sym.dst AS u, " +
+            "(150000 + (85 * SUM(r.pr // deg.d)) // 100)::BIGINT AS pr " +
+            s"FROM sym JOIN r${i - 1} r ON sym.src = r.u " +
+            "JOIN deg ON sym.src = deg.u GROUP BY 1)"
+        }.mkString(", ")
+        base + ", " + iters +
+          " SELECT u AS user_id, pr AS rank_micro FROM r3 ORDER BY user_id"
+      }),
+
+    // Hash-min connected components, 3 synchronous rounds: label(v) ←
+    // min(label(v), min over neighbors) starting from label = user_id —
+    // the classic distributed CC kernel (the min-label flood label_prop's
+    // FREQUENCY vote is usually contrasted with). Bounded rounds are the
+    // same documented iterative contract as BFS/LPA/pagerank: after k
+    // rounds the label has flooded k hops, so components of diameter ≤ 3
+    // (the planted communities) are exact and wider ones are a partial
+    // flood the oracle replays identically — pure integer min/LEAST, one
+    // |E| keyed join + hash agg per round, node-sized state, nothing on
+    // the driver. (A full fixpoint is large-star/small-star territory —
+    // noted in PERF.md's backlog; constant-round hash-min is what every
+    // round of those algorithms is made of.)
+    "graph_hashmin_cc" -> Q(
+      (s, d) => {
+        val sym = symEdges(s, d)
+        var lab = sym.select(col("src").as("u")).distinct()
+          .select(col("u"), col("u").as("label")).pinned
+        for (_ <- 1 to 3) {
+          val nmin = sym
+            .join(lab.withColumnRenamed("u", "dst"), "dst")
+            .groupBy(col("src").as("u")).agg(min(col("label")).as("nmin"))
+          lab = lab.join(nmin, Seq("u"), "left")
+            .select(col("u"),
+              least(col("label"), coalesce(col("nmin"), col("label")))
+                .as("label"))
+            .pinned
+        }
+        lab.select(col("u").as("user_id"), col("label").as("component"))
+          .orderBy(col("user_id"))
+      },
+      usEvents {
+        val base = s"WITH $cellsSql, $symSql, " +
+          "n AS (SELECT DISTINCT src AS u FROM sym), " +
+          "l0 AS (SELECT u, u AS label FROM n)"
+        val iters = (1 to 3).map { i =>
+          s"m$i AS (SELECT sym.src AS u, MIN(l.label) AS nmin " +
+            s"FROM sym JOIN l${i - 1} l ON sym.dst = l.u GROUP BY 1), " +
+            s"l$i AS (SELECT l.u, " +
+            "LEAST(l.label, COALESCE(m.nmin, l.label)) AS label " +
+            s"FROM l${i - 1} l LEFT JOIN m$i m ON l.u = m.u)"
+        }.mkString(", ")
+        base + ", " + iters +
+          " SELECT u AS user_id, label AS component FROM l3 ORDER BY user_id"
       }),
   )
 }

@@ -33,6 +33,48 @@ class GraphSpec extends SparkSpec {
     base
   }
 
+  /** Second scratch dir for the STRONG-graph keys: users 200/201/202
+    * co-occur in THREE distinct (hour, type) cells ⇒ every pair has
+    * weight 3 = MinStrongWeight ⇒ a planted strong triangle; user 203
+    * shares only ONE cell with 200 (weight 1, below threshold) — a
+    * pendant that must vanish from the strong graph entirely. */
+  private lazy val strongDir: String = {
+    val base = java.nio.file.Files.createTempDirectory("graphstrong").toString
+    def ev(id: Long, hour: Long, uid: Long, typ: String) =
+      (id, new Timestamp(hour * 3600L * 1000L), uid, typ, 1.0, """{"k":1}""")
+    val tri = for {
+      h <- 6L to 8L; u <- Seq(200L, 201L, 202L)
+    } yield ev(h * 10 + u, h, u, "view")
+    val pend = Seq(ev(300L, 9L, 200L, "view"), ev(301L, 9L, 203L, "view"))
+    (tri ++ pend)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    base
+  }
+
+  test("triangle count is exact on a planted strong triangle") {
+    val t = SparkEntry.queries("graph_triangle_count")(spark, strongDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, deg, w, tr) => u -> ((deg, w, tr)) }.toMap
+    // Each triangle vertex: symmetric degree 2, wedges C(2,2)=1, exactly
+    // one triangle; the weight-1 pendant 203 is not a strong-graph node.
+    assert(t == Map(200L -> ((2L, 1L, 1L)), 201L -> ((2L, 1L, 1L)),
+      202L -> ((2L, 1L, 1L))), s"unexpected triangle frame: $t")
+  }
+
+  test("pagerank: a symmetric equal-degree component is a fixed point") {
+    val pr = SparkEntry.queries("graph_pagerank")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // In the planted triangle every node has degree 2 and every inbound
+    // sum is 2 × (1e6 div 2) = 1e6, so the damped update returns exactly
+    // 150000 + 850000 — the initial rank is a fixed point and all three
+    // rounds reproduce it bit-for-bit.
+    assert(Seq(100L, 101L, 102L).forall(u => pr(u) == 1000000L),
+      s"triangle ranks drifted: $pr")
+    // Every rank carries at least the teleport floor.
+    assert(pr.values.forall(_ >= 150000L), s"rank below teleport floor: $pr")
+  }
+
   test("hot cell above MaxCellUsers contributes zero edges") {
     val edges = SparkEntry.queries("graph_cooccur_edges")(spark, dir)
       .as[(Long, Long)].collect().toSet
