@@ -641,6 +641,52 @@ object DqOps {
         "SELECT event_type, c0, c1, c2, c3, rate0_micro, rate1_micro, " +
         "rate2_micro, rate3_micro, chi2, chi2 > 7.8147 AS significant " +
         "FROM t ORDER BY event_type")),
+
+    // Sample-ratio-mismatch guard (round-12) — the experimentation
+    // platform's FIRST gate, run before any readout key is believed: under
+    // the user_id%2 assignment the two arms must hold the same number of
+    // DISTINCT USERS (units, not events — an SRM on events would just
+    // measure treatment effect). Per segment the 1-df chi-square collapses
+    // to (a−b)²/(a+b); the alarm fires at p<0.001 (10.828), the standard
+    // SRM threshold — a true SRM means the assignment itself is broken and
+    // every downstream significance number is garbage. Counts are exact
+    // BIGINTs; the compare runs as the identical left-assoc double tree in
+    // both engines (the dq_ab_significance discipline; diff ≤ unit count
+    // so the square stays well inside a double's exact-integer range until
+    // ~9e7 units per segment — beyond that the 1000.0 scaling still keeps
+    // the compare's relative error ~1e-16, far from the threshold). One
+    // scan, two distinct-aggs, segment-sized output.
+    "dq_srm_check" -> Q(
+      (s, d) => {
+        val ev = T(s, d, "events")
+        ev.groupBy(col("event_type"))
+          .agg(
+            countDistinct(when(col("user_id") % 2 === 0, col("user_id")))
+              .as("users_a"),
+            countDistinct(when(col("user_id") % 2 =!= 0, col("user_id")))
+              .as("users_b"))
+          .select(col("event_type"), col("users_a"), col("users_b"),
+            expr("(users_a * 1000000) div (users_a + users_b)")
+              .as("share_a_micro"),
+            (lit(1000.0) *
+              (col("users_a") - col("users_b")).cast("double") *
+              (col("users_a") - col("users_b")).cast("double") >
+              lit(10828.0) *
+                (col("users_a") + col("users_b")).cast("double"))
+              .as("srm"))
+          .orderBy(col("event_type"))
+      },
+      usEvents("WITH c AS (SELECT event_type, " +
+        "COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)" +
+        "::BIGINT AS users_a, " +
+        "COUNT(DISTINCT CASE WHEN user_id % 2 <> 0 THEN user_id END)" +
+        "::BIGINT AS users_b FROM events GROUP BY 1) " +
+        "SELECT event_type, users_a, users_b, " +
+        "(users_a * 1000000) // (users_a + users_b) AS share_a_micro, " +
+        "1000.0 * CAST(users_a - users_b AS DOUBLE) * " +
+        "CAST(users_a - users_b AS DOUBLE) > " +
+        "10828.0 * CAST(users_a + users_b AS DOUBLE) AS srm " +
+        "FROM c ORDER BY event_type")),
   )
 
   /** The synthetic raw ingest lines for the dead-letter demo (see key
