@@ -1482,5 +1482,220 @@ object DedupOps {
         "'[?&]$', ''), '/$', '') AS canon FROM raw) " +
         "SELECT canon, COUNT(*) AS n_variants, MIN(doc_id) AS keep_doc " +
         "FROM c GROUP BY canon ORDER BY canon"),
+
+    // Product-quantization ADC search (round-12) — the compressed-domain
+    // scale path IVF stops short of: the 64-dim vector splits into M=4
+    // 16-dim subspaces, each encoded as its nearest of 8 deterministic
+    // centroids (the subvectors of vec_id<8 — the fixed-codebook
+    // discipline of ivfCandidates), so a vector compresses 256 B → 4
+    // codes, and query↔vector distance is answered from a per-query
+    // 4×8 lookup table WITHOUT touching the raw vectors (Jégou et al.
+    // 2011's Asymmetric Distance Computation). Cross-engine exactness:
+    // every subspace L2² term is floor-quantized to integer micro-units
+    // BEFORE the 4-term ADC sum, so the sum is order-free exact integer
+    // math (the fp-sum-order trap the cosine keys dodge by ranking on a
+    // single term); argmin and top-3 both tie-break on id. Scale shape:
+    // codes build is |V|·M rows against a broadcast 32-row codebook; the
+    // ADC join is keyed on (m, cid) against a broadcast query LUT; the
+    // raw embedding column is never shipped to the search.
+    "llm_pq_adc" -> Q(
+      (s, d) => pqAdcRanked(s, d)
+        .filter(col("rn") <= 3)
+        .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
+          col("adist_u"))
+        .orderBy(col("a_id"), col("rn")),
+      pqAdcCte +
+        " SELECT q_id AS a_id, rn, t_id AS b_id, adist_u FROM ranked " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
+
+    // Index-QC companion: recall@3 of the PQ-compressed search against the
+    // EXACT full-dimension L2 top-3 — the number an index owner watches
+    // before trusting ADC answers at scale. The exact baseline is the
+    // labeled brute-force pattern (5 fixed eval queries broadcast against
+    // the corpus — the llm_cosine_topk discipline; a production run
+    // samples queries exactly like this, never all-pairs), ranked on the
+    // same floor-quantized integer distances so both engines agree
+    // bit-for-bit. Output per query: hits ∈ 0..3 and recall in exact
+    // integer micro-units.
+    "llm_pq_recall" -> Q(
+      (s, d) => {
+        val dot = dotF(s) _
+        val e = T(s, d, "embeddings")
+        val pq = pqAdcRanked(s, d).filter(col("rn") <= 3)
+          .select(col("q_id"), col("t_id"))
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"))
+        val exact = ts.crossJoin(broadcast(qs))
+          .filter(col("q_id") =!= col("t_id"))
+          .select(col("q_id"), col("t_id"),
+            floor((dot(col("q_emb"), col("q_emb")) -
+              lit(2.0) * dot(col("q_emb"), col("t_emb")) +
+              dot(col("t_emb"), col("t_emb"))) * lit(1000000.0)).as("d2u"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("d2u"), col("t_id"))))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("t_id"))
+        val hits = exact.join(pq, Seq("q_id", "t_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        qs.select(col("q_id")).join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+            expr("(coalesce(hits, 0) * 1000000) div 3").as("recall_micro"))
+          .orderBy(col("q_id"))
+      },
+      pqAdcCte +
+        ", pq AS (SELECT q_id, t_id FROM ranked WHERE rn <= 3), " +
+        "ex AS (SELECT q_id, t_id FROM (SELECT q.vec_id AS q_id, " +
+        "t.vec_id AS t_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "FLOOR((list_inner_product(q.emb, q.emb) - " +
+        "2.0 * list_inner_product(q.emb, t.emb) + " +
+        "list_inner_product(t.emb, t.emb)) * 1000000.0)::BIGINT, t.vec_id) " +
+        "AS rn FROM v q CROSS JOIN v t " +
+        "WHERE q.vec_id < 5 AND q.vec_id <> t.vec_id) z WHERE rn <= 3), " +
+        "h AS (SELECT ex.q_id, COUNT(*)::BIGINT AS hits FROM ex " +
+        "JOIN pq ON ex.q_id = pq.q_id AND ex.t_id = pq.t_id GROUP BY 1) " +
+        "SELECT q.vec_id AS q_id, COALESCE(h.hits, 0)::BIGINT AS hits, " +
+        "(COALESCE(h.hits, 0) * 1000000) // 3 AS recall_micro " +
+        "FROM v q LEFT JOIN h ON q.vec_id = h.q_id WHERE q.vec_id < 5 " +
+        "ORDER BY q_id"),
+
+    // Persisted + incremental PQ CODES table (round-12) — the third
+    // vector-index family under the epoch-publish lifecycle (after the
+    // LSH and IVF upsert keys), because a 100-TB corpus maintains its
+    // compressed codes exactly like its cell assignments: the base
+    // corpus (vec_id%10<8) is encoded once and PUBLISHED as generation 0
+    // via KeepSetPublish's marker-last protocol; a delta batch
+    // (vec_id%10>=8) encodes ONLY ITSELF against the FIXED codebook and
+    // lands as generation 1 in epoch 1 — no base re-encode, merge ≡
+    // rebuild by construction (the codebook never moves, so a vector's
+    // code is a pure function of the vector). The graded read: a bounded
+    // delta-query sample (vec_id<100 — the eval-sample discipline) ADC-
+    // searches the PERSISTED generation-0 codes through the same (m,cid)
+    // LUT join as llm_pq_adc — raw base vectors are never touched at
+    // query time, which is the entire point of PQ. Replay-safe: both
+    // publishes are marker-gated no-ops after the first run.
+    "llm_pq_index_upsert" -> Q(
+      (s, d) => {
+        val dir = new java.io.File(new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_scratch"),
+          s"pqindex_${Scale.dirTag(d)}").toString
+        val KSP = graft.streaming.KeepSetPublish
+        val scored = pqScored(s, d)
+        if (!KSP.latestEpoch(dir).contains(1L)) {
+          val codesAll = pqCodes(scored)
+          val base = codesAll.filter(col("vec_id") % 10 < 8)
+            .withColumn("generation", lit(0))
+          val delta = codesAll.filter(col("vec_id") % 10 >= 8)
+            .withColumn("generation", lit(1))
+          KSP.publish(base, dir, 0L)
+          KSP.publish(base.unionByName(delta), dir, 1L)
+        }
+        val baseCodes = KSP.readLatest(s, dir)
+          .filter(col("generation") === 0)
+          .select(col("vec_id").as("t_id"), col("m"), col("cid"))
+        val lut = scored
+          .filter(col("vec_id") % 10 >= 8 && col("vec_id") < 100)
+          .select(col("vec_id").as("q_id"), col("m"), col("cid"), col("d2u"))
+        baseCodes.join(broadcast(lut), Seq("m", "cid"))
+          .groupBy(col("q_id"), col("t_id"))
+          .agg(sum(col("d2u")).as("adist_u"))
+          .withColumn("rn", big(row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("adist_u"), col("t_id")))))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("t_id"), col("adist_u"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      pqCodesCte +
+        ", basec AS (SELECT vec_id AS t_id, m, cid FROM codes " +
+        "WHERE vec_id % 10 < 8), " +
+        "lut AS (SELECT vec_id AS q_id, m, cid, d2u FROM scored " +
+        "WHERE vec_id % 10 >= 8 AND vec_id < 100), " +
+        "adc AS (SELECT l.q_id, b.t_id, SUM(l.d2u)::BIGINT AS adist_u " +
+        "FROM basec b JOIN lut l USING (m, cid) GROUP BY 1, 2) " +
+        "SELECT q_id, rn, t_id, adist_u FROM " +
+        "(SELECT q_id, t_id, adist_u, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adist_u, t_id)::BIGINT AS rn FROM adc) z " +
+        "WHERE rn <= 3 ORDER BY q_id, rn"),
   )
+
+  /** PQ-ADC machinery shared by `llm_pq_adc` / `llm_pq_recall`: M=4 16-dim
+    * subspaces, 8 deterministic centroids each (the subvectors of
+    * vec_id<8), every subspace L2² floor-quantized to integer micro-units
+    * BEFORE the ADC sum so the 4-term sum is order-free exact integer
+    * math. Returns (q_id, t_id, adist_u, rn) ranked per query. */
+  /** Per-(vector, subspace, centroid) quantized L2² table — the shared
+    * first stage of all PQ keys; pinned, one codebook-scoring pass. */
+  private def pqScored(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dot = dotF(s) _
+    val e = T(s, d, "embeddings")
+    val subs = (0 until 4).map { m =>
+      e.select(col("vec_id"), lit(m).as("m"),
+        slice(col("embedding"), m * 16 + 1, 16).as("sub"))
+    }.reduce(_ unionByName _)
+    val cents = subs.filter(col("vec_id") < 8)
+      .select(col("m"), col("vec_id").as("cid"), col("sub").as("csub"))
+    subs.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"),
+        floor((dot(col("sub"), col("sub")) -
+          lit(2.0) * dot(col("sub"), col("csub")) +
+          dot(col("csub"), col("csub"))) * lit(1000000.0)).as("d2u"))
+      .pinned
+  }
+
+  /** Argmin codes (vec_id, m, cid) from a [[pqScored]] frame. */
+  private def pqCodes(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = scored
+    .withColumn("rn", row_number().over(
+      Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2u"), col("cid"))))
+    .filter(col("rn") === 1)
+    .select(col("vec_id"), col("m"), col("cid"))
+
+  private def pqAdcRanked(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = pqScored(s, d)
+    val lut = scored.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("m"), col("cid"), col("d2u"))
+    pqCodes(scored).join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("t_id"))
+      .agg(sum(col("d2u")).as("adist_u"))
+      .withColumn("rn", big(row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adist_u"), col("t_id")))))
+  }
+
+  /** DuckDB twin of [[pqScored]] + [[pqCodes]] — CTE chain ending in
+    * `scored(vec_id, m, cid, d2u)` and `codes(vec_id, m, cid)` plus the
+    * raw `v(vec_id, emb)`. */
+  private lazy val pqCodesCte: String =
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      "ms AS (SELECT unnest(range(4)) AS m), " +
+      "subs AS (SELECT vec_id, ms.m, " +
+      "list_slice(emb, ms.m * 16 + 1, ms.m * 16 + 16) AS sub " +
+      "FROM v CROSS JOIN ms), " +
+      "cents AS (SELECT m, vec_id AS cid, sub AS csub FROM subs " +
+      "WHERE vec_id < 8), " +
+      "scored AS (SELECT s.vec_id, s.m, c.cid, " +
+      "FLOOR((list_inner_product(s.sub, s.sub) - " +
+      "2.0 * list_inner_product(s.sub, c.csub) + " +
+      "list_inner_product(c.csub, c.csub)) * 1000000.0)::BIGINT AS d2u " +
+      "FROM subs s JOIN cents c USING (m)), " +
+      "codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, " +
+      "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2u, cid) AS rn " +
+      "FROM scored) z WHERE rn = 1)"
+
+  /** DuckDB twin of [[pqAdcRanked]] — extends [[pqCodesCte]] to
+    * `ranked(q_id, t_id, adist_u, rn)`. */
+  private lazy val pqAdcCte: String = pqCodesCte +
+    ", lut AS (SELECT vec_id AS q_id, m, cid, d2u FROM scored " +
+    "WHERE vec_id < 5), " +
+    "adc AS (SELECT l.q_id, c.vec_id AS t_id, SUM(l.d2u)::BIGINT " +
+    "AS adist_u FROM codes c JOIN lut l USING (m, cid) " +
+    "WHERE l.q_id <> c.vec_id GROUP BY 1, 2), " +
+    "ranked AS (SELECT q_id, t_id, adist_u, row_number() OVER " +
+    "(PARTITION BY q_id ORDER BY adist_u, t_id)::BIGINT AS rn FROM adc)"
 }

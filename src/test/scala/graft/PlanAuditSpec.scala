@@ -56,6 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     "llm_cosine_topk" -> pairCap,
     "llm_domain_token_mix" -> scalar, // corpus-total token count
     "llm_emb_near_dedup" -> pairCap,
+    "llm_pq_recall" -> // 5 fixed eval queries broadcast vs the corpus:
+      "labeled brute-force recall baseline over a bounded query sample",
     "llm_kmeans_step" -> centroids,
     "llm_shard_balance" -> scalar, // corpus-total byte count
     "llm_surprisal_buckets" -> scalar, // corpus-total token count
