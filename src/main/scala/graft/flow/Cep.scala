@@ -107,6 +107,26 @@ object Cep {
     expansions
   }
 
+  /** PERMUTE parse (round-12; SQL MATCH_RECOGNIZE's `PERMUTE(a, b, c)` —
+    * the steps in ANY order, each exactly once): the quantifier-free
+    * pattern's step atoms in every ordering, as a SET of literal step
+    * sequences for the same existential position count the quantifier
+    * expansions use (a start counts when ANY ordering matches there).
+    * All orderings share one window length, so no expansion needs a
+    * range guard. The 64-expansion cap bounds it at 4 steps (4! = 24;
+    * 5! = 120 is rejected loudly) — the same truncation contract as
+    * expandedSteps, and PERMUTE clauses are small in practice. */
+  def permuteSteps(pattern: String): Seq[Seq[Option[Seq[String]]]] = {
+    val steps = literalSteps(pattern)
+    require(steps.length >= 2,
+      s"cep: permute needs >= 2 steps, got '$pattern'")
+    val perms = steps.permutations.toSeq
+    require(perms.size <= 64,
+      s"cep: permute of ${steps.length} steps yields ${perms.size} " +
+        "orderings (cap 64) — fewer steps")
+    perms
+  }
+
   def compile(pattern: String): String = {
     require(pattern.nonEmpty, "cep: empty pattern")
     val steps = pattern.split(">", -1).toSeq

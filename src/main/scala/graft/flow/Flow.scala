@@ -341,8 +341,17 @@ object Flow {
             // expansions guard their window with CASE WHEN (conditional
             // evaluation is guaranteed; a bare AND may still evaluate the
             // out-of-range element_at under ANSI mode and throw).
-            val exps = Cep.expandedSteps(str(st, "pattern"),
-              intOpt(st, "max_rep").getOrElse(2))
+            // PERMUTE (round-12): `"permute": true` counts the steps in
+            // ANY order (SQL MATCH_RECOGNIZE's PERMUTE clause) — the
+            // orderings feed the same existential OR the quantifier
+            // expansions use; quantifiers inside a permute are rejected
+            // by the literal parse (an ordering of variable-length steps
+            // is ambiguous), and skip past_last's single-expansion
+            // require below rejects the combination too.
+            val exps =
+              if (bool(st, "permute")) Cep.permuteSteps(str(st, "pattern"))
+              else Cep.expandedSteps(str(st, "pattern"),
+                intOpt(st, "max_rep").getOrElse(2))
             val minK = exps.map(_.length).min
             // toks drops empty strings (the trailing-separator artifact)
             val toks = s"filter(split(${str(st, "field")}, '>'), x -> x != '')"

@@ -412,6 +412,55 @@ object EventOps {
           s"WHERE $ors ORDER BY user_id, event_id")
       }),
 
+    // Batch twin of StreamOps.patternPermuteTws (round-12) — streaming
+    // PERMUTE: the shared pattern's k! orderings (Cep.permuteSteps, the
+    // same list the flow op's "permute" flag compiles) OR over one set of
+    // lag columns; an event is a hit when the k-window ENDING at it holds
+    // the steps in ANY order. All orderings share one window length, so
+    // the twin is the quantified twin with a different expansion source.
+    // StreamingSpec pins the transformWithState machine (the same
+    // PatternAnyProcessor, fed permutations) to exactly these rows
+    // across micro-batch seams.
+    "stream_pattern_permute" -> Q(
+      (s, d) => {
+        val exps = graft.flow.Cep.permuteSteps(
+          graft.streaming.StreamOps.PatternPermute)
+        def condOf(steps: Seq[Option[Seq[String]]]) = {
+          val k = steps.length
+          steps.zipWithIndex.map { case (atoms, j) =>
+            val lagN = k - 1 - j
+            val c = if (lagN == 0) col("event_type")
+              else lag(col("event_type"), lagN).over(arrivalW)
+            atoms.map(alts => c.isin(alts: _*)).getOrElse(c.isNotNull)
+          }.reduce(_ && _)
+        }
+        T(s, d, "events")
+          .withColumn("hit", exps.map(condOf).reduce(_ || _))
+          .filter(col("hit"))
+          .select(col("user_id"), col("event_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      {
+        val exps = graft.flow.Cep.permuteSteps(
+          graft.streaming.StreamOps.PatternPermute)
+        val maxLag = exps.map(_.length).max - 1
+        val lags = (1 to maxLag)
+          .map(n => s"lag(event_type, $n) OVER w AS l$n").mkString(", ")
+        val ors = exps.map { steps =>
+          val k = steps.length
+          steps.zipWithIndex.map { case (atoms, j) =>
+            val lagN = k - 1 - j
+            val ref = if (lagN == 0) "event_type" else s"l$lagN"
+            atoms.map(a => s"$ref IN (${a.map(x => s"'$x'").mkString(", ")})")
+              .getOrElse(s"$ref IS NOT NULL")
+          }.mkString(" AND ")
+        }.map(c => s"($c)").mkString(" OR ")
+        usEvents("SELECT user_id, event_id FROM (" +
+          s"SELECT user_id, event_id, event_type, $lags FROM events " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t " +
+          s"WHERE $ors ORDER BY user_id, event_id")
+      }),
+
     // Batch twin of StreamOps.attributionTws (the per-purchase frame under
     // evt_attribution's channel rollup): one trailing-frame window carries
     // the last non-purchase touch onto each purchase. StreamingSpec pins
@@ -2553,6 +2602,68 @@ object EventOps {
         "SUM(c_rec)::BIGINT AS recovery_total, " +
         "SUM(CASE WHEN c_rec > 0 THEN 1 ELSE 0 END)::BIGINT " +
         "AS recovery_sessions FROM c")),
+
+    // PERMUTE counting (round-12) — SQL MATCH_RECOGNIZE's
+    // `PERMUTE(view, click, purchase)`: the three steps CONTIGUOUSLY in
+    // ANY order, the "did the user do all of these together, order
+    // unknown" question order-sensitive patterns cannot ask. The flow
+    // cep op's `"permute": true` feeds all 3! orderings into the same
+    // existential position count as the quantifier expansions (one
+    // count per start even when several orderings match a palindromic
+    // window); all orderings share one window length, so the HOF needs
+    // no range guards. The oracle derives its 6-branch OR from the SAME
+    // Scala permutation list the Spark side compiles — one source of
+    // truth for the ordering set. Same rn≤8 session bound; ONE row out.
+    "evt_pattern_permute" -> Q(
+      (s, d) => {
+        val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        val paths = sessionized(s, d)
+          .withColumn("rn", row_number().over(bySession))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(concat(concat_ws(">", transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))), lit(">")).as("path"))
+        val spec =
+          """{"steps":[
+            |{"op":"cep","field":"path","as":"c_perm","mode":"count",
+            | "pattern":"view>click>purchase","permute":true},
+            |{"op":"agg","groupBy":[],
+            | "aggs":["count(*) AS n_sessions",
+            |  "CAST(sum(c_perm) AS BIGINT) AS permute_total",
+            |  "CAST(sum(CASE WHEN c_perm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS permute_sessions"]}
+            |]}""".stripMargin
+        graft.flow.Flow.compileOn(s, d, paths, spec)
+      },
+      usEvents {
+        val orBranches = Seq("view", "click", "purchase").permutations
+          .map(p => "(" + p.zipWithIndex.map { case (t, j) =>
+            s"toks[i+$j] = '$t'"
+          }.mkString(" AND ") + ")")
+          .mkString(" OR ")
+        "WITH se AS (SELECT user_id, event_id, event_type, ts, " +
+          "SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 " +
+          "THEN 1 ELSE 0 END::BIGINT) OVER (PARTITION BY user_id " +
+          "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "CURRENT ROW) AS session_seq FROM (SELECT user_id, event_id, " +
+          "event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id " +
+          "ORDER BY ts, event_id) AS prev_ts FROM events) x), " +
+          "rn AS (SELECT user_id, session_seq, event_type, row_number() OVER " +
+          "(PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn " +
+          "FROM se), " +
+          "p AS (SELECT user_id, session_seq, string_agg(event_type || '>', '' " +
+          "ORDER BY rn) AS path FROM rn WHERE rn <= 8 GROUP BY 1, 2), " +
+          "tk AS (SELECT list_filter(string_split(path, '>'), x -> x != '') " +
+          "AS toks FROM p), " +
+          "c AS (SELECT CASE WHEN len(toks) >= 3 THEN len(list_filter(" +
+          "generate_series(1, len(toks) - 2), i -> " +
+          orBranches + ")) ELSE 0 END AS c_perm FROM tk) " +
+          "SELECT COUNT(*) AS n_sessions, " +
+          "SUM(c_perm)::BIGINT AS permute_total, " +
+          "SUM(CASE WHEN c_perm > 0 THEN 1 ELSE 0 END)::BIGINT " +
+          "AS permute_sessions FROM c"
+      }),
   )
 
   /** PageRank over the event-type transition graph (round-9 addendum) —

@@ -572,6 +572,28 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** The PERMUTE pattern shared by [[patternPermuteTws]], its batch twin
+    * (stream_pattern_permute) and the oracle. */
+  val PatternPermute: String = "view>click>purchase"
+
+  /** Streaming CEP over a PERMUTE pattern (round-12) — MATCH_RECOGNIZE's
+    * `PERMUTE(view, click, purchase)` as a stateful machine: the k!
+    * orderings (Cep.permuteSteps — same 64-ordering cap as the flow op)
+    * feed the SAME existential any-expansion processor the quantified
+    * machine runs; all orderings share one window length k, so state per
+    * user is the last k−1 event types and each event pays k! suffix
+    * checks over that constant buffer — O(1) for a bounded pattern. */
+  def patternPermuteTws(events: Dataset[Event],
+      pattern: String = PatternPermute): Dataset[PatternHit] = {
+    import events.sparkSession.implicits._
+    val exps = graft.flow.Cep.permuteSteps(pattern)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternAnyProcessor(exps),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** One finished session (the gate/flow sessionization signal). */
   case class SessionOut(user_id: Long, n_events: Long, first_event_id: Long,
       last_event_id: Long, session_value: Double)

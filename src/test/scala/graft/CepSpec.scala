@@ -179,6 +179,34 @@ class CepSpec extends SparkSpec {
       ("a>b>b>b>c>", 0L, 0L)))
   }
 
+  test("permute: all orderings, existential per start, caps and rejects") {
+    // 3 steps → 3! orderings, every one length 3
+    val p = Cep.permuteSteps("a>b>c")
+    assert(p.size == 6 && p.forall(_.length == 3))
+    assert(p.contains(Seq(Some(Seq("c")), Some(Seq("a")), Some(Seq("b")))))
+    // quantifiers inside a permute reject via the literal parse
+    intercept[IllegalArgumentException](Cep.permuteSteps("a>b*>c"))
+    // single step and 5!-explosion reject loudly
+    intercept[IllegalArgumentException](Cep.permuteSteps("a"))
+    intercept[IllegalArgumentException](Cep.permuteSteps("a>b>c>d>e"))
+
+    import org.apache.spark.sql.{Row, types => t}
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("c>a>b>"),   // reversed-ish order: counts (1 start)
+        Row("a>b>c>a>"), // windows at 1 and 2: (a,b,c) and (b,c,a) — 2
+        Row("a>b>b>c>"), // no 3-window holds all three distinct — 0
+        Row("a>b>")),    // shorter than the window — 0
+      t.StructType(Seq(t.StructField("path", t.StringType))))
+    val spec =
+      """{"steps":[{"op":"cep","field":"path","as":"c","mode":"count",
+        | "pattern":"a>b>c","permute":true}]}""".stripMargin
+    val got = graft.flow.Flow.compileOn(spark, sf001, df, spec)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("c>a>b>", 1L), ("a>b>c>a>", 2L),
+      ("a>b>b>c>", 0L), ("a>b>", 0L)))
+  }
+
   test("skip past_last rejects quantified patterns loudly") {
     import org.apache.spark.sql.{Row, types => t}
     val df = spark.createDataFrame(

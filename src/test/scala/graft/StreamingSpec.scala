@@ -292,6 +292,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState permute-pattern machine == batch twin") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val q = StreamOps.patternPermuteTws(mem.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("t_cepp").start()
+      // feed in thirds so any-order windows straddle micro-batch seams
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("t_cepp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = SparkEntry.queries("stream_pattern_permute")(spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(want.nonEmpty, "fixture should produce at least one hit")
+      assert(got == want)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("WITHIN bound excludes a too-slow pattern across a micro-batch seam") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
