@@ -141,6 +141,48 @@ object GraphOps {
       s"GROUP BY 1, 2 HAVING COUNT(*) >= $MinStrongWeight), " +
       "ssym AS (SELECT src, dst FROM sw UNION ALL SELECT dst, src FROM sw)"
 
+  /** Synchronous label propagation, 3 rounds: label(v) ← the most frequent
+    * label among v's neighbors, ties to the smallest label (a total order,
+    * so the rounds are deterministic and the oracle replays them exactly).
+    * Labels start as user ids. Every round is one |E| join + one
+    * (node,label) count + one per-node argmax (max_by over a (n, -label)
+    * struct — a hash aggregate, not a sort window; (n, label) is unique
+    * per u so the struct order is total). Pinned per round for the same
+    * flat-lineage reason as BFS. Shared by `graph_label_prop` and
+    * `graph_community_stats`. */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    val sym = symEdges(s, d)
+    var lab = sym.select(col("src").as("u")).distinct()
+      .select(col("u"), col("u").as("label")).pinned
+    for (_ <- 1 to 3) {
+      val votes = sym
+        .join(lab.withColumnRenamed("u", "dst"), "dst")
+        .groupBy(col("src").as("u"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      lab = votes.groupBy(col("u"))
+        .agg(max_by(col("label"),
+          struct(col("n"), (-col("label")).as("nl"))).as("label"))
+        .pinned
+    }
+    lab
+  }
+
+  /** DuckDB twin of [[lpaLabels]]: CTE fragments `n`, `l0`..`l3` (compose
+    * after `cellsSql, symSql`). */
+  private val lpaCte: String = {
+    val base = "n AS (SELECT DISTINCT src AS u FROM sym), " +
+      "l0 AS (SELECT u, u AS label FROM n)"
+    val iters = (1 to 3).map { i =>
+      s"l$i AS (SELECT u, label FROM (" +
+        "SELECT sym.src AS u, l.label, COUNT(*) AS n, " +
+        "row_number() OVER (PARTITION BY sym.src " +
+        "ORDER BY COUNT(*) DESC, l.label ASC) AS rn " +
+        s"FROM sym JOIN l${i - 1} l ON sym.dst = l.u " +
+        "GROUP BY 1, 2) t WHERE rn = 1)"
+    }.mkString(", ")
+    base + ", " + iters
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // The edge builder as its own oracled key: the capped self-join IS the
@@ -310,42 +352,10 @@ object GraphOps {
     // constant-rounds/graph-sized-state contract as pagerank, and the
     // standard community-detection baseline (Raghavan et al. 2007).
     "graph_label_prop" -> Q(
-      (s, d) => {
-        val sym = symEdges(s, d)
-        var lab = sym.select(col("src").as("u")).distinct()
-          .select(col("u"), col("u").as("label")).pinned
-        for (_ <- 1 to 3) {
-          val votes = sym
-            .join(lab.withColumnRenamed("u", "dst"), "dst")
-            .groupBy(col("src").as("u"), col("label"))
-            .agg(count(lit(1)).as("n"))
-          // argmax by (n DESC, label ASC) as a hash aggregate — max_by over
-          // the (n, -label) struct replaces a per-node sort window (two
-          // cheap aggs instead of agg + sort); (n, label) is unique per u
-          // so the struct order is total and the result deterministic.
-          // Pinned per round for the same flat-lineage reason as BFS.
-          lab = votes.groupBy(col("u"))
-            .agg(max_by(col("label"),
-              struct(col("n"), (-col("label")).as("nl"))).as("label"))
-            .pinned
-        }
-        lab.select(col("u").as("user_id"), col("label")).orderBy(col("user_id"))
-      },
-      usEvents {
-        val base = s"WITH $cellsSql, $symSql, " +
-          "n AS (SELECT DISTINCT src AS u FROM sym), " +
-          "l0 AS (SELECT u, u AS label FROM n)"
-        val iters = (1 to 3).map { i =>
-          s"l$i AS (SELECT u, label FROM (" +
-            "SELECT sym.src AS u, l.label, COUNT(*) AS n, " +
-            "row_number() OVER (PARTITION BY sym.src " +
-            "ORDER BY COUNT(*) DESC, l.label ASC) AS rn " +
-            s"FROM sym JOIN l${i - 1} l ON sym.dst = l.u " +
-            "GROUP BY 1, 2) t WHERE rn = 1)"
-        }.mkString(", ")
-        base + ", " + iters +
-          " SELECT u AS user_id, label FROM l3 ORDER BY user_id"
-      }),
+      (s, d) => lpaLabels(s, d)
+        .select(col("u").as("user_id"), col("label")).orderBy(col("user_id")),
+      usEvents(s"WITH $cellsSql, $symSql, $lpaCte " +
+        "SELECT u AS user_id, label FROM l3 ORDER BY user_id")),
 
     // Per-node triangle count + wedge capacity on the STRONG graph. The
     // src<dst orientation makes each triangle (a<b<c) enumerable exactly
@@ -483,5 +493,64 @@ object GraphOps {
         base + ", " + iters +
           " SELECT u AS user_id, label AS component FROM l3 ORDER BY user_id"
       }),
+
+    // Community-quality report over the LPA labels (round-12) — the
+    // modularity INGREDIENTS as exact integers: per community its size,
+    // internal edge count (both endpoints inside, counted once on the
+    // src<dst edge frame), cut size (edges leaving it — each cut edge
+    // charged to both sides, the standard conductance numerator), and
+    // degree mass Σdeg. Modularity itself is Σ_c[e_c/m − (deg_c/2m)²] —
+    // a ratio a reader derives from these columns; emitting the exact
+    // integer ingredients keeps both engines in integer space (the
+    // rational-pair discipline of graph_triangle_count) AND survives the
+    // 1e12-edge scale where the 4m·e_c cross-term would overflow BIGINT
+    // inside the engine. Shape: labels join the pinned edge snapshot
+    // twice (keyed on node id), then three hash aggregates — community-
+    // sized output, nothing iterative beyond the shared LPA rounds.
+    "graph_community_stats" -> Q(
+      (s, d) => {
+        val lab = lpaLabels(s, d)
+        val e = edges(s, d)
+        val le = e
+          .join(lab.select(col("u").as("src"), col("label").as("la")), "src")
+          .join(lab.select(col("u").as("dst"), col("label").as("lb")), "dst")
+          .pinned
+        val internal = le.filter(col("la") === col("lb"))
+          .groupBy(col("la").as("label"))
+          .agg(count(lit(1)).as("internal_edges"))
+        val cut = le.filter(col("la") =!= col("lb"))
+        val cutPer = cut.select(col("la").as("label"))
+          .unionByName(cut.select(col("lb").as("label")))
+          .groupBy(col("label")).agg(count(lit(1)).as("cut_edges"))
+        val deg = symEdges(s, d).groupBy(col("src").as("u"))
+          .agg(count(lit(1)).as("d"))
+        val sizes = lab.join(deg, "u").groupBy(col("label"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
+        sizes.join(internal, Seq("label"), "left")
+          .join(cutPer, Seq("label"), "left")
+          .select(col("label"), col("n_nodes"),
+            coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+            coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+            col("deg_sum"))
+          .orderBy(col("label"))
+      },
+      usEvents(s"WITH $cellsSql, $symSql, $lpaCte, " +
+        "le AS (SELECT e.src, e.dst, a.label AS la, b.label AS lb " +
+        "FROM e JOIN l3 a ON e.src = a.u JOIN l3 b ON e.dst = b.u), " +
+        "intr AS (SELECT la AS label, COUNT(*)::BIGINT AS internal_edges " +
+        "FROM le WHERE la = lb GROUP BY 1), " +
+        "cutp AS (SELECT label, COUNT(*)::BIGINT AS cut_edges FROM " +
+        "(SELECT la AS label FROM le WHERE la <> lb " +
+        "UNION ALL SELECT lb FROM le WHERE la <> lb) z GROUP BY 1), " +
+        "deg AS (SELECT src AS u, COUNT(*)::BIGINT AS d FROM sym " +
+        "GROUP BY 1), " +
+        "sz AS (SELECT l.label, COUNT(*)::BIGINT AS n_nodes, " +
+        "SUM(deg.d)::BIGINT AS deg_sum FROM l3 l JOIN deg ON l.u = deg.u " +
+        "GROUP BY 1) " +
+        "SELECT sz.label, sz.n_nodes, " +
+        "COALESCE(intr.internal_edges, 0)::BIGINT AS internal_edges, " +
+        "COALESCE(cutp.cut_edges, 0)::BIGINT AS cut_edges, sz.deg_sum " +
+        "FROM sz LEFT JOIN intr ON sz.label = intr.label " +
+        "LEFT JOIN cutp ON sz.label = cutp.label ORDER BY sz.label")),
   )
 }
