@@ -1375,6 +1375,66 @@ object DedupOps {
         "SELECT id AS vec_id, min(label) AS cluster_id, " +
         "id = min(label) AS keep FROM walk GROUP BY id ORDER BY vec_id"),
 
+    // Cluster-quality eval over the semantic-dedup components (round-12)
+    // — the purity number a dedup owner checks before trusting "keep one
+    // per cluster": each cluster scored against the fixture's ground-
+    // truth labels (majority label share, the standard external
+    // clustering metric). Reuses the SAME committed semantic_keep
+    // snapshot as llm_semantic_dedup_keep (no recompute — the cluster
+    // family discipline); one keyed join to labels + two hash
+    // aggregates, cluster-sized output. Majority tie-breaks (count desc,
+    // label asc) and purity in exact integer micro-units — bit-identical
+    // cross-engine; the oracle replays the components with the same
+    // recursive walk the dedup key proved.
+    "llm_cluster_purity" -> Q(
+      (s, d) => {
+        val cl = Scale.snapshotOnce(s, "semantic_keep", 1, d)(
+          semanticKeep(T(s, d, "embeddings")))
+          .select(col("vec_id"), col("cluster_id"))
+        val lb = T(s, d, "embeddings")
+          .select(col("vec_id"), big(col("label")).as("glabel"))
+        val pc = cl.join(lb, "vec_id")
+          .groupBy(col("cluster_id"), col("glabel"))
+          .agg(count(lit(1)).as("n"))
+        pc.groupBy(col("cluster_id"))
+          .agg(sum(col("n")).as("n_vecs"),
+            max_by(struct(col("glabel").as("majority_label"),
+              col("n").as("majority_n")),
+              struct(col("n"), (-col("glabel")).as("nl"))).as("maj"))
+          .select(col("cluster_id"), col("n_vecs"),
+            col("maj.majority_label").as("majority_label"),
+            col("maj.majority_n").as("majority_n"),
+            expr("(maj.majority_n * 1000000) div n_vecs").as("purity_micro"))
+          .orderBy(col("cluster_id"))
+      },
+      ivfCandCte(recursive = true) +
+        ", pairs AS (SELECT least(q_id, t_id) AS a, greatest(q_id, t_id) AS b " +
+        "FROM cand JOIN v x ON x.vec_id = least(q_id, t_id) " +
+        "JOIN v y ON y.vec_id = greatest(q_id, t_id) " +
+        "WHERE round(list_inner_product(x.emb, y.emb) / " +
+        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
+        "sqrt(list_inner_product(y.emb, y.emb))), 4) >= 0.35), " +
+        "edges AS (SELECT DISTINCT a, b FROM pairs " +
+        "UNION SELECT b, a FROM pairs), " +
+        "walk(id, wl) AS (SELECT vec_id, vec_id FROM embeddings " +
+        "UNION SELECT e.a, w.wl FROM edges e JOIN walk w ON w.id = e.b), " +
+        "cl AS (SELECT id AS vec_id, MIN(wl) AS cluster_id FROM walk " +
+        "GROUP BY id), " +
+        "j AS (SELECT cl.cluster_id, em.label::BIGINT AS glabel FROM cl " +
+        "JOIN embeddings em ON cl.vec_id = em.vec_id), " +
+        "pc AS (SELECT cluster_id, glabel, COUNT(*)::BIGINT AS n FROM j " +
+        "GROUP BY 1, 2), " +
+        "top AS (SELECT cluster_id, glabel AS majority_label, " +
+        "n AS majority_n FROM (SELECT cluster_id, glabel, n, " +
+        "row_number() OVER (PARTITION BY cluster_id " +
+        "ORDER BY n DESC, glabel) AS rn FROM pc) z WHERE rn = 1), " +
+        "sz AS (SELECT cluster_id, SUM(n)::BIGINT AS n_vecs FROM pc " +
+        "GROUP BY 1) " +
+        "SELECT sz.cluster_id, sz.n_vecs, top.majority_label, " +
+        "top.majority_n, (top.majority_n * 1000000) // sz.n_vecs " +
+        "AS purity_micro FROM sz JOIN top USING (cluster_id) " +
+        "ORDER BY cluster_id"),
+
     // The similarity-search APPLICATION layer: k-NN label voting (label
     // propagation / weak supervision) on the same IVF candidate machinery
     // as llm_ivf_ann. Top-5 neighbors per vector by exact cosine over the
