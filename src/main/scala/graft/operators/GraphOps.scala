@@ -361,11 +361,16 @@ object GraphOps {
       usEvents(s"WITH $cellsSql, $symSql, $lpaCte " +
         "SELECT u AS user_id, label FROM l3 ORDER BY user_id")),
 
-    // Per-node triangle count + wedge capacity on the STRONG graph. The
-    // src<dst orientation makes each triangle (a<b<c) enumerable exactly
-    // once as e(a,b)⋈e(b,c)⋈e(a,c) — two keyed equi-joins over the
-    // sparsified edge snapshot, never a cartesian; at 1000 executors the
-    // joins hash-partition on the shared node id. Output is node-sized:
+    // Per-node triangle count + wedge capacity on the STRONG graph, via
+    // Schank/Wagner DEGREE orientation (the same discipline as the dedup
+    // triangle build): every edge points from its (degree, id)-smaller to
+    // its larger endpoint, so wedge fan-out at a node is bounded by its
+    // ORIENTED out-degree (≤ O(√m) on any graph) — a strong-graph hub can
+    // no longer pivot quadratically the way raw-id orientation allows.
+    // Each triangle is still enumerated exactly once (the orientation is
+    // acyclic and total), so the OUTPUT is identical to the naive id
+    // orientation — only the join fan-out changes. Two keyed equi-joins
+    // over the sparsified snapshot, never a cartesian. Output node-sized:
     // every strong-graph node with its triangle count (0 where none — the
     // sf0.001 fixture's strong graph is triangle-free, and like kcore the
     // frame must carry that answer rather than vanish), its symmetric
@@ -375,17 +380,26 @@ object GraphOps {
     "graph_triangle_count" -> Q(
       (s, d) => {
         val e = strongEdges(s, d)
-        val e1 = e.select(col("src").as("a"), col("dst").as("b"))
-        val e2 = e.select(col("src").as("b"), col("dst").as("c"))
-        val e3 = e.select(col("src").as("a"), col("dst").as("c"))
+        val deg = e.unionByName(
+            e.select(col("dst").as("src"), col("src").as("dst")))
+          .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+          .pinned
+        val fwd = (col("dsrc") < col("ddst")) ||
+          (col("dsrc") === col("ddst") && col("src") < col("dst"))
+        val dir = e
+          .join(deg.select(col("src"), col("degree").as("dsrc")), "src")
+          .join(deg.select(col("src").as("dst"), col("degree").as("ddst")),
+            "dst")
+          .select(when(fwd, col("src")).otherwise(col("dst")).as("a"),
+            when(fwd, col("dst")).otherwise(col("src")).as("b"))
+        val e1 = dir
+        val e2 = dir.select(col("a").as("b"), col("b").as("c"))
+        val e3 = dir.select(col("a"), col("b").as("c"))
         val tri = e1.join(e2, "b").join(e3, Seq("a", "c")).pinned
         val perNode = tri.select(col("a").as("u"))
           .unionByName(tri.select(col("b").as("u")))
           .unionByName(tri.select(col("c").as("u")))
           .groupBy(col("u")).agg(count(lit(1)).as("triangles"))
-        val deg = e.unionByName(
-            e.select(col("dst").as("src"), col("src").as("dst")))
-          .groupBy(col("src")).agg(count(lit(1)).as("degree"))
         deg.join(perNode, deg("src") === perNode("u"), "left")
           .select(col("src").as("user_id"), col("degree"),
             expr("degree * (degree - 1) div 2").as("wedges"),
@@ -393,14 +407,20 @@ object GraphOps {
           .orderBy(col("user_id"))
       },
       usEvents(s"WITH $cellsSql, $strongSql, " +
-        "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c " +
-        "FROM sw e1 JOIN sw e2 ON e1.dst = e2.src " +
-        "JOIN sw e3 ON e3.src = e1.src AND e3.dst = e2.dst), " +
+        "deg AS (SELECT src, COUNT(*)::BIGINT AS degree FROM ssym " +
+        "GROUP BY 1), " +
+        "de AS (SELECT CASE WHEN da.degree < db.degree OR " +
+        "(da.degree = db.degree AND e.src < e.dst) THEN e.src ELSE e.dst " +
+        "END AS a, CASE WHEN da.degree < db.degree OR " +
+        "(da.degree = db.degree AND e.src < e.dst) THEN e.dst ELSE e.src " +
+        "END AS b FROM sw e JOIN deg da ON e.src = da.src " +
+        "JOIN deg db ON e.dst = db.src), " +
+        "tri AS (SELECT e1.a, e1.b, e2.b AS c " +
+        "FROM de e1 JOIN de e2 ON e1.b = e2.a " +
+        "JOIN de e3 ON e3.a = e1.a AND e3.b = e2.b), " +
         "pern AS (SELECT a AS u FROM tri UNION ALL SELECT b FROM tri " +
         "UNION ALL SELECT c FROM tri), " +
         "tc AS (SELECT u, COUNT(*)::BIGINT AS triangles FROM pern " +
-        "GROUP BY 1), " +
-        "deg AS (SELECT src, COUNT(*)::BIGINT AS degree FROM ssym " +
         "GROUP BY 1) " +
         "SELECT deg.src AS user_id, deg.degree, " +
         "(deg.degree * (deg.degree - 1) // 2)::BIGINT AS wedges, " +
