@@ -658,7 +658,11 @@ object DqOps {
     // scan, two distinct-aggs, segment-sized output.
     "dq_srm_check" -> Q(
       (s, d) => {
-        val ev = T(s, d, "events")
+        // unassigned rows (NULL unit id) don't belong in an SRM ratio,
+        // and dropping them also pins the zero-denominator case shut
+        // (Spark's div returns NULL where DuckDB's // errors — the one
+        // way this key could diverge cross-engine on hostile data)
+        val ev = T(s, d, "events").filter(col("user_id").isNotNull)
         ev.groupBy(col("event_type"))
           .agg(
             countDistinct(when(col("user_id") % 2 === 0, col("user_id")))
@@ -680,7 +684,8 @@ object DqOps {
         "COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)" +
         "::BIGINT AS users_a, " +
         "COUNT(DISTINCT CASE WHEN user_id % 2 <> 0 THEN user_id END)" +
-        "::BIGINT AS users_b FROM events GROUP BY 1) " +
+        "::BIGINT AS users_b FROM events WHERE user_id IS NOT NULL " +
+        "GROUP BY 1) " +
         "SELECT event_type, users_a, users_b, " +
         "(users_a * 1000000) // (users_a + users_b) AS share_a_micro, " +
         "1000.0 * CAST(users_a - users_b AS DOUBLE) * " +
