@@ -67,7 +67,20 @@ object Bench {
     // though the JSON line (driver contract) still prints and rc stays 0.
     if (failed != "[]")
       System.err.println(s"[bench] RED GATE — keys failed all reps: $failed")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full per-query JSON beside the stdout line (r12
+    // verdict item 8): the driver's BENCH_r{N}.json capture truncates to a
+    // ~2000-char tail, which left past judges only an alphabetical suffix
+    // to compare. The file is the complete artifact; round close commits a
+    // copy as bench_r{N}.json.
+    val out = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -93,7 +93,13 @@ object Dsl {
       "user_id, event_type, value, props FROM events)"
     // Compose with a caller that brings its own CTE chain: fold its WITH
     // into ours so the µs-truncation rule keeps exactly one definition.
-    if (rewritten.startsWith("WITH "))
+    // A caller's RECURSIVE hoists to the front of the merged list (DuckDB
+    // scopes the keyword to the whole WITH; non-recursive members are
+    // unaffected — the ivfCandCte(recursive=true) rule).
+    if (rewritten.startsWith("WITH RECURSIVE "))
+      cte.replaceFirst("^WITH ", "WITH RECURSIVE ") + ", " +
+        rewritten.stripPrefix("WITH RECURSIVE ")
+    else if (rewritten.startsWith("WITH "))
       cte + ", " + rewritten.stripPrefix("WITH ")
     else cte + " " + rewritten
   }

@@ -152,13 +152,18 @@ object GraphOps {
     * `graph_community_stats`, so the converged label frame is a committed
     * SNAPSHOT (the edge-snapshot discipline): the 3 iterative rounds run
     * once per input dir; both consumers — and bench reps — read the
-    * parquet back. */
+    * parquet back. The snapshot also carries each node's ROUND-2 label
+    * (v2, r13) so consumers can attest in-band whether the final round
+    * still changed anything — the constant-round contract made visible
+    * in the output instead of only in this comment. */
   private def lpaLabels(s: SparkSession, d: String): DataFrame =
-    Scale.snapshotOnce(s, "graph_lpa", 1, d) {
+    Scale.snapshotOnce(s, "graph_lpa", 2, d) {
       val sym = symEdges(s, d)
       var lab = sym.select(col("src").as("u")).distinct()
         .select(col("u"), col("u").as("label")).pinned
+      var prev = lab
       for (_ <- 1 to 3) {
+        prev = lab
         val votes = sym
           .join(lab.withColumnRenamed("u", "dst"), "dst")
           .groupBy(col("src").as("u"), col("label"))
@@ -168,8 +173,73 @@ object GraphOps {
             struct(col("n"), (-col("label")).as("nl"))).as("label"))
           .pinned
       }
-      lab
+      lab.join(prev.withColumnRenamed("label", "label_prev"), "u")
     }
+
+  /** 1-row broadcast convergence attestation over a [[lpaLabels]] frame:
+    * TRUE iff round 3 changed no label (the scalar-broadcast pattern —
+    * the global flag rides a BroadcastNestedLoopJoin of a 1-row
+    * aggregate, never a collect). */
+  private def lpaConverged(lab: DataFrame): DataFrame = lab
+    .agg(max(when(col("label") =!= col("label_prev"), 1).otherwise(0))
+      .as("chg"))
+    .select((coalesce(col("chg"), lit(0)) === 0).as("converged"))
+
+  /** Oracle twin of [[lpaConverged]] (scalar subquery over l2/l3). */
+  private val lpaConvergedSql: String =
+    "(SELECT COUNT(*) FROM l3 JOIN l2 ON l3.u = l2.u " +
+      "AND l3.label <> l2.label) = 0 AS converged"
+
+  /** k-core peel budget (k = 3). 6 synchronous rounds: enough for every
+    * observed fixture to reach its true core (the sf0.01/sf0.1 strong
+    * graphs stabilize in ≤ 3), while the `stable` flag keeps the bound
+    * honest when a deeper cascade (GraphSpec plants one) exhausts it. */
+  val KcoreRounds = 6
+
+  /** [[KcoreRounds]] synchronous k=3 peels over a symmetric edge frame;
+    * returns every `nodes` row with post-peel degree, in_core, and the
+    * broadcast 1-row `stable` attestation (final round peeled nothing).
+    * Factored out so GraphSpec drives planted cascades through the exact
+    * graded code path. */
+  private[graft] def kcorePeel(sym: DataFrame, nodes: DataFrame): DataFrame = {
+    var e = sym.pinned
+    var prev = e
+    for (_ <- 1 to KcoreRounds) {
+      prev = e
+      val surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select(col("src"))
+      e = e.join(surv, "src")
+        .join(surv.withColumnRenamed("src", "dst"), "dst")
+        .select(col("src"), col("dst")).pinned
+    }
+    // monotone shrink ⇒ count equality is set equality; both counts are
+    // 1-row aggregates riding one broadcast, never a driver-side action
+    val stable = prev.agg(count(lit(1)).as("c_prev"))
+      .crossJoin(e.agg(count(lit(1)).as("c_last")))
+      .select((col("c_last") === col("c_prev")).as("stable"))
+    val degN = e.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+    nodes.join(degN, Seq("src"), "left")
+      .select(col("src").as("user_id"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        col("core_degree").isNotNull.as("in_core"))
+      .crossJoin(broadcast(stable))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB twin of the peel chain: CTE fragments `s1/e1 .. sN/eN` over
+    * a symmetric edge CTE named `base`. Each round MATERIALIZED: DuckDB
+    * inlines CTEs by default and every e_i is referenced 3× (next round's
+    * FROM + both survivor semi-joins), so an inlined 6-round chain copies
+    * the base self-join 3⁶ times — measured as a multi-minute hang at
+    * sf0.01 before the hint. */
+  private def kcorePeelSql(base: String): String =
+    (1 to KcoreRounds).map { i =>
+      val prev = if (i == 1) base else s"e${i - 1}"
+      s"s$i AS MATERIALIZED (SELECT src FROM $prev GROUP BY 1 " +
+        "HAVING COUNT(*) >= 3), " +
+        s"e$i AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e " +
+        s"JOIN s$i a ON e.src = a.src JOIN s$i b ON e.dst = b.src)"
+    }.mkString(", ")
 
   /** DuckDB twin of [[lpaLabels]]: CTE fragments `n`, `l0`..`l3` (compose
     * after `cellsSql, symSql`). */
@@ -293,60 +363,48 @@ object GraphOps {
         "SELECT 1 FROM sw WHERE sw.src = w.u AND sw.dst = w.v) " +
         "ORDER BY u, v")),
 
-    // k-CORE peeling, 3 bounded rounds (round-12) — the density filter
-    // community/spam pipelines run before anything expensive: repeatedly
-    // remove nodes of degree < k until only the k-core remains. Runs on
-    // the STRONG graph (the raw co-occurrence graph is near-complete, so
-    // its 3-core is everyone — sparsification first makes the core mean
-    // something). Three synchronous peels, the same constant-rounds /
-    // graph-sized-state contract as label_prop: each round is one degree
+    // k-CORE peeling, [[KcoreRounds]] bounded rounds (budget raised 3→6
+    // in r13 with the bound made VISIBLE: a `stable` column attests
+    // in-band whether the last round still peeled anything) — the density
+    // filter community/spam pipelines run before anything expensive:
+    // repeatedly remove nodes of degree < k until only the k-core
+    // remains. Runs on the STRONG graph (the raw co-occurrence graph is
+    // near-complete, so its 3-core is everyone — sparsification first
+    // makes the core mean something). Each synchronous peel is one degree
     // aggregate + two keyed semi-joins over the (pinned) surviving edge
-    // frame, never corpus-sized state; a full k-core fixpoint needs
-    // unbounded rounds — the bound is the documented iterative contract,
-    // and each extra round is the same three operators. Output is EVERY
-    // strong-graph node with its in_core flag and post-peel degree (0 for
-    // the peeled) — node-sized, so the frame stays non-empty even where
-    // the core itself is (the sf0.001 smoke fixture's 3-core is empty,
-    // and "nobody survives" is a real answer the report must carry).
-    // Pure integer math, deterministic in both engines.
+    // frame, never corpus-sized state — the constant-rounds /
+    // graph-sized-state contract as label_prop. `stable` = the final
+    // round removed nothing; peeling is MONOTONE (survivor sets only
+    // shrink), so edge-COUNT equality between the last two rounds is set
+    // equality — the flag rides a broadcast 1-row aggregate (the
+    // scalar-broadcast pattern), and when TRUE the output IS the true
+    // 3-core, not a bounded approximation. Output is EVERY strong-graph
+    // node with its in_core flag and post-peel degree (0 for the peeled)
+    // — node-sized, so the frame stays non-empty even where the core
+    // itself is (the sf0.001 smoke fixture's 3-core is empty, and
+    // "nobody survives" is a real answer the report must carry). Pure
+    // integer math, deterministic in both engines. GraphSpec pins a
+    // planted squared-path cascade that 3 rounds get wrong (round ≥ 4
+    // still peels) and a longer one whose round 6 is still unstable.
     "graph_kcore_peel" -> Q(
       (s, d) => {
         val strong = strongEdges(s, d)
         val sym = strong.unionByName(
           strong.select(col("dst").as("src"), col("src").as("dst")))
         val nodes = sym.select(col("src")).distinct()
-        var e = sym
-        for (_ <- 1 to 3) {
-          val surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= 3).select(col("src"))
-          e = e.join(surv, "src")
-            .join(surv.withColumnRenamed("src", "dst"), "dst")
-            .select(col("src"), col("dst")).pinned
-        }
-        val deg3 = e.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
-        nodes.join(deg3, Seq("src"), "left")
-          .select(col("src").as("user_id"),
-            coalesce(col("core_degree"), lit(0L)).as("core_degree"),
-            col("core_degree").isNotNull.as("in_core"))
-          .orderBy(col("user_id"))
+        kcorePeel(sym, nodes)
       },
       usEvents(s"WITH $cellsSql, $strongSql, " +
-        "s1 AS (SELECT src FROM ssym GROUP BY 1 HAVING COUNT(*) >= 3), " +
-        "e1 AS (SELECT e.src, e.dst FROM ssym e " +
-        "JOIN s1 a ON e.src = a.src JOIN s1 b ON e.dst = b.src), " +
-        "s2 AS (SELECT src FROM e1 GROUP BY 1 HAVING COUNT(*) >= 3), " +
-        "e2 AS (SELECT e.src, e.dst FROM e1 e " +
-        "JOIN s2 a ON e.src = a.src JOIN s2 b ON e.dst = b.src), " +
-        "s3 AS (SELECT src FROM e2 GROUP BY 1 HAVING COUNT(*) >= 3), " +
-        "e3 AS (SELECT e.src, e.dst FROM e2 e " +
-        "JOIN s3 a ON e.src = a.src JOIN s3 b ON e.dst = b.src), " +
-        "nod AS (SELECT DISTINCT src FROM ssym), " +
-        "d3 AS (SELECT src, COUNT(*)::BIGINT AS core_degree FROM e3 " +
+        kcorePeelSql("ssym") +
+        ", nod AS (SELECT DISTINCT src FROM ssym), " +
+        s"dN AS (SELECT src, COUNT(*)::BIGINT AS core_degree FROM e$KcoreRounds " +
         "GROUP BY 1) " +
         "SELECT n.src AS user_id, " +
-        "COALESCE(d3.core_degree, 0)::BIGINT AS core_degree, " +
-        "d3.src IS NOT NULL AS in_core " +
-        "FROM nod n LEFT JOIN d3 ON n.src = d3.src ORDER BY user_id")),
+        "COALESCE(dN.core_degree, 0)::BIGINT AS core_degree, " +
+        "dN.src IS NOT NULL AS in_core, " +
+        s"(SELECT COUNT(*) FROM e$KcoreRounds) = " +
+        s"(SELECT COUNT(*) FROM e${KcoreRounds - 1}) AS stable " +
+        "FROM nod n LEFT JOIN dN ON n.src = dN.src ORDER BY user_id")),
 
     // Synchronous label propagation, 3 rounds: label(v) ← the most frequent
     // label among v's neighbors, ties to the smallest label (a total order,
@@ -356,10 +414,15 @@ object GraphOps {
     // constant-rounds/graph-sized-state contract as pagerank, and the
     // standard community-detection baseline (Raghavan et al. 2007).
     "graph_label_prop" -> Q(
-      (s, d) => lpaLabels(s, d)
-        .select(col("u").as("user_id"), col("label")).orderBy(col("user_id")),
+      (s, d) => {
+        val lab = lpaLabels(s, d)
+        lab.select(col("u").as("user_id"), col("label"))
+          .crossJoin(broadcast(lpaConverged(lab)))
+          .orderBy(col("user_id"))
+      },
       usEvents(s"WITH $cellsSql, $symSql, $lpaCte " +
-        "SELECT u AS user_id, label FROM l3 ORDER BY user_id")),
+        s"SELECT u AS user_id, label, $lpaConvergedSql " +
+        "FROM l3 ORDER BY user_id")),
 
     // Per-node triangle count + wedge capacity on the STRONG graph, via
     // Schank/Wagner DEGREE orientation (the same discipline as the dedup
@@ -473,18 +536,17 @@ object GraphOps {
           " SELECT u AS user_id, pr AS rank_micro FROM r3 ORDER BY user_id"
       }),
 
-    // Hash-min connected components, 3 synchronous rounds: label(v) ←
+    // Hash-min label flood, 3 synchronous rounds: label(v) ←
     // min(label(v), min over neighbors) starting from label = user_id —
-    // the classic distributed CC kernel (the min-label flood label_prop's
-    // FREQUENCY vote is usually contrasted with). Bounded rounds are the
-    // same documented iterative contract as BFS/LPA/pagerank: after k
-    // rounds the label has flooded k hops, so components of diameter ≤ 3
-    // (the planted communities) are exact and wider ones are a partial
-    // flood the oracle replays identically — pure integer min/LEAST, one
-    // |E| keyed join + hash agg per round, node-sized state, nothing on
-    // the driver. (A full fixpoint is large-star/small-star territory —
-    // noted in PERF.md's backlog; constant-round hash-min is what every
-    // round of those algorithms is made of.)
+    // the classic distributed CC KERNEL (what every round of the star
+    // algorithms is made of), kept as a graded key for exactly that
+    // kernel. After k rounds the label has flooded k hops, so components
+    // of diameter ≤ 3 (the planted communities) are exact and wider ones
+    // are a PARTIAL flood the oracle replays identically — which is why
+    // the output column is named `flood3_label`, not `component`
+    // (renamed r13; the true-fixpoint answer is `graph_cc_fixpoint`
+    // below). Pure integer min/LEAST, one |E| keyed join + hash agg per
+    // round, node-sized state, nothing on the driver.
     "graph_hashmin_cc" -> Q(
       (s, d) => {
         val sym = symEdges(s, d)
@@ -500,7 +562,7 @@ object GraphOps {
                 .as("label"))
             .pinned
         }
-        lab.select(col("u").as("user_id"), col("label").as("component"))
+        lab.select(col("u").as("user_id"), col("label").as("flood3_label"))
           .orderBy(col("user_id"))
       },
       usEvents {
@@ -515,8 +577,40 @@ object GraphOps {
             s"FROM l${i - 1} l LEFT JOIN m$i m ON l.u = m.u)"
         }.mkString(", ")
         base + ", " + iters +
-          " SELECT u AS user_id, label AS component FROM l3 ORDER BY user_id"
+          " SELECT u AS user_id, label AS flood3_label FROM l3 ORDER BY user_id"
       }),
+
+    // TRUE-fixpoint connected components (r13, the r12 verdict's #1):
+    // alternating large-star/small-star (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond") over the committed
+    // co-occurrence edge snapshot, run to an OBSERVED fixed point — the
+    // shared DedupOps.connectedComponents kernel (each alternation is two
+    // keyed |E| joins + min aggregates; the edge set halves its height
+    // every pass, O(log d) rounds; convergence is detected by a
+    // (count, xor-hash) set checksum riding Observation on the round's
+    // checkpoint job, zero extra actions, and a silent budget-exit is a
+    // loud require instead of a mislabeled output). Labels therefore
+    // EQUAL true components at any diameter — the semantics
+    // graph_hashmin_cc's 3-hop flood cannot give — and `converged` is an
+    // explicit in-band attestation (structurally always TRUE: the
+    // algorithm throws rather than emit partial labels, so downstream
+    // never has to infer convergence from a doc comment). The iterate-
+    // and-publish runs ONCE per input dir (snapshot discipline); the
+    // oracle reaches the same fixpoint by a different route — DuckDB's
+    // recursive min-label reachability walk (the llm_semantic_dedup_keep
+    // pattern) — so the match certifies convergence, not round replay.
+    "graph_cc_fixpoint" -> Q(
+      (s, d) => Scale.snapshotOnce(s, "graph_cc_fix", 1, d) {
+        DedupOps.connectedComponents(
+          edges(s, d).select(col("src").as("doc_a"), col("dst").as("doc_b")))
+          .select(col("doc_id").as("user_id"), col("label").as("component"))
+      }.withColumn("converged", lit(true)).orderBy(col("user_id")),
+      usEvents(s"WITH RECURSIVE $cellsSql, $symSql, " +
+        "walk(id, label) AS (SELECT src, src FROM sym " +
+        "UNION SELECT sym.src, w.label FROM sym JOIN walk w " +
+        "ON w.id = sym.dst) " +
+        "SELECT id AS user_id, MIN(label) AS component, TRUE AS converged " +
+        "FROM walk GROUP BY id ORDER BY user_id")),
 
     // Community-quality report over the LPA labels (round-12) — the
     // modularity INGREDIENTS as exact integers: per community its size,
@@ -556,6 +650,10 @@ object GraphOps {
             coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
             coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
             col("deg_sum"))
+          // the same in-band attestation graph_label_prop carries: these
+          // community stats are over round-3 labels; converged says
+          // whether that round was already a fixed point
+          .crossJoin(broadcast(lpaConverged(lab)))
           .orderBy(col("label"))
       },
       usEvents(s"WITH $cellsSql, $symSql, $lpaCte, " +
@@ -573,8 +671,9 @@ object GraphOps {
         "GROUP BY 1) " +
         "SELECT sz.label, sz.n_nodes, " +
         "COALESCE(intr.internal_edges, 0)::BIGINT AS internal_edges, " +
-        "COALESCE(cutp.cut_edges, 0)::BIGINT AS cut_edges, sz.deg_sum " +
-        "FROM sz LEFT JOIN intr ON sz.label = intr.label " +
+        "COALESCE(cutp.cut_edges, 0)::BIGINT AS cut_edges, sz.deg_sum, " +
+        lpaConvergedSql +
+        " FROM sz LEFT JOIN intr ON sz.label = intr.label " +
         "LEFT JOIN cutp ON sz.label = cutp.label ORDER BY sz.label")),
   )
 }

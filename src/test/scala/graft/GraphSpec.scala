@@ -96,8 +96,9 @@ class GraphSpec extends SparkSpec {
   }
 
   test("label propagation converges the planted triangle to one label") {
-    val lab = SparkEntry.queries("graph_label_prop")(spark, dir)
-      .as[(Long, Long)].collect().toMap
+    val rows = SparkEntry.queries("graph_label_prop")(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    val lab = rows.map { case (u, l, _) => u -> l }.toMap
     // In the triangle every vote is a tie ⇒ min label 100 wins everywhere.
     assert(lab(100L) == 100L && lab(101L) == 100L && lab(102L) == 100L,
       s"triangle did not converge to min label: $lab")
@@ -106,5 +107,62 @@ class GraphSpec extends SparkSpec {
     val users = Set(0L, 1L, 2L, 3L, 4L, 100L, 101L, 102L)
     assert(lab.keySet == users && lab.values.forall(users.contains),
       s"labels escaped the node universe: $lab")
+    // The path's two-coloring oscillates under synchronous LPA, so round
+    // 3 still changes labels — the in-band flag must say NOT converged.
+    assert(rows.forall(!_._3), s"converged flag should be false here: " +
+      rows.map(_._3).toSeq.distinct.toString)
+  }
+
+  test("cc fixpoint labels true components where the 3-hop flood cannot") {
+    val cc = SparkEntry.queries("graph_cc_fixpoint")(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    val comp = cc.map { case (u, c, _) => u -> c }.toMap
+    // Path 0-1-2-3-4 has diameter 4: a 3-round hash-min flood mislabels
+    // node 4 (its min label travels only 3 hops), the star fixpoint does
+    // not — every path node lands on component 0, the triangle on 100.
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      100L -> 100L, 101L -> 100L, 102L -> 100L),
+      s"fixpoint components wrong: $comp")
+    assert(cc.forall(_._3), "fixpoint key must attest converged")
+    // And the adversarial contrast: the bounded flood DOES get 4 wrong.
+    val flood = SparkEntry.queries("graph_hashmin_cc")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(flood(4L) == 1L,
+      s"expected the 3-round flood to stop one hop short on node 4: $flood")
+  }
+
+  /** Symmetric edge frame + node frame for a planted SQUARED PATH
+    * (edges i—i+1 and i—i+2): the classic k=3 peel cascade — each round
+    * removes exactly one more layer from each end, so the true core
+    * depth is n/2 rounds. */
+  private def squaredPath(n: Int) = {
+    val und = (0L until n - 1L).map(i => (i, i + 1)) ++
+      (0L until n - 2L).map(i => (i, i + 2))
+    val e = und.toDF("src", "dst")
+    val sym = e.union(e.select($"dst", $"src"))
+    (sym, sym.select($"src").distinct())
+  }
+
+  test("kcore: a 10-node squared path still peels at round 4+ and empties") {
+    val (sym, nodes) = squaredPath(10)
+    val r = operators.GraphOps.kcorePeel(sym, nodes)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    // A 3-round budget would have reported {3,4,5,6} as a 3-core; the
+    // 6-round peel finishes the cascade (empty true core) and attests it.
+    assert(r.forall(x => !x._3 && x._2 == 0L),
+      s"cascade should peel everyone: ${r.toSeq}")
+    assert(r.forall(_._4), "peel reached its fixpoint — stable must be true")
+  }
+
+  test("kcore: a 16-node squared path exhausts the budget and says so") {
+    val (sym, nodes) = squaredPath(16)
+    val r = operators.GraphOps.kcorePeel(sym, nodes)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    // Round 6 still peeled (layer {5,10}), so the output is a bounded
+    // partial peel — stable=false is the honest in-band answer — with
+    // survivors {6,7,8,9} (the layers the budget reached).
+    assert(r.forall(!_._4), "budget exhausted — stable must be false")
+    val in = r.collect { case (u, _, true, _) => u }.toSet
+    assert(in == Set(6L, 7L, 8L, 9L), s"unexpected survivors: $in")
   }
 }
