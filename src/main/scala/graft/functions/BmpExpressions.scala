@@ -54,9 +54,15 @@ object BmpImpl extends Serializable {
 
   /** Deterministic fixture encoder: gray(x, y) = src[(y·w + x) mod len],
     * written as a genuine 24bpp bottom-up BMP (B=G=R=gray). */
-  def synth(src: Array[Byte]): Array[Byte] = {
+  def synth(src0: Array[Byte]): Array[Byte] = {
+    // Total on empty input (r13): an empty payload synthesizes the same
+    // container as a single zero byte -- a real container its own decoder
+    // accepts -- instead of throwing mid-scan. Graded mm keys filter empty
+    // docs out before synthesis (empty text carries no media; the docs_ne
+    // guard), so the sentinel never reaches an oracle; it exists so raw
+    // expression use stays total under any regenerated corpus.
+    val src = if (src0.length == 0) Array[Byte](0) else src0
     val len = src.length
-    require(len > 0, "BmpSynth: empty payload")
     val w = widthOf(len)
     val h = heightOf(len)
     val rowSize = ((w * 3 + 3) / 4) * 4

@@ -34,9 +34,15 @@ object JpegImpl extends Serializable {
   def heightOf(len: Int): Int = (len * 3) % 14 + 7
   def comLenOf(len: Int): Int = len % 23 // 0..22 payload bytes
 
-  def synth(src: Array[Byte]): Array[Byte] = {
+  def synth(src0: Array[Byte]): Array[Byte] = {
+    // Total on empty input (r13): an empty payload synthesizes the same
+    // container as a single zero byte -- a real container its own decoder
+    // accepts -- instead of throwing mid-scan. Graded mm keys filter empty
+    // docs out before synthesis (empty text carries no media; the docs_ne
+    // guard), so the sentinel never reaches an oracle; it exists so raw
+    // expression use stays total under any regenerated corpus.
+    val src = if (src0.length == 0) Array[Byte](0) else src0
     val len = src.length
-    require(len > 0, "JpegSynth: empty payload")
     val w = widthOf(len)
     val h = heightOf(len)
     val comN = comLenOf(len)

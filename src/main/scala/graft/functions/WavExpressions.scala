@@ -56,9 +56,15 @@ object WavImpl extends Serializable {
   private def getShortLE(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
 
-  def synth(src: Array[Byte]): Array[Byte] = {
+  def synth(src0: Array[Byte]): Array[Byte] = {
+    // Total on empty input (r13): an empty payload synthesizes the same
+    // container as a single zero byte -- a real container its own decoder
+    // accepts -- instead of throwing mid-scan. Graded mm keys filter empty
+    // docs out before synthesis (empty text carries no media; the docs_ne
+    // guard), so the sentinel never reaches an oracle; it exists so raw
+    // expression use stays total under any regenerated corpus.
+    val src = if (src0.length == 0) Array[Byte](0) else src0
     val len = src.length
-    require(len > 0, "WavSynth: empty payload")
     val rate = sampleRateOf(len)
     val n = nSamplesOf(len)
     val listData = "INFOISFTgraft".getBytes("US-ASCII") // odd-length: 13 B

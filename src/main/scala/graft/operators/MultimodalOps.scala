@@ -17,13 +17,42 @@ import graft.functions.{BmpExpressions, BmpImpl, JpegExpressions, PngExpressions
   * the corpus. Metadata keys parse actual header bytes (big-endian PNG
   * IHDR vs little-endian BMP fields) with builtin binary slicing; the
   * frame sampler walks a real multi-frame container by its parsed size
-  * field; resize runs on decoded pixels. No fake decodes remain.
+  * field; resize runs on decoded pixels. No fake decodes remain — as of
+  * round 13 that includes the tile grid, whose dims come from the real
+  * BMP parse (the last formula-dims remnant). Round 13 also makes the
+  * family TOTAL on empty payloads: every key reads the [[docs]] frame
+  * (empty text carries no media; oracles share the rule via [[mmGuard]])
+  * and every synth substitutes a 1-byte sentinel rather than throwing,
+  * so a regenerated corpus with empty docs cannot crash a scan.
   *
   * The synthetic payload is the document text's UTF-8 bytes (all-ASCII,
   * verified: octet_length == n_chars at every sf), standing in for an
   * image/audio blob.
   */
 object MultimodalOps {
+
+  /** Documents that CARRY media (r13 empty-payload guard): an empty text
+    * has no image/audio blob, so every mm key starts from this frame —
+    * and its oracle from the matching `docs_ne` CTE ([[mmGuard]]) — which
+    * makes the whole family total under a regenerated corpus containing
+    * empty docs (the synths are additionally total via a 1-byte sentinel,
+    * so even raw expression use cannot throw mid-scan). The predicate is
+    * a pushed-down scan filter; current fixtures have no empty text, so
+    * every oracle value is unchanged. */
+  private def docs(s: SparkSession, d: String) =
+    T(s, d, "documents").filter(length(col("text")) > 0)
+
+  /** Oracle twin of [[docs]] — the usEvents textual-rewrite discipline:
+    * every `FROM documents` scan becomes the guarded `docs_ne` CTE, and a
+    * query that dodges the rewrite fails loudly at registry build. */
+  private def mmGuard(sql: String): String = {
+    val rewritten = sql.replace("FROM documents", "FROM docs_ne")
+    require(rewritten != sql, s"mmGuard: no documents scan rewritten in: $sql")
+    val cte = "docs_ne AS (SELECT * FROM documents WHERE strlen(text) > 0)"
+    if (rewritten.startsWith("WITH "))
+      "WITH " + cte + ", " + rewritten.stripPrefix("WITH ")
+    else "WITH " + cte + " " + rewritten
+  }
 
   /** One media row: id + opaque payload (the mapInPandas-style batch shape
     * is Dataset[MediaRow] → mapPartitions over iterator batches). */
@@ -60,7 +89,7 @@ object MultimodalOps {
 
   def mediaOf(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    T(s, d, "documents")
+    docs(s, d)
       .select(col("doc_id"), BmpExpressions.bmpSynth(s)(
         col("text").cast("binary")).as("payload"))
       .as[MediaRow]
@@ -79,7 +108,7 @@ object MultimodalOps {
   private def beInt(payload: Column, off1: Int): Column =
     conv(hex(substring(payload, off1, 4)), 16, 10).cast("long")
 
-  val defs: Seq[(String, Q)] = Seq(
+  private val rawDefs: Seq[(String, Q)] = Seq(
 
     // Decode METADATA off real containers (rebased round 12, was a
     // deterministic fake): a mixed media lake — each doc carries either a
@@ -101,7 +130,7 @@ object MultimodalOps {
         val payload = when(col("doc_id") % 2 === 0,
           BmpExpressions.bmpSynth(s)(text))
           .otherwise(PngExpressions.pngSynth(s)(text))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), payload.as("payload"))
           .withColumn("magic", hex(substring(col("payload"), 1, 2)))
           .select(col("doc_id"),
@@ -143,7 +172,7 @@ object MultimodalOps {
       (s, d) => {
         val img = PngExpressions.pngDecode(s)(
           PngExpressions.pngSynth(s)(col("text").cast("binary")))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), img.as("img"))
           .select(col("doc_id"),
             big(col("img.width")).as("width"),
@@ -183,7 +212,7 @@ object MultimodalOps {
       (s, d) => {
         val img = BmpExpressions.bmpDecode(s)(
           BmpExpressions.bmpSynth(s)(col("text").cast("binary")))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), img.as("img"))
           .select(col("doc_id"),
             big(col("img.width")).as("width"),
@@ -224,7 +253,7 @@ object MultimodalOps {
       (s, d) => {
         val m = JpegExpressions.jpegMeta(s)(
           JpegExpressions.jpegSynth(s)(col("text").cast("binary")))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), m.as("m"))
           .select(col("doc_id"),
             big(col("m.width")).as("width"),
@@ -260,7 +289,7 @@ object MultimodalOps {
       (s, d) => {
         val au = WavExpressions.wavDecode(s)(
           WavExpressions.wavSynth(s)(col("text").cast("binary")))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), au.as("au"))
           .select(col("doc_id"),
             big(col("au.sample_rate")).as("sample_rate"),
@@ -299,7 +328,7 @@ object MultimodalOps {
       (s, d) => {
         val au = WavExpressions.wavDecode(s)(
           WavExpressions.wavSynth(s)(col("text").cast("binary")))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), au.getField("n_samples").as("n"),
             au.getField("samples").as("samples"))
           .withColumn("frame_idx",
@@ -340,7 +369,7 @@ object MultimodalOps {
       (s, d) => {
         val img = BmpExpressions.bmpDecode(s)(
           BmpExpressions.bmpSynth(s)(col("text").cast("binary")))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), img.as("img"))
           .select(col("doc_id"), col("img.width").as("width"),
             col("img.height").as("height"), col("img.pixels").as("pixels"))
@@ -398,7 +427,7 @@ object MultimodalOps {
       (s, d) => {
         val img = BmpExpressions.bmpDecode(s)(
           BmpExpressions.bmpSynth(s)(col("text").cast("binary")))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), img.getField("pixels").as("pixels"))
           .withColumn("bins", BmpExpressions.grayHist16(s)(col("pixels")))
           .select(col("doc_id"),
@@ -432,7 +461,7 @@ object MultimodalOps {
       (s, d) => {
         val img = BmpExpressions.bmpDecode(s)(
           BmpExpressions.bmpSynth(s)(col("text").cast("binary")))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), img.getField("width").as("width"),
             img.getField("pixels").as("pixels"))
           .select(col("doc_id"),
@@ -461,25 +490,34 @@ object MultimodalOps {
         "k -> abs(pixels[(k + width + 1)::INT] - pixels[(k + 1)::INT])))::BIGINT AS v_energy " +
         "FROM px ORDER BY doc_id"),
 
-    // 2D tile grid (round-10) — the patching step every vision pipeline
-    // runs before embedding (ViT patches, tiled OCR): given the stubbed
-    // (width, height) from mm_decode_meta's deterministic dims, lay a
-    // 224×224 tile grid over the image with edge-clamped partial tiles.
-    // The decode is the documented stub; the TILING math — ceil-div grid
+    // 2D tile grid (round-10; rebased on the REAL decoder in r13 — the
+    // dims were the last formula-stub remnant after the decode family
+    // went real in r11/r12) — the patching step every vision pipeline
+    // runs before embedding (ViT patches, tiled OCR): (width, height)
+    // come from BmpDecode over the genuine container exactly as
+    // mm_tile_stats takes them, then a 16×16 tile grid is laid over the
+    // image with edge-clamped partial tiles. 16 px (not ViT's 224)
+    // because the fixture decodes to ≤31×20 px — 16 is the largest power
+    // of two at which real dims still exercise multi-tile grids AND
+    // clamped partials in both axes; the TILING math — ceil-div grid
     // shape, per-tile offsets and clamped extents, row-major tile ids —
-    // is the real Spark-side work, all integer, one explode per image
-    // (bounded by the grid size, never corpus-quadratic).
+    // is unchanged and side-agnostic. The oracle recomputes dims from
+    // the synthesis formulas, never seeing the container, so a header
+    // mis-parse breaks the hash. All integer, one explode per image
+    // (bounded by the grid size, never corpus-quadratic); this is a
+    // geometry-only pass — pixels stay inside the decode projection.
     "mm_tile_grid" -> Q(
       (s, d) => {
-        val dims = T(s, d, "documents")
-          .withColumn("payload", col("text").cast("binary"))
-          .select(col("doc_id"),
-            big(length(col("payload")) % 640 + 1).as("width"),
-            big((length(col("payload")) * 7) % 480 + 1).as("height"))
-        val t = lit(224L)
+        val img = BmpExpressions.bmpDecode(s)(
+          BmpExpressions.bmpSynth(s)(col("text").cast("binary")))
+        val dims = docs(s, d)
+          .select(col("doc_id"), img.as("img"))
+          .select(col("doc_id"), big(col("img.width")).as("width"),
+            big(col("img.height")).as("height"))
+        val t = lit(16L)
         dims
-          .withColumn("tiles_x", expr("(width + 223) div 224"))
-          .withColumn("tiles_y", expr("(height + 223) div 224"))
+          .withColumn("tiles_x", expr("(width + 15) div 16"))
+          .withColumn("tiles_y", expr("(height + 15) div 16"))
           .withColumn("tile_id",
             explode(sequence(lit(0L), col("tiles_x") * col("tiles_y") - 1)))
           .select(col("doc_id"), col("tile_id"),
@@ -491,16 +529,16 @@ object MultimodalOps {
               .as("tile_h"))
           .orderBy(col("doc_id"), col("tile_id"))
       },
-      "SELECT doc_id, tile_id, (tile_id % tiles_x) * 224 AS off_x, " +
-        "(tile_id // tiles_x) * 224 AS off_y, " +
-        "LEAST(224, width - (tile_id % tiles_x) * 224) AS tile_w, " +
-        "LEAST(224, height - (tile_id // tiles_x) * 224) AS tile_h FROM (" +
+      "SELECT doc_id, tile_id, (tile_id % tiles_x) * 16 AS off_x, " +
+        "(tile_id // tiles_x) * 16 AS off_y, " +
+        "LEAST(16, width - (tile_id % tiles_x) * 16) AS tile_w, " +
+        "LEAST(16, height - (tile_id // tiles_x) * 16) AS tile_h FROM (" +
         "SELECT doc_id, width, height, tiles_x, " +
         "unnest(generate_series(0, tiles_x * tiles_y - 1)) AS tile_id FROM (" +
-        "SELECT doc_id, width, height, (width + 223) // 224 AS tiles_x, " +
-        "(height + 223) // 224 AS tiles_y FROM (" +
-        "SELECT doc_id, (octet_length(encode(text)) % 640 + 1)::BIGINT AS width, " +
-        "(octet_length(encode(text)) * 7 % 480 + 1)::BIGINT AS height " +
+        "SELECT doc_id, width, height, (width + 15) // 16 AS tiles_x, " +
+        "(height + 15) // 16 AS tiles_y FROM (" +
+        "SELECT doc_id, (strlen(text) % 24 + 8)::BIGINT AS width, " +
+        "(strlen(text) * 7 % 16 + 5)::BIGINT AS height " +
         "FROM documents) d0) d1) g ORDER BY doc_id, tile_id"),
 
     // Frame sampling off a REAL multi-frame container (rebased round 12,
@@ -526,7 +564,7 @@ object MultimodalOps {
           .cast("binary")
         val container = concat((0 until 4).map(i =>
           BmpExpressions.bmpSynth(s)(rot(i))): _*)
-        T(s, d, "documents")
+        docs(s, d)
           .filter(len >= 4) // rotations need ≥ 4 chars; sf corpora all pass
           .select(col("doc_id"), container.as("container"))
           // the demuxer step: frame stride = parsed fileSize of frame 0
@@ -600,7 +638,7 @@ object MultimodalOps {
       (s, d) => {
         val img = PngExpressions.pngDecode(s)(
           PngExpressions.pngSynth(s)(col("text").cast("binary")))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), img.as("img"))
           .select(col("doc_id"), col("img.width").as("width"),
             col("img.height").as("height"), col("img.pixels").as("pixels"))
@@ -655,7 +693,7 @@ object MultimodalOps {
           when(expr(s"element_at(pixels, $i * stride + 1)") >
             expr(s"element_at(pixels, ${i + 1} * stride + 1)"),
             lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-        val sigs = T(s, d, "documents")
+        val sigs = docs(s, d)
           .select(col("doc_id"), img.getField("pixels").as("pixels"))
           .filter(size(col("pixels")) >= 33)
           .withColumn("stride", expr("cast(size(pixels) div 33 as int)"))
@@ -726,7 +764,7 @@ object MultimodalOps {
         val payload = when(col("doc_id") % 2 === 0,
           BmpExpressions.bmpSynth(s)(text))
           .otherwise(PngExpressions.pngSynth(s)(text))
-        T(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), payload.as("payload"))
           .withColumn("magic", hex(substring(col("payload"), 1, 2)))
           .withColumn("format",
@@ -751,4 +789,10 @@ object MultimodalOps {
         "ELSE (strlen(text) % 20 + 9) * (strlen(text) * 5 % 12 + 6) END AS np " +
         "FROM documents) t GROUP BY 1 ORDER BY format"),
   )
+
+  /** Every mm oracle passes through [[mmGuard]] (one definition of the
+    * empty-doc rule, applied at registry build like usEvents). Declared
+    * AFTER rawDefs — the §7.4 object-init-order rule. */
+  val defs: Seq[(String, Q)] =
+    rawDefs.map { case (k, q) => k -> Q(q.fn, q.oracle.map(mmGuard)) }
 }
