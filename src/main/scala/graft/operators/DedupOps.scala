@@ -458,6 +458,120 @@ object DedupOps {
       "cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS t_id " +
       "FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id)"
 
+  /** Exact-cosine top-3 ranking of IVF-probed candidates — the shared
+    * body of `llm_ivf_ann` (all queries) and `llm_ivf_recall` (the 5
+    * eval queries): (q_id, rn, t_id, rawsim), rn ≤ 3 per query. Ranking
+    * on the RAW double with t_id tie-break is the cross-engine-proven
+    * discipline (identical expression trees ⇒ identical doubles). */
+  private def ivfRankedTop3(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dot = dotF(s) _
+    val (cand, e) = ivfCandidates(s, d)
+    val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm").as("q_norm"))
+    val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+      col("norm").as("t_norm"))
+    cand.join(broadcast(qs), "q_id").join(broadcast(ts), "t_id")
+      .select(col("q_id"), col("t_id"),
+        (dot(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+          .as("rawsim"))
+      .withColumn("rn", big(row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rawsim").desc, col("t_id")))))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Bucketed-LSH top-3 — the shared body of `llm_ann_lsh` and
+    * `llm_lsh_recall`: signer pass (one pinned frame feeds both self-join
+    * sides), (tbl, bucket) candidate equi-join, exact cosine over
+    * candidates only; (a_id, rn, b_id, sim), rn ≤ 3. */
+  private def lshRankedTop3(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = T(s, d, "embeddings")
+    val buckets = e
+      .select(col("vec_id"), posexplode(
+        graft.functions.HashExpressions.lshSigs(s)(col("embedding")))
+        .as(Seq("tbl", "bucket")))
+      .pinned // one signer pass feeds both self-join sides
+    val cand = buckets.withColumnRenamed("vec_id", "a_id")
+      .join(buckets.withColumnRenamed("vec_id", "b_id"), Seq("tbl", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val dot = dotF(s) _
+    val withNorm = e.withColumn("norm",
+      sqrt(dot(col("embedding"), col("embedding"))))
+    val ea = withNorm.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val eb = withNorm.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    cand.join(broadcast(ea), "a_id").join(broadcast(eb), "b_id")
+      .select(col("a_id"), col("b_id"), round(
+        dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 4)
+        .as("sim"))
+      .withColumn("rn", big(row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id")))))
+      .filter(col("rn") <= 3)
+  }
+
+  /** EXACT cosine top-3 for the 5 fixed eval queries (vec_id < 5) — the
+    * recall ground truth shared by `llm_ivf_recall` / `llm_lsh_recall`:
+    * the labeled brute-force pattern (queries broadcast against the
+    * corpus — a production recall QC samples queries exactly like this,
+    * never all-pairs; the llm_pq_recall discipline on the cosine
+    * metric). */
+  private def exactCosineTop3(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dot = dotF(s) _
+    val e = T(s, d, "embeddings")
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+      col("norm").as("t_norm"))
+    ts.crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("t_id"))
+      .select(col("q_id"), col("t_id"),
+        (dot(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+          .as("rawsim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rawsim").desc, col("t_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("t_id"))
+  }
+
+  /** recall@3 report for an ANN top-3 frame (q_id, t_id) against
+    * [[exactCosineTop3]]: per eval query hits ∈ 0..3 and recall in exact
+    * integer micro-units (the llm_pq_recall output contract). */
+  private def recallReport(s: org.apache.spark.sql.SparkSession, d: String,
+      ann: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hits = exactCosineTop3(s, d).join(ann, Seq("q_id", "t_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    T(s, d, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("(coalesce(hits, 0) * 1000000) div 3").as("recall_micro"))
+      .orderBy(col("q_id"))
+  }
+
+  /** DuckDB twins of [[exactCosineTop3]] (CTE `ex` over `v`) and the
+    * [[recallReport]] tail (requires an `ann(q_id, t_id)` CTE). */
+  private val exCosCte: String =
+    "ex AS (SELECT q_id, t_id FROM (SELECT q.vec_id AS q_id, " +
+      "t.vec_id AS t_id, row_number() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_inner_product(q.emb, t.emb) / " +
+      "(sqrt(list_inner_product(q.emb, q.emb)) * " +
+      "sqrt(list_inner_product(t.emb, t.emb))) DESC, t.vec_id) AS rn " +
+      "FROM v q CROSS JOIN v t " +
+      "WHERE q.vec_id < 5 AND q.vec_id <> t.vec_id) z WHERE rn <= 3)"
+  private val recallTailSql: String =
+    "h AS (SELECT ex.q_id, COUNT(*)::BIGINT AS hits FROM ex " +
+      "JOIN ann ON ex.q_id = ann.q_id AND ex.t_id = ann.t_id GROUP BY 1) " +
+      "SELECT q.vec_id AS q_id, COALESCE(h.hits, 0)::BIGINT AS hits, " +
+      "(COALESCE(h.hits, 0) * 1000000) // 3 AS recall_micro " +
+      "FROM v q LEFT JOIN h ON q.vec_id = h.q_id WHERE q.vec_id < 5 " +
+      "ORDER BY q_id"
+
   /** Spark-side body of `llm_semantic_dedup_keep`, parameterized on the
     * embeddings frame so DedupSpec can pin it to a planted-cluster fixture
     * (the oracled key passes the real table): IVF candidates → exact
@@ -901,34 +1015,9 @@ object DedupOps {
     // signer is a native codegen Expression (graft.functions.LshSigs),
     // not a UDF — same deterministic planes, no per-row boxing.
     "llm_ann_lsh" -> Q(
-      (s, d) => {
-        val e = T(s, d, "embeddings")
-        val buckets = e
-          .select(col("vec_id"), posexplode(
-            graft.functions.HashExpressions.lshSigs(s)(col("embedding")))
-            .as(Seq("tbl", "bucket")))
-          .pinned // one signer pass feeds both self-join sides
-        val cand = buckets.withColumnRenamed("vec_id", "a_id")
-          .join(buckets.withColumnRenamed("vec_id", "b_id"), Seq("tbl", "bucket"))
-          .filter(col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id")).distinct()
-        val dot = dotF(s) _
-        val withNorm = e.withColumn("norm",
-          sqrt(dot(col("embedding"), col("embedding"))))
-        val ea = withNorm.select(col("vec_id").as("a_id"),
-          col("embedding").as("a_emb"), col("norm").as("a_norm"))
-        val eb = withNorm.select(col("vec_id").as("b_id"),
-          col("embedding").as("b_emb"), col("norm").as("b_norm"))
-        cand.join(broadcast(ea), "a_id").join(broadcast(eb), "b_id")
-          .select(col("a_id"), col("b_id"), round(
-            dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 4)
-            .as("sim"))
-          .withColumn("rn", big(row_number().over(
-            Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id")))))
-          .filter(col("rn") <= 3)
-          .select(col("a_id"), col("rn"), col("b_id"), col("sim"))
-          .orderBy(col("a_id"), col("rn"))
-      },
+      (s, d) => lshRankedTop3(s, d)
+        .select(col("a_id"), col("rn"), col("b_id"), col("sim"))
+        .orderBy(col("a_id"), col("rn")),
       // Fully oracled despite the seeded hyperplanes: the signer's plane
       // matrix is emitted into the SQL as shortest-round-trip double
       // literals and each bucket recomputed with list_inner_product
@@ -1320,24 +1409,10 @@ object DedupOps {
     // enough. Codebook and corpus sides broadcast; the candidate join is
     // keyed on cell.
     "llm_ivf_ann" -> Q(
-      (s, d) => {
-        val dot = dotF(s) _
-        val (cand, e) = ivfCandidates(s, d)
-        val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("norm").as("q_norm"))
-        val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
-          col("norm").as("t_norm"))
-        cand.join(broadcast(qs), "q_id").join(broadcast(ts), "t_id")
-          .select(col("q_id"), col("t_id"),
-            (dot(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
-              .as("rawsim"))
-          .withColumn("rn", big(row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("rawsim").desc, col("t_id")))))
-          .filter(col("rn") <= 3)
-          .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
-            round(col("rawsim"), 4).as("sim"))
-          .orderBy(col("a_id"), col("rn"))
-      },
+      (s, d) => ivfRankedTop3(s, d)
+        .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
+          round(col("rawsim"), 4).as("sim"))
+        .orderBy(col("a_id"), col("rn")),
       ivfCandCte() +
         ", scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
         "(sqrt(list_inner_product(x.emb, x.emb)) * " +
@@ -1619,6 +1694,53 @@ object DedupOps {
         "(COALESCE(h.hits, 0) * 1000000) // 3 AS recall_micro " +
         "FROM v q LEFT JOIN h ON q.vec_id = h.q_id WHERE q.vec_id < 5 " +
         "ORDER BY q_id"),
+
+    // recall@3 QC for the IVF path (r13 — llm_pq_recall's pattern applied
+    // so ALL THREE vector-index families carry a graded recall key): the
+    // IVF top-3 for the 5 fixed eval queries vs the exact cosine top-3
+    // (the labeled 5-query brute-force baseline — a production QC samples
+    // queries exactly like this, never all-pairs). The number an index
+    // owner watches before widening probes: hits ∈ 0..3 and recall in
+    // exact integer micro-units per query.
+    "llm_ivf_recall" -> Q(
+      (s, d) => recallReport(s, d, ivfRankedTop3(s, d)
+        .filter(col("q_id") < 5).select(col("q_id"), col("t_id"))),
+      ivfCandCte() +
+        ", ann AS (SELECT q_id, t_id FROM (SELECT q_id, t_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY " +
+        "list_inner_product(x.emb, y.emb) / " +
+        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
+        "sqrt(list_inner_product(y.emb, y.emb))) DESC, t_id) AS rn " +
+        "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id" +
+        ") z WHERE rn <= 3 AND q_id < 5), " +
+        exCosCte + ", " + recallTailSql),
+
+    // recall@3 QC for the hyperplane-LSH path (r13): same 5-query exact
+    // baseline, ANN side = llm_ann_lsh's banded top-3 (recomputed in the
+    // oracle from the emitted plane literals — the duckBucketExprs
+    // discipline, so the whole signer→bucket→rank→recall chain is under
+    // the hash). Retires DedupSpec's assertion-only recall check: the
+    // number is now a graded, oracled output.
+    "llm_lsh_recall" -> Q(
+      (s, d) => recallReport(s, d, lshRankedTop3(s, d)
+        .filter(col("a_id") < 5)
+        .select(col("a_id").as("q_id"), col("b_id").as("t_id"))),
+      "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "b AS (" +
+        graft.functions.LshSigsImpl.duckBucketExprs("emb").zipWithIndex.map {
+          case (expr, t) => s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM v"
+        }.mkString(" UNION ALL ") + "), " +
+        "cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id " +
+        "FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket " +
+        "AND x.vec_id <> y.vec_id), " +
+        "ann AS (SELECT q_id, t_id FROM (SELECT a_id AS q_id, b_id AS t_id, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY " +
+        "round(list_inner_product(xa.emb, xb.emb) / " +
+        "(sqrt(list_inner_product(xa.emb, xa.emb)) * " +
+        "sqrt(list_inner_product(xb.emb, xb.emb))), 4) DESC, b_id) AS rn " +
+        "FROM cand JOIN v xa ON xa.vec_id = a_id JOIN v xb ON xb.vec_id = b_id" +
+        ") z WHERE rn <= 3 AND q_id < 5), " +
+        exCosCte + ", " + recallTailSql),
 
     // Persisted + incremental PQ CODES table (round-12) — the third
     // vector-index family under the epoch-publish lifecycle (after the

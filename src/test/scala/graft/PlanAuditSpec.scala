@@ -61,6 +61,10 @@ class PlanAuditSpec extends SparkSpec {
     "llm_emb_near_dedup" -> pairCap,
     "llm_pq_recall" -> // 5 fixed eval queries broadcast vs the corpus:
       "labeled brute-force recall baseline over a bounded query sample",
+    "llm_ivf_recall" -> // same 5-query exact baseline, IVF under test
+      "labeled brute-force recall baseline over a bounded query sample",
+    "llm_lsh_recall" -> // same 5-query exact baseline, LSH under test
+      "labeled brute-force recall baseline over a bounded query sample",
     "llm_kmeans_step" -> centroids,
     "llm_shard_balance" -> scalar, // corpus-total byte count
     "llm_surprisal_buckets" -> scalar, // corpus-total token count
