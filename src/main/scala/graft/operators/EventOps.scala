@@ -412,6 +412,69 @@ object EventOps {
           s"WHERE $ors ORDER BY user_id, event_id")
       }),
 
+    // Batch twin of StreamOps.patternQuantifiedWithinTws (r13) — the
+    // COMPOSED machine: bounded-expansion quantifiers AND the WITHIN
+    // bound in one hit condition, because the single-feature twins can
+    // both be green while the composition is wrong (a machine that
+    // restores types but not timestamps, or applies the bound only to
+    // the longest expansion). In the lag-window formulation each
+    // expansion of length k contributes (type conds) AND
+    // (ts − lag(ts, k−1)) ≤ withinUs — the span measured per CANDIDATE
+    // LENGTH, exact integer µs in both engines; the event hits when ANY
+    // bounded expansion ending at it matches. StreamPipelineSpec drives
+    // the stateful twin through a kill/restart where a match straddles
+    // the seam and the bound must bite on restored timestamps.
+    "stream_pattern_quantified_within" -> Q(
+      (s, d) => {
+        val exps = graft.flow.Cep.expandedSteps(
+          graft.streaming.StreamOps.PatternQuantified,
+          graft.streaming.StreamOps.PatternMaxRep)
+        val withinUs = graft.streaming.StreamOps.PatternWithinUs
+        def condOf(steps: Seq[Option[Seq[String]]]) = {
+          val k = steps.length
+          val types = steps.zipWithIndex.map { case (atoms, j) =>
+            val lagN = k - 1 - j
+            val c = if (lagN == 0) col("event_type")
+              else lag(col("event_type"), lagN).over(arrivalW)
+            atoms.map(alts => c.isin(alts: _*)).getOrElse(c.isNotNull)
+          }.reduce(_ && _)
+          val span = unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), k - 1).over(arrivalW))
+          types && span <= withinUs
+        }
+        T(s, d, "events")
+          .withColumn("hit", exps.map(condOf).reduce(_ || _))
+          .filter(col("hit"))
+          .select(col("user_id"), col("event_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      {
+        val exps = graft.flow.Cep.expandedSteps(
+          graft.streaming.StreamOps.PatternQuantified,
+          graft.streaming.StreamOps.PatternMaxRep)
+        val withinUs = graft.streaming.StreamOps.PatternWithinUs
+        val maxLag = exps.map(_.length).max - 1
+        val lags = ((1 to maxLag)
+          .map(n => s"lag(event_type, $n) OVER w AS l$n") ++
+          (1 to maxLag)
+            .map(n => s"epoch_us(ts) - epoch_us(lag(ts, $n) OVER w) AS sp$n"))
+          .mkString(", ")
+        val ors = exps.map { steps =>
+          val k = steps.length
+          val types = steps.zipWithIndex.map { case (atoms, j) =>
+            val lagN = k - 1 - j
+            val ref = if (lagN == 0) "event_type" else s"l$lagN"
+            atoms.map(a => s"$ref IN (${a.map(x => s"'$x'").mkString(", ")})")
+              .getOrElse(s"$ref IS NOT NULL")
+          }.mkString(" AND ")
+          s"($types AND sp${k - 1} <= $withinUs)"
+        }.mkString(" OR ")
+        usEvents("SELECT user_id, event_id FROM (" +
+          s"SELECT user_id, event_id, event_type, ts, $lags FROM events " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t " +
+          s"WHERE $ors ORDER BY user_id, event_id")
+      }),
+
     // Batch twin of StreamOps.patternPermuteTws (round-12) — streaming
     // PERMUTE: the shared pattern's k! orderings (Cep.permuteSteps, the
     // same list the flow op's "permute" flag compiles) OR over one set of

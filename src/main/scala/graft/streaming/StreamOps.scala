@@ -572,6 +572,71 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** COMPOSED quantified-WITHIN machine (r13 — the r12 verdict's
+    * composition ask): bounded-expansion quantifiers AND the time bound
+    * in ONE processor, because that is where checkpoint bugs hide — a
+    * restore that keeps the type tail but drops (or zeroes) the
+    * timestamp tail passes both single-feature tests and still emits
+    * wrong spans. State per user is the last maxK−1 (type, ts) pairs —
+    * constant per key; each event pays |expansions| suffix checks plus
+    * one long subtraction per candidate length. An expansion of length k
+    * ENDING at this event matches when its k types fit AND
+    * ts_last − ts_first ≤ withinUs, measured over the SAVED timestamps,
+    * so a match straddling a restart exercises the restored tss, not
+    * just the restored types (StreamPipelineSpec kills mid-pattern on
+    * exactly that seam). */
+  class PatternAnyWithinProcessor(exps: Seq[Seq[Option[Seq[String]]]],
+      withinUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, PatternHit] {
+    private val maxK = exps.map(_.length).max
+    @transient private var tailState:
+      org.apache.spark.sql.streaming.ValueState[TypeTimeTail] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tailState = getHandle.getValueState[TypeTimeTail]("awtail",
+        org.apache.spark.sql.Encoders.product[TypeTimeTail],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PatternHit] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var tail = Option(tailState.get())
+        .map(t => (t.types, t.tss))
+        .getOrElse((Seq.empty[String], Seq.empty[Long]))
+      val out = Seq.newBuilder[PatternHit]
+      sorted.foreach { e =>
+        val types = (tail._1 :+ e.event_type).takeRight(maxK)
+        val tss = (tail._2 :+ micros(e.ts)).takeRight(maxK)
+        val hit = exps.exists { steps =>
+          val k = steps.length
+          types.size >= k && steps.zip(types.takeRight(k)).forall {
+            case (a, t) => a.forall(_.contains(t))
+          } && tss.last - tss(tss.size - k) <= withinUs
+        }
+        if (hit) out += PatternHit(e.user_id, e.event_id)
+        tail = (types.takeRight(maxK - 1), tss.takeRight(maxK - 1))
+      }
+      tailState.update(TypeTimeTail(tail._1, tail._2))
+      out.result().iterator
+    }
+  }
+
+  def patternQuantifiedWithinTws(events: Dataset[Event],
+      pattern: String = PatternQuantified,
+      maxRep: Int = PatternMaxRep,
+      withinUs: Long = PatternWithinUs): Dataset[PatternHit] = {
+    import events.sparkSession.implicits._
+    val exps = graft.flow.Cep.expandedSteps(pattern, maxRep)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternAnyWithinProcessor(exps, withinUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** The PERMUTE pattern shared by [[patternPermuteTws]], its batch twin
     * (stream_pattern_permute) and the oracle. */
   val PatternPermute: String = "view>click>purchase"

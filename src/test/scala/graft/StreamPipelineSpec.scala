@@ -333,4 +333,104 @@ class StreamPipelineSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("topic -> quantified-WITHIN machine -> alert route -> sink survives a kill") {
+    // The r12 verdict's composition item: the COMPOSED state machine
+    // (bounded-expansion quantifiers AND the time bound in one processor)
+    // through the full kill/restart template, because each feature's own
+    // test can be green while the composition restores types without
+    // timestamps. Two seams are planted: a match whose (view, click)
+    // tail ships pre-kill and whose purchase lands while the consumer is
+    // down — a hit iff the restored TIMESTAMPS (not just types) satisfy
+    // the 150 s bound — and a same-shape straddle whose restored span
+    // VIOLATES the bound and must stay silent (a restart path that drops
+    // the within check would emit it). An alert-route projection rides
+    // between the machine and the epoch sink — the reference's
+    // signal → notification topology.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val topic = Files.createTempDirectory("qw_topic").toString
+    val out = Files.createTempDirectory("qw_out").toString
+    val cp = Files.createTempDirectory("qw_cp").toString
+    val withinUs = 150L * 1000000L // 2.5 min: rows are minutes apart
+    // (partition, user, type, j) — ts = base + j minutes, id = 1000 + j;
+    // partitions keyed by user (the GateTopic keyed-partitioner contract),
+    // rows written in j order per partition.
+    val run1 = Seq(
+      (0, 2L, "view", 0), (0, 2L, "click", 1), (0, 2L, "click", 2),
+      (0, 2L, "purchase", 3), // 4-long expansion spans 3 min > bound: NO hit
+      (1, 3L, "view", 4), (1, 3L, "click", 5), // tail for the bound-bitten straddle
+      (1, 1L, "view", 6), (1, 1L, "click", 7),
+      (1, 1L, "purchase", 8), // in-run-1 hit (span 2 min)
+      (0, 0L, "view", 9), (0, 0L, "click", 10)) // tail for the straddling hit
+    val run2 = Seq(
+      (0, 0L, "purchase", 11), // straddle: restored tss give span 2 min -> HIT
+      (1, 3L, "purchase", 12), // straddle: restored tss give span 8 min -> silent
+      (1, 1L, "view", 13),
+      (1, 1L, "purchase", 14)) // k=2 expansion [view,purchase]: in-run-2 hit
+    def writeRows(rows: Seq[(Int, Long, String, Int)]): Unit =
+      rows.groupBy(_._1).foreach { case (p, part) =>
+        val pd = new File(topic, s"p=$p")
+        pd.mkdirs()
+        val base = Option(pd.listFiles()).map(_.map(f =>
+          java.nio.file.Files.readAllLines(f.toPath).size).sum).getOrElse(0)
+        val w = new java.io.PrintWriter(new File(pd, f"$base%020d.log"), "UTF-8")
+        try part.sortBy(_._4).foreach { case (_, u, t, j) =>
+          w.println(s"${1000L + j}\t${1704067200000000L + j * 60000000L}" +
+            s"\t$u\t$t\t1.0")
+        } finally w.close()
+      }
+    writeRows(run1)
+    def start() = {
+      import graft.streaming.StreamOps
+      val src = spark.readStream.format("graft.streaming.GateTopicSource")
+        .option("path", topic).option("rowsPerBatch", 4).load()
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[StreamOps.Event]
+      StreamOps.patternQuantifiedWithinTws(src, withinUs = withinUs)
+        .toDF()
+        // alert route: severity + channel riding between machine and sink
+        .withColumn("route",
+          when($"user_id" % 2 === 0, "pager").otherwise("email"))
+        .writeStream.outputMode("append")
+        .format("graft.streaming.GateSink")
+        .option("path", out).option("checkpointLocation", cp)
+        .start()
+    }
+    try {
+      val q1 = start()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!new File(out, "epoch_0.commit").exists() &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      q1.stop()
+      assert(new File(out, "epoch_0.commit").exists(),
+        "no epoch committed in 60s")
+      writeRows(run2)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val committed = new File(out).listFiles()
+        .filter(_.getName.endsWith(".commit"))
+        .map(m => new File(out,
+          s"epoch=${m.getName.stripPrefix("epoch_").stripSuffix(".commit")}").getPath)
+        .filter(p => new File(p).exists())
+      val got = spark.read
+        .schema(StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("route", StringType))))
+        .option("sep", "\t").csv(committed: _*)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      val expect = Set(
+        (1L, 1008L, "email"), // u1's in-run-1 purchase (span 2 min)
+        (0L, 1011L, "pager"), // the straddling hit on restored timestamps
+        (1L, 1014L, "email")) // u1's k=2 [view,purchase] post-kill
+      assert(got.size == got.distinct.size,
+        "replayed composed-machine hits across the kill/restart")
+      assert(got.toSet == expect,
+        s"lost or invented composed-machine hits: got=$got expect=$expect")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
