@@ -190,6 +190,23 @@ object GraphOps {
     "(SELECT COUNT(*) FROM l3 JOIN l2 ON l3.u = l2.u " +
       "AND l3.label <> l2.label) = 0 AS converged"
 
+  /** Committed TRUE-fixpoint component labels (user_id, component) — the
+    * shared iterate-and-publish behind `graph_cc_fixpoint` and
+    * `graph_wcc_sizes`: the star-algorithm rounds run once per input dir,
+    * every consumer (and bench rep) reads the parquet back. */
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    Scale.snapshotOnce(s, "graph_cc_fix", 1, d) {
+      DedupOps.connectedComponents(
+        edges(s, d).select(col("src").as("doc_a"), col("dst").as("doc_b")))
+        .select(col("doc_id").as("user_id"), col("label").as("component"))
+    }
+
+  /** DuckDB twin of [[ccLabels]]' fixpoint: recursive min-label
+    * reachability walk over `sym` (compose under WITH RECURSIVE). */
+  private val walkCte: String =
+    "walk(id, label) AS (SELECT src, src FROM sym " +
+      "UNION SELECT sym.src, w.label FROM sym JOIN walk w ON w.id = sym.dst)"
+
   /** k-core peel budget (k = 3). 6 synchronous rounds: enough for every
     * observed fixture to reach its true core (the sf0.01/sf0.1 strong
     * graphs stabilize in ≤ 3), while the `stable` flag keeps the bound
@@ -600,17 +617,33 @@ object GraphOps {
     // recursive min-label reachability walk (the llm_semantic_dedup_keep
     // pattern) — so the match certifies convergence, not round replay.
     "graph_cc_fixpoint" -> Q(
-      (s, d) => Scale.snapshotOnce(s, "graph_cc_fix", 1, d) {
-        DedupOps.connectedComponents(
-          edges(s, d).select(col("src").as("doc_a"), col("dst").as("doc_b")))
-          .select(col("doc_id").as("user_id"), col("label").as("component"))
-      }.withColumn("converged", lit(true)).orderBy(col("user_id")),
-      usEvents(s"WITH RECURSIVE $cellsSql, $symSql, " +
-        "walk(id, label) AS (SELECT src, src FROM sym " +
-        "UNION SELECT sym.src, w.label FROM sym JOIN walk w " +
-        "ON w.id = sym.dst) " +
+      (s, d) => ccLabels(s, d)
+        .withColumn("converged", lit(true)).orderBy(col("user_id")),
+      usEvents(s"WITH RECURSIVE $cellsSql, $symSql, $walkCte " +
         "SELECT id AS user_id, MIN(label) AS component, TRUE AS converged " +
         "FROM walk GROUP BY id ORDER BY user_id")),
+
+    // Component-SIZE distribution off the shared fixpoint snapshot (r13)
+    // — the first thing anyone asks of a CC run ("one giant component or
+    // dust?", the percolation read on the co-occurrence graph), and the
+    // second consumer that justifies the committed ccLabels snapshot
+    // (the cluster-family discipline: one iterate-and-publish, every
+    // reader a parquet scan + two hash aggregates). All-integer,
+    // histogram-sized output.
+    "graph_wcc_sizes" -> Q(
+      (s, d) => {
+        val sizes = ccLabels(s, d)
+          .groupBy(col("component")).agg(count(lit(1)).as("component_size"))
+        sizes.groupBy(col("component_size"))
+          .agg(count(lit(1)).as("n_components"))
+          .orderBy(col("component_size"))
+      },
+      usEvents(s"WITH RECURSIVE $cellsSql, $symSql, $walkCte, " +
+        "comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id), " +
+        "sz AS (SELECT component, COUNT(*)::BIGINT AS component_size " +
+        "FROM comp GROUP BY 1) " +
+        "SELECT component_size, COUNT(*)::BIGINT AS n_components FROM sz " +
+        "GROUP BY 1 ORDER BY component_size")),
 
     // Community-quality report over the LPA labels (round-12) — the
     // modularity INGREDIENTS as exact integers: per community its size,

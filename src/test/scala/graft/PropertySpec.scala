@@ -51,6 +51,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents == brute-force union-find on random graphs") {
+    // The star algorithm behind graph_cc_fixpoint / the dedup cluster
+    // family, pinned against an independent sequential oracle on many
+    // random shapes (chains, stars, cliques, dust all arise): for ANY
+    // edge set, every node must land on exactly its component's minimum.
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(40 + seed)
+      val n = 4 + rnd.nextInt(14)
+      val edges = (0 until (1 + rnd.nextInt(2 * n))).map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n); (a.toLong, b.toLong)
+      }.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (edges.nonEmpty) {
+        // sequential union-find oracle
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map { u =>
+          // min node id of u's component, restricted to edge endpoints
+          val root = find(u.toInt)
+          u -> nodes.filter(v => find(v.toInt) == root).min
+        }.toMap
+        val got = graft.operators.DedupOps.connectedComponents(
+            edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"seed=$seed edges=$edges got=$got want=$want")
+      }
+    }
+  }
+
   test("dedup is idempotent and keeps one row per key") {
     (1 to 10).foreach { seed =>
       val rnd = new scala.util.Random(seed)
