@@ -655,5 +655,35 @@ object LlmOps {
         "AS retention " +
         "FROM fin f JOIN raw r ON f.lang = r.lang " +
         "JOIN qual q ON f.lang = q.lang ORDER BY f.lang"),
+
+    // DATASET CARD (r13) — the one-row datasheet a training-data release
+    // ships (Datasheets for Datasets / model-card practice): corpus
+    // volume (docs, chars, whitespace tokens), diversity (distinct
+    // langs/sources), exact-duplicate mass (docs minus distinct content
+    // digests — docs shuffle as md5 DIGESTS, never text, the
+    // llm_exact_dedup discipline), and the char-length envelope. One
+    // corpus scan into one global aggregate (multi-count-distinct Expand,
+    // the dq_profile shape); every number exact integer.
+    "llm_dataset_card" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("lang"), col("source"),
+          length(col("text")).as("nc"),
+          size(split(col("text"), " ")).as("nt"),
+          md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          big(sum(col("nc"))).as("total_chars"),
+          big(sum(col("nt"))).as("total_tokens"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dup_docs"),
+          big(min(col("nc"))).as("min_chars"),
+          big(max(col("nc"))).as("max_chars")),
+      "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs, " +
+        "COUNT(DISTINCT source) AS n_sources, " +
+        "SUM(strlen(text))::BIGINT AS total_chars, " +
+        "SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens, " +
+        "(COUNT(*) - COUNT(DISTINCT md5(text)))::BIGINT AS n_exact_dup_docs, " +
+        "MIN(strlen(text))::BIGINT AS min_chars, " +
+        "MAX(strlen(text))::BIGINT AS max_chars FROM documents"),
   )
 }

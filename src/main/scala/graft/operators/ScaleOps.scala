@@ -75,6 +75,60 @@ object ScaleOps {
   def compactLayoutDir(d: String): String =
     scratch(s"compact_layout_${Scale.dirTag(d)}")
 
+  /** Two-generation evolved-layout lake for `scale_partition_evolution`
+    * (exposed for ScaleSpec's pruning audit): gen=0 day-partitioned with
+    * hour as a data column, gen=1 (day, hour)-partitioned. */
+  def evolveLayoutDir(d: String): String =
+    scratch(s"evolve_layout_${Scale.dirTag(d)}")
+
+  /** One read schema for BOTH generations of the evolved lake: explicit
+    * so the hive-inferred partition columns (INT by default) come back as
+    * the same LongType the data columns carry — the reader-side spec
+    * normalization partition evolution requires (and without a cast that
+    * would sit between the filter and partition pruning). */
+  val evolveSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hour",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Builds the evolved lake once per (JVM, input dir) and returns the
+    * NORMALIZED union of both generations — shared by the graded key and
+    * ScaleSpec's plan audit. */
+  def evolvedLake(s0: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val p = evolveLayoutDir(d)
+    Scale.writeOnce(s"evolve_layout|$d") {
+      val ev = T(s0, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+      // generation 0: the table's FIRST partition spec — day only; hour
+      // is an ordinary data column inside the files
+      ev.filter(col("event_id") % 10 < 8)
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$p/gen=0")
+      // generation 1: the EVOLVED spec — (day, hour); old files are NOT
+      // rewritten (the whole point of partition evolution)
+      ev.filter(col("event_id") % 10 >= 8)
+        .repartition(col("day"), col("hour"))
+        .write.mode("overwrite").partitionBy("day", "hour")
+        .parquet(s"$p/gen=1")
+    }
+    s0.read.schema(evolveSchema).parquet(s"$p/gen=0")
+      .unionByName(s0.read.schema(evolveSchema).parquet(s"$p/gen=1"))
+  }
+
   /** The 2-D box filter `scale_zorder_scan` scans with: [5%, 15%] of each
     * key's max, in exact integer math (`max*k/100` in Long space — the
     * oracle computes the identical `(k*max(..))//100`), so the box is
@@ -685,6 +739,32 @@ object ScaleOps {
         "MAX(event_id) AS max_id, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
         "FROM events GROUP BY 1 ORDER BY event_type"),
+
+    // PARTITION EVOLUTION on read (r13) — the Iceberg/Delta lake reality
+    // scale_compact_write's single-spec layout doesn't cover: a table's
+    // partition spec CHANGES mid-life (day → (day, hour)) and history is
+    // NOT rewritten — old files keep the old layout forever and readers
+    // must plan across both. The scratch lake has gen=0 day-partitioned
+    // (hour an ordinary data column) and gen=1 (day, hour)-partitioned;
+    // the reader normalizes both generations to one logical table under
+    // ONE explicit schema (hive-inferred partition ints would otherwise
+    // come back a different type than the data columns — and a
+    // normalizing cast would sit between the filter and pruning). A
+    // (day, hour) predicate then becomes TWO-level PartitionFilters on
+    // the evolved generation and day-pruning + a pushed data filter on
+    // the legacy one — Iceberg's residual-filter semantics, ScaleSpec
+    // plan-asserts exactly that split. The graded read is a full
+    // per-(day, hour) rollup; the oracle proves the two-layout lake is a
+    // pure re-layout of the events table (values identical).
+    "scale_partition_evolution" -> Q(
+      (s0, d) => evolvedLake(s0, d)
+        .groupBy(col("day"), col("hour"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("day"), col("hour")),
+      usEvents("SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "(epoch_us(ts) // 3600000000) % 24 AS hour, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM events GROUP BY 1, 2 ORDER BY day, hour")),
 
     // AQE lever three (after the skew split and partition coalescing):
     // runtime JOIN-STRATEGY SWITCH. The static planner cannot know the

@@ -201,6 +201,41 @@ class ScaleSpec extends SparkSpec {
       .forall(_ != "1B"), "bloom-key session conf leaked into the shared session")
   }
 
+  test("partition evolution: evolved gen prunes hour, legacy gen pushes it") {
+    // The Iceberg residual-filter contract: one logical (day, hour)
+    // predicate must become two-level partition pruning on the evolved
+    // generation and day-pruning + a pushed DATA filter on the legacy
+    // one — old files are never rewritten, so the reader carries both
+    // plans forever.
+    val lake = graft.operators.ScaleOps.evolvedLake(spark, sf001)
+    val cell = lake.groupBy($"day", $"hour").count()
+      .orderBy($"day", $"hour").head()
+    val (dy, hr) = (cell.getLong(0), cell.getLong(1))
+    val q = lake.filter($"day" === dy && $"hour" === hr)
+    val chunks = q.queryExecution.executedPlan.toString
+      .split("FileScan parquet").drop(1)
+    def seg(c: String, k: String): String = {
+      val i = c.indexOf(k)
+      assert(i >= 0, s"no $k in scan chunk:\n$c")
+      c.substring(i, c.indexOf("]", i) max i)
+    }
+    val g0 = chunks.find(_.contains("gen=0"))
+    val g1 = chunks.find(_.contains("gen=1"))
+    assert(g0.nonEmpty && g1.nonEmpty,
+      s"expected one scan per generation:\n${chunks.mkString("\n----\n")}")
+    assert(seg(g1.get, "PartitionFilters:").contains("hour") &&
+      seg(g1.get, "PartitionFilters:").contains("day"),
+      "evolved generation must prune on BOTH partition levels")
+    assert(seg(g0.get, "PartitionFilters:").contains("day") &&
+      !seg(g0.get, "PartitionFilters:").contains("hour"),
+      "legacy generation prunes day only")
+    assert(seg(g0.get, "PushedFilters:").contains("hour") ||
+      seg(g0.get, "DataFilters:").contains("hour"),
+      "legacy generation must carry hour as a residual data filter")
+    // and the rollup itself stays correct across the spec change
+    assert(q.count() == cell.getLong(2))
+  }
+
   test("scale_sorted_layout_scan: row-group stats are narrow and mostly prunable") {
     // sf0.01 (60k rows) so the demo block size yields several row groups.
     val df = SparkEntry.queries("scale_sorted_layout_scan")(spark, sf01)
