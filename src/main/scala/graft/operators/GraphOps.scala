@@ -305,6 +305,12 @@ object GraphOps {
     // WITH RECURSIVE path blowup, DISTINCT per level keeps every frame
     // node-bounded. The seed is data-derived (MIN(user_id) over the edge
     // endpoints) as a broadcast 1-row aggregate, never a collected literal.
+    // r13: like kcore's `stable` and LPA's `converged`, the 3-round bound
+    // is attested IN-BAND — `complete` is TRUE iff a fourth expansion
+    // would reach no new node (every neighbor of the hop-3 frontier is
+    // already labeled), i.e. the map covers the seed's entire reachable
+    // set and no node sits beyond hop 3. One extra node-sized
+    // join + anti-join + 1-row broadcast, never a collect.
     "graph_bfs_hops" -> Q(
       (s, d) => {
         val sym = symEdges(s, d)
@@ -321,19 +327,30 @@ object GraphOps {
           levels = levels.unionByName(
             frontier.select(col("user_id"), lit(h.toLong).as("hop")))
         }
-        levels.groupBy(col("user_id")).agg(min(col("hop")).as("hops"))
-          .orderBy(col("user_id"))
+        val hops = levels.groupBy(col("user_id")).agg(min(col("hop")).as("hops"))
+          .pinned
+        val h4new = frontier
+          .join(sym, frontier("user_id") === sym("src"))
+          .select(col("dst").as("user_id")).distinct()
+          .join(hops, Seq("user_id"), "left_anti")
+        val complete = h4new.agg(count(lit(1)).as("n"))
+          .select((col("n") === 0).as("complete"))
+        hops.crossJoin(broadcast(complete)).orderBy(col("user_id"))
       },
       usEvents(s"WITH $cellsSql, $symSql, " +
         "h0 AS (SELECT MIN(src) AS u FROM sym), " +
         "h1 AS (SELECT DISTINCT dst AS u FROM sym JOIN h0 ON sym.src = h0.u), " +
         "h2 AS (SELECT DISTINCT dst AS u FROM sym JOIN h1 ON sym.src = h1.u), " +
-        "h3 AS (SELECT DISTINCT dst AS u FROM sym JOIN h2 ON sym.src = h2.u), " +
-        "lv AS (SELECT u, 0 AS hop FROM h0 UNION ALL " +
+        "h3 AS MATERIALIZED (SELECT DISTINCT dst AS u FROM sym " +
+        "JOIN h2 ON sym.src = h2.u), " +
+        "lv AS MATERIALIZED (SELECT u, 0 AS hop FROM h0 UNION ALL " +
         "SELECT u, 1 FROM h1 UNION ALL SELECT u, 2 FROM h2 " +
-        "UNION ALL SELECT u, 3 FROM h3) " +
-        "SELECT u AS user_id, MIN(hop)::BIGINT AS hops FROM lv " +
-        "GROUP BY 1 ORDER BY user_id")),
+        "UNION ALL SELECT u, 3 FROM h3), " +
+        "h4 AS (SELECT DISTINCT dst AS u FROM sym JOIN h3 ON sym.src = h3.u) " +
+        "SELECT u AS user_id, MIN(hop)::BIGINT AS hops, " +
+        "(SELECT COUNT(*) FROM h4 WHERE NOT EXISTS " +
+        "(SELECT 1 FROM lv WHERE lv.u = h4.u)) = 0 AS complete " +
+        "FROM lv GROUP BY 1 ORDER BY user_id")),
 
     // Link prediction by common-neighbor count (round-10) — the classic
     // "people you may know" score, computed over the STRONG subgraph

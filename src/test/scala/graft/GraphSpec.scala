@@ -86,13 +86,23 @@ class GraphSpec extends SparkSpec {
   }
 
   test("bfs hops = min-hop distance from the minimum user id, 3 rounds") {
-    val hops = SparkEntry.queries("graph_bfs_hops")(spark, dir)
-      .as[(Long, Long)].collect().toMap
+    val rows = SparkEntry.queries("graph_bfs_hops")(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    val hops = rows.map { case (u, h, _) => u -> h }.toMap
     // Seed is user 0; the path graph gives hop k to user k; user 4 is
     // 4 hops away so it must NOT appear within 3 rounds, nor must the
     // disconnected triangle.
     assert(hops == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L),
       s"unexpected bfs frontier: $hops")
+    // ... and the in-band flag must say so: a 4th expansion would reach
+    // node 4, so the 3-round map is NOT complete here.
+    assert(rows.forall(!_._3), "diameter-4 path: complete must be false")
+    // The strong fixture's raw graph (triangle + pendant) sits entirely
+    // within 2 hops of its min node — there the bound attests complete.
+    val done = SparkEntry.queries("graph_bfs_hops")(spark, strongDir)
+      .as[(Long, Long, Boolean)].collect()
+    assert(done.nonEmpty && done.forall(_._3),
+      s"2-hop component: complete must be true: ${done.toSeq}")
   }
 
   test("label propagation converges the planted triangle to one label") {

@@ -49,6 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "evt_survival_curve" -> scalar, // global at-risk denominator
     "fn_fuzzy_levenshtein" -> // nation(25) x region(5) demo corpus:
       "intentional cross join over two broadcast-tiny dims", // bounded
+    "graph_bfs_hops" -> scalar, // 1-row complete (frontier-exhausted) flag
     "graph_kcore_peel" -> scalar, // 1-row stable (last-peel-count) flag
     "graph_label_prop" -> scalar, // 1-row LPA converged flag
     "graph_community_stats" -> scalar, // same LPA converged flag
