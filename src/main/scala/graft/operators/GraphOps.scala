@@ -76,8 +76,8 @@ object GraphOps {
       "FROM c2 a JOIN c2 b ON a.hb = b.hb AND a.event_type = b.event_type " +
       "AND a.user_id < b.user_id)"
 
-  /** Undirected co-occurrence edges (src < dst), hot-cell-capped. ALL four
-    * graph keys consume this frame, so it is computed ONCE per (input dir)
+  /** Undirected co-occurrence edges (src < dst), hot-cell-capped. Every
+    * raw-graph key consumes this frame, so it is computed ONCE per (input dir)
     * as a committed snapshot (the cluster-family discipline,
     * Scale.snapshotOnce): the first key to run pays the distinct + capped
     * self-join; every later key — same run or a crash replay — reads the
