@@ -292,6 +292,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState quantified-WITHIN machine == batch twin") {
+    // The composed machine over the REAL events fixture (the kill/restart
+    // seam is pinned separately in StreamPipelineSpec): expansion windows
+    // AND their per-length spans must agree with the lag-window twin
+    // across micro-batch seams.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val q = StreamOps.patternQuantifiedWithinTws(mem.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("t_cepqw").start()
+      typedEvents.grouped(math.max(1, typedEvents.size / 3))
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("t_cepqw").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = SparkEntry.queries("stream_pattern_quantified_within")(
+          spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(want.nonEmpty, "fixture should produce at least one hit")
+      assert(got == want)
+      // composition sanity: the bound can only REMOVE hits relative to
+      // the unbounded quantified machine, never add them
+      val unbounded = SparkEntry.queries("stream_pattern_quantified")(
+          spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.toSet.subsetOf(unbounded))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState permute-pattern machine == batch twin") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
