@@ -75,10 +75,14 @@ object Bench {
     // ~2000-char tail, which left past judges only an alphabetical suffix
     // to compare. The file is the complete artifact; round close commits a
     // copy as bench_r{N}.json.
+    // Default is CWD-relative by design — the driver contract runs Bench
+    // from the repo root; set GRAFT_BENCH_OUT for anywhere else. NonFatal
+    // only: a VirtualMachineError must crash the run, not demote to a
+    // stderr note beside a corrupted JVM.
     val out = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_latest.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()

@@ -81,6 +81,19 @@ object Dsl {
     * DuckDB otherwise keeps the parquet ns precision and a comparison can
     * flip within 1µs of a boundary. Rewrites the oracle to read from a
     * µs-truncated CTE of the events table. */
+  /** Prepend one CTE to a query, folding an existing WITH chain and
+    * hoisting a caller's RECURSIVE to the front of the merged list
+    * (DuckDB scopes the keyword to the whole WITH; non-recursive members
+    * are unaffected). ONE definition of the CTE-merge rule — shared by
+    * [[usEvents]] and MultimodalOps.mmGuard, so neither can drift into
+    * the 'WITH guard, RECURSIVE x' syntax error (r13 review finding). */
+  def prependCte(cte: String, sql: String): String =
+    if (sql.startsWith("WITH RECURSIVE "))
+      s"WITH RECURSIVE $cte, " + sql.stripPrefix("WITH RECURSIVE ")
+    else if (sql.startsWith("WITH "))
+      s"WITH $cte, " + sql.stripPrefix("WITH ")
+    else s"WITH $cte $sql"
+
   def usEvents(sql: String): String = {
     val rewritten =
       sql.replace("FROM events", "FROM events_us").replace("JOIN events", "JOIN events_us")
@@ -89,18 +102,9 @@ object Dsl {
     // replace would produce a subtly wrong oracle, not an error.
     require(rewritten != sql,
       s"usEvents: no 'FROM events'/'JOIN events' occurrence rewritten in: $sql")
-    val cte = "WITH events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, " +
-      "user_id, event_type, value, props FROM events)"
-    // Compose with a caller that brings its own CTE chain: fold its WITH
-    // into ours so the µs-truncation rule keeps exactly one definition.
-    // A caller's RECURSIVE hoists to the front of the merged list (DuckDB
-    // scopes the keyword to the whole WITH; non-recursive members are
-    // unaffected — the ivfCandCte(recursive=true) rule).
-    if (rewritten.startsWith("WITH RECURSIVE "))
-      cte.replaceFirst("^WITH ", "WITH RECURSIVE ") + ", " +
-        rewritten.stripPrefix("WITH RECURSIVE ")
-    else if (rewritten.startsWith("WITH "))
-      cte + ", " + rewritten.stripPrefix("WITH ")
-    else cte + " " + rewritten
+    prependCte(
+      "events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, " +
+        "user_id, event_type, value, props FROM events)",
+      rewritten)
   }
 }

@@ -463,10 +463,14 @@ object DedupOps {
     * eval queries): (q_id, rn, t_id, rawsim), rn ≤ 3 per query. Ranking
     * on the RAW double with t_id tie-break is the cross-engine-proven
     * discipline (identical expression trees ⇒ identical doubles). */
-  private def ivfRankedTop3(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+  private def ivfRankedTop3(s: org.apache.spark.sql.SparkSession, d: String,
+      onlyEvalQueries: Boolean = false): org.apache.spark.sql.DataFrame = {
     val dot = dotF(s) _
-    val (cand, e) = ivfCandidates(s, d)
+    val (cand0, e) = ivfCandidates(s, d)
+    // recall QC only ranks the 5 eval queries — filter the candidate set
+    // BEFORE the rank window (per-query partitions make it result-
+    // identical; ranking everything first shuffled >99% discarded work)
+    val cand = if (onlyEvalQueries) cand0.filter(col("q_id") < 5) else cand0
     val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("norm").as("q_norm"))
     val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
@@ -484,15 +488,17 @@ object DedupOps {
     * `llm_lsh_recall`: signer pass (one pinned frame feeds both self-join
     * sides), (tbl, bucket) candidate equi-join, exact cosine over
     * candidates only; (a_id, rn, b_id, sim), rn ≤ 3. */
-  private def lshRankedTop3(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+  private def lshRankedTop3(s: org.apache.spark.sql.SparkSession, d: String,
+      onlyEvalQueries: Boolean = false): org.apache.spark.sql.DataFrame = {
     val e = T(s, d, "embeddings")
     val buckets = e
       .select(col("vec_id"), posexplode(
         graft.functions.HashExpressions.lshSigs(s)(col("embedding")))
         .as(Seq("tbl", "bucket")))
       .pinned // one signer pass feeds both self-join sides
-    val cand = buckets.withColumnRenamed("vec_id", "a_id")
+    val probeSide =
+      if (onlyEvalQueries) buckets.filter(col("vec_id") < 5) else buckets
+    val cand = probeSide.withColumnRenamed("vec_id", "a_id")
       .join(buckets.withColumnRenamed("vec_id", "b_id"), Seq("tbl", "bucket"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
@@ -539,12 +545,16 @@ object DedupOps {
       .select(col("q_id"), col("t_id"))
   }
 
-  /** recall@3 report for an ANN top-3 frame (q_id, t_id) against
-    * [[exactCosineTop3]]: per eval query hits ∈ 0..3 and recall in exact
-    * integer micro-units (the llm_pq_recall output contract). */
+  /** recall@3 report for an ANN top-3 frame (q_id, t_id) against an
+    * exact-baseline top-3 frame of the same shape: per eval query
+    * hits ∈ 0..3 and recall in exact integer micro-units. ONE definition
+    * of the recall contract, shared by all three index families
+    * (llm_pq_recall passes its quantized-L2 baseline, the cosine keys
+    * pass [[exactCosineTop3]]). */
   private def recallReport(s: org.apache.spark.sql.SparkSession, d: String,
+      exact: org.apache.spark.sql.DataFrame,
       ann: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val hits = exactCosineTop3(s, d).join(ann, Seq("q_id", "t_id"))
+    val hits = exact.join(ann, Seq("q_id", "t_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
     T(s, d, "embeddings").filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"))
@@ -1656,11 +1666,13 @@ object DedupOps {
       (s, d) => {
         val dot = dotF(s) _
         val e = T(s, d, "embeddings")
-        val pq = pqAdcRanked(s, d).filter(col("rn") <= 3)
+        val ann = pqAdcRanked(s, d).filter(col("rn") <= 3)
           .select(col("q_id"), col("t_id"))
         val qs = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"))
+        // PQ's exact baseline is quantized L2 (the metric ADC compresses),
+        // not cosine — the recall TAIL is the shared contract
         val exact = ts.crossJoin(broadcast(qs))
           .filter(col("q_id") =!= col("t_id"))
           .select(col("q_id"), col("t_id"),
@@ -1672,15 +1684,10 @@ object DedupOps {
               .orderBy(col("d2u"), col("t_id"))))
           .filter(col("rn") <= 3)
           .select(col("q_id"), col("t_id"))
-        val hits = exact.join(pq, Seq("q_id", "t_id"))
-          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
-        qs.select(col("q_id")).join(hits, Seq("q_id"), "left")
-          .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
-            expr("(coalesce(hits, 0) * 1000000) div 3").as("recall_micro"))
-          .orderBy(col("q_id"))
+        recallReport(s, d, exact, ann)
       },
       pqAdcCte +
-        ", pq AS (SELECT q_id, t_id FROM ranked WHERE rn <= 3), " +
+        ", ann AS (SELECT q_id, t_id FROM ranked WHERE rn <= 3), " +
         "ex AS (SELECT q_id, t_id FROM (SELECT q.vec_id AS q_id, " +
         "t.vec_id AS t_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
         "FLOOR((list_inner_product(q.emb, q.emb) - " +
@@ -1688,12 +1695,7 @@ object DedupOps {
         "list_inner_product(t.emb, t.emb)) * 1000000.0)::BIGINT, t.vec_id) " +
         "AS rn FROM v q CROSS JOIN v t " +
         "WHERE q.vec_id < 5 AND q.vec_id <> t.vec_id) z WHERE rn <= 3), " +
-        "h AS (SELECT ex.q_id, COUNT(*)::BIGINT AS hits FROM ex " +
-        "JOIN pq ON ex.q_id = pq.q_id AND ex.t_id = pq.t_id GROUP BY 1) " +
-        "SELECT q.vec_id AS q_id, COALESCE(h.hits, 0)::BIGINT AS hits, " +
-        "(COALESCE(h.hits, 0) * 1000000) // 3 AS recall_micro " +
-        "FROM v q LEFT JOIN h ON q.vec_id = h.q_id WHERE q.vec_id < 5 " +
-        "ORDER BY q_id"),
+        recallTailSql),
 
     // recall@3 QC for the IVF path (r13 — llm_pq_recall's pattern applied
     // so ALL THREE vector-index families carry a graded recall key): the
@@ -1703,16 +1705,17 @@ object DedupOps {
     // owner watches before widening probes: hits ∈ 0..3 and recall in
     // exact integer micro-units per query.
     "llm_ivf_recall" -> Q(
-      (s, d) => recallReport(s, d, ivfRankedTop3(s, d)
-        .filter(col("q_id") < 5).select(col("q_id"), col("t_id"))),
+      (s, d) => recallReport(s, d, exactCosineTop3(s, d),
+        ivfRankedTop3(s, d, onlyEvalQueries = true)
+          .select(col("q_id"), col("t_id"))),
       ivfCandCte() +
         ", ann AS (SELECT q_id, t_id FROM (SELECT q_id, t_id, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY " +
         "list_inner_product(x.emb, y.emb) / " +
         "(sqrt(list_inner_product(x.emb, x.emb)) * " +
         "sqrt(list_inner_product(y.emb, y.emb))) DESC, t_id) AS rn " +
-        "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id" +
-        ") z WHERE rn <= 3 AND q_id < 5), " +
+        "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id " +
+        "WHERE q_id < 5) z WHERE rn <= 3), " +
         exCosCte + ", " + recallTailSql),
 
     // recall@3 QC for the hyperplane-LSH path (r13): same 5-query exact
@@ -1722,9 +1725,9 @@ object DedupOps {
     // the hash). Retires DedupSpec's assertion-only recall check: the
     // number is now a graded, oracled output.
     "llm_lsh_recall" -> Q(
-      (s, d) => recallReport(s, d, lshRankedTop3(s, d)
-        .filter(col("a_id") < 5)
-        .select(col("a_id").as("q_id"), col("b_id").as("t_id"))),
+      (s, d) => recallReport(s, d, exactCosineTop3(s, d),
+        lshRankedTop3(s, d, onlyEvalQueries = true)
+          .select(col("a_id").as("q_id"), col("b_id").as("t_id"))),
       "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
         "b AS (" +
         graft.functions.LshSigsImpl.duckBucketExprs("emb").zipWithIndex.map {
@@ -1738,8 +1741,8 @@ object DedupOps {
         "round(list_inner_product(xa.emb, xb.emb) / " +
         "(sqrt(list_inner_product(xa.emb, xa.emb)) * " +
         "sqrt(list_inner_product(xb.emb, xb.emb))), 4) DESC, b_id) AS rn " +
-        "FROM cand JOIN v xa ON xa.vec_id = a_id JOIN v xb ON xb.vec_id = b_id" +
-        ") z WHERE rn <= 3 AND q_id < 5), " +
+        "FROM cand JOIN v xa ON xa.vec_id = a_id JOIN v xb ON xb.vec_id = b_id " +
+        "WHERE a_id < 5) z WHERE rn <= 3), " +
         exCosCte + ", " + recallTailSql),
 
     // Persisted + incremental PQ CODES table (round-12) — the third

@@ -48,10 +48,9 @@ object MultimodalOps {
   private def mmGuard(sql: String): String = {
     val rewritten = sql.replace("FROM documents", "FROM docs_ne")
     require(rewritten != sql, s"mmGuard: no documents scan rewritten in: $sql")
-    val cte = "docs_ne AS (SELECT * FROM documents WHERE strlen(text) > 0)"
-    if (rewritten.startsWith("WITH "))
-      "WITH " + cte + ", " + rewritten.stripPrefix("WITH ")
-    else "WITH " + cte + " " + rewritten
+    graft.Dsl.prependCte(
+      "docs_ne AS (SELECT * FROM documents WHERE strlen(text) > 0)",
+      rewritten)
   }
 
   /** One media row: id + opaque payload (the mapInPandas-style batch shape
