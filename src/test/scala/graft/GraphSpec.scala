@@ -141,6 +141,14 @@ class GraphSpec extends SparkSpec {
       s"expected the 3-round flood to stop one hop short on node 4: $flood")
   }
 
+  test("wcc sizes: the planted topology yields one size-5 and one size-3 component") {
+    val hist = SparkEntry.queries("graph_wcc_sizes")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // path 0-1-2-3-4 (5 nodes) + triangle {100,101,102} (3 nodes); the
+    // hot cell contributes no edges, so its users are not graph nodes.
+    assert(hist == Map(5L -> 1L, 3L -> 1L), s"unexpected histogram: $hist")
+  }
+
   /** Symmetric edge frame + node frame for a planted SQUARED PATH
     * (edges i—i+1 and i—i+2): the classic k=3 peel cascade — each round
     * removes exactly one more layer from each end, so the true core

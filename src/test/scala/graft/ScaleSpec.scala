@@ -234,6 +234,10 @@ class ScaleSpec extends SparkSpec {
       "legacy generation must carry hour as a residual data filter")
     // and the rollup itself stays correct across the spec change
     assert(q.count() == cell.getLong(2))
+    // generation split covers 100% of events exactly once (%10<8 ∪ %10>=8)
+    val evN = T(spark, sf001, "events").count()
+    assert(lake.count() == evN,
+      "evolved lake must be a pure re-layout: every event exactly once")
   }
 
   test("scale_sorted_layout_scan: row-group stats are narrow and mostly prunable") {
