@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Output-path resolution (r13 verdict #5): an EXPLICIT `GRAFT_BENCH_OUT`
+    * is honored verbatim — the caller owns that path and may overwrite it.
+    * The DEFAULT never clobbers an existing artifact (the r13 judge lost
+    * the driver's `bench_latest.json` to an ad-hoc 1-key run this way):
+    * `bench_latest.json` if absent, else a fresh
+    * `bench_<utc-stamp>[_n].json`. Pure function of (env, clock, fs) so
+    * BenchOutSpec pins the policy without running a bench. */
+  private[graft] def resolveOut(explicitOut: Option[String], utcStamp: String,
+      exists: String => Boolean): String =
+    explicitOut.getOrElse {
+      if (!exists("bench_latest.json")) "bench_latest.json"
+      else (Iterator(s"bench_$utcStamp.json") ++
+        Iterator.from(2).map(n => s"bench_${utcStamp}_$n.json"))
+        .find(!exists(_)).get
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,6 +66,13 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      // pin lifecycle (r13 verdict #2): release the key's pinned scratch
+      // blocks before the next key is timed — without this a full-session
+      // run accumulates localCheckpoint storage until pin-heavy keys spike
+      // 7–27× over their isolated cost (the r13 driver-bench outliers).
+      // Outside the timed region by design: the release belongs to the
+      // session loop, not to any key's measured work.
+      graft.operators.Scale.releasePins(spark)
       // Median over SUCCESSFUL reps only: a transient single-rep failure
       // must neither mark a runnable key FAILED nor mix its fast-fail
       // duration into the timing. FAILED = zero successful reps.
@@ -76,10 +99,15 @@ object Bench {
     // to compare. The file is the complete artifact; round close commits a
     // copy as bench_r{N}.json.
     // Default is CWD-relative by design — the driver contract runs Bench
-    // from the repo root; set GRAFT_BENCH_OUT for anywhere else. NonFatal
-    // only: a VirtualMachineError must crash the run, not demote to a
-    // stderr note beside a corrupted JVM.
-    val out = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_latest.json")
+    // from the repo root; set GRAFT_BENCH_OUT for anywhere else (or to
+    // intentionally overwrite). NonFatal only: a VirtualMachineError must
+    // crash the run, not demote to a stderr note beside a corrupted JVM.
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val out = resolveOut(sys.env.get("GRAFT_BENCH_OUT"), stamp,
+      p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    System.err.println(s"[bench] writing artifact to $out")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

@@ -30,6 +30,10 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // pin lifecycle (r13 verdict #2): a key's pinned scratch frames
+        // are dead once its parquet is written — release them so a full
+        // 374-key session never accumulates block-manager storage
+        graft.operators.Scale.releasePins(spark)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

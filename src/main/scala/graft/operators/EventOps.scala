@@ -454,7 +454,12 @@ object EventOps {
           graft.streaming.StreamOps.PatternMaxRep)
         val withinUs = graft.streaming.StreamOps.PatternWithinUs
         val maxLag = exps.map(_.length).max - 1
-        val lags = ((1 to maxLag)
+        // sp0 rides along so the builder stays total over Cep.expandedSteps:
+        // a length-1 expansion's span predicate is `sp0 <= within` — the
+        // Spark twin's lag(ts, 0) span, which is always 0 (r14 advice; the
+        // current fixed pattern never emits k=1, but the builder must not
+        // reference a nonexistent alias if one ever does).
+        val lags = (Seq("0 AS sp0") ++ (1 to maxLag)
           .map(n => s"lag(event_type, $n) OVER w AS l$n") ++
           (1 to maxLag)
             .map(n => s"epoch_us(ts) - epoch_us(lag(ts, $n) OVER w) AS sp$n"))

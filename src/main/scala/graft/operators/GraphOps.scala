@@ -204,8 +204,16 @@ object GraphOps {
   /** DuckDB twin of [[ccLabels]]' fixpoint: recursive min-label
     * reachability walk over `sym` (compose under WITH RECURSIVE). */
   private val walkCte: String =
+    // Recursive arm pruned to IMPROVING labels only (w.label < sym.src):
+    // both consumers take MIN(label) per id, and the component minimum m
+    // is < every other member id, so m still reaches every node (and the
+    // min node itself is covered by its seed row) — while the working set
+    // shrinks from every (node, reachable-label) pair (Σ|C|² on a giant
+    // component) to roughly one row per (node, improving label). Same
+    // oracle-blowup class the kcore MATERIALIZED hint fixed (r14 advice).
     "walk(id, label) AS (SELECT src, src FROM sym " +
-      "UNION SELECT sym.src, w.label FROM sym JOIN walk w ON w.id = sym.dst)"
+      "UNION SELECT sym.src, w.label FROM sym JOIN walk w ON w.id = sym.dst " +
+      "WHERE w.label < sym.src)"
 
   /** k-core peel budget (k = 3). 6 synchronous rounds: enough for every
     * observed fixture to reach its true core (the sf0.01/sf0.1 strong
@@ -263,8 +271,12 @@ object GraphOps {
   private val lpaCte: String = {
     val base = "n AS (SELECT DISTINCT src AS u FROM sym), " +
       "l0 AS (SELECT u, u AS label FROM n)"
+    // Each round MATERIALIZED (the kcorePeelSql discipline): DuckDB
+    // inlines plain CTEs, and lpaConvergedSql references l2 and l3 a
+    // second time — inlined, each extra reference re-evaluates the full
+    // vote chain (bounded at depth 3, but double/quadruple work).
     val iters = (1 to 3).map { i =>
-      s"l$i AS (SELECT u, label FROM (" +
+      s"l$i AS MATERIALIZED (SELECT u, label FROM (" +
         "SELECT sym.src AS u, l.label, COUNT(*) AS n, " +
         "row_number() OVER (PARTITION BY sym.src " +
         "ORDER BY COUNT(*) DESC, l.label ASC) AS rn " +

@@ -125,6 +125,23 @@ object Scale {
         s"spark.graft.pin.mode must be local|persist|reliable, got '$other'")
     }
 
+  /** Releases every pin created so far in this SparkContext (r13 verdict
+    * #2: pins were never released, so a long session executing hundreds of
+    * keys accumulates localCheckpoint/persist blocks in the block manager
+    * until storage pressure evicts hot data and recomputes stampede —
+    * measured as 7–27× driver-bench spikes on the pin-heavy keys). Pins
+    * are PER-KEY scratch by contract — no frame built by one registry key
+    * is consumed in-memory by another (cross-key sharing goes through
+    * [[snapshotOnce]]'s committed parquet instead) — so the Bench/Verify
+    * loops call this after each key's evaluation completes. Both pin
+    * flavors surface in `getPersistentRDDs` (`localCheckpoint` persists
+    * its checkpoint blocks; `persist` is one directly), so one sweep
+    * covers every `spark.graft.pin.mode`. Non-blocking: eviction proceeds
+    * while the next key starts. */
+  def releasePins(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
   /** Compute-once COMMITTED snapshot of an expensive shared frame, via
     * KeepSetPublish's marker-last epoch protocol: the first caller per
     * (name, input dir) computes and publishes epoch 0; every later caller

@@ -220,12 +220,22 @@ object GateTopic {
   }
 }
 
-/** Streaming entry point, registered by class name:
+/** Streaming entry point. Registered under the short name `gatetopic`
+  * (META-INF/services DataSourceRegister — the same registration seam
+  * `format("kafka")` uses), and reachable by class name too:
   * {{{
-  *   spark.readStream.format("graft.streaming.GateTopicSource")
+  *   spark.readStream.format("gatetopic")            // or the class name
   *     .option("path", topicDir).option("rowsPerBatch", 64).load()
-  * }}} */
-class GateTopicSource extends TableProvider {
+  * }}}
+  * The production swap is config-driven, not code-driven: replace
+  * `format("gatetopic")` + `path` with `format("kafka")` + `subscribe`/
+  * `kafka.bootstrap.servers` — the offset model maps 1:1 (per-partition
+  * dense offsets, checkpoint owns the position, commit is a progress
+  * marker) so the checkpoint semantics transfer. MIGRATION.md §sources
+  * documents the option mapping. */
+class GateTopicSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "gatetopic"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GateTopic.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],

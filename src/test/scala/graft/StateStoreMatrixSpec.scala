@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Alert, Event}
+
+/** State-store provider matrix (r13 verdict #4): at 100 TB of keyed state
+  * the deployment answer is the RocksDB provider (spillable, changelog
+  * checkpointing), so the claim "our stateful keys run on it" must be
+  * TESTED, not asserted. Every provider-portable stateful shape —
+  * flatMapGroupsWithState machine, dropDuplicates dedup, session-window
+  * agg, tumbling agg — runs under BOTH the default HDFS-backed provider
+  * and RocksDBStateStoreProvider, fed in chunks so state actually crosses
+  * micro-batch seams, and must produce identical final results (the alert
+  * machine is additionally anchored to its oracled batch twin). The
+  * transformWithState processors (alert/CEP/SCD2/near-dedup/...) REQUIRE
+  * RocksDB and already run on it throughout StreamingSpec — this matrix
+  * closes the gap for the ops whose default-provider runs were the only
+  * coverage. MIGRATION.md §state documents the one-conf swap. */
+class StateStoreMatrixSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private lazy val typedEvents: Seq[Event] =
+    T(spark, sf001, "events").select($"event_id", $"ts", $"user_id",
+      $"event_type", $"value").as[Event].collect().toSeq.sortBy(_.event_id)
+
+  private def withProvider[A](provider: Option[String])(body: => A): A = {
+    provider.foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  /** Replays the events in `chunks` micro-batches through `build` and
+    * returns the memory sink's final rows as sorted strings. */
+  private def run(name: String, chunks: Int, complete: Boolean)(
+      build: DataFrame => DataFrame): Seq[String] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = build(mem.toDF()).writeStream
+      .outputMode(if (complete) "complete" else "append")
+      .format("memory").queryName(name).start()
+    val size = math.max(1, typedEvents.size / chunks)
+    typedEvents.grouped(size).foreach(mem.addData(_))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).collect().map(_.toString).sorted.toSeq
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+    out
+  }
+
+  private def matrix(name: String, chunks: Int, complete: Boolean)(
+      build: DataFrame => DataFrame): (Seq[String], Seq[String]) = {
+    val hdfs = withProvider(None)(run(s"${name}_hdfs", chunks, complete)(build))
+    val rocks = withProvider(Some(RocksDb))(
+      run(s"${name}_rocks", chunks, complete)(build))
+    (hdfs, rocks)
+  }
+
+  test("flatMapGroupsWithState alert machine: HDFS-backed == RocksDB == batch twin") {
+    val (hdfs, rocks) = matrix("m_alert", 4, complete = false)(df =>
+      StreamOps.statefulAlert(df.as[Event]).toDF())
+    assert(hdfs.nonEmpty, "fixture should produce alerts")
+    assert(hdfs == rocks, "alert machine differs across state-store providers")
+    val want = withProvider(None) {
+      implicit val sqlCtx = spark.sqlContext
+      SparkEntry.queries("stream_stateful_alert")(spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    val got = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val q = withProvider(Some(RocksDb)) {
+        StreamOps.statefulAlert(mem.toDS()).writeStream
+          .outputMode("append").format("memory").queryName("m_alert_anchor")
+          .start()
+      }
+      typedEvents.grouped(math.max(1, typedEvents.size / 4))
+        .foreach(mem.addData(_))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("m_alert_anchor").as[Alert].collect()
+        .map(a => (a.user_id, a.event_id)).sorted.toSeq
+      spark.sql("DROP VIEW IF EXISTS m_alert_anchor")
+      rows
+    }
+    assert(got == want, "RocksDB run diverged from the oracled batch twin")
+  }
+
+  test("dropDuplicates dedup state: HDFS-backed == RocksDB (with replays)") {
+    implicit val sqlCtx = spark.sqlContext
+    def dedupRun(provider: Option[String], name: String): Long =
+      withProvider(provider) {
+        val mem = MemoryStream[Event]
+        val q = StreamOps.dedup(mem.toDF()).writeStream
+          .outputMode("append").format("memory").queryName(name).start()
+        val sample = typedEvents.take(200)
+        mem.addData(sample)
+        mem.addData(sample) // at-least-once replay across a batch seam
+        q.processAllAvailable()
+        q.stop()
+        val n = spark.table(name).count()
+        spark.sql(s"DROP VIEW IF EXISTS $name")
+        n
+      }
+    assert(dedupRun(None, "m_dedup_hdfs") == 200L)
+    assert(dedupRun(Some(RocksDb), "m_dedup_rocks") == 200L)
+  }
+
+  test("session-window agg state: HDFS-backed == RocksDB") {
+    val (hdfs, rocks) = matrix("m_sess", 3, complete = true)(df =>
+      StreamOps.sessionAgg(df))
+    assert(hdfs.nonEmpty && hdfs == rocks,
+      "session agg differs across state-store providers")
+  }
+
+  test("tumbling agg state: HDFS-backed == RocksDB") {
+    val (hdfs, rocks) = matrix("m_tumb", 3, complete = true)(df =>
+      StreamOps.tumblingAgg(df))
+    assert(hdfs.nonEmpty && hdfs == rocks,
+      "tumbling agg differs across state-store providers")
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.UpsertSink
+
+/** Keyed-upsert sink (r13 verdict #3 — the ES `_id`-idempotence shape):
+  * at-most-one live row per key, higher external version wins, replays and
+  * crash/restart leave exactly the state a single clean delivery would. */
+class UpsertSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def state(dir: String): Seq[(Long, Long, String)] =
+    UpsertSink.readState(spark, dir)
+      .select($"k", $"v", $"payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+
+  test("higher version wins; equal version keeps the target row") {
+    val dir = tmpDir("upsert_vers")
+    assert(UpsertSink.applyBatch(dir, 0L,
+      Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "v", "payload"),
+      Seq("k"), Seq("v")))
+    // batch 1: key 1 advances (v=20), key 2 arrives STALE (v=5 < 10),
+    // key 3 inserts
+    assert(UpsertSink.applyBatch(dir, 1L,
+      Seq((1L, 20L, "a2"), (2L, 5L, "stale"), (3L, 7L, "c"))
+        .toDF("k", "v", "payload"),
+      Seq("k"), Seq("v")))
+    assert(state(dir) == Seq((1L, 20L, "a2"), (2L, 10L, "b"), (3L, 7L, "c")))
+    // batch 2: same-version redelivery of key 1 with DIFFERENT payload —
+    // external versioning keeps the live document (no same-version churn)
+    assert(UpsertSink.applyBatch(dir, 2L,
+      Seq((1L, 20L, "imposter")).toDF("k", "v", "payload"),
+      Seq("k"), Seq("v")))
+    assert(state(dir) == Seq((1L, 20L, "a2"), (2L, 10L, "b"), (3L, 7L, "c")))
+  }
+
+  test("final state is independent of batching (version order, not arrival)") {
+    val rows = Seq((1L, 3L, "x3"), (1L, 1L, "x1"), (2L, 2L, "y2"),
+      (2L, 9L, "y9"), (3L, 4L, "z4"))
+    val oneShot = tmpDir("upsert_oneshot")
+    assert(UpsertSink.applyBatch(oneShot, 0L,
+      rows.toDF("k", "v", "payload"), Seq("k"), Seq("v")))
+    val shuffled = tmpDir("upsert_shuffled")
+    // deliver in an order that puts the WINNING versions first
+    assert(UpsertSink.applyBatch(shuffled, 0L,
+      Seq(rows(0), rows(3)).toDF("k", "v", "payload"), Seq("k"), Seq("v")))
+    assert(UpsertSink.applyBatch(shuffled, 1L,
+      Seq(rows(1), rows(2), rows(4)).toDF("k", "v", "payload"),
+      Seq("k"), Seq("v")))
+    assert(state(oneShot) == state(shuffled))
+    assert(state(oneShot) == Seq((1L, 3L, "x3"), (2L, 9L, "y9"), (3L, 4L, "z4")))
+  }
+
+  test("replayed batch is a no-op before any job; older replays too") {
+    val dir = tmpDir("upsert_replay")
+    assert(UpsertSink.applyBatch(dir, 0L,
+      Seq((1L, 1L, "a")).toDF("k", "v", "payload"), Seq("k"), Seq("v")))
+    assert(UpsertSink.applyBatch(dir, 1L,
+      Seq((2L, 1L, "b")).toDF("k", "v", "payload"), Seq("k"), Seq("v")))
+    val before = state(dir)
+    // replay of the LAST batch (checkpoint restart redelivery)
+    assert(!UpsertSink.applyBatch(dir, 1L,
+      Seq((9L, 9L, "junk")).toDF("k", "v", "payload"), Seq("k"), Seq("v")))
+    // replay of an OLDER batch while newer epochs exist
+    assert(!UpsertSink.applyBatch(dir, 0L,
+      Seq((9L, 9L, "junk")).toDF("k", "v", "payload"), Seq("k"), Seq("v")))
+    assert(state(dir) == before)
+    assert(UpsertSink.committedEpochs(dir) == Seq(0L, 1L))
+  }
+
+  test("crashed unmarked epoch is invisible; the retry commits exactly once") {
+    val dir = tmpDir("upsert_crash")
+    assert(UpsertSink.applyBatch(dir, 0L,
+      Seq((1L, 1L, "a")).toDF("k", "v", "payload"), Seq("k"), Seq("v")))
+    // crash mid-publish of batch 1: unmarked epoch dir with garbage
+    val crashed = new File(dir, "epoch=1")
+    crashed.mkdirs()
+    Files.write(new File(crashed, "part-junk.parquet").toPath,
+      "not parquet".getBytes(StandardCharsets.UTF_8))
+    assert(state(dir) == Seq((1L, 1L, "a")),
+      "readers must keep trusting the last committed epoch")
+    // the retry merges against epoch 0 (not the garbage) and commits
+    assert(UpsertSink.applyBatch(dir, 1L,
+      Seq((1L, 2L, "a2")).toDF("k", "v", "payload"), Seq("k"), Seq("v")))
+    assert(state(dir) == Seq((1L, 2L, "a2")))
+    assert(!new File(crashed, "part-junk.parquet").exists(),
+      "crashed attempt's files must not leak into the committed epoch")
+  }
+
+  test("streaming kill/restart: no dup, no loss, state equals the relational twin") {
+    val out = tmpDir("upsert_stream_out")
+    val cp = tmpDir("upsert_stream_cp")
+    def run(maxRows: Long): Unit = {
+      val q = UpsertSink.foreachBatchUpsert(
+        spark.readStream.format("graft.streaming.GateSource")
+          .option("rowsPerBatch", 100).option("maxRows", maxRows)
+          .option("numPartitions", 4).load(),
+        out, keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+        .option("checkpointLocation", cp).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run(300) // first run, then the job "dies"
+    run(600) // restart from the same checkpoint: batch replays must no-op
+    // relational twin over a clean one-shot replay of the same source
+    val replay = spark.readStream.format("graft.streaming.GateSource")
+      .option("rowsPerBatch", 600).option("maxRows", 600)
+      .option("numPartitions", 4).load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("upsert_twin").start()
+    replay.processAllAvailable()
+    replay.stop()
+    val expected = spark.table("upsert_twin")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy($"ts".desc, $"event_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = UpsertSink.readState(spark, out)
+      .select($"user_id", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == expected)
+    assert(got.map(_._1).distinct.size == got.size,
+      "at most one live row per key")
+  }
+}
