@@ -3,16 +3,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Output-path resolution (r13 verdict #5): an EXPLICIT `GRAFT_BENCH_OUT`
     * is honored verbatim — the caller owns that path and may overwrite it.
-    * The DEFAULT never clobbers an existing artifact (the r13 judge lost
-    * the driver's `bench_latest.json` to an ad-hoc 1-key run this way):
-    * `bench_latest.json` if absent, else a fresh
-    * `bench_<utc-stamp>[_n].json`. Pure function of (env, clock, fs) so
+    * The DEFAULT is always a fresh UTC-stamped name (`bench_<stamp>[_n]
+    * .json`), never an existing file: the r13 judge lost the driver's
+    * full-run artifact to an ad-hoc 1-key run through the old fixed
+    * default, and a "latest"-named default would go stale the moment a
+    * second run lands beside it (review r14) — a stable name is an
+    * explicit-env decision. Pure function of (env, clock, fs) so
     * BenchOutSpec pins the policy without running a bench. */
   private[graft] def resolveOut(explicitOut: Option[String], utcStamp: String,
       exists: String => Boolean): String =
     explicitOut.getOrElse {
-      if (!exists("bench_latest.json")) "bench_latest.json"
-      else (Iterator(s"bench_$utcStamp.json") ++
+      (Iterator(s"bench_$utcStamp.json") ++
         Iterator.from(2).map(n => s"bench_${utcStamp}_$n.json"))
         .find(!exists(_)).get
     }
@@ -64,15 +65,18 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // pin lifecycle (r13 verdict #2): release the rep's pinned scratch
+        // blocks as soon as its clock stops — without this a full-session
+        // run accumulates localCheckpoint storage until pin-heavy keys
+        // spike 7–27× over their isolated cost (the r13 driver-bench
+        // outliers), and even within one key, rep N would be timed under
+        // reps 1..N-1's dead blocks (review r14). Outside the timed
+        // region by design: the release is the session loop's bookkeeping,
+        // not any rep's measured work.
+        graft.operators.Scale.releasePins(spark)
+        (dt, ok)
       }
-      // pin lifecycle (r13 verdict #2): release the key's pinned scratch
-      // blocks before the next key is timed — without this a full-session
-      // run accumulates localCheckpoint storage until pin-heavy keys spike
-      // 7–27× over their isolated cost (the r13 driver-bench outliers).
-      // Outside the timed region by design: the release belongs to the
-      // session loop, not to any key's measured work.
-      graft.operators.Scale.releasePins(spark)
       // Median over SUCCESSFUL reps only: a transient single-rep failure
       // must neither mark a runnable key FAILED nor mix its fast-fail
       // duration into the timing. FAILED = zero successful reps.

@@ -64,8 +64,15 @@ object ScaleProbe {
 
     val docs = T(spark, src, "documents")
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    // EVERY word carries the replica tag (not a single prefix token): the
+    // MinHash signature is a min over per-shingle digests, so a one-token
+    // prefix changes one shingle out of S and leaves all 8 signatures —
+    // hence all band keys — identical with probability ~(1 - 8/S); tagged
+    // words make every shingle replica-distinct, which is what actually
+    // keeps replica corpora disjoint in shingle/LSH space (review r14).
     val text2 = when(col("k") === 0, col("text"))
-      .otherwise(concat(lit("r"), col("k").cast("string"), lit(" "), col("text")))
+      .otherwise(expr("array_join(transform(split(text, ' '), " +
+        "w -> concat(w, '_', cast(k AS string))), ' ')"))
     write(docs.crossJoin(reps).select(
       (col("doc_id") + col("k") * maxDoc).as("doc_id"),
       text2.as("text"), col("lang"), col("source"),

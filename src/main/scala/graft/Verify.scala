@@ -27,7 +27,9 @@ object Verify {
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        // NonFatal only (the Bench discipline): a VirtualMachineError must
+        // crash the dump, not demote to a per-key note beside a corrupted JVM
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         // pin lifecycle (r13 verdict #2): a key's pinned scratch frames

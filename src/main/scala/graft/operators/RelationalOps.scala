@@ -88,15 +88,18 @@ object RelationalOps {
         val dir = new java.io.File(new java.io.File(
           sys.props("java.io.tmpdir"), "graft_scratch"),
           s"upsert_${Scale.dirTag(d)}_${Scale.contentTag(d)}").toString
-        if (UpsertSink.isEmpty(dir)) {
-          val ev = T(s, d, "events").select(col("user_id"), col("event_id"),
-            col("ts"), col("event_type"), col("value"))
-          for (b <- 0 to 2)
-            UpsertSink.applyBatch(dir, b.toLong,
-              ev.filter(pmod(col("event_id"), lit(3)) === b),
-              keyCols = Seq("user_id"),
-              versionCols = Seq("ts", "event_id")): Unit
-        }
+        // applyBatch is called UNCONDITIONALLY — its per-batch marker check
+        // IS the replay guard, so a rerun after a crash between batches
+        // resumes at the first uncommitted epoch instead of trusting a
+        // partial target forever (an isEmpty(dir) gate would; review r14).
+        // Committed runs skip every batch before any job.
+        val ev = T(s, d, "events").select(col("user_id"), col("event_id"),
+          col("ts"), col("event_type"), col("value"))
+        for (b <- 0 to 2)
+          UpsertSink.applyBatch(dir, b.toLong,
+            ev.filter(pmod(col("event_id"), lit(3)) === b),
+            keyCols = Seq("user_id"),
+            versionCols = Seq("ts", "event_id")): Unit
         UpsertSink.readState(s, dir)
           .select(col("user_id"), col("event_id"),
             big(unix_micros(col("ts"))).as("ts_us"),

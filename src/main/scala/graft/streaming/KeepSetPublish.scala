@@ -60,14 +60,20 @@ object KeepSetPublish {
     true
   }
 
-  /** Latest committed epoch id under `dir`, if any — committed means the
-    * marker exists; unmarked dirs are invisible. */
-  def latestEpoch(dir: String): Option[Long] = {
+  /** All committed epoch ids under `dir`, ascending — committed means the
+    * marker exists; unmarked dirs are invisible. The ONE definition of the
+    * marker-listing scan (latestEpoch / expire / UpsertSink audits all go
+    * through it, so the marker naming has a single owner). */
+  def committedEpochs(dir: String): Seq[Long] = {
     val re = "^epoch_([0-9]+)\\.commit$".r
     Option(new File(dir).listFiles()).toSeq.flatten
       .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toLong))
-      .maxOption
+      .sorted
   }
+
+  /** Latest committed epoch id under `dir`, if any. */
+  def latestEpoch(dir: String): Option[Long] =
+    committedEpochs(dir).lastOption
 
   /** Reads the latest committed snapshot. Fails loudly when nothing has
     * ever committed — an empty keep-set and a missing one are different
@@ -107,11 +113,7 @@ object KeepSetPublish {
   def expire(dir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1,
       s"KeepSetPublish.expire: keepLast must be >= 1, got $keepLast")
-    val re = "^epoch_([0-9]+)\\.commit$".r
-    val committed = Option(new File(dir).listFiles()).toSeq.flatten
-      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toLong))
-      .sorted
-    val toExpire = committed.dropRight(keepLast)
+    val toExpire = committedEpochs(dir).dropRight(keepLast)
     toExpire.foreach { id =>
       Files.deleteIfExists(new File(dir, s"epoch_$id.commit").toPath): Unit
       deleteRecursively(new File(dir, s"epoch=$id"))

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.io.File
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -79,15 +77,8 @@ object UpsertSink {
   def readState(spark: SparkSession, dir: String): DataFrame =
     KeepSetPublish.readLatest(spark, dir)
 
-  /** True iff nothing has ever committed under `dir`. */
-  def isEmpty(dir: String): Boolean =
-    KeepSetPublish.latestEpoch(dir).isEmpty
-
-  /** Number of committed epochs (test/audit surface). */
-  def committedEpochs(dir: String): Seq[Long] = {
-    val re = "^epoch_([0-9]+)\\.commit$".r
-    Option(new File(dir).listFiles()).toSeq.flatten
-      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toLong))
-      .sorted
-  }
+  /** Committed epoch ids, ascending (test/audit surface) — delegates to
+    * the marker protocol's owner. */
+  def committedEpochs(dir: String): Seq[Long] =
+    KeepSetPublish.committedEpochs(dir)
 }

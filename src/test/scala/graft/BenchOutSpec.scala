@@ -14,18 +14,15 @@ class BenchOutSpec extends AnyFunSuite {
       _ => true) === "custom.json")
   }
 
-  test("default is bench_latest.json when nothing exists yet") {
+  test("default is a fresh stamped name (never a fixed or 'latest' path)") {
     assert(Bench.resolveOut(None, "20260815T120000",
-      _ => false) === "bench_latest.json")
+      _ => false) === "bench_20260815T120000.json")
   }
 
-  test("default never overwrites: falls to a stamped name, then suffixes") {
-    val taken = Set("bench_latest.json")
-    assert(Bench.resolveOut(None, "20260815T120000", taken) ===
-      "bench_20260815T120000.json")
-    val taken2 = taken ++ Set("bench_20260815T120000.json",
+  test("default never overwrites: suffixes on collision") {
+    val taken = Set("bench_20260815T120000.json",
       "bench_20260815T120000_2.json")
-    assert(Bench.resolveOut(None, "20260815T120000", taken2) ===
+    assert(Bench.resolveOut(None, "20260815T120000", taken) ===
       "bench_20260815T120000_3.json")
   }
 }

@@ -30,6 +30,27 @@ class PinModeSpec extends SparkSpec {
     }
   }
 
+  test("releasePins empties the block manager; a released key re-runs clean") {
+    // r13 verdict #2's regression pin: the Bench/Verify loops release every
+    // pinned block after a key completes, so a long session cannot
+    // accumulate localCheckpoint storage. Start from a CLEAN registry —
+    // earlier tests in the shared session leave pins behind, and the
+    // nonEmpty assertion below must attest THIS key's pinning, not
+    // leftovers (review r14). A pin-heavy key plants blocks...
+    Scale.releasePins(spark)
+    val first = SparkEntry.queries("graph_kcore_peel")(spark, sf001).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the peel to register pinned blocks")
+    // ...release drains the registry (unpersist deregisters immediately;
+    // block deletion is async by design — non-blocking between keys)...
+    Scale.releasePins(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releasePins must deregister every pinned RDD")
+    // ...and the key rebuilds from source afterwards, same answer (pins are
+    // per-key scratch — nothing downstream may depend on a released block).
+    assert(SparkEntry.queries("graph_kcore_peel")(spark, sf001).count() == first)
+  }
+
   test("snapshotOnce computes once; replays and siblings read the commit") {
     val input = java.nio.file.Files.createTempDirectory("snap_in").toString
     var computes = 0

@@ -37,7 +37,12 @@ class StateStoreMatrixSpec extends SparkSpec {
   }
 
   /** Replays the events in `chunks` micro-batches through `build` and
-    * returns the memory sink's final rows as sorted strings. */
+    * returns the memory sink's final rows as sorted strings. Each chunk is
+    * processed to completion BEFORE the next is added — the add-all-then-
+    * process shape lets the engine fold every chunk into one batch, and a
+    * single-batch run exercises no cross-batch state restore, which is
+    * the exact surface this provider matrix exists to compare (review
+    * r14; the StreamingSpec seam convention). */
   private def run(name: String, chunks: Int, complete: Boolean)(
       build: DataFrame => DataFrame): Seq[String] = {
     implicit val sqlCtx = spark.sqlContext
@@ -46,8 +51,10 @@ class StateStoreMatrixSpec extends SparkSpec {
       .outputMode(if (complete) "complete" else "append")
       .format("memory").queryName(name).start()
     val size = math.max(1, typedEvents.size / chunks)
-    typedEvents.grouped(size).foreach(mem.addData(_))
-    q.processAllAvailable()
+    typedEvents.grouped(size).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
     q.stop()
     val out = spark.table(name).collect().map(_.toString).sorted.toSeq
     spark.sql(s"DROP VIEW IF EXISTS $name")
@@ -81,8 +88,7 @@ class StateStoreMatrixSpec extends SparkSpec {
           .start()
       }
       typedEvents.grouped(math.max(1, typedEvents.size / 4))
-        .foreach(mem.addData(_))
-      q.processAllAvailable()
+        .foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
       q.stop()
       val rows = spark.table("m_alert_anchor").as[Alert].collect()
         .map(a => (a.user_id, a.event_id)).sorted.toSeq
@@ -101,7 +107,8 @@ class StateStoreMatrixSpec extends SparkSpec {
           .outputMode("append").format("memory").queryName(name).start()
         val sample = typedEvents.take(200)
         mem.addData(sample)
-        mem.addData(sample) // at-least-once replay across a batch seam
+        q.processAllAvailable() // seal batch 0 so the replay is cross-batch
+        mem.addData(sample) // at-least-once replay across a REAL batch seam
         q.processAllAvailable()
         q.stop()
         val n = spark.table(name).count()
