@@ -444,12 +444,40 @@ object DedupOps {
 
   private[operators] def ivfCandidatesOf(embDf: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val dot = dotF(embDf.sparkSession) _
-    val e = embDf
-      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-    val cents = e.filter(col("vec_id") < 10)
+    val e = embDf.withColumn("norm",
+      sqrt(dotF(embDf.sparkSession)(col("embedding"), col("embedding"))))
+    ivfCandFromCents(e, e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-        col("norm").as("cnorm"))
+        col("norm").as("cnorm")))
+  }
+
+  /** [[ivfCandidatesOf]] with the codebook SCALED to the corpus —
+    * nlist = ceil(√n) cells (the standard IVF sizing: cell population and
+    * probed-candidate count both grow as √n, which is what keeps the probe
+    * linear-ish as the corpus grows; the fixed 10-cell demo codebook is
+    * what made `llm_cluster_purity` superlinear in the r14 10× probe).
+    * nlist rides a broadcast 1-row aggregate into the codebook filter —
+    * in-plan, never a collected literal — and stays deterministic/
+    * oracle-able (DuckDB computes the same ceil(sqrt(count))). */
+  private[operators] def ivfCandidatesScaledOf(embDf: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = embDf.withColumn("norm",
+      sqrt(dotF(embDf.sparkSession)(col("embedding"), col("embedding"))))
+    val nl = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nlist"))
+    ivfCandFromCents(e, e.crossJoin(broadcast(nl))
+      .filter(col("vec_id") < col("nlist"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm")))
+  }
+
+  /** Shared IVF tail: assign every vector to its nearest cell of `cents`,
+    * probe each query's top-2 cells, emit candidate (q_id, t_id) pairs.
+    * The top-2 frame is pinned — probes and assignment are two plan
+    * branches over the same broadcast-scored ranking. */
+  private def ivfCandFromCents(e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dot = dotF(e.sparkSession) _
     val top2 = e.select(col("vec_id"), col("embedding"), col("norm"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
@@ -473,9 +501,10 @@ object DedupOps {
     * `cand(q_id, t_id)` and `v(vec_id, emb)`). `recursive = true` when the
     * caller appends a recursive CTE to the chain (DuckDB scopes the
     * RECURSIVE keyword to the whole WITH list). */
-  private def ivfCandCte(recursive: Boolean = false): String =
+  private def ivfCandCte(recursive: Boolean = false,
+      codebook: String = "vec_id < 10"): String =
     s"WITH ${if (recursive) "RECURSIVE " else ""}c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb " +
-      "FROM embeddings WHERE vec_id < 10), " +
+      s"FROM embeddings WHERE $codebook), " +
       "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
       "asim AS (SELECT v.vec_id, c.cid, list_inner_product(v.emb, c.cemb) / " +
       "(sqrt(list_inner_product(v.emb, v.emb)) * " +
@@ -494,12 +523,19 @@ object DedupOps {
     * discipline (identical expression trees ⇒ identical doubles). */
   private def ivfRankedTop3(s: org.apache.spark.sql.SparkSession, d: String,
       onlyEvalQueries: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val dot = dotF(s) _
     val (cand0, e) = ivfCandidates(s, d)
     // recall QC only ranks the 5 eval queries — filter the candidate set
     // BEFORE the rank window (per-query partitions make it result-
     // identical; ranking everything first shuffled >99% discarded work)
-    val cand = if (onlyEvalQueries) cand0.filter(col("q_id") < 5) else cand0
+    rankTop3(if (onlyEvalQueries) cand0.filter(col("q_id") < 5) else cand0, e)
+  }
+
+  /** Exact-cosine top-3 over a (q_id, t_id) candidate frame against the
+    * normed embedding frame `e` — the rank tail shared by the fixed-
+    * codebook and √n-codebook IVF keys. */
+  private def rankTop3(cand: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dot = dotF(e.sparkSession) _
     val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("norm").as("q_norm"))
     val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
@@ -1455,6 +1491,34 @@ object DedupOps {
           round(col("rawsim"), 4).as("sim"))
         .orderBy(col("a_id"), col("rn")),
       ivfCandCte() +
+        ", scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
+        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
+        "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +
+        "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id) " +
+        "SELECT q_id AS a_id, rn, t_id AS b_id, round(rawsim, 4) AS sim FROM " +
+        "(SELECT q_id, t_id, rawsim, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY rawsim DESC, t_id)::BIGINT AS rn FROM scored) z " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
+
+    // √n-codebook IVF (r14) — the SIZED variant of llm_ivf_ann: nlist =
+    // ceil(√n) cells instead of the fixed 10 (standard IVF sizing — cell
+    // population and probed-candidate count both grow ~√n, so the probe
+    // stays near-linear as the corpus grows; the r14 10× probe measured
+    // the fixed codebook going superlinear through llm_cluster_purity,
+    // and this key is that annotation turned into a shipped scale path).
+    // nlist rides a broadcast 1-row aggregate into the codebook filter —
+    // never a collected literal — and the oracle computes the identical
+    // ceil(sqrt(count)) scalar, so the key stays fully hash-checked.
+    "llm_ivf_scaled_ann" -> Q(
+      (s, d) => {
+        val (cand, e) = ivfCandidatesScaledOf(T(s, d, "embeddings"))
+        rankTop3(cand, e)
+          .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
+            round(col("rawsim"), 4).as("sim"))
+          .orderBy(col("a_id"), col("rn"))
+      },
+      ivfCandCte(codebook = "vec_id < (SELECT CAST(ceil(sqrt(COUNT(*))) " +
+        "AS BIGINT) FROM embeddings)") +
         ", scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
         "(sqrt(list_inner_product(x.emb, x.emb)) * " +
         "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +

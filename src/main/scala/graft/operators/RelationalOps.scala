@@ -111,6 +111,43 @@ object RelationalOps {
         "QUALIFY row_number() OVER (PARTITION BY user_id " +
         "ORDER BY ts DESC, event_id DESC) = 1 ORDER BY user_id")),
 
+    // Tombstone variant of the keyed-upsert sink (r14) — the DELETE half
+    // of the ES `_id` surface: every event carries an op ('D' when
+    // event_id % 7 == 0, else 'U'); a delete is an ordinary row that WINS
+    // the version merge and is hidden from the live view (readLive), while
+    // the stored tombstone blocks an older redelivered upsert from
+    // resurrecting the key and a genuinely newer upsert still can (the
+    // evt_cdc_apply retention discipline; resurrection-blocking is pinned
+    // in UpsertSinkSpec). Same three %3 batches through the same
+    // applyBatch; the oracle is the relational twin — each user's
+    // highest-version event, emitted only when it isn't a delete.
+    "sink_upsert_tombstone" -> Q(
+      (s, d) => {
+        import graft.streaming.UpsertSink
+        val dir = new java.io.File(new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_scratch"),
+          s"upsert_ts_${Scale.dirTag(d)}_${Scale.contentTag(d)}").toString
+        val ev = T(s, d, "events").select(col("user_id"), col("event_id"),
+          col("ts"), col("event_type"), col("value"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit("D"))
+            .otherwise(lit("U")).as("op"))
+        for (b <- 0 to 2)
+          UpsertSink.applyBatch(dir, b.toLong,
+            ev.filter(pmod(col("event_id"), lit(3)) === b),
+            keyCols = Seq("user_id"),
+            versionCols = Seq("ts", "event_id")): Unit
+        UpsertSink.readLive(s, dir, "op")
+          .select(col("user_id"), col("event_id"),
+            big(unix_micros(col("ts"))).as("ts_us"),
+            col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      usEvents("SELECT user_id, event_id, ts_us, event_type, value FROM (" +
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, " +
+        "event_id % 7 = 0 AS del, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t " +
+        "WHERE rn = 1 AND NOT del ORDER BY user_id")),
+
     // CSV source surface: schema-explicit read-back of a written extract
     // (the reference's file-tailing agent reads delimited logs [PK]).
     // ORC source surface: Spark's second native columnar format. Unlike

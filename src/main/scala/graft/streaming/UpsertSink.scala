@@ -73,9 +73,23 @@ object UpsertSink {
       applyBatch(dir, batchId, batch, keyCols, versionCols): Unit
     }
 
-  /** Live target state (latest committed epoch). */
+  /** Live target state (latest committed epoch). Includes tombstones when
+    * the stream carries them — see [[readLive]]. */
   def readState(spark: SparkSession, dir: String): DataFrame =
     KeepSetPublish.readLatest(spark, dir)
+
+  /** Live view over a target whose rows carry an operation column
+    * (`'U'` upsert / `'D'` delete — the ES delete-by-`_id` surface): a
+    * delete is just a row that WINS the version merge and is then hidden
+    * from readers. Tombstones stay IN the stored state on purpose — the
+    * evt_cdc_apply discipline: if a delete were dropped from storage, an
+    * older upsert redelivered later would beat nothing and silently
+    * resurrect the key; against the retained tombstone its lower version
+    * loses, and a genuinely NEWER upsert still wins and resurrects.
+    * Retention GC of old tombstones maps onto KeepSetPublish.expire. */
+  def readLive(spark: SparkSession, dir: String, opCol: String,
+      deleteOp: String = "D"): DataFrame =
+    readState(spark, dir).filter(col(opCol) =!= deleteOp)
 
   /** Committed epoch ids, ascending (test/audit surface) — delegates to
     * the marker protocol's owner. */

@@ -96,6 +96,38 @@ class UpsertSinkSpec extends SparkSpec {
       "crashed attempt's files must not leak into the committed epoch")
   }
 
+  test("tombstones delete, block stale resurrection, allow newer resurrection") {
+    val dir = tmpDir("upsert_tomb")
+    def live(): Seq[(Long, Long, String)] =
+      UpsertSink.readLive(spark, dir, "op")
+        .select($"k", $"v", $"payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+    // batch 0: two live keys
+    assert(UpsertSink.applyBatch(dir, 0L,
+      Seq((1L, 10L, "a", "U"), (2L, 10L, "b", "U"))
+        .toDF("k", "v", "payload", "op"), Seq("k"), Seq("v")))
+    // batch 1: delete key 1 at v=20 — it disappears from the live view
+    assert(UpsertSink.applyBatch(dir, 1L,
+      Seq((1L, 20L, "", "D")).toDF("k", "v", "payload", "op"),
+      Seq("k"), Seq("v")))
+    assert(live() == Seq((2L, 10L, "b")))
+    // the tombstone is STORED (not dropped): a redelivered STALE upsert
+    // (v=15 < 20) loses the merge and cannot resurrect the key
+    assert(UpsertSink.applyBatch(dir, 2L,
+      Seq((1L, 15L, "stale", "U")).toDF("k", "v", "payload", "op"),
+      Seq("k"), Seq("v")))
+    assert(live() == Seq((2L, 10L, "b")),
+      "a stale upsert must not resurrect a deleted key")
+    assert(UpsertSink.readState(spark, dir).filter($"k" === 1L).count() == 1,
+      "the tombstone must remain in stored state")
+    // a genuinely NEWER upsert (v=30) resurrects
+    assert(UpsertSink.applyBatch(dir, 3L,
+      Seq((1L, 30L, "reborn", "U")).toDF("k", "v", "payload", "op"),
+      Seq("k"), Seq("v")))
+    assert(live() == Seq((1L, 30L, "reborn"), (2L, 10L, "b")))
+  }
+
   test("streaming kill/restart: no dup, no loss, state equals the relational twin") {
     val out = tmpDir("upsert_stream_out")
     val cp = tmpDir("upsert_stream_cp")
