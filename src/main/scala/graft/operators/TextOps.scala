@@ -284,6 +284,45 @@ object TextOps {
         "count(*) OVER (PARTITION BY lang) AS n_lang FROM documents) t " +
         "WHERE rn <= (n_lang + 3) // 4 ORDER BY doc_id"),
 
+    // WEIGHTED sample draw (r14) — priority sampling [PK: Duffield, Lund,
+    // Thorup, "Priority sampling for estimation of arbitrary subset sums",
+    // JACM'07]: each doc gets priority w/u (w = n_chars as the quality/
+    // length weight, u ~ U(0,1] derived from md5(doc_id) — deterministic,
+    // replayable), and the sample is the top-k by priority — inclusion
+    // probability min(1, w/τ), the standard weighted-sample-without-
+    // replacement a corpus-curation pass uses to over-draw long/high-
+    // quality documents. Deliberately priority sampling rather than
+    // Efraimidis–Spirakis u^(1/w): the priority needs ONE IEEE division
+    // (bit-identical cross-engine), where the exponential form needs
+    // ln/pow — libm transcendentals whose last-ulp differences are
+    // engine-specific (this file's header rule). Scale shape: per-row
+    // codegen priority + TakeOrderedAndProject top-k (distributed partial
+    // top-50 per partition, never a global sort); the 50-row rank window
+    // runs on the already-reduced frame.
+    "llm_priority_sample" -> Q(
+      (s, d) => {
+        val h = conv(substring(md5(
+          concat(lit("ps:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long")
+        val u = (h + 1).cast("double") /
+          lit(1152921504606846976L).cast("double") // (h+1) / 2^60 — exact
+        T(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            (col("n_chars").cast("double") / u).as("pri"))
+          .orderBy(col("pri").desc, col("doc_id")).limit(50)
+          .withColumn("rank", big(row_number().over(Window
+            .orderBy(col("pri").desc, col("doc_id")))))
+          .select(col("doc_id"), col("n_chars"), col("rank"))
+          .orderBy(col("rank"))
+      },
+      "SELECT doc_id, n_chars, rank FROM (" +
+        "SELECT doc_id, n_chars, row_number() OVER (" +
+        "ORDER BY pri DESC, doc_id)::BIGINT AS rank FROM (" +
+        "SELECT doc_id, n_chars, n_chars::DOUBLE / " +
+        "((('0x' || substr(md5('ps:' || doc_id::VARCHAR), 1, 15))::BIGINT " +
+        "+ 1)::DOUBLE / 1152921504606846976.0) AS pri FROM documents) t) z " +
+        "WHERE rank <= 50 ORDER BY rank"),
+
     // PII-style redaction: digit runs masked, hit counts kept (the scrub +
     // audit-trail pair). Runs on the JSON props column — the dynamic-schema
     // payload a real pipeline scrubs before training.
