@@ -76,6 +76,18 @@ object Dsl {
   /** Computed ints are BIGINT in both engines (DuckDB fns return BIGINT). */
   def big(c: Column): Column = c.cast(LongType)
 
+  /** 60-bit value from the first 15 hex chars of md5 — the cross-engine
+    * uniform-hash idiom (60 bits so the BIGINT parse is exact in both
+    * engines; md5 hex is byte-identical). [[md5Bits60Sql]] is its DuckDB
+    * twin; the two MUST stay paired — simhash signatures and the
+    * priority-sample uniform both ride this one definition. */
+  def md5Bits60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB twin of [[md5Bits60]] over an SQL expression string. */
+  def md5Bits60Sql(inner: String): String =
+    s"('0x' || substr(md5($inner), 1, 15))::BIGINT"
+
   /** SURVEY §7.4.2: Spark reads events.ts µs-truncated (see T), so every
     * oracle whose semantics touch ts must compare µs-truncated values too —
     * DuckDB otherwise keeps the parquet ns precision and a comparison can

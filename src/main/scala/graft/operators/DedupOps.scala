@@ -378,8 +378,7 @@ object DedupOps {
       d: String): org.apache.spark.sql.DataFrame = {
     val toks = T(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h",
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", md5Bits60(col("w")))
     val voteCols = (0 until 60).map(i =>
       sum(when(shiftrightunsigned(col("h"), i)
         .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i"))
@@ -403,7 +402,7 @@ object DedupOps {
   val md5SimhashCte: String =
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
       "FROM documents), " +
-      "hs AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h " +
+      s"hs AS (SELECT doc_id, ${graft.Dsl.md5Bits60Sql("w")} AS h " +
       "FROM toks), " +
       "votes AS (SELECT doc_id, " +
       (0 until 60).map(i =>
@@ -515,6 +514,26 @@ object DedupOps {
       "probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2), " +
       "cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS t_id " +
       "FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id)"
+
+  /** Output tail shared by the two IVF ANN keys (fixed and √n codebook):
+    * (a_id, rn, b_id, sim) with 4dp rounding and (a_id, rn) order — one
+    * definition so rounding/tie-break/cutoff cannot fork between them. */
+  private def ivfTop3Out(ranked: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = ranked
+    .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
+      round(col("rawsim"), 4).as("sim"))
+    .orderBy(col("a_id"), col("rn"))
+
+  /** DuckDB twin of the rank tail (appends after an [[ivfCandCte]] chain). */
+  private val ivfRankSql: String =
+    ", scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
+      "(sqrt(list_inner_product(x.emb, x.emb)) * " +
+      "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +
+      "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id) " +
+      "SELECT q_id AS a_id, rn, t_id AS b_id, round(rawsim, 4) AS sim FROM " +
+      "(SELECT q_id, t_id, rawsim, row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY rawsim DESC, t_id)::BIGINT AS rn FROM scored) z " +
+      "WHERE rn <= 3 ORDER BY a_id, rn"
 
   /** Exact-cosine top-3 ranking of IVF-probed candidates — the shared
     * body of `llm_ivf_ann` (all queries) and `llm_ivf_recall` (the 5
@@ -1486,19 +1505,8 @@ object DedupOps {
     // enough. Codebook and corpus sides broadcast; the candidate join is
     // keyed on cell.
     "llm_ivf_ann" -> Q(
-      (s, d) => ivfRankedTop3(s, d)
-        .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
-          round(col("rawsim"), 4).as("sim"))
-        .orderBy(col("a_id"), col("rn")),
-      ivfCandCte() +
-        ", scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
-        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
-        "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +
-        "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id) " +
-        "SELECT q_id AS a_id, rn, t_id AS b_id, round(rawsim, 4) AS sim FROM " +
-        "(SELECT q_id, t_id, rawsim, row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY rawsim DESC, t_id)::BIGINT AS rn FROM scored) z " +
-        "WHERE rn <= 3 ORDER BY a_id, rn"),
+      (s, d) => ivfTop3Out(ivfRankedTop3(s, d)),
+      ivfCandCte() + ivfRankSql),
 
     // √n-codebook IVF (r14) — the SIZED variant of llm_ivf_ann: nlist =
     // ceil(√n) cells instead of the fixed 10 (standard IVF sizing — cell
@@ -1512,21 +1520,10 @@ object DedupOps {
     "llm_ivf_scaled_ann" -> Q(
       (s, d) => {
         val (cand, e) = ivfCandidatesScaledOf(T(s, d, "embeddings"))
-        rankTop3(cand, e)
-          .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
-            round(col("rawsim"), 4).as("sim"))
-          .orderBy(col("a_id"), col("rn"))
+        ivfTop3Out(rankTop3(cand, e))
       },
       ivfCandCte(codebook = "vec_id < (SELECT CAST(ceil(sqrt(COUNT(*))) " +
-        "AS BIGINT) FROM embeddings)") +
-        ", scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
-        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
-        "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +
-        "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id) " +
-        "SELECT q_id AS a_id, rn, t_id AS b_id, round(rawsim, 4) AS sim FROM " +
-        "(SELECT q_id, t_id, rawsim, row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY rawsim DESC, t_id)::BIGINT AS rn FROM scored) z " +
-        "WHERE rn <= 3 ORDER BY a_id, rn"),
+        "AS BIGINT) FROM embeddings)") + ivfRankSql),
 
     // End-to-end SEMANTIC (embedding-space) dedup keep-list: IVF candidate
     // pairs (deterministic, oracle-able — unlike the seeded-hyperplane LSH

@@ -301,9 +301,7 @@ object TextOps {
     // runs on the already-reduced frame.
     "llm_priority_sample" -> Q(
       (s, d) => {
-        val h = conv(substring(md5(
-          concat(lit("ps:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-          .cast("long")
+        val h = md5Bits60(concat(lit("ps:"), col("doc_id").cast("string")))
         val u = (h + 1).cast("double") /
           lit(1152921504606846976L).cast("double") // (h+1) / 2^60 — exact
         T(s, d, "documents")
@@ -319,7 +317,7 @@ object TextOps {
         "SELECT doc_id, n_chars, row_number() OVER (" +
         "ORDER BY pri DESC, doc_id)::BIGINT AS rank FROM (" +
         "SELECT doc_id, n_chars, n_chars::DOUBLE / " +
-        "((('0x' || substr(md5('ps:' || doc_id::VARCHAR), 1, 15))::BIGINT " +
+        s"((${md5Bits60Sql("'ps:' || doc_id::VARCHAR")} " +
         "+ 1)::DOUBLE / 1152921504606846976.0) AS pri FROM documents) t) z " +
         "WHERE rank <= 50 ORDER BY rank"),
 

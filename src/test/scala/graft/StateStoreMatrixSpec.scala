@@ -131,23 +131,41 @@ class StateStoreMatrixSpec extends SparkSpec {
     import java.nio.file.Files
     val out = Files.createTempDirectory("clog_out").toString
     val cp = Files.createTempDirectory("clog_cp").toString
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
-    try {
-      def run(maxRows: Long): Unit = {
-        val q = graft.streaming.Sinks.foreachBatchParquet(
-          StreamOps.statefulAlert(
-            spark.readStream.format("graft.streaming.GateSource")
-              .option("rowsPerBatch", 100).option("maxRows", maxRows)
-              .option("numPartitions", 4).load().as[Event]).toDF(),
-          out).option("checkpointLocation", cp).start()
-        q.processAllAvailable()
-        q.stop()
-      }
-      run(300) // the job "dies" with state mid-run
-      run(600) // changelog replay onto the last snapshot, then continue
+    try withProvider(Some(RocksDb)) {
+      def start(maxRows: Long) = graft.streaming.Sinks.foreachBatchParquet(
+        StreamOps.statefulAlert(
+          spark.readStream.format("graft.streaming.GateSource")
+            .option("rowsPerBatch", 100).option("maxRows", maxRows)
+            .option("numPartitions", 4).load().as[Event]).toDF(),
+        out).option("checkpointLocation", cp).start()
+      // run 1 is KILLED mid-stream: stop as soon as the first batch's
+      // output lands, with more source rows still pending — a clean
+      // processAllAvailable+stop would not leave work for the restart
+      val q1 = start(600)
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def batchDirs() = Option(new java.io.File(out).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("batch_"))
+      while (batchDirs() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q1.stop()
+      assert(batchDirs() > 0, "no batch committed in 60s")
+      val q2 = start(600) // changelog replay onto the last snapshot
+      q2.processAllAvailable()
+      q2.stop()
+      // the pin is only real if the changelog path actually engaged:
+      // changelog checkpointing writes .changelog files into the state
+      // store's checkpoint dir — if the conf ever renames or silently
+      // falls back, this assert fails instead of the test passing
+      // vacuously through the ordinary snapshot-restore path
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      assert(walk(new java.io.File(cp)).exists(
+        _.getName.endsWith(".changelog")),
+        "no .changelog files under the checkpoint — changelog mode never engaged")
       val dirs = new java.io.File(out).listFiles()
         .filter(_.getName.startsWith("batch_")).map(_.getPath)
       val got = spark.read.parquet(dirs: _*)
@@ -170,7 +188,8 @@ class StateStoreMatrixSpec extends SparkSpec {
       assert(got == mem, "restart output diverged from the one-shot run")
       assert(got.nonEmpty, "fixture should produce alerts")
     } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // providerClass is handled by withProvider; only the bespoke conf
+      // and the reference view need cleanup here
       spark.conf.unset(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       spark.sql("DROP VIEW IF EXISTS clog_ref")
