@@ -128,6 +128,47 @@ class UpsertSinkSpec extends SparkSpec {
     assert(live() == Seq((1L, 30L, "reborn"), (2L, 10L, "b")))
   }
 
+  test("PROPERTY: any rows, any batching — live state is the per-key version winner") {
+    // The PropertySpec discipline (hand-rolled deterministic generation —
+    // no scalacheck bridge offline): for many random row sets, random
+    // batch splits, and random tombstone placement, the live view must
+    // equal the relational winner-per-key (max (version, -src-order)
+    // row, deletes hidden) — i.e. delivery shape NEVER affects state.
+    (1 to 12).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 1 + rnd.nextInt(40)).map { i =>
+        (rnd.nextInt(6).toLong, // key (collisions on purpose)
+          rnd.nextInt(20).toLong * 2, // version (even ⇒ ties impossible
+          // across distinct rows of one key only when payloads differ —
+          // the tie rule is target-wins, so ties must be SAME logical row;
+          // unique-ify by folding i into the version's low bit)
+          s"p$i",
+          if (rnd.nextInt(5) == 0) "D" else "U")
+      }.zipWithIndex.map { case ((k, v, p, op), i) => (k, v + (i % 2), p, op) }
+        // one winner per (k, v): drop later duplicates of the same version
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val dir = tmpDir(s"upsert_prop_$seed")
+      // random contiguous batch split (1..4 batches), arrival order shuffled
+      val shuffled = rnd.shuffle(rows)
+      val nBatches = 1 + rnd.nextInt(4)
+      val per = math.max(1, shuffled.size / nBatches)
+      shuffled.grouped(per).zipWithIndex.foreach { case (chunk, b) =>
+        UpsertSink.applyBatch(dir, b.toLong,
+          chunk.toDF("k", "v", "payload", "op"), Seq("k"), Seq("v")): Unit
+      }
+      val live = UpsertSink.readLive(spark, dir, "op")
+        .select($"k", $"v", $"payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+      // relational winner: per key, the max-version row; hidden if delete
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val w = g.maxBy(_._2)
+        if (w._4 == "D") None else Some((w._1, w._2, w._3))
+      }.sorted
+      assert(live == want, s"seed=$seed: live=$live want=$want")
+    }
+  }
+
   test("streaming kill/restart: no dup, no loss, state equals the relational twin") {
     val out = tmpDir("upsert_stream_out")
     val cp = tmpDir("upsert_stream_cp")
