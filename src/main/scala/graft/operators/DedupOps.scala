@@ -429,17 +429,22 @@ object DedupOps {
         s"SELECT doc_id, $b AS band, sig${2 * b} || '_' || sig${2 * b + 1} AS bkey FROM sigs")
         .mkString(" UNION ALL ") + ") "
 
-  /** IVF candidate machinery shared by `llm_ivf_ann` and
-    * `llm_semantic_dedup_keep`: a 10-vector coarse codebook (vec_id < 10 —
-    * fixed, fully deterministic and oracle-able), each vector assigned to
-    * its nearest cell, each query probing its top-2 cells. Returns
+  /** IVF candidate machinery: each vector assigned to its nearest
+    * codebook cell, each query probing its top-2 cells. Returns
     * (candidate pairs (q_id, t_id), normed embeddings frame). The top-2
     * cell frame is materialized ONCE (probes = rn<=2, assignment = its
     * rn=1 subset — a second plan branch would re-run the codebook BNLJ +
-    * rank). */
-  private def ivfCandidates(s: org.apache.spark.sql.SparkSession, d: String)
+    * rank). `scaled = false` keeps the fixed 10-cell demo codebook
+    * (`llm_ivf_ann`'s declared baseline); everything downstream of the
+    * candidates in a PRODUCTION chain (semantic dedup, recall QC, k-NN
+    * voting) uses `scaled = true` — the ceil(√n) codebook — because the
+    * r14 10× probe measured the fixed codebook going 13.2× superlinear
+    * (cell population grows ~n, per-cell candidate pairs ~n²). */
+  private def ivfCandidates(s: org.apache.spark.sql.SparkSession, d: String,
+      scaled: Boolean = false)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    ivfCandidatesOf(T(s, d, "embeddings"))
+    if (scaled) ivfCandidatesScaledOf(T(s, d, "embeddings"))
+    else ivfCandidatesOf(T(s, d, "embeddings"))
 
   private[operators] def ivfCandidatesOf(embDf: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -496,10 +501,18 @@ object DedupOps {
     (cand, e)
   }
 
+  /** The √n-codebook predicate the oracles share with
+    * [[ivfCandidatesScaledOf]] — ONE definition so the nlist rule cannot
+    * fork between the Spark side and any of its DuckDB twins. */
+  private def sqrtCodebookSql: String =
+    "vec_id < (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)"
+
   /** The shared DuckDB CTE chain for [[ivfCandidates]] (ends with
     * `cand(q_id, t_id)` and `v(vec_id, emb)`). `recursive = true` when the
     * caller appends a recursive CTE to the chain (DuckDB scopes the
-    * RECURSIVE keyword to the whole WITH list). */
+    * RECURSIVE keyword to the whole WITH list). The default codebook is
+    * the fixed demo one; production-chain oracles pass
+    * [[sqrtCodebookSql]]. */
   private def ivfCandCte(recursive: Boolean = false,
       codebook: String = "vec_id < 10"): String =
     s"WITH ${if (recursive) "RECURSIVE " else ""}c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb " +
@@ -541,8 +554,9 @@ object DedupOps {
     * on the RAW double with t_id tie-break is the cross-engine-proven
     * discipline (identical expression trees ⇒ identical doubles). */
   private def ivfRankedTop3(s: org.apache.spark.sql.SparkSession, d: String,
-      onlyEvalQueries: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val (cand0, e) = ivfCandidates(s, d)
+      onlyEvalQueries: Boolean = false, scaled: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val (cand0, e) = ivfCandidates(s, d, scaled)
     // recall QC only ranks the 5 eval queries — filter the candidate set
     // BEFORE the rank window (per-query partitions make it result-
     // identical; ranking everything first shuffled >99% discarded work)
@@ -670,11 +684,16 @@ object DedupOps {
     * embeddings frame so DedupSpec can pin it to a planted-cluster fixture
     * (the oracled key passes the real table): IVF candidates → exact
     * cosine ≥ `tau` edges → connected components → keep = vector is its
-    * component's min-id representative. */
+    * component's min-id representative. Candidates come from the √n
+    * codebook ([[ivfCandidatesScaledOf]]) — r15: the r14 10× probe
+    * measured the fixed 10-cell codebook driving this chain 13.2×
+    * superlinear (per-cell pairs grow quadratically when cell count is
+    * constant); ceil(√n) cells keep per-cell population ~√n and the
+    * candidate volume near-linear. */
   def semanticKeep(embDf: org.apache.spark.sql.DataFrame,
       tau: Double = 0.35): org.apache.spark.sql.DataFrame = {
     val dot = dotF(embDf.sparkSession) _
-    val (cand, e) = ivfCandidatesOf(embDf)
+    val (cand, e) = ivfCandidatesScaledOf(embDf)
     val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("norm").as("a_norm"))
     val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
@@ -1497,13 +1516,15 @@ object DedupOps {
         "gq.quality_ok AND kp.dedup_keep AS selected " +
         "FROM kp JOIN gq ON gq.doc_id = kp.doc_id ORDER BY kp.doc_id"),
 
-    // IVF-style ANN: a 10-vector coarse codebook (vec_id < 10 — fixed, so
-    // fully deterministic and oracle-able), each vector assigned to its
-    // nearest cell, each query probing its top-2 cells. Exact cosine ranks
-    // only the probed cells' members: candidates drop from n² to
-    // n·(cells probed / cells) — the scale path when LSH recall is not
-    // enough. Codebook and corpus sides broadcast; the candidate join is
-    // keyed on cell.
+    // IVF-style ANN with the FIXED 10-vector demo codebook (vec_id < 10)
+    // — the declared-baseline twin of llm_ivf_scaled_ann, kept the way
+    // llm_cosine_topk is kept next to the LSH/IVF scale path: a fixed
+    // codebook makes the mechanics (assign → probe top-2 → rank probed
+    // members) legible and pins them under the oracle, but its per-cell
+    // population grows ~n, so every PRODUCTION consumer (semantic dedup,
+    // recall QC, k-NN voting — r15) runs the √n codebook instead.
+    // Codebook and corpus sides broadcast; the candidate join is keyed
+    // on cell.
     "llm_ivf_ann" -> Q(
       (s, d) => ivfTop3Out(ivfRankedTop3(s, d)),
       ivfCandCte() + ivfRankSql),
@@ -1522,8 +1543,7 @@ object DedupOps {
         val (cand, e) = ivfCandidatesScaledOf(T(s, d, "embeddings"))
         ivfTop3Out(rankTop3(cand, e))
       },
-      ivfCandCte(codebook = "vec_id < (SELECT CAST(ceil(sqrt(COUNT(*))) " +
-        "AS BIGINT) FROM embeddings)") + ivfRankSql),
+      ivfCandCte(codebook = sqrtCodebookSql) + ivfRankSql),
 
     // End-to-end SEMANTIC (embedding-space) dedup keep-list: IVF candidate
     // pairs (deterministic, oracle-able — unlike the seeded-hyperplane LSH
@@ -1532,13 +1552,16 @@ object DedupOps {
     // semantic dedup pass runs, with every stage under the oracle: the
     // same recursive-CTE reachability pattern as the text-dedup keys walks
     // the cosine edge set in DuckDB. Scale shape: candidates are keyed on
-    // IVF cell (no all-pairs), edges carry ids only, CC is the O(log n)
-    // star algorithm; swapping llm_ann_lsh candidates in for the IVF ones
-    // is a one-line change when recall demands multi-table LSH.
+    // the √n-sized IVF codebook (r15 — no all-pairs AND no fixed cell
+    // count, so per-cell pairs stay ~n instead of ~n²), edges carry ids
+    // only, CC is the O(log n) star algorithm; swapping llm_ann_lsh
+    // candidates in for the IVF ones is a one-line change when recall
+    // demands multi-table LSH. Snapshot version 2 = the √n-codebook
+    // semantics — a stale v1 (fixed-codebook) snapshot can never serve.
     "llm_semantic_dedup_keep" -> Q(
-      (s, d) => Scale.snapshotOnce(s, "semantic_keep", 1, d)(
+      (s, d) => Scale.snapshotOnce(s, "semantic_keep", 2, d)(
         semanticKeep(T(s, d, "embeddings"))).orderBy(col("vec_id")),
-      ivfCandCte(recursive = true) +
+      ivfCandCte(recursive = true, codebook = sqrtCodebookSql) +
         ", pairs AS (SELECT least(q_id, t_id) AS a, greatest(q_id, t_id) AS b " +
         "FROM cand JOIN v x ON x.vec_id = least(q_id, t_id) " +
         "JOIN v y ON y.vec_id = greatest(q_id, t_id) " +
@@ -1565,7 +1588,7 @@ object DedupOps {
     // recursive walk the dedup key proved.
     "llm_cluster_purity" -> Q(
       (s, d) => {
-        val cl = Scale.snapshotOnce(s, "semantic_keep", 1, d)(
+        val cl = Scale.snapshotOnce(s, "semantic_keep", 2, d)(
           semanticKeep(T(s, d, "embeddings")))
           .select(col("vec_id"), col("cluster_id"))
         val lb = T(s, d, "embeddings")
@@ -1584,7 +1607,7 @@ object DedupOps {
             expr("(maj.majority_n * 1000000) div n_vecs").as("purity_micro"))
           .orderBy(col("cluster_id"))
       },
-      ivfCandCte(recursive = true) +
+      ivfCandCte(recursive = true, codebook = sqrtCodebookSql) +
         ", pairs AS (SELECT least(q_id, t_id) AS a, greatest(q_id, t_id) AS b " +
         "FROM cand JOIN v x ON x.vec_id = least(q_id, t_id) " +
         "JOIN v y ON y.vec_id = greatest(q_id, t_id) " +
@@ -1613,8 +1636,10 @@ object DedupOps {
         "ORDER BY cluster_id"),
 
     // The similarity-search APPLICATION layer: k-NN label voting (label
-    // propagation / weak supervision) on the same IVF candidate machinery
-    // as llm_ivf_ann. Top-5 neighbors per vector by exact cosine over the
+    // propagation / weak supervision) on the shared IVF candidate
+    // machinery — the √n codebook (r15: a voting pass touches EVERY
+    // vector as a query, exactly the access pattern the fixed codebook
+    // made superlinear). Top-5 neighbors per vector by exact cosine over the
     // probed cells, majority label with (count desc, label) tie-break,
     // scored against the fixture's ground-truth label. Ranking reuses the
     // rawsim-ordering discipline llm_ivf_ann proved bit-identical
@@ -1622,7 +1647,7 @@ object DedupOps {
     "llm_knn_classify" -> Q(
       (s, d) => {
         val dot = dotF(s) _
-        val (cand, e) = ivfCandidates(s, d)
+        val (cand, e) = ivfCandidates(s, d, scaled = true)
         val labels = T(s, d, "embeddings")
           .select(col("vec_id"), big(col("label")).as("lbl"))
         val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -1650,7 +1675,7 @@ object DedupOps {
             (col("pred_label") === col("lbl")).as("correct"))
           .orderBy(col("vec_id"))
       },
-      ivfCandCte() +
+      ivfCandCte(codebook = sqrtCodebookSql) +
         ", scored AS (SELECT q_id, t_id, list_inner_product(x.emb, y.emb) / " +
         "(sqrt(list_inner_product(x.emb, x.emb)) * " +
         "sqrt(list_inner_product(y.emb, y.emb))) AS rawsim " +
@@ -1791,16 +1816,18 @@ object DedupOps {
 
     // recall@3 QC for the IVF path (r13 — llm_pq_recall's pattern applied
     // so ALL THREE vector-index families carry a graded recall key): the
-    // IVF top-3 for the 5 fixed eval queries vs the exact cosine top-3
+    // √n-codebook IVF top-3 (r15 — the recall number must grade the
+    // PRODUCTION index, which is llm_ivf_scaled_ann's codebook, not the
+    // fixed demo) for the 5 fixed eval queries vs the exact cosine top-3
     // (the labeled 5-query brute-force baseline — a production QC samples
     // queries exactly like this, never all-pairs). The number an index
     // owner watches before widening probes: hits ∈ 0..3 and recall in
     // exact integer micro-units per query.
     "llm_ivf_recall" -> Q(
       (s, d) => recallReport(s, d, exactCosineTop3(s, d),
-        ivfRankedTop3(s, d, onlyEvalQueries = true)
+        ivfRankedTop3(s, d, onlyEvalQueries = true, scaled = true)
           .select(col("q_id"), col("t_id"))),
-      ivfCandCte() +
+      ivfCandCte(codebook = sqrtCodebookSql) +
         ", ann AS (SELECT q_id, t_id FROM (SELECT q_id, t_id, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY " +
         "list_inner_product(x.emb, y.emb) / " +

@@ -82,11 +82,14 @@ class DedupSpec extends SparkSpec {
   }
 
   test("semantic dedup keep-list on a planted-embedding fixture") {
-    // Codebook = the 10 one-hot basis vectors (vec_id < 10 is the IVF
-    // rule); three planted clusters hug basis directions 1/2/3 with tiny
+    // Codebook = the first ceil(√21) = 5 one-hot basis vectors (the √n
+    // IVF rule semanticKeep runs since r15); three planted clusters hug
+    // basis directions 1/2/3 — all inside the 5-cell codebook — with tiny
     // per-member jitter, so each cluster (INCLUDING its basis vector)
     // must resolve to one component labeled by the basis id, and all
-    // other vectors stay singleton keeps (orthogonal ⇒ cosine ≈ 0).
+    // other vectors stay singleton keeps (orthogonal ⇒ cosine ≈ 0; the
+    // all-zero-sim vectors 5..9 land in cell 0 by the cid tie-break and
+    // stay edge-free there).
     def oneHot(i: Int): Array[Float] = {
       val a = Array.fill(64)(0f); a(i) = 1f; a
     }
