@@ -73,8 +73,10 @@ object Bench {
         // outliers), and even within one key, rep N would be timed under
         // reps 1..N-1's dead blocks (review r14). Outside the timed
         // region by design: the release is the session loop's bookkeeping,
-        // not any rep's measured work.
-        graft.operators.Scale.releasePins(spark)
+        // not any rep's measured work. BLOCKING here (r14 advice): an
+        // async removal could overlap the NEXT rep's timed region — the
+        // wait is paid between the clocks, keeping each rep clean.
+        graft.operators.Scale.releasePins(spark, blocking = true)
         (dt, ok)
       }
       // Median over SUCCESSFUL reps only: a transient single-rep failure

@@ -109,20 +109,81 @@ object Scale {
     *    (HDFS/object store on a cluster) — survives executor loss without
     *    recompute; the choice when the pinned frame is expensive enough
     *    that re-deriving it is worse than a distributed-FS round trip.
+    *  - `none`: identity — NO lineage cut, NO storage, NO job. Debug/
+    *    analysis only, and NOT viable for keys whose iterate loops ride a
+    *    convergence Observation on the pin's job (no job ⇒ `ob.get`
+    *    blocks).
+    *
+    * Orthogonally, `spark.graft.plan.audit=true` makes every pin RECORD
+    * its input's executedPlan into [[drainAuditPlans]]' buffer before
+    * pinning as usual — PlanAuditSpec's full-lineage sweep (the r14
+    * verdict's pre-pin blind spot) reads those segments. Capture-then-
+    * truncate is the only shape that scales: keeping lineage across an
+    * iterate loop's rounds (pin.mode=none or persist) makes the PRINTED
+    * plan multiplicative in the round count — the sweep's first two
+    * attempts hung on a blocked Observation and OOM'd inside Spark's own
+    * event-log explainString respectively — while per-segment capture is
+    * linear and covers the same chain exactly once.
     *
     * One switch for every pin site (MIGRATION.md documents the cluster
     * guidance); PinModeSpec runs a pinned key under each mode. */
-  def pin(df: DataFrame): DataFrame =
+  def pin(df: DataFrame): DataFrame = {
+    recordForAudit(df)
     df.sparkSession.conf.getOption("spark.graft.pin.mode")
       .getOrElse("local") match {
-      case "local"    => df.localCheckpoint()
-      case "persist"  =>
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count() // eager, like the checkpoint modes: pin NOW, not on first use
+      case "none" => df
+      case mode => pinIds.synchronized {
+        val sc = df.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val p = mode match {
+          case "local"    => df.localCheckpoint()
+          case "persist"  =>
+            val q = df.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            q.count() // eager, like the checkpoint modes: pin NOW, not on first use
+            q
+          case "reliable" => df.checkpoint()
+          case other => sys.error(
+            s"spark.graft.pin.mode must be local|persist|reliable|none, got '$other'")
+        }
+        // record which registry entries THIS pin created, so releasePins
+        // can sweep graft scratch without touching a host application's
+        // own caches (r14 advice: unpersisting a host's localCheckpoint'd
+        // frame is unrecoverable — lineage is gone). The before/after diff
+        // under the lock covers all three modes without knowing which
+        // internal RDD each one registers.
+        (sc.getPersistentRDDs.keySet -- before).foreach(pinIds.add(_): Unit)
         p
-      case "reliable" => df.checkpoint()
-      case other => sys.error(
-        s"spark.graft.pin.mode must be local|persist|reliable, got '$other'")
+      }
+    }
+  }
+
+  /** RDD ids persisted by [[pin]] in this JVM and not yet released. */
+  private val pinIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Pre-cut plan segments captured under `spark.graft.plan.audit=true`
+    * (see [[pin]]'s capture-then-truncate note). A segment is the
+    * executedPlan of a frame the moment BEFORE its lineage cut, so the
+    * union of a key's segments + its final plan covers the whole logical
+    * chain exactly once — including snapshotOnce computes, whose
+    * committed read-back otherwise hides the compute plan forever. */
+  private val auditBuf =
+    new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.execution.SparkPlan]()
+
+  private def recordForAudit(df: DataFrame): Unit =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.plan.audit").contains("true"))
+      auditBuf.synchronized {
+        auditBuf += df.queryExecution.executedPlan: Unit
+      }
+
+  /** Returns and clears the captured segments (PlanAuditSpec drains per
+    * key; single-threaded by that contract). */
+  def drainAuditPlans(): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    auditBuf.synchronized {
+      val r = auditBuf.toList
+      auditBuf.clear()
+      r
     }
 
   /** Releases every pin created so far in this SparkContext (r13 verdict
@@ -133,14 +194,24 @@ object Scale {
     * are PER-KEY scratch by contract — no frame built by one registry key
     * is consumed in-memory by another (cross-key sharing goes through
     * [[snapshotOnce]]'s committed parquet instead) — so the Bench/Verify
-    * loops call this after each key's evaluation completes. Both pin
-    * flavors surface in `getPersistentRDDs` (`localCheckpoint` persists
-    * its checkpoint blocks; `persist` is one directly), so one sweep
-    * covers every `spark.graft.pin.mode`. Non-blocking: eviction proceeds
-    * while the next key starts. */
-  def releasePins(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    * loops call this after each key's evaluation completes. Releases ONLY
+    * the registry entries [[pin]] created (r14 advice: a whole-context
+    * sweep would also drop caches a HOST application created, and an
+    * unpersisted localCheckpoint'd frame is unrecoverable — lineage is
+    * truncated — failing any later action on a still-held reference).
+    * `blocking = false` (the between-keys default) lets eviction overlap
+    * the next key; the Bench loop passes `blocking = true` so the async
+    * block removal cannot bleed into the next rep's timed region. */
+  def releasePins(spark: org.apache.spark.sql.SparkSession,
+      blocking: Boolean = false): Unit = {
+    val reg = spark.sparkContext.getPersistentRDDs
+    val it = pinIds.iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      reg.get(id).foreach(_.unpersist(blocking))
+      it.remove() // released, or from a stopped context — either way dead
+    }
+  }
 
   /** Compute-once COMMITTED snapshot of an expensive shared frame, via
     * KeepSetPublish's marker-last epoch protocol: the first caller per
@@ -169,13 +240,55 @@ object Scale {
 
   def snapshotOnce(spark: org.apache.spark.sql.SparkSession, name: String,
       version: Int, inputDir: String)(compute: => DataFrame): DataFrame = {
-    val dir = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_scratch"),
+    // plan-audit capture (r15): a committed snapshot hides its compute's
+    // plan from PlanAuditSpec exactly like a pin hides its upstream —
+    // under spark.graft.plan.audit the compute frame is BUILT (planning
+    // only; its own internal pins run as usual) and its plan recorded,
+    // while the commit/read-back protocol below stays untouched.
+    val audited: Option[DataFrame] =
+      if (spark.conf.getOption("spark.graft.plan.audit").contains("true")) {
+        val f = compute
+        recordForAudit(f)
+        Some(f)
+      } else None
+    val parent = new java.io.File(sys.props("java.io.tmpdir"), "graft_scratch")
+    val dir = new java.io.File(parent,
       s"snap_${name}_v${version}_${dirTag(inputDir)}_${contentTag(inputDir)}").toString
-    if (graft.streaming.KeepSetPublish.latestEpoch(dir).isEmpty)
-      graft.streaming.KeepSetPublish.publish(compute, dir, 0L): Unit
+    if (graft.streaming.KeepSetPublish.latestEpoch(dir).isEmpty) {
+      graft.streaming.KeepSetPublish.publish(
+        audited.getOrElse(compute), dir, 0L): Unit
+      // a successful publish retires this (name, input dir)'s OLDER
+      // generations — prior logic versions and prior contentTags (each
+      // fixture regeneration otherwise strands a snapshot forever; r14
+      // advice: unbounded tmpdir growth on long-lived machines). Other
+      // input dirs (different dirTag) are other corpora and stay.
+      gcStaleScratch(parent, s"snap_${name}_v", s"_${dirTag(inputDir)}_",
+        keep = new java.io.File(dir).getName)
+    }
     graft.streaming.KeepSetPublish.readLatest(spark, dir)
   }
+
+  /** Deletes sibling scratch dirs of a just-published generation: every
+    * directory under `parent` whose name starts with `prefix` and
+    * contains `dirTagPart` except `keep`. Marker-FIRST deletion (the
+    * KeepSetPublish.expire pattern): commit markers vanish before any
+    * data bytes, so a concurrent reader stops trusting a stale snapshot
+    * before it can observe a half-deleted one. */
+  private[graft] def gcStaleScratch(parent: java.io.File, prefix: String,
+      dirTagPart: String, keep: String): Unit =
+    Option(parent.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        f.getName.contains(dirTagPart) && f.getName != keep)
+      .foreach { stale =>
+        Option(stale.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".commit"))
+          .foreach(m => java.nio.file.Files.deleteIfExists(m.toPath): Unit)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          java.nio.file.Files.deleteIfExists(f.toPath): Unit
+        }
+        rm(stale)
+      }
 
   /** 32-bit Morton (Z-order) code: bit i of `x` → output bit 2i, bit i of
     * `y` → output bit 2i+1, over the low 16 bits of each. Sorting a table

@@ -31,6 +31,15 @@ class PlanAuditSpec extends SparkSpec {
     "broadcast 1-row global-aggregate side (scalar-broadcast pattern)"
   private val centroids =
     "every row scored against a broadcast k-row centroid frame, k tiny"
+  // The IVF assignment BNLJ, visible only to the full-lineage sweep (it
+  // sits above the top-2 pin): every vector scored against the broadcast
+  // codebook — 10 rows (fixed demo) or ceil(√n) rows (production sizing:
+  // ~8 MB of 64-dim floats at 10^9 vectors, broadcast-tiny by
+  // construction); the √n variant also carries the 1-row nlist
+  // scalar-broadcast. O(n·√n) compares with zero shuffle — the standard
+  // coarse-quantizer scan, NOT an all-pairs join.
+  private val ivfCodebook =
+    "broadcast IVF codebook scan (≤ ceil(√n) rows) above the top-2 pin"
   private val pairCap =
     "labeled brute-force baseline; input capped at VectorSim.BruteForceCap"
   private val bnljAllowed: Map[String, String] = Map(
@@ -64,6 +73,12 @@ class PlanAuditSpec extends SparkSpec {
       "labeled brute-force recall baseline over a bounded query sample",
     "llm_ivf_recall" -> // same 5-query exact baseline, IVF under test
       "labeled brute-force recall baseline over a bounded query sample",
+    "llm_ivf_ann" -> ivfCodebook,
+    "llm_ivf_scaled_ann" -> ivfCodebook,
+    "llm_ivf_index_upsert" -> ivfCodebook,
+    "llm_semantic_dedup_keep" -> ivfCodebook,
+    "llm_cluster_purity" -> ivfCodebook,
+    "llm_knn_classify" -> ivfCodebook,
     "llm_lsh_recall" -> // same 5-query exact baseline, LSH under test
       "labeled brute-force recall baseline over a bounded query sample",
     "llm_kmeans_step" -> centroids,
@@ -77,7 +92,7 @@ class PlanAuditSpec extends SparkSpec {
     "sub_any_all" -> scalar, // ANY/ALL decorrelated to min/max bounds
   )
 
-  test("no CartesianProduct / ScalaUDF / unwhitelisted BNLJ in any declared plan") {
+  private def sweep(perKey: () => Unit = () => ()): Seq[String] = {
     val bad = Seq.newBuilder[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf001).queryExecution.executedPlan.toString
@@ -88,8 +103,96 @@ class PlanAuditSpec extends SparkSpec {
         bad += s"$name: UDF in plan"
       if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
         bad += s"$name: unwhitelisted BroadcastNestedLoopJoin"
+      perKey()
     }
-    val v = bad.result()
+    bad.result()
+  }
+
+  test("no CartesianProduct / ScalaUDF / unwhitelisted BNLJ in any declared plan") {
+    val v = sweep()
     assert(v.isEmpty, s"${v.size} plan regression(s):\n${v.mkString("\n")}")
+  }
+
+  /** Every distinct physical node reachable from `p`, INCLUDING through
+    * the boundaries the default audit cannot cross: cached-plan interiors
+    * (InMemoryTableScan → relation.cachedPlan), AQE wrappers, query
+    * stages, reused exchanges, and subquery plans. Identity-deduped: an
+    * iterative loop's plan is a DAG whose shared InMemoryRelations would
+    * otherwise be visited once per PATH — that multiplicative expansion
+    * is exactly why `toString` (which prints innerChildren per path) blew
+    * the heap when this sweep first ran over the cc fixpoint keys; the
+    * DAG walk is linear in distinct nodes. */
+  private def reachable(root: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    val seen = new java.util.IdentityHashMap[SparkPlan, Unit]()
+    val out = Seq.newBuilder[SparkPlan]
+    def walk(p: SparkPlan): Unit = {
+      if (seen.containsKey(p)) return
+      seen.put(p, ())
+      out += p
+      val through: Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(i.relation.cachedPlan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => Nil
+      }
+      (p.children ++ through ++ p.subqueries).foreach(walk)
+    }
+    walk(root)
+    out.result()
+  }
+
+  test("FULL-LINEAGE sweep (plan.audit capture): nothing hides above a pin") {
+    // The r14 verdict's blind spot: Scale.pin's default localCheckpoint
+    // truncates lineage, so the default sweep audits only what sits BELOW
+    // each key's last pin — ~36 pin sites' upstream stages (e.g. the IVF
+    // codebook crossJoins) were swept by nobody. Under
+    // spark.graft.plan.audit=true every pin RECORDS its input's
+    // executedPlan segment before cutting as usual, and snapshotOnce
+    // records its compute's plan without forfeiting the commit protocol —
+    // so (segments + final plan) cover each key's whole logical chain
+    // exactly once and the same three anti-patterns are checked through
+    // every lineage cut. Capture-then-truncate is the only shape that
+    // scales: keeping lineage live across an iterate loop's rounds
+    // (pin.mode=none / persist) makes the printed plan multiplicative in
+    // the round count — the sweep's first two attempts hung on a blocked
+    // convergence Observation and OOM'd inside Spark's own event-log
+    // explainString respectively. Keys whose bodies run actions (pins,
+    // convergence counts) still execute; pins are released per key.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    spark.conf.set("spark.graft.plan.audit", "true")
+    try {
+      graft.operators.Scale.drainAuditPlans(): Unit // leftovers from other suites
+      val bad = Seq.newBuilder[String]
+      var segments = 0
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val finalPlan = fn(spark, sf001).queryExecution.executedPlan
+        val captured = graft.operators.Scale.drainAuditPlans()
+        segments += captured.size
+        val nodes = (captured :+ finalPlan).flatMap(reachable)
+        if (nodes.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.CartesianProductExec]))
+          bad += s"$name: CartesianProduct"
+        if (nodes.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF]))))
+          bad += s"$name: UDF in plan"
+        if (!bnljAllowed.contains(name) && nodes.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+          bad += s"$name: unwhitelisted BroadcastNestedLoopJoin"
+        graft.operators.Scale.releasePins(spark)
+      }
+      // the sweep must actually have seen pre-pin segments — zero means
+      // the capture hook silently stopped firing and the test would be
+      // vacuously green
+      assert(segments > 30, s"only $segments pre-pin segments captured")
+      val v = bad.result()
+      assert(v.isEmpty,
+        s"${v.size} pre-pin plan regression(s):\n${v.mkString("\n")}")
+    } finally spark.conf.unset("spark.graft.plan.audit")
   }
 }

@@ -19,6 +19,14 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Cap plan-description strings (static conf, must be set before the
+      // first session): PlanAuditSpec's full-lineage sweep runs iterative
+      // keys under pin.mode=persist, where each round's plan nests the
+      // previous round's InMemoryRelation — the DAG is linear but the
+      // PRINTED tree is multiplicative, and the event-log description a
+      // pin's count() action builds OOM'd the fork at the default
+      // (unbounded) length. 1M chars is ~20x any real plan here.
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
