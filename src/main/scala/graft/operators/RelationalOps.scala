@@ -87,7 +87,11 @@ object RelationalOps {
         import graft.streaming.UpsertSink
         val dir = new java.io.File(new java.io.File(
           sys.props("java.io.tmpdir"), "graft_scratch"),
-          s"upsert_${Scale.dirTag(d)}_${Scale.contentTag(d)}").toString
+          // version-in-path (the snapshotOnce rule, r14 advice): bump _v
+          // when the key's SEMANTICS change (versionCols, batching, op
+          // encoding) so a committed state a prior build left in tmpdir
+          // can never satisfy the newer contract
+          s"upsert_k_v1_${Scale.dirTag(d)}_${Scale.contentTag(d)}").toString
         // applyBatch is called UNCONDITIONALLY — its per-batch marker check
         // IS the replay guard, so a rerun after a crash between batches
         // resumes at the first uncommitted epoch instead of trusting a
@@ -100,6 +104,10 @@ object RelationalOps {
             ev.filter(pmod(col("event_id"), lit(3)) === b),
             keyCols = Seq("user_id"),
             versionCols = Seq("ts", "event_id")): Unit
+        // retire prior generations of this corpus's target (older _v, older
+        // contentTags) — the snapshotOnce GC discipline (r14 advice)
+        Scale.gcStaleScratch(new java.io.File(dir).getParentFile,
+          "upsert_k_v", s"_${Scale.dirTag(d)}_", new java.io.File(dir).getName)
         UpsertSink.readState(s, dir)
           .select(col("user_id"), col("event_id"),
             big(unix_micros(col("ts"))).as("ts_us"),
@@ -126,7 +134,8 @@ object RelationalOps {
         import graft.streaming.UpsertSink
         val dir = new java.io.File(new java.io.File(
           sys.props("java.io.tmpdir"), "graft_scratch"),
-          s"upsert_ts_${Scale.dirTag(d)}_${Scale.contentTag(d)}").toString
+          // version-in-path, as in sink_upsert_keyed (r14 advice)
+          s"upsert_ts_v1_${Scale.dirTag(d)}_${Scale.contentTag(d)}").toString
         val ev = T(s, d, "events").select(col("user_id"), col("event_id"),
           col("ts"), col("event_type"), col("value"),
           when(pmod(col("event_id"), lit(7)) === 0, lit("D"))
@@ -136,6 +145,8 @@ object RelationalOps {
             ev.filter(pmod(col("event_id"), lit(3)) === b),
             keyCols = Seq("user_id"),
             versionCols = Seq("ts", "event_id")): Unit
+        Scale.gcStaleScratch(new java.io.File(dir).getParentFile,
+          "upsert_ts_v", s"_${Scale.dirTag(d)}_", new java.io.File(dir).getName)
         UpsertSink.readLive(s, dir, "op")
           .select(col("user_id"), col("event_id"),
             big(unix_micros(col("ts"))).as("ts_us"),

@@ -66,10 +66,29 @@ object UpsertSink {
 
   /** Structured Streaming wiring: `writeStream` → foreachBatch upsert.
     * The stream's batchId is the epoch id, so a checkpoint restart that
-    * redelivers the last batch hits the marker and re-publishes nothing. */
+    * redelivers the last batch hits the marker and re-publishes nothing.
+    *
+    * FRESH-CHECKPOINT GUARD (r14 advice): batch ids are per-CHECKPOINT,
+    * so pointing a new checkpoint (ids restart at 0) at an existing
+    * target would make every batch hit the old epochs' replay guard and
+    * no-op — silent data loss. Batch 0 arriving while an epoch > 0 is
+    * committed can only mean that mismatch (one checkpoint's ids are
+    * monotone, and a genuine replay of batch 0 implies nothing after
+    * epoch 0 ever committed), so it fails loudly: a new checkpoint
+    * requires a new target dir. Batch-layer replays that re-run a whole
+    * id sequence against their own target (the sink_upsert_keyed shape)
+    * call [[applyBatch]] directly and are not affected. */
   def foreachBatchUpsert(stream: DataFrame, dir: String,
       keyCols: Seq[String], versionCols: Seq[String]): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (batchId == 0L && KeepSetPublish.latestEpoch(dir).exists(_ > 0L))
+        throw new IllegalStateException(
+          s"UpsertSink: batch 0 arrived but '$dir' already holds epoch " +
+            s"${KeepSetPublish.latestEpoch(dir).get} — this stream runs on " +
+            "a FRESH checkpoint against an EXISTING target; every batch " +
+            "would no-op against the old epochs (silent data loss). Point " +
+            "a new checkpoint at a new target dir (or restore the old " +
+            "checkpoint).")
       applyBatch(dir, batchId, batch, keyCols, versionCols): Unit
     }
 
@@ -86,7 +105,8 @@ object UpsertSink {
     * older upsert redelivered later would beat nothing and silently
     * resurrect the key; against the retained tombstone its lower version
     * loses, and a genuinely NEWER upsert still wins and resurrects.
-    * Retention GC of old tombstones maps onto KeepSetPublish.expire. */
+    * Retention GC of old tombstones is [[gcTombstones]] — and its horizon
+    * must cover the upstream replay horizon (see there). */
   def readLive(spark: SparkSession, dir: String, opCol: String,
       deleteOp: String = "D"): DataFrame =
     readState(spark, dir).filter(col(opCol) =!= deleteOp)
@@ -95,4 +115,25 @@ object UpsertSink {
     * the marker protocol's owner. */
   def committedEpochs(dir: String): Seq[Long] =
     KeepSetPublish.committedEpochs(dir)
+
+  /** TOMBSTONE RETENTION GC (r15, the r14 verdict's ask) — the compaction
+    * every tombstone-keeping store runs (ES `index.gc_deletes`, Cassandra
+    * `gc_grace_seconds`): publishes epoch `batchId` = current state minus
+    * tombstone rows matching `expired`. A tombstone only exists to make a
+    * LATE STALE upsert lose the version merge, so it may be dropped once
+    * no replay can deliver one — i.e. the retention horizon `expired`
+    * encodes MUST BE ≥ the upstream replay horizon. If it is not, a stale
+    * upsert arriving after GC beats nothing and SILENTLY RESURRECTS the
+    * deleted key — that failure mode is pinned in UpsertSinkSpec, not just
+    * documented. Replay-guarded like any batch (marker short-circuit), so
+    * a replayed GC is a no-op. Old EPOCH DIRS are a separate axis —
+    * [[KeepSetPublish.expire]] retires those. */
+  def gcTombstones(spark: SparkSession, dir: String, batchId: Long,
+      opCol: String, expired: org.apache.spark.sql.Column,
+      deleteOp: String = "D"): Boolean = {
+    if (KeepSetPublish.latestEpoch(dir).exists(_ >= batchId)) return false
+    KeepSetPublish.publish(
+      readState(spark, dir).filter(!(col(opCol) === deleteOp && expired)),
+      dir, batchId)
+  }
 }

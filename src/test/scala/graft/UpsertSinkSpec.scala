@@ -128,6 +128,83 @@ class UpsertSinkSpec extends SparkSpec {
     assert(live() == Seq((1L, 30L, "reborn"), (2L, 10L, "b")))
   }
 
+  test("tombstone GC: expired tombstone opens the resurrection window; " +
+      "retention >= replay horizon keeps it shut") {
+    // The r14 verdict's ask: pin the DOCUMENTED retention contract, not
+    // just the happy path. Two identical targets diverge only in whether
+    // tombstone retention covers the upstream replay horizon (v >= 20
+    // here: the replay can redeliver versions up to 15).
+    def seed(dir: String): Unit = {
+      assert(UpsertSink.applyBatch(dir, 0L,
+        Seq((1L, 10L, "a", "U"), (2L, 10L, "b", "U"))
+          .toDF("k", "v", "payload", "op"), Seq("k"), Seq("v")))
+      assert(UpsertSink.applyBatch(dir, 1L,
+        Seq((1L, 20L, "", "D")).toDF("k", "v", "payload", "op"),
+        Seq("k"), Seq("v")))
+    }
+    def live(dir: String): Seq[(Long, Long, String)] =
+      UpsertSink.readLive(spark, dir, "op")
+        .select($"k", $"v", $"payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+
+    // (a) retention TOO SHORT (expire everything: horizon 0 < replay
+    // horizon): the late stale upsert v=15 beats nothing and SILENTLY
+    // RESURRECTS the deleted key — the failure mode the doc warns about.
+    val short = tmpDir("upsert_gc_short")
+    seed(short)
+    assert(UpsertSink.gcTombstones(spark, short, 2L, "op", expired = lit(true)))
+    assert(UpsertSink.readState(spark, short).filter($"k" === 1L).count() == 0,
+      "GC must drop the expired tombstone from stored state")
+    assert(UpsertSink.applyBatch(short, 3L,
+      Seq((1L, 15L, "stale", "U")).toDF("k", "v", "payload", "op"),
+      Seq("k"), Seq("v")))
+    assert(live(short) == Seq((1L, 15L, "stale"), (2L, 10L, "b")),
+      "retention < replay horizon must exhibit the documented resurrection")
+
+    // (b) retention COVERS the horizon (only tombstones with v < 20
+    // expire; ours is v = 20): the same stale upsert still loses.
+    val ok = tmpDir("upsert_gc_ok")
+    seed(ok)
+    assert(UpsertSink.gcTombstones(spark, ok, 2L, "op", expired = $"v" < 20L))
+    assert(UpsertSink.readState(spark, ok).filter($"k" === 1L).count() == 1,
+      "an in-horizon tombstone must survive GC")
+    assert(UpsertSink.applyBatch(ok, 3L,
+      Seq((1L, 15L, "stale", "U")).toDF("k", "v", "payload", "op"),
+      Seq("k"), Seq("v")))
+    assert(live(ok) == Seq((2L, 10L, "b")),
+      "with retention >= replay horizon the stale upsert must stay dead")
+    // replayed GC is an ordinary replayed batch: marker short-circuit
+    assert(!UpsertSink.gcTombstones(spark, ok, 2L, "op", expired = lit(true)))
+    assert(UpsertSink.readState(spark, ok).filter($"k" === 1L).count() == 1)
+  }
+
+  test("fresh checkpoint against an existing target fails loudly, not no-ops") {
+    // r14 advice: batch ids are per-checkpoint; a NEW checkpoint restarts
+    // at 0, so against a target holding epoch > 0 every batch would no-op
+    // against the old epochs — silent data loss. The sink must refuse.
+    val out = tmpDir("upsert_fresh_out")
+    def run(cp: String, maxRows: Long): Unit = {
+      val q = UpsertSink.foreachBatchUpsert(
+        spark.readStream.format("graft.streaming.GateSource")
+          .option("rowsPerBatch", 100).option("maxRows", maxRows)
+          .option("numPartitions", 2).load(),
+        out, keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+        .option("checkpointLocation", cp).start()
+      try { q.processAllAvailable(); () } finally { q.stop() }
+    }
+    run(tmpDir("upsert_fresh_cp1"), 300) // commits epochs 0..2
+    assert(UpsertSink.committedEpochs(out).max > 0)
+    val before = UpsertSink.committedEpochs(out)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(tmpDir("upsert_fresh_cp2"), 300) // FRESH checkpoint, same target
+    }
+    assert(e.getCause.getMessage.contains("FRESH checkpoint"),
+      s"unexpected failure: ${e.getCause}")
+    assert(UpsertSink.committedEpochs(out) == before,
+      "the refused stream must not have touched the target")
+  }
+
   test("PROPERTY: any rows, any batching — live state is the per-key version winner") {
     // The PropertySpec discipline (hand-rolled deterministic generation —
     // no scalacheck bridge offline): for many random row sets, random
