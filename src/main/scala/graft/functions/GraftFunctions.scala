@@ -19,6 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * | `graft_kmv_distinct(c[, k])` | any [, int literal] → bigint | [[KmvDistinct]] sketch agg |
   * | `graft_mg_candidates(c[, k])` | string [, int literal] → array<string> | [[MisraGries]] sketch agg |
   * | `graft_nfc(s)` | string → string | [[NfcNormalize]] codegen (UAX#15 NFC) |
+  * | `graft_png_decode(b)` | binary → struct | [[PngDecode]] native decoder |
+  * | `graft_bmp_decode(b)` | binary → struct | [[BmpDecode]] native decoder |
+  * | `graft_jpeg_meta(b)` | binary → struct | [[JpegMeta]] header walk |
+  * | `graft_gray_hist16(b)` | binary → array<bigint> | [[GrayHist16]] |
+  * | `graft_wav_decode(b)` | binary → struct | [[WavDecode]] |
+  *
+  * No-Scala path: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * injects the same table at session build (spark-sql / Thrift / any
+  * pure-SQL surface).
   */
 object GraftFunctions {
 
@@ -45,28 +54,41 @@ object GraftFunctions {
     }
   }
 
+  /** The ONE (SQL name → expression builder) table, shared by the two
+    * registration paths: [[registerAll]] (per-session, programmatic) and
+    * `graft.GraftExtensions` (config-time `spark.sql.extensions`
+    * injection — the path a spark-sql / Thrift / notebook user reaches
+    * without any Scala). One table so the SQL surface cannot fork. */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "graft_dot_f" -> (exprs => DotProductF(exprs(0), exprs(1))),
+      "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
+      "graft_lsh_sigs" -> (exprs => LshSigs(exprs.head)),
+      // grok from SQL: the %{NAME:field} expression compiles at plan time;
+      // malformed patterns fail analysis, not execution
+      "graft_grok_capture" -> (exprs => GrokCapture(exprs(0),
+        Grok.compile(strLit(exprs(1), "grok expression"))._1)),
+      "graft_kmv_distinct" -> (exprs => KmvDistinct(exprs.head,
+        if (exprs.size > 1) intLit(exprs(1), "kmv k") else 256)
+        .toAggregateExpression()),
+      "graft_mg_candidates" -> (exprs => MisraGries(exprs.head,
+        if (exprs.size > 1) intLit(exprs(1), "mg k") else 16)
+        .toAggregateExpression()),
+      "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
+      // the multimodal decode/feature surface (r15): binary in, typed
+      // struct/array out — the same native codegen expressions the mm_*
+      // keys run, reachable from pure SQL
+      "graft_png_decode" -> (exprs => PngDecode(exprs.head)),
+      "graft_bmp_decode" -> (exprs => BmpDecode(exprs.head)),
+      "graft_jpeg_meta" -> (exprs => JpegMeta(exprs.head)),
+      "graft_gray_hist16" -> (exprs => GrayHist16(exprs.head)),
+      "graft_wav_decode" -> (exprs => WavDecode(exprs.head)),
+    )
+
   def registerAll(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("graft_dot_f",
-      exprs => DotProductF(exprs(0), exprs(1)), "built-in")
-    r.createOrReplaceTempFunction("graft_simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
-    r.createOrReplaceTempFunction("graft_lsh_sigs",
-      exprs => LshSigs(exprs.head), "built-in")
-    // grok from SQL: the %{NAME:field} expression compiles at plan time;
-    // malformed patterns fail analysis, not execution
-    r.createOrReplaceTempFunction("graft_grok_capture",
-      exprs => GrokCapture(exprs(0),
-        Grok.compile(strLit(exprs(1), "grok expression"))._1), "built-in")
-    r.createOrReplaceTempFunction("graft_kmv_distinct",
-      exprs => KmvDistinct(exprs.head,
-        if (exprs.size > 1) intLit(exprs(1), "kmv k") else 256)
-        .toAggregateExpression(), "built-in")
-    r.createOrReplaceTempFunction("graft_mg_candidates",
-      exprs => MisraGries(exprs.head,
-        if (exprs.size > 1) intLit(exprs(1), "mg k") else 16)
-        .toAggregateExpression(), "built-in")
-    r.createOrReplaceTempFunction("graft_nfc",
-      exprs => NfcNormalize(exprs.head), "built-in")
+    builders.foreach { case (name, builder) =>
+      r.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
