@@ -594,7 +594,11 @@ object GraphOps {
     // below). Pure integer min/LEAST, one |E| keyed join + hash agg per
     // round, node-sized state, nothing on the driver.
     "graph_hashmin_cc" -> Q(
-      (s, d) => {
+      (s, d) => Scale.snapshotOnce(s, "graph_flood3", 1, d) {
+        // iterate-and-publish ONCE per corpus (r15, the ccLabels
+        // discipline — the r14 driver protocol paid first-plan JIT on
+        // this 3-round loop's ~7 jobs every fresh JVM): replays and
+        // sibling sessions read the committed parquet back.
         val sym = symEdges(s, d)
         var lab = sym.select(col("src").as("u")).distinct()
           .select(col("u"), col("u").as("label")).pinned
@@ -609,8 +613,7 @@ object GraphOps {
             .pinned
         }
         lab.select(col("u").as("user_id"), col("label").as("flood3_label"))
-          .orderBy(col("user_id"))
-      },
+      }.orderBy(col("user_id")),
       usEvents {
         val base = s"WITH $cellsSql, $symSql, " +
           "n AS (SELECT DISTINCT src AS u FROM sym), " +
