@@ -34,30 +34,73 @@ object SimHashImpl extends Serializable {
   }
 }
 
-/** Multi-table random-hyperplane LSH signer: `nTables` buckets of `bits`
-  * sign bits each, hyperplanes drawn once from a fixed seed (deterministic
-  * across executors — the plane matrix is broadcast inside the generated
-  * class as a reference object). */
+/** Multi-table random-hyperplane LSH signer: `NTables` buckets of up to
+  * `MaxBits` sign bits each, hyperplanes drawn once from a fixed seed
+  * (deterministic across executors — the plane matrix is broadcast inside
+  * the generated class as a reference object).
+  *
+  * The signer emits the FULL `MaxBits`-bit bucket; consumers mask it to an
+  * n-dependent effective width ([[effBitsCaseSql]]) so bucket COUNT grows
+  * with the corpus and per-bucket population stays ~[[TargetBucketPop]].
+  * A fixed bucket count is the LSH twin of the fixed IVF codebook the r14
+  * 10× probe caught: population per bucket grows ~n, candidate pairs ~n²
+  * (the r15 full-suite probe measured `llm_ann_lsh` 64.7× at 10× data on
+  * the old fixed 6-bit tables). Masking the LOW b bits ≡ using only the
+  * first b hyperplanes of each table, so at any corpus size the key is a
+  * plain prefix of one deterministic plane family. */
 object LshSigsImpl extends Serializable {
   val NTables = 8
+  /** Floor width — also the historical fixed width, so corpora up to
+    * `32 << 6` vectors (every committed test fixture) keep bit-identical
+    * buckets to the pre-r15 signer. */
   val Bits = 6
+  /** Planes kept per table; the effective mask never exceeds this. 20 bits
+    * ≈ 32-vector buckets at 33M vectors per shard — beyond that, shard the
+    * index (the multi-table layout already is the sharding seam). */
+  val MaxBits = 20
+  /** Desired per-bucket population the effective width aims for. */
+  val TargetBucketPop = 32
   val Dim = 64
   private val planes: Array[Array[Double]] = {
+    // The first `Bits` planes of every table reproduce the historical
+    // NTables×Bits matrix EXACTLY (same RNG stream, same order), so a
+    // corpus small enough for the 6-bit floor hashes to the same buckets
+    // the pre-widening signer produced; the widening planes are appended
+    // from the continued stream.
     val rnd = new scala.util.Random(42)
-    Array.fill(NTables * Bits, Dim)(rnd.nextGaussian())
+    val legacy = Array.fill(NTables * Bits, Dim)(rnd.nextGaussian())
+    val extra = Array.fill(NTables * (MaxBits - Bits), Dim)(rnd.nextGaussian())
+    Array.tabulate(NTables * MaxBits) { r =>
+      val t = r / MaxBits
+      val j = r % MaxBits
+      if (j < Bits) legacy(t * Bits + j)
+      else extra(t * (MaxBits - Bits) + (j - Bits))
+    }
   }
 
-  /** DuckDB twin of the signer, one bucket expression per table over an
-    * `emb` DOUBLE[] column: the SAME plane literals (Double.toString is
-    * shortest-round-trip, so DuckDB parses back the identical bits) and
-    * the SAME summation order (`list_inner_product` accumulates in index
-    * order, as does [[compute]]'s loop — float operands widen to double
-    * exactly in both engines), so every sign bit matches bit-for-bit and
-    * the LSH key is fully oracle-able despite the seeded planes. */
+  /** The effective-bucket-width rule as a SQL CASE over a corpus-count
+    * expression — the smallest b in [Bits, MaxBits] with
+    * `n <= TargetBucketPop * 2^b`. Pure integer comparisons (no log2
+    * float): bit-identical across Spark and DuckDB by construction. ONE
+    * definition; the Spark side evaluates the same string via `expr`. */
+  def effBitsCaseSql(nSql: String): String =
+    (Bits until MaxBits).map(b =>
+      s"WHEN $nSql <= ${TargetBucketPop.toLong << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $MaxBits END")
+
+  /** DuckDB twin of the signer, one FULL-width bucket expression per table
+    * over an `emb` DOUBLE[] column: the SAME plane literals
+    * (Double.toString is shortest-round-trip, so DuckDB parses back the
+    * identical bits) and the SAME summation order (`list_inner_product`
+    * accumulates in index order, as does [[compute]]'s loop — float
+    * operands widen to double exactly in both engines), so every sign bit
+    * matches bit-for-bit and the LSH keys stay fully oracle-able despite
+    * the seeded planes. Callers apply the same `% (1 << effBits)` mask as
+    * the Spark side. */
   def duckBucketExprs(colSql: String): Seq[String] =
     (0 until NTables).map { t =>
-      (0 until Bits).map { j =>
-        val arr = planes(t * Bits + j).map(_.toString).mkString("[", ", ", "]")
+      (0 until MaxBits).map { j =>
+        val arr = planes(t * MaxBits + j).map(_.toString).mkString("[", ", ", "]")
         s"(CASE WHEN list_inner_product($colSql, $arr) > 0 THEN ${1 << j} ELSE 0 END)"
       }.mkString("(", " + ", ")")
     }
@@ -74,8 +117,8 @@ object LshSigsImpl extends Serializable {
     while (t < NTables) {
       var bucket = 0
       var j = 0
-      while (j < Bits) {
-        val p = planes(t * Bits + j)
+      while (j < MaxBits) {
+        val p = planes(t * MaxBits + j)
         var dp = 0.0
         var i = 0
         while (i < Dim) { dp += emb.getFloat(i) * p(i); i += 1 }

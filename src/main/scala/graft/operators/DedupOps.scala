@@ -582,6 +582,44 @@ object DedupOps {
       .filter(col("rn") <= 3)
   }
 
+  /** Signer pass → (vec_id, tbl, bucket) rows of `df`, with the bucket
+    * masked to the CORPUS-SIZED effective width (r15): bucket count grows
+    * with n so per-bucket population stays ~TargetBucketPop and the
+    * (tbl, bucket) candidate self-join stays near-linear — the LSH
+    * analogue of the √n IVF codebook (the r15 full-suite 10× probe
+    * measured the old fixed 64-bucket tables 64.7× superlinear on
+    * `llm_ann_lsh`). The width rule is pure integer CASE over the count of
+    * `corpus` (NOT of `df` — an index and the delta batch probing it must
+    * mask identically), evaluated from the same SQL string DuckDB runs;
+    * the count rides a broadcast 1-row aggregate (scalar-broadcast
+    * pattern). Masking low bits ≡ using the first b hyperplanes per
+    * table, so small corpora keep the historical 6-bit buckets exactly. */
+  private def lshBucketsOf(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val n = broadcast(corpus.agg(count(lit(1)).as("lsh_n")))
+    df.select(col("vec_id"), posexplode(
+        graft.functions.HashExpressions.lshSigs(s)(col("embedding")))
+        .as(Seq("tbl", "fullb")))
+      .crossJoin(n)
+      .select(col("vec_id"), col("tbl"), expr("fullb % shiftleft(1, " +
+        graft.functions.LshSigsImpl.effBitsCaseSql("lsh_n") + ")")
+        .as("bucket"))
+  }
+
+  /** DuckDB twin of [[lshBucketsOf]]: CTEs `lshb` (the effective width
+    * from the SAME integer CASE rule) and `b` (full-width plane buckets
+    * masked to it). Expects a preceding `v(vec_id, emb)` CTE. */
+  private def duckLshBucketsCte: String =
+    "lshb AS (SELECT " +
+      graft.functions.LshSigsImpl.effBitsCaseSql("COUNT(*)") +
+      " AS b FROM embeddings), b AS (" +
+      graft.functions.LshSigsImpl.duckBucketExprs("emb").zipWithIndex.map {
+        case (ex, t) => s"SELECT vec_id, $t AS tbl, " +
+          s"($ex) % (1 << (SELECT b FROM lshb)) AS bucket FROM v"
+      }.mkString(" UNION ALL ") + ")"
+
   /** Bucketed-LSH top-3 — the shared body of `llm_ann_lsh` and
     * `llm_lsh_recall`: signer pass (one pinned frame feeds both self-join
     * sides), (tbl, bucket) candidate equi-join, exact cosine over
@@ -589,10 +627,7 @@ object DedupOps {
   private def lshRankedTop3(s: org.apache.spark.sql.SparkSession, d: String,
       onlyEvalQueries: Boolean = false): org.apache.spark.sql.DataFrame = {
     val e = T(s, d, "embeddings")
-    val buckets = e
-      .select(col("vec_id"), posexplode(
-        graft.functions.HashExpressions.lshSigs(s)(col("embedding")))
-        .as(Seq("tbl", "bucket")))
+    val buckets = lshBucketsOf(s, e, e)
       .pinned // one signer pass feeds both self-join sides
     val probeSide =
       if (onlyEvalQueries) buckets.filter(col("vec_id") < 5) else buckets
@@ -1120,8 +1155,10 @@ object DedupOps {
         "WHERE a.vec_id < 20000 AND b.vec_id < 20000) t " +
         "WHERE sim >= 0.35 ORDER BY a_id, b_id"),
 
-    // ANN scale path: multi-table random-hyperplane LSH (8 tables × 6-bit
-    // signatures = 64 buckets each). Candidates = pairs sharing any
+    // ANN scale path: multi-table random-hyperplane LSH (8 tables, bucket
+    // width sized to the corpus — ~TargetBucketPop vectors per bucket, so
+    // bucket count grows with n and candidate pairs stay near-linear;
+    // r15, see lshBucketsOf). Candidates = pairs sharing any
     // (table, bucket); exact cosine ranks only those. Recall/candidate
     // tradeoff measured in DedupSpec against the brute-force baseline.
     // Hyperplanes are seeded and JVM-generated, hence no SQL oracle. The
@@ -1135,12 +1172,10 @@ object DedupOps {
       // matrix is emitted into the SQL as shortest-round-trip double
       // literals and each bucket recomputed with list_inner_product
       // (identical summation order ⇒ identical sign bits; see
-      // LshSigsImpl.duckBucketExprs).
+      // LshSigsImpl.duckBucketExprs), then masked to the same
+      // integer-CASE effective width the Spark side evaluates.
       "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
-        "b AS (" +
-        graft.functions.LshSigsImpl.duckBucketExprs("emb").zipWithIndex.map {
-          case (expr, t) => s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM v"
-        }.mkString(" UNION ALL ") + "), " +
+        duckLshBucketsCte + ", " +
         "cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id " +
         "FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket " +
         "AND x.vec_id <> y.vec_id), " +
@@ -1179,14 +1214,18 @@ object DedupOps {
     // the value match certifies the published index round-trips exactly.
     "llm_ann_index_upsert" -> Q(
       (s, d) => {
+        // v2 = corpus-sized bucket width (r15): a v1 scratch dir holds
+        // 6-bit buckets a new-width probe could not match — version the
+        // path so stale persisted indexes can never serve.
         val dir = new java.io.File(new java.io.File(
           sys.props("java.io.tmpdir"), "graft_scratch"),
-          s"annindex_${Scale.dirTag(d)}").toString
+          s"annindex_v2_${Scale.dirTag(d)}").toString
         val e = T(s, d, "embeddings")
-        def sigsOf(df: org.apache.spark.sql.DataFrame) = df
-          .select(col("vec_id"), posexplode(
-            graft.functions.HashExpressions.lshSigs(s)(col("embedding")))
-            .as(Seq("tbl", "bucket")))
+        // the index and every later probe mask against the FULL corpus
+        // count — a delta batch sized by itself would land in different
+        // buckets than the index it probes
+        def sigsOf(df: org.apache.spark.sql.DataFrame) =
+          lshBucketsOf(s, df, e)
         if (!graft.streaming.KeepSetPublish.latestEpoch(dir).contains(1L)) {
           val all = sigsOf(e).pinned // one signer pass feeds both epochs
           val base = all.filter(col("vec_id") % 10 < 8)
@@ -1225,10 +1264,7 @@ object DedupOps {
           .orderBy(col("q_id"), col("rn"))
       },
       "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
-        "b AS (" +
-        graft.functions.LshSigsImpl.duckBucketExprs("emb").zipWithIndex.map {
-          case (expr, t) => s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM v"
-        }.mkString(" UNION ALL ") + "), " +
+        duckLshBucketsCte + ", " +
         "cand AS (SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS nb_id " +
         "FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket " +
         "AND x.vec_id % 10 >= 8 AND y.vec_id % 10 < 8), " +
@@ -1848,10 +1884,7 @@ object DedupOps {
         lshRankedTop3(s, d, onlyEvalQueries = true)
           .select(col("a_id").as("q_id"), col("b_id").as("t_id"))),
       "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
-        "b AS (" +
-        graft.functions.LshSigsImpl.duckBucketExprs("emb").zipWithIndex.map {
-          case (expr, t) => s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM v"
-        }.mkString(" UNION ALL ") + "), " +
+        duckLshBucketsCte + ", " +
         "cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id " +
         "FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket " +
         "AND x.vec_id <> y.vec_id), " +

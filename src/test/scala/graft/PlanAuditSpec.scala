@@ -63,6 +63,8 @@ class PlanAuditSpec extends SparkSpec {
     "graph_label_prop" -> scalar, // 1-row LPA converged flag
     "graph_community_stats" -> scalar, // same LPA converged flag
     "join_cross" -> "the key IS the cross-join demo over bounded dims",
+    "llm_ann_lsh" -> scalar, // corpus count sizes the LSH bucket width
+    "llm_ann_index_upsert" -> scalar, // same width scalar, index + probe
     "llm_bm25_topk" -> scalar, // corpus N and avg doc length
     "llm_centroid_classify" -> centroids,
     "llm_cluster_balanced_sample" -> scalar, // global vector count
