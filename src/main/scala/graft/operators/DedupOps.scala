@@ -750,6 +750,57 @@ object DedupOps {
       .withColumn("keep", col("cluster_id") === col("vec_id"))
   }
 
+  /** Spark-side body of `llm_semantic_dedup_incremental`, parameterized on
+    * the embeddings frame so DedupSpec can pin it to a planted fixture:
+    * base generation = vec_id % 10 < 8, delta = the rest; codebook =
+    * ceil(√n_base) lowest-id BASE vectors (trained on base, fixed for the
+    * delta batch); base assigned to its nearest cell, delta probes top-2
+    * cells, exact cosine against the base members there (keyed on cell),
+    * survivors = delta rows with no base neighbor at round(cos,4) ≥ `tau`.
+    * The nlist scalar rides a broadcast 1-row aggregate (in-plan, never a
+    * collected literal), both codebook scans are broadcast BNLJs over
+    * ≤ √n_base rows, and the candidate/edge joins are keyed — the shapes
+    * every production IVF consumer in this file already carries. */
+  def semanticIncrementalSurvivors(embDf: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.35): org.apache.spark.sql.DataFrame = {
+    val dot = dotF(embDf.sparkSession) _
+    val emb = embDf.withColumn("norm",
+      sqrt(dot(col("embedding"), col("embedding"))))
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val delta = emb.filter(col("vec_id") % 10 >= 8)
+    val nl = base.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nlist"))
+    val cents = base.crossJoin(broadcast(nl))
+      .filter(col("vec_id") < col("nlist"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    def ranked(side: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = side
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
+          .as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
+    val assign = ranked(base).filter(col("rn") === 1)
+      .select(col("vec_id").as("t_id"), col("cid").as("cell"))
+    val probes = ranked(delta).filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val cand = probes.join(assign, Seq("cell"))
+      .select(col("q_id"), col("t_id")).distinct()
+    val qe = delta.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val te = base.select(col("vec_id").as("t_id"),
+      col("embedding").as("t_emb"), col("norm").as("t_norm"))
+    val dupIds = cand.join(qe, "q_id").join(te, "t_id")
+      .filter(round(dot(col("q_emb"), col("t_emb")) /
+        (col("q_norm") * col("t_norm")), 4) >= tau)
+      .select(col("q_id").as("vec_id")).distinct()
+    delta.select(col("vec_id"))
+      .join(dupIds, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
   /** Shared Spark-side body of the cluster keys: every document joined to
     * its jaccard≥0.5 component label (singletons label themselves). ONE
     * definition so the threshold and labeling rules cannot drift between
@@ -1671,6 +1722,57 @@ object DedupOps {
         "AS purity_micro FROM sz JOIN top USING (cluster_id) " +
         "ORDER BY cluster_id"),
 
+    // INCREMENTAL semantic dedup (r15) — the embedding-space twin of
+    // llm_dedup_incremental, completing the delta-batch story for the
+    // vector family the way the MinHash family already has it: the BASE
+    // generation (vec_id % 10 < 8) is the already-deduped corpus, the
+    // DELTA batch (vec_id % 10 >= 8) is checked against BASE ONLY — no
+    // base×base re-cluster, no delta×delta edges (in-batch dups are the
+    // next generation's pass, matching the MinHash key's semantics).
+    // Candidates come from the base generation's IVF index: codebook =
+    // base vectors under ceil(√n_base) (trained on base and FIXED for
+    // the delta batch — the index discipline llm_ivf_index_upsert pins;
+    // re-deriving the codebook per batch would move every stored
+    // assignment), base assigned to its nearest cell, each delta vector
+    // probes its top-2 cells and exact-cosines only the base members
+    // found there through a keyed equi-join on cell. Any base neighbor
+    // at round(cosine,4) ≥ 0.35 marks the delta vector duplicate; the
+    // key returns the survivors (the rows a daily pipeline appends).
+    // Scale: two broadcast-codebook scans (O(n·√n_base) compares, zero
+    // shuffle) + keyed cell/id joins — never a delta×base all-pairs.
+    "llm_semantic_dedup_incremental" -> Q(
+      (s, d) => semanticIncrementalSurvivors(T(s, d, "embeddings")),
+      "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+        "FROM embeddings WHERE vec_id % 10 < 8), " +
+        "nw AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+        "FROM embeddings WHERE vec_id % 10 >= 8), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM b WHERE vec_id < " +
+        "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM b)), " +
+        "bs AS (SELECT b.vec_id, c.cid, row_number() OVER " +
+        "(PARTITION BY b.vec_id ORDER BY " +
+        "list_inner_product(b.emb, c.cemb) / " +
+        "(sqrt(list_inner_product(b.emb, b.emb)) * " +
+        "sqrt(list_inner_product(c.cemb, c.cemb))) DESC, c.cid) AS rn " +
+        "FROM b CROSS JOIN c), " +
+        "assign AS (SELECT vec_id AS t_id, cid AS cell FROM bs WHERE rn = 1), " +
+        "ds AS (SELECT nw.vec_id, c.cid, row_number() OVER " +
+        "(PARTITION BY nw.vec_id ORDER BY " +
+        "list_inner_product(nw.emb, c.cemb) / " +
+        "(sqrt(list_inner_product(nw.emb, nw.emb)) * " +
+        "sqrt(list_inner_product(c.cemb, c.cemb))) DESC, c.cid) AS rn " +
+        "FROM nw CROSS JOIN c), " +
+        "probes AS (SELECT vec_id AS q_id, cid AS cell FROM ds WHERE rn <= 2), " +
+        "cand AS (SELECT DISTINCT p.q_id, a.t_id " +
+        "FROM probes p JOIN assign a USING (cell)), " +
+        "dup AS (SELECT DISTINCT cand.q_id FROM cand " +
+        "JOIN nw q ON q.vec_id = cand.q_id " +
+        "JOIN b t ON t.vec_id = cand.t_id " +
+        "WHERE round(list_inner_product(q.emb, t.emb) / " +
+        "(sqrt(list_inner_product(q.emb, q.emb)) * " +
+        "sqrt(list_inner_product(t.emb, t.emb))), 4) >= 0.35) " +
+        "SELECT vec_id FROM nw WHERE NOT EXISTS " +
+        "(SELECT 1 FROM dup WHERE dup.q_id = nw.vec_id) ORDER BY vec_id"),
+
     // The similarity-search APPLICATION layer: k-NN label voting (label
     // propagation / weak supervision) on the shared IVF candidate
     // machinery — the √n codebook (r15: a voting pass touches EVERY
@@ -1849,6 +1951,113 @@ object DedupOps {
         "AS rn FROM v q CROSS JOIN v t " +
         "WHERE q.vec_id < 5 AND q.vec_id <> t.vec_id) z WHERE rn <= 3), " +
         recallTailSql),
+
+    // Two-stage PQ retrieval with EXACT RE-RANKING (r15) — the refine
+    // stage production PQ deployments run [PK: Jégou et al. 2011's
+    // IVFADC+R]: the compressed ADC search answers a generous shortlist
+    // (top-10 per query) from codes alone, then ONLY those |Q|·10 pairs
+    // touch raw vectors for an exact full-dimension L2 re-rank (top-3
+    // kept). This is the pattern that buys back most of the quantization
+    // error llm_pq_recall measures while still never scanning raw
+    // vectors corpus-wide: the expensive exact metric runs on a
+    // shortlist-sized frame, fetched through keyed id joins. Both stages
+    // rank on floor-quantized integer distances (the PQ family's
+    // order-free exact-math discipline), so the whole two-stage chain is
+    // hash-checked cross-engine.
+    "llm_pq_rerank" -> Q(
+      (s, d) => {
+        val dot = dotF(s) _
+        val e = T(s, d, "embeddings")
+        val shortlist = pqAdcRanked(s, d).filter(col("rn") <= 10)
+          .select(col("q_id"), col("t_id"))
+        val qe = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val te = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"))
+        shortlist.join(qe, "q_id").join(te, "t_id")
+          .select(col("q_id"), col("t_id"),
+            floor((dot(col("q_emb"), col("q_emb")) -
+              lit(2.0) * dot(col("q_emb"), col("t_emb")) +
+              dot(col("t_emb"), col("t_emb"))) * lit(1000000.0)).as("d2u"))
+          .withColumn("rn", big(row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("d2u"), col("t_id")))))
+          .filter(col("rn") <= 3)
+          .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
+            col("d2u"))
+          .orderBy(col("a_id"), col("rn"))
+      },
+      pqAdcCte +
+        ", sl AS (SELECT q_id, t_id FROM ranked WHERE rn <= 10), " +
+        "rr AS (SELECT sl.q_id, sl.t_id, " +
+        "FLOOR((list_inner_product(q.emb, q.emb) - " +
+        "2.0 * list_inner_product(q.emb, t.emb) + " +
+        "list_inner_product(t.emb, t.emb)) * 1000000.0)::BIGINT AS d2u " +
+        "FROM sl JOIN v q ON q.vec_id = sl.q_id " +
+        "JOIN v t ON t.vec_id = sl.t_id) " +
+        "SELECT q_id AS a_id, rn, t_id AS b_id, d2u FROM " +
+        "(SELECT q_id, t_id, d2u, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY d2u, t_id)::BIGINT AS rn FROM rr) z " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
+
+    // TRUE IVFADC (r15) — the canonical production ANN shape [PK: Jégou
+    // et al. 2011]: the two index families this file already grades are
+    // COMPOSED — the √n-codebook IVF stage bounds WHICH vectors are
+    // scored (each eval query probes its top-2 cells; candidates are the
+    // cell members, keyed equi-join on cell), and the PQ-ADC stage prices
+    // each candidate from codes + the per-query LUT without touching raw
+    // vectors. llm_ivf_scaled_ann ranks its candidates by exact cosine
+    // (raw vectors shipped to the rank); llm_pq_adc scans EVERY vector's
+    // code; this key does neither — candidate-bounded AND code-priced,
+    // which is what an actual 1e9-vector deployment runs. All-integer
+    // ADC sums (the PQ family's order-free exact-math discipline), so
+    // the composed chain stays hash-checked cross-engine. Scale: |Q|·
+    // cell-population candidate rows × M=4 code rows, keyed joins
+    // against broadcast LUT/codebook frames — never corpus-wide.
+    "llm_ivfpq_ann" -> Q(
+      (s, d) => {
+        val (cand, _) = ivfCandidatesScaledOf(T(s, d, "embeddings"))
+        val scored = pqScored(s, d)
+        val lut = scored.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("m"), col("cid"), col("d2u"))
+        cand.filter(col("q_id") < 5)
+          .join(pqCodes(scored).withColumnRenamed("vec_id", "t_id"), Seq("t_id"))
+          .join(broadcast(lut), Seq("q_id", "m", "cid"))
+          .groupBy(col("q_id"), col("t_id"))
+          .agg(sum(col("d2u")).as("adist_u"))
+          .withColumn("rn", big(row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("adist_u"), col("t_id")))))
+          .filter(col("rn") <= 3)
+          .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
+            col("adist_u"))
+          .orderBy(col("a_id"), col("rn"))
+      },
+      // The PQ CTEs mirror pqCodesCte with p-prefixed names (the IVF
+      // chain already owns `v` and `ranked`); any drift between the two
+      // texts breaks this key's hash, so the duplication is self-policing.
+      ivfCandCte(codebook = sqrtCodebookSql) +
+        ", pms AS (SELECT unnest(range(4)) AS m), " +
+        "psubs AS (SELECT vec_id, m, " +
+        "list_slice(emb, m * 16 + 1, m * 16 + 16) AS sub " +
+        "FROM v CROSS JOIN pms), " +
+        "pcents AS (SELECT m, vec_id AS cid, sub AS csub FROM psubs " +
+        "WHERE vec_id < 8), " +
+        "pscored AS (SELECT s.vec_id, s.m, c.cid, " +
+        "FLOOR((list_inner_product(s.sub, s.sub) - " +
+        "2.0 * list_inner_product(s.sub, c.csub) + " +
+        "list_inner_product(c.csub, c.csub)) * 1000000.0)::BIGINT AS d2u " +
+        "FROM psubs s JOIN pcents c USING (m)), " +
+        "pcodes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, " +
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2u, cid) AS rn " +
+        "FROM pscored) z WHERE rn = 1), " +
+        "plut AS (SELECT vec_id AS q_id, m, cid, d2u FROM pscored " +
+        "WHERE vec_id < 5), " +
+        "padc AS (SELECT cd.q_id, cd.t_id, SUM(l.d2u)::BIGINT AS adist_u " +
+        "FROM cand cd JOIN pcodes pc ON pc.vec_id = cd.t_id " +
+        "JOIN plut l ON l.q_id = cd.q_id AND l.m = pc.m AND l.cid = pc.cid " +
+        "WHERE cd.q_id < 5 GROUP BY 1, 2) " +
+        "SELECT q_id AS a_id, rn, t_id AS b_id, adist_u FROM " +
+        "(SELECT q_id, t_id, adist_u, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adist_u, t_id)::BIGINT AS rn " +
+        "FROM padc) z WHERE rn <= 3 ORDER BY a_id, rn"),
 
     // recall@3 QC for the IVF path (r13 — llm_pq_recall's pattern applied
     // so ALL THREE vector-index families carry a graded recall key): the

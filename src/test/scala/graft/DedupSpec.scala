@@ -118,6 +118,32 @@ class DedupSpec extends SparkSpec {
     assert(got.size == rows.size)
   }
 
+  test("incremental semantic dedup checks the delta against base only") {
+    // Base generation = ids 0..7 (one-hot basis directions): n_base = 8 so
+    // the codebook is the first ceil(√8) = 3 base vectors (cells 0/1/2).
+    // Base members orthogonal to every centroid fall to cell 0 by the cid
+    // tie-break — which is exactly how delta 28 (a copy of base 6) still
+    // finds its duplicate through the probed cell. Two identical delta
+    // vectors with no base neighbor BOTH survive: delta×delta pairs are
+    // the next generation's pass (the llm_dedup_incremental semantics).
+    def oneHot(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); a(i) = 1f; a
+    }
+    def jittered(dir: Int): Array[Float] = {
+      val a = oneHot(dir); a(10) = 0.05f; a
+    }
+    val rows: Seq[(Long, Array[Float])] =
+      (0 until 8).map(i => (i.toLong, oneHot(i))) ++ Seq(
+        (18L, jittered(1)), // near-dup of base 1 (via probed cell 1) -> drop
+        (28L, oneHot(6)), // copy of base 6 (via the cell-0 fallback) -> drop
+        (38L, oneHot(40)), // no base neighbor anywhere -> survives
+        (48L, oneHot(40))) // identical to 38: delta-delta out of scope
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.DedupOps.semanticIncrementalSurvivors(emb)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(38L, 48L), s"survivors: $got")
+  }
+
   test("lsh signer rejects non-64-dim embeddings loudly") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val impl = graft.functions.LshSigsImpl
