@@ -2012,52 +2012,55 @@ object DedupOps {
     // cell-population candidate rows × M=4 code rows, keyed joins
     // against broadcast LUT/codebook frames — never corpus-wide.
     "llm_ivfpq_ann" -> Q(
+      (s, d) => ivfPqRanked(s, d)
+        .filter(col("rn") <= 3)
+        .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
+          col("adist_u"))
+        .orderBy(col("a_id"), col("rn")),
+      ivfPqCte +
+        " SELECT q_id AS a_id, rn, t_id AS b_id, adist_u FROM pranked " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
+
+    // Index-QC companion for the COMPOSED index (r15): recall@3 of the
+    // IVFADC search against the exact full-dimension L2 top-3 — so all
+    // FOUR graded index shapes (LSH, IVF, PQ, IVF×PQ) carry a recall
+    // key under one contract. The composed index has BOTH loss sources
+    // (IVF candidate misses + PQ quantization error), which is exactly
+    // why its recall is the number a deployment watches; the exact
+    // baseline is the labeled 5-query brute-force discipline ranked on
+    // the same floor-quantized integer distances as llm_pq_recall.
+    "llm_ivfpq_recall" -> Q(
       (s, d) => {
-        val (cand, _) = ivfCandidatesScaledOf(T(s, d, "embeddings"))
-        val scored = pqScored(s, d)
-        val lut = scored.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("m"), col("cid"), col("d2u"))
-        cand.filter(col("q_id") < 5)
-          .join(pqCodes(scored).withColumnRenamed("vec_id", "t_id"), Seq("t_id"))
-          .join(broadcast(lut), Seq("q_id", "m", "cid"))
-          .groupBy(col("q_id"), col("t_id"))
-          .agg(sum(col("d2u")).as("adist_u"))
-          .withColumn("rn", big(row_number().over(
+        val dot = dotF(s) _
+        val e = T(s, d, "embeddings")
+        val ann = ivfPqRanked(s, d).filter(col("rn") <= 3)
+          .select(col("q_id"), col("t_id"))
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"))
+        val exact = ts.crossJoin(broadcast(qs))
+          .filter(col("q_id") =!= col("t_id"))
+          .select(col("q_id"), col("t_id"),
+            floor((dot(col("q_emb"), col("q_emb")) -
+              lit(2.0) * dot(col("q_emb"), col("t_emb")) +
+              dot(col("t_emb"), col("t_emb"))) * lit(1000000.0)).as("d2u"))
+          .withColumn("rn", row_number().over(
             Window.partitionBy(col("q_id"))
-              .orderBy(col("adist_u"), col("t_id")))))
+              .orderBy(col("d2u"), col("t_id"))))
           .filter(col("rn") <= 3)
-          .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
-            col("adist_u"))
-          .orderBy(col("a_id"), col("rn"))
+          .select(col("q_id"), col("t_id"))
+        recallReport(s, d, exact, ann)
       },
-      // The PQ CTEs mirror pqCodesCte with p-prefixed names (the IVF
-      // chain already owns `v` and `ranked`); any drift between the two
-      // texts breaks this key's hash, so the duplication is self-policing.
-      ivfCandCte(codebook = sqrtCodebookSql) +
-        ", pms AS (SELECT unnest(range(4)) AS m), " +
-        "psubs AS (SELECT vec_id, m, " +
-        "list_slice(emb, m * 16 + 1, m * 16 + 16) AS sub " +
-        "FROM v CROSS JOIN pms), " +
-        "pcents AS (SELECT m, vec_id AS cid, sub AS csub FROM psubs " +
-        "WHERE vec_id < 8), " +
-        "pscored AS (SELECT s.vec_id, s.m, c.cid, " +
-        "FLOOR((list_inner_product(s.sub, s.sub) - " +
-        "2.0 * list_inner_product(s.sub, c.csub) + " +
-        "list_inner_product(c.csub, c.csub)) * 1000000.0)::BIGINT AS d2u " +
-        "FROM psubs s JOIN pcents c USING (m)), " +
-        "pcodes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, " +
-        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2u, cid) AS rn " +
-        "FROM pscored) z WHERE rn = 1), " +
-        "plut AS (SELECT vec_id AS q_id, m, cid, d2u FROM pscored " +
-        "WHERE vec_id < 5), " +
-        "padc AS (SELECT cd.q_id, cd.t_id, SUM(l.d2u)::BIGINT AS adist_u " +
-        "FROM cand cd JOIN pcodes pc ON pc.vec_id = cd.t_id " +
-        "JOIN plut l ON l.q_id = cd.q_id AND l.m = pc.m AND l.cid = pc.cid " +
-        "WHERE cd.q_id < 5 GROUP BY 1, 2) " +
-        "SELECT q_id AS a_id, rn, t_id AS b_id, adist_u FROM " +
-        "(SELECT q_id, t_id, adist_u, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY adist_u, t_id)::BIGINT AS rn " +
-        "FROM padc) z WHERE rn <= 3 ORDER BY a_id, rn"),
+      ivfPqCte +
+        ", ann AS (SELECT q_id, t_id FROM pranked WHERE rn <= 3), " +
+        "ex AS (SELECT q_id, t_id FROM (SELECT q.vec_id AS q_id, " +
+        "t.vec_id AS t_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "FLOOR((list_inner_product(q.emb, q.emb) - " +
+        "2.0 * list_inner_product(q.emb, t.emb) + " +
+        "list_inner_product(t.emb, t.emb)) * 1000000.0)::BIGINT, t.vec_id) " +
+        "AS rn FROM v q CROSS JOIN v t " +
+        "WHERE q.vec_id < 5 AND q.vec_id <> t.vec_id) z WHERE rn <= 3), " +
+        recallTailSql),
 
     // recall@3 QC for the IVF path (r13 — llm_pq_recall's pattern applied
     // so ALL THREE vector-index families carry a graded recall key): the
@@ -2244,4 +2247,55 @@ object DedupOps {
     "WHERE l.q_id <> c.vec_id GROUP BY 1, 2), " +
     "ranked AS (SELECT q_id, t_id, adist_u, row_number() OVER " +
     "(PARTITION BY q_id ORDER BY adist_u, t_id)::BIGINT AS rn FROM adc)"
+
+  /** Composed IVFADC ranked frame shared by `llm_ivfpq_ann` /
+    * `llm_ivfpq_recall`: the √n-codebook IVF stage supplies candidate
+    * (q, t) pairs for the 5 eval queries, the PQ-ADC stage prices each
+    * from codes + the broadcast per-query LUT (raw vectors never touched
+    * past the pinned scoring pass), ranked per query on the all-integer
+    * ADC sum with t_id tie-break. */
+  private def ivfPqRanked(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (cand, _) = ivfCandidatesScaledOf(T(s, d, "embeddings"))
+    val scored = pqScored(s, d)
+    val lut = scored.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("m"), col("cid"), col("d2u"))
+    cand.filter(col("q_id") < 5)
+      .join(pqCodes(scored).withColumnRenamed("vec_id", "t_id"), Seq("t_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "cid"))
+      .groupBy(col("q_id"), col("t_id"))
+      .agg(sum(col("d2u")).as("adist_u"))
+      .withColumn("rn", big(row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist_u"), col("t_id")))))
+  }
+
+  /** DuckDB twin of [[ivfPqRanked]] — the IVF chain (which owns `v` and
+    * `ranked`) extended with p-prefixed PQ CTEs mirroring [[pqCodesCte]]
+    * (any drift between the two texts breaks the composed keys' hashes,
+    * so the duplication is self-policing), ending in
+    * `pranked(q_id, t_id, adist_u, rn)`. */
+  private lazy val ivfPqCte: String =
+    ivfCandCte(codebook = sqrtCodebookSql) +
+      ", pms AS (SELECT unnest(range(4)) AS m), " +
+      "psubs AS (SELECT vec_id, m, " +
+      "list_slice(emb, m * 16 + 1, m * 16 + 16) AS sub " +
+      "FROM v CROSS JOIN pms), " +
+      "pcents AS (SELECT m, vec_id AS cid, sub AS csub FROM psubs " +
+      "WHERE vec_id < 8), " +
+      "pscored AS (SELECT s.vec_id, s.m, c.cid, " +
+      "FLOOR((list_inner_product(s.sub, s.sub) - " +
+      "2.0 * list_inner_product(s.sub, c.csub) + " +
+      "list_inner_product(c.csub, c.csub)) * 1000000.0)::BIGINT AS d2u " +
+      "FROM psubs s JOIN pcents c USING (m)), " +
+      "pcodes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, " +
+      "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2u, cid) AS rn " +
+      "FROM pscored) z WHERE rn = 1), " +
+      "plut AS (SELECT vec_id AS q_id, m, cid, d2u FROM pscored " +
+      "WHERE vec_id < 5), " +
+      "padc AS (SELECT cd.q_id, cd.t_id, SUM(l.d2u)::BIGINT AS adist_u " +
+      "FROM cand cd JOIN pcodes pc ON pc.vec_id = cd.t_id " +
+      "JOIN plut l ON l.q_id = cd.q_id AND l.m = pc.m AND l.cid = pc.cid " +
+      "WHERE cd.q_id < 5 GROUP BY 1, 2), " +
+      "pranked AS (SELECT q_id, t_id, adist_u, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY adist_u, t_id)::BIGINT AS rn FROM padc)"
 }

@@ -81,6 +81,8 @@ class PlanAuditSpec extends SparkSpec {
     "llm_semantic_dedup_keep" -> ivfCodebook,
     "llm_semantic_dedup_incremental" -> ivfCodebook, // + 1-row nlist scalar
     "llm_ivfpq_ann" -> ivfCodebook, // IVF candidate stage above the PQ ADC
+    "llm_ivfpq_recall" -> // same IVF stage + the 5-query exact baseline
+      "labeled brute-force recall baseline over a bounded query sample",
     "llm_cluster_purity" -> ivfCodebook,
     "llm_knn_classify" -> ivfCodebook,
     "llm_lsh_recall" -> // same 5-query exact baseline, LSH under test
