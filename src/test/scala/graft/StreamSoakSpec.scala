@@ -107,4 +107,155 @@ class StreamSoakSpec extends SparkSpec {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     }
   }
+
+  test("stateful-alert, 300 batches + mid-soak kill/restart on changelog") {
+    // r15 verdict #4: the dedup soak proves the WATERMARK-driven store
+    // plateaus; the alert machine's state dies by TIMEOUT
+    // (flatMapGroupsWithState event-time timeout = the 24 h gap rule), a
+    // different eviction path a days-long run also depends on. Same
+    // 300-batch protocol under RocksDB + changelog, PLUS a mid-soak
+    // kill/restart: the second half must resume from the changelog —
+    // state carried (a run split across the kill still alerts with the
+    // full count) and nothing reprocessed (the post-restart output holds
+    // only post-restart batches).
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.{Alert, Event}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val cp = java.nio.file.Files.createTempDirectory("soak_alert_cp").toString
+      // memory sink cannot recover a checkpoint — the restart goes through
+      // the durable foreachBatch parquet sink (the production shape); each
+      // query half writes its own out dir, so pre-kill and post-restart
+      // output stay separable for the no-reprocessing check.
+      def start(out: String) = graft.streaming.Sinks.foreachBatchParquet(
+        StreamOps.statefulAlert(mem.toDS()).toDF(), out)
+        .outputMode("append")
+        .option("checkpointLocation", cp).start()
+      val out1 = java.nio.file.Files.createTempDirectory("soak_alert_o1").toString
+      val out2 = java.nio.file.Files.createTempDirectory("soak_alert_o2").toString
+      def readBatches(out: String): org.apache.spark.sql.DataFrame = {
+        val dirs = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("batch_"))
+          .filter(d => Option(d.listFiles()).exists(_.exists(
+            _.getName.endsWith(".parquet"))))
+          .map(_.getPath)
+        spark.read.parquet(dirs.toIndexedSeq: _*)
+      }
+      val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      val HourMs = 3600L * 1000L
+      val usersPerBatch = 4
+      val Sentinel = 9999999L
+      // batch b: event time advances ONE HOUR per batch (so the 24 h
+      // event-time timeout actually fires ~25 batches after a user's
+      // last event — rotation makes the store a moving window, not a
+      // corpus), 4 FRESH users, 3 consecutive errors each → exactly one
+      // alert per user per batch.
+      def batch(b: Int): Seq[Event] = {
+        val ts = new java.sql.Timestamp(base + b * HourMs)
+        for {
+          u <- 0 until usersPerBatch
+          j <- 0 until 3
+        } yield Event(b.toLong * 100 + u * 10 + j, ts,
+          b.toLong * usersPerBatch + u, "error", 0.0)
+      }
+      val curve = Seq.newBuilder[(Long, Long, Long)]
+      var lastSeen = -1L
+      def drive(q: org.apache.spark.sql.streaming.StreamingQuery,
+          rows: Seq[Event]): Unit = {
+        mem.addData(rows)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.batchId != lastSeen && p.stateOperators.nonEmpty) {
+          lastSeen = p.batchId
+          curve += ((p.batchId, p.stateOperators.head.numRowsTotal,
+            p.batchDuration))
+        }
+      }
+      // ---- first half: batches 0..149; batch 149 plants the sentinel
+      // user with TWO errors — its run must survive the kill.
+      val q1 = start(out1)
+      for (b <- 0 until 150) {
+        val planted = if (b == 149) Seq(
+          Event(90001L, new java.sql.Timestamp(base + 149 * HourMs),
+            Sentinel, "error", 0.0),
+          Event(90002L, new java.sql.Timestamp(base + 149 * HourMs),
+            Sentinel, "error", 0.0)) else Seq.empty
+        drive(q1, batch(b) ++ planted)
+      }
+      q1.stop()
+      // ---- kill/restart: a NEW query over the same checkpoint; its
+      // first batch carries the sentinel's THIRD error, one hour later
+      // (inside the 24 h gap window).
+      val q2 = start(out2)
+      for (b <- 150 until 300) {
+        val planted = if (b == 150) Seq(
+          Event(90003L, new java.sql.Timestamp(base + 150 * HourMs),
+            Sentinel, "error", 0.0)) else Seq.empty
+        drive(q2, batch(b) ++ planted)
+      }
+      q2.processAllAvailable()
+      q2.stop()
+
+      // changelog mode actually engaged (not a silent snapshot fallback)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      assert(walk(new java.io.File(cp)).exists(_.getName.endsWith(".changelog")),
+        "no .changelog files under the checkpoint — changelog never engaged")
+
+      // correctness floor, split across the kill: first half = 150
+      // batches × 4 alerts (the sentinel's 2-error run emits nothing);
+      // second half = 150 × 4 + the sentinel alert.
+      val firstHalf = readBatches(out1)
+      val secondHalf = readBatches(out2)
+      assert(firstHalf.count() == 150L * usersPerBatch,
+        s"pre-kill alerts: ${firstHalf.count()}")
+      assert(secondHalf.count() == 150L * usersPerBatch + 1,
+        s"post-restart alerts: ${secondHalf.count()}")
+      // state CARRIED across the restart: the sentinel alert exists and
+      // its run_length is 3 — a fresh-state restart would count 1 and
+      // emit nothing; a reprocessing restart would duplicate pre-kill
+      // alerts into the second out dir (caught by the exact count above).
+      val sent = secondHalf.filter(s"user_id = $Sentinel").collect()
+      assert(sent.length == 1, s"sentinel alerts: ${sent.length}")
+      assert(sent.head.getAs[Int]("run_length") == 3,
+        "sentinel run did not carry across the changelog restart")
+      val minPostId = secondHalf.filter(s"user_id <> $Sentinel")
+        .agg(org.apache.spark.sql.functions.min("event_id")).head().getLong(0)
+      assert(minPostId >= 150L * 100,
+        s"pre-kill batch reprocessed after restart: event_id $minPostId")
+
+      // the two soak curves, on the post-restart half (the long tail a
+      // days-long run lives in): timeout-driven state plateau + flat
+      // latency. ~25 h of users in flight ⇒ ~100 ErrorRun rows, far
+      // below the 1 200 keys seen per half.
+      val pts = curve.result().filter(_._1 >= 150)
+      assert(pts.size > 100, s"too few post-restart progress points: ${pts.size}")
+      val finalState = pts.last._2
+      assert(finalState < 300,
+        s"alert state never timed out: $finalState rows in store")
+      val third = pts.size / 3
+      val midPeak = pts.slice(third, 2 * third).map(_._2).max
+      val latePeak = pts.drop(2 * third).map(_._2).max
+      assert(latePeak <= midPeak * 3 / 2,
+        s"alert state grows with batch count: mid $midPeak, late $latePeak")
+      def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+      val midMs = median(pts.slice(third, 2 * third).map(_._3))
+      val lateMs = median(pts.drop(2 * third).map(_._3))
+      assert(lateMs <= math.max(midMs * 3, 1500),
+        s"per-batch latency trends up: mid ${midMs}ms, late ${lateMs}ms")
+      info(s"alert soak: ${pts.size} post-restart pts, state mid-peak " +
+        s"$midPeak / late-peak $latePeak / final $finalState rows; " +
+        s"latency mid ${midMs}ms / late ${lateMs}ms")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
 }
