@@ -488,6 +488,117 @@ object DedupOps {
         col("norm").as("cnorm")))
   }
 
+  /** CELL-SIZED two-level IVF candidates (r16 verdict #3): nlist =
+    * ceil(n / targetCellSize) cells, so cell POPULATION is a constant
+    * (~64) and the probed-candidate volume is LINEAR in n — the √n
+    * codebook's candidate volume is ~2n^1.5, invisible at 10× but ~31.6×
+    * per decade thereafter. Sizing nlist ~n makes the FLAT coarse scan
+    * the new quadratic (n × n/64 dots), so assignment goes two-level:
+    * an L1 codebook of m = ceil(√nlist) cells over the L2 centroids;
+    * every vector finds its nearest L1 cell (n × m broadcast scan), then
+    * ranks only the L2 centroids assigned to that L1 cell (keyed
+    * equi-join on l1 — per-vector work ~nlist/m = √nlist). Total
+    * assignment ~2·n·√(n/C): the same n^1.5 exponent as the flat √n
+    * codebook but a 1/√C constant, and the candidate stage — the term
+    * the r15 verdict flagged — is now O(C·n). L1 cells are never empty:
+    * m ≤ nlist, so L1 centroid k is also an L2 centroid whose nearest L1
+    * cell is itself (sim = 1 top-ranks under the (sim desc, id)
+    * tie-break). Both codebook sizes ride broadcast 1-row aggregates —
+    * in-plan, never collected literals — and the DuckDB twin computes
+    * the identical ceil scalars, so the whole two-level chain is
+    * hash-checked. */
+  private[operators] def ivfCandidatesCellSizedOf(
+      embDf: org.apache.spark.sql.DataFrame, targetCellSize: Int = 64)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dot = dotF(embDf.sparkSession) _
+    val e = embDf.withColumn("norm",
+      sqrt(dot(col("embedding"), col("embedding"))))
+    val sizes = e.agg(ceil(count(lit(1)) / lit(targetCellSize.toDouble))
+      .cast("long").as("nlist"))
+      .withColumn("m", ceil(sqrt(col("nlist"))).cast("long"))
+    val c2 = e.crossJoin(broadcast(sizes))
+      .filter(col("vec_id") < col("nlist"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val c1 = e.crossJoin(broadcast(sizes))
+      .filter(col("vec_id") < col("m"))
+      .select(col("vec_id").as("l1id"), col("embedding").as("l1emb"),
+        col("norm").as("l1norm"))
+    // nearest L1 cell for a (id, emb, norm) side — broadcast scan over
+    // the ≤ ceil(√nlist)-row L1 codebook, rank 1 under (sim desc, id)
+    def nearestL1(side: org.apache.spark.sql.DataFrame, idCol: String,
+        embCol: String, normCol: String): org.apache.spark.sql.DataFrame =
+      side.crossJoin(broadcast(c1))
+        .select(col(idCol), col("l1id"),
+          (dot(col(embCol), col("l1emb")) / (col(normCol) * col("l1norm")))
+            .as("l1sim"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("l1sim").desc, col("l1id"))))
+        .filter(col("rn") === 1)
+        .select(col(idCol), col("l1id").as("l1"))
+    val c2l1 = nearestL1(c2, "cid", "cemb", "cnorm")
+    val vl1 = nearestL1(
+      e.select(col("vec_id"), col("embedding"), col("norm")),
+      "vec_id", "embedding", "norm")
+    // rank only the L2 centroids in the vector's L1 cell — the join is
+    // EQUI-keyed on l1, never a broadcast of the (linearly growing) L2
+    // codebook against the corpus
+    val top2 = e.select(col("vec_id"), col("embedding"), col("norm"))
+      .join(vl1, Seq("vec_id"))
+      .join(c2.join(c2l1, Seq("cid")), Seq("l1"))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
+          .as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") <= 2)
+      .pinned
+    val assign = top2.filter(col("rn") === 1)
+      .select(col("vec_id").as("t_id"), col("cid").as("cell"))
+    val probes = top2
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val cand = probes.join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("t_id"))
+      .select(col("q_id"), col("t_id")).distinct()
+    (cand, e)
+  }
+
+  /** DuckDB twin of [[ivfCandidatesCellSizedOf]] — ends with
+    * `cand(q_id, t_id)` and `v(vec_id, emb)` like [[ivfCandCte]], so the
+    * same tails append. The ceil scalars, both rank tie-breaks, and the
+    * l1-keyed join mirror the Spark side verbatim. */
+  private def ivf2CandCte(recursive: Boolean = false,
+      targetCellSize: Int = 64): String = {
+    def cos(a: String, b: String): String =
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * " +
+        s"sqrt(list_inner_product($b, $b)))"
+    s"WITH ${if (recursive) "RECURSIVE " else ""}" +
+      s"sz AS (SELECT CAST(ceil(COUNT(*) / $targetCellSize.0) AS BIGINT) AS nlist, " +
+      s"CAST(ceil(sqrt(ceil(COUNT(*) / $targetCellSize.0))) AS BIGINT) AS m " +
+      "FROM embeddings), " +
+      "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      "c2 AS (SELECT vec_id AS cid, emb AS cemb FROM v " +
+      "WHERE vec_id < (SELECT nlist FROM sz)), " +
+      "c1 AS (SELECT vec_id AS l1id, emb AS l1emb FROM v " +
+      "WHERE vec_id < (SELECT m FROM sz)), " +
+      "c2l1 AS (SELECT cid, l1id AS l1 FROM (SELECT c2.cid, c1.l1id, " +
+      s"row_number() OVER (PARTITION BY c2.cid ORDER BY ${cos("c2.cemb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
+      "FROM c2 CROSS JOIN c1) t WHERE rn = 1), " +
+      "vl1 AS (SELECT vec_id, l1id AS l1 FROM (SELECT v.vec_id, c1.l1id, " +
+      s"row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos("v.emb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
+      "FROM v CROSS JOIN c1) t WHERE rn = 1), " +
+      "ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY sim DESC, cid) AS rn FROM (SELECT v.vec_id, c2.cid, " +
+      s"${cos("v.emb", "c2.cemb")} AS sim FROM v " +
+      "JOIN vl1 ON vl1.vec_id = v.vec_id " +
+      "JOIN c2l1 ON c2l1.l1 = vl1.l1 " +
+      "JOIN c2 ON c2.cid = c2l1.cid) s0), " +
+      "assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1), " +
+      "probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2), " +
+      "cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS t_id " +
+      "FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id)"
+  }
+
   /** Shared IVF tail: assign every vector to its nearest cell of `cents`,
     * probe each query's top-2 cells, emit candidate (q_id, t_id) pairs.
     * The top-2 frame is pinned — probes and assignment are two plan
@@ -547,6 +658,24 @@ object DedupOps {
       "cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS t_id " +
       "FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id)"
   }
+
+  /** DuckDB tail of the semantic-dedup chain (appends after any CTE chain
+    * ending in `cand(q_id, t_id)` + `v(vec_id, emb)`): exact-cosine τ
+    * edges → recursive-CTE reachability → min-label components → keep.
+    * ONE definition shared by the √n-codebook and cell-sized keys. */
+  private val semanticKeepSqlTail: String =
+    ", pairs AS (SELECT least(q_id, t_id) AS a, greatest(q_id, t_id) AS b " +
+      "FROM cand JOIN v x ON x.vec_id = least(q_id, t_id) " +
+      "JOIN v y ON y.vec_id = greatest(q_id, t_id) " +
+      "WHERE round(list_inner_product(x.emb, y.emb) / " +
+      "(sqrt(list_inner_product(x.emb, x.emb)) * " +
+      "sqrt(list_inner_product(y.emb, y.emb))), 4) >= 0.35), " +
+      "edges AS (SELECT DISTINCT a, b FROM pairs " +
+      "UNION SELECT b, a FROM pairs), " +
+      "walk(id, label) AS (SELECT vec_id, vec_id FROM embeddings " +
+      "UNION SELECT e.a, w.label FROM edges e JOIN walk w ON w.id = e.b) " +
+      "SELECT id AS vec_id, min(label) AS cluster_id, " +
+      "id = min(label) AS keep FROM walk GROUP BY id ORDER BY vec_id"
 
   /** Output tail shared by the two IVF ANN keys (fixed and √n codebook):
     * (a_id, rn, b_id, sim) with 4dp rounding and (a_id, rn) order — one
@@ -746,9 +875,17 @@ object DedupOps {
     * constant); ceil(√n) cells keep per-cell population ~√n and the
     * candidate volume near-linear. */
   def semanticKeep(embDf: org.apache.spark.sql.DataFrame,
-      tau: Double = 0.35): org.apache.spark.sql.DataFrame = {
+      tau: Double = 0.35): org.apache.spark.sql.DataFrame =
+    semanticKeepFrom(embDf, ivfCandidatesScaledOf(embDf), tau)
+
+  /** The dedup tail of [[semanticKeep]] parameterized on the candidate
+    * generator, so the √n-codebook chain and the cell-sized two-level
+    * chain (r16) share one edge/CC/keep definition. */
+  private def semanticKeepFrom(embDf: org.apache.spark.sql.DataFrame,
+      candE: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+      tau: Double): org.apache.spark.sql.DataFrame = {
     val dot = dotF(embDf.sparkSession) _
-    val (cand, e) = ivfCandidatesScaledOf(embDf)
+    val (cand, e) = candE
     val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("norm").as("a_norm"))
     val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
@@ -1677,18 +1814,28 @@ object DedupOps {
       (s, d) => Scale.snapshotOnce(s, "semantic_keep", 2, d)(
         semanticKeep(T(s, d, "embeddings"))).orderBy(col("vec_id")),
       ivfCandCte(recursive = true, codebook = sqrtCodebookSql) +
-        ", pairs AS (SELECT least(q_id, t_id) AS a, greatest(q_id, t_id) AS b " +
-        "FROM cand JOIN v x ON x.vec_id = least(q_id, t_id) " +
-        "JOIN v y ON y.vec_id = greatest(q_id, t_id) " +
-        "WHERE round(list_inner_product(x.emb, y.emb) / " +
-        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
-        "sqrt(list_inner_product(y.emb, y.emb))), 4) >= 0.35), " +
-        "edges AS (SELECT DISTINCT a, b FROM pairs " +
-        "UNION SELECT b, a FROM pairs), " +
-        "walk(id, label) AS (SELECT vec_id, vec_id FROM embeddings " +
-        "UNION SELECT e.a, w.label FROM edges e JOIN walk w ON w.id = e.b) " +
-        "SELECT id AS vec_id, min(label) AS cluster_id, " +
-        "id = min(label) AS keep FROM walk GROUP BY id ORDER BY vec_id"),
+        semanticKeepSqlTail),
+
+    // The CELL-SIZED variant of the semantic-dedup chain (r16 verdict
+    // #3): same edge/CC/keep tail (one shared definition,
+    // semanticKeepFrom), but candidates from the two-level IVF with
+    // nlist = ceil(n/64) — constant ~64-vector cell population, so the
+    // candidate volume is LINEAR in n where the √n codebook's is ~2n^1.5
+    // (invisible at 10×, ~31.6× per decade thereafter). Assignment goes
+    // through an m = ceil(√nlist) L1 codebook: broadcast scan over L1
+    // only, then an l1-KEYED equi-join to rank the ~√nlist L2 centroids
+    // of the vector's L1 cell — the L2 codebook (which grows linearly)
+    // is never broadcast against the corpus. This is the sizing a 100 TB
+    // dedup pass runs; the √n key stays as the lower-constant choice for
+    // corpora under the ~C² crossover. Fully oracled: DuckDB computes
+    // the identical two-level chain (same ceil scalars, same tie-breaks,
+    // same keyed join).
+    "llm_semantic_dedup_cellsized" -> Q(
+      (s, d) => Scale.snapshotOnce(s, "semantic_keep_c64", 1, d)(
+        semanticKeepFrom(T(s, d, "embeddings"),
+          ivfCandidatesCellSizedOf(T(s, d, "embeddings")), 0.35))
+        .orderBy(col("vec_id")),
+      ivf2CandCte(recursive = true) + semanticKeepSqlTail),
 
     // Cluster-quality eval over the semantic-dedup components (round-12)
     // — the purity number a dedup owner checks before trusting "keep one

@@ -79,6 +79,10 @@ class PlanAuditSpec extends SparkSpec {
     "llm_ivf_scaled_ann" -> ivfCodebook,
     "llm_ivf_index_upsert" -> ivfCodebook,
     "llm_semantic_dedup_keep" -> ivfCodebook,
+    "llm_semantic_dedup_cellsized" -> // two-level IVF: only the L1
+      // codebook (≤ ceil(√nlist) rows) broadcasts; the linearly-growing
+      // L2 codebook reaches the corpus through an l1-KEYED equi-join
+      "broadcast L1 codebook scan + 1-row sizing scalar above the top-2 pin",
     "llm_semantic_dedup_incremental" -> ivfCodebook, // + 1-row nlist scalar
     "llm_ivfpq_ann" -> ivfCodebook, // IVF candidate stage above the PQ ADC
     "llm_ivfpq_recall" -> // same IVF stage + the 5-query exact baseline
