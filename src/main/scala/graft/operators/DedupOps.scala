@@ -2260,6 +2260,43 @@ object DedupOps {
         "WHERE q_id < 5) z WHERE rn <= 3), " +
         exCosCte + ", " + recallTailSql),
 
+    // ANN top-3 over the CELL-SIZED two-level index (r16) — the
+    // exact-cosine rank tail every ANN key shares (ivfTop3Out/rankTop3,
+    // so rounding/tie-break/cutoff cannot fork across index shapes),
+    // fed by ivfCandidatesCellSizedOf's constant-population candidates.
+    // The linear-candidate sizing a 100 TB ANN pass runs; graded
+    // end-to-end against the DuckDB twin of the whole two-level chain.
+    "llm_ivf2_ann" -> Q(
+      (s, d) => {
+        val (cand, e) = ivfCandidatesCellSizedOf(T(s, d, "embeddings"))
+        ivfTop3Out(rankTop3(cand, e))
+      },
+      ivf2CandCte() + ivfRankSql),
+
+    // recall@3 QC for the cell-sized index (r16) — the r13/r15 policy
+    // that EVERY index shape carries a graded recall key (LSH, √n IVF,
+    // PQ, IVFADC, and now the two-level cell-sized index): 5 fixed eval
+    // queries, candidates filtered BEFORE the rank window (per-query
+    // partitions make it result-identical; ranking all queries first
+    // shuffles >99% discarded work), vs the shared exact-cosine
+    // baseline. Recall in exact integer micro-units.
+    "llm_ivf2_recall" -> Q(
+      (s, d) => {
+        val (cand, e) = ivfCandidatesCellSizedOf(T(s, d, "embeddings"))
+        recallReport(s, d, exactCosineTop3(s, d),
+          rankTop3(cand.filter(col("q_id") < 5), e)
+            .select(col("q_id"), col("t_id")))
+      },
+      ivf2CandCte() +
+        ", ann AS (SELECT q_id, t_id FROM (SELECT q_id, t_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY " +
+        "list_inner_product(x.emb, y.emb) / " +
+        "(sqrt(list_inner_product(x.emb, x.emb)) * " +
+        "sqrt(list_inner_product(y.emb, y.emb))) DESC, t_id) AS rn " +
+        "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id " +
+        "WHERE q_id < 5) z WHERE rn <= 3), " +
+        exCosCte + ", " + recallTailSql),
+
     // recall@3 QC for the hyperplane-LSH path (r13): same 5-query exact
     // baseline, ANN side = llm_ann_lsh's banded top-3 (recomputed in the
     // oracle from the emitted plane literals — the duckBucketExprs

@@ -83,6 +83,10 @@ class PlanAuditSpec extends SparkSpec {
       // codebook (≤ ceil(√nlist) rows) broadcasts; the linearly-growing
       // L2 codebook reaches the corpus through an l1-KEYED equi-join
       "broadcast L1 codebook scan + 1-row sizing scalar above the top-2 pin",
+    "llm_ivf2_ann" -> // same two-level candidate stage, rank tail on top
+      "broadcast L1 codebook scan + 1-row sizing scalar above the top-2 pin",
+    "llm_ivf2_recall" -> // two-level stage + the 5-query exact baseline
+      "labeled brute-force recall baseline over a bounded query sample",
     "llm_semantic_dedup_incremental" -> ivfCodebook, // + 1-row nlist scalar
     "llm_ivfpq_ann" -> ivfCodebook, // IVF candidate stage above the PQ ADC
     "llm_ivfpq_recall" -> // same IVF stage + the 5-query exact baseline
