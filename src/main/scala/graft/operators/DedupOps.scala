@@ -878,6 +878,18 @@ object DedupOps {
       tau: Double = 0.35): org.apache.spark.sql.DataFrame =
     semanticKeepFrom(embDf, ivfCandidatesScaledOf(embDf), tau)
 
+  /** [[semanticKeep]] over the cell-sized two-level index
+    * ([[ivfCandidatesCellSizedOf]]) — the `llm_semantic_dedup_cellsized`
+    * body, public and parameterized on (τ, targetCellSize) so DedupSpec
+    * can pin the two-level assignment semantics (including its recall
+    * boundary: a near-dup pair split across L1 cells is NOT a candidate)
+    * on a planted fixture with a small cell size. */
+  def semanticKeepCellSized(embDf: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.35, targetCellSize: Int = 64)
+      : org.apache.spark.sql.DataFrame =
+    semanticKeepFrom(embDf,
+      ivfCandidatesCellSizedOf(embDf, targetCellSize), tau)
+
   /** The dedup tail of [[semanticKeep]] parameterized on the candidate
     * generator, so the √n-codebook chain and the cell-sized two-level
     * chain (r16) share one edge/CC/keep definition. */
@@ -1832,8 +1844,7 @@ object DedupOps {
     // same keyed join).
     "llm_semantic_dedup_cellsized" -> Q(
       (s, d) => Scale.snapshotOnce(s, "semantic_keep_c64", 1, d)(
-        semanticKeepFrom(T(s, d, "embeddings"),
-          ivfCandidatesCellSizedOf(T(s, d, "embeddings")), 0.35))
+        semanticKeepCellSized(T(s, d, "embeddings")))
         .orderBy(col("vec_id")),
       ivf2CandCte(recursive = true) + semanticKeepSqlTail),
 

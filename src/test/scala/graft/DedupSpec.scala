@@ -118,6 +118,55 @@ class DedupSpec extends SparkSpec {
     assert(got.size == rows.size)
   }
 
+  test("cell-sized two-level dedup: assignment routes, L1 split is blind") {
+    // 21 vectors with targetCellSize = 8 → nlist = ceil(21/8) = 3 L2
+    // cells (centroids = ids 0/1/2), m = ceil(√3) = 2 L1 cells
+    // (centroids = ids 0/1). Geometry: v0 = e0, v1 = e1, v2 leans on e1
+    // (cos(v2,v1) ≈ 0.97) so the L1 partition is {cell0: v0},
+    // {cell1: v1, v2}. Cluster A hugs v0, B hugs v1, C hugs v2; B and C
+    // share L1 cell 1 and probe each other's L2 cells, so B∪C is ONE
+    // component (cos(B,C) ≈ 0.97 ≥ τ) while A stays separate — its
+    // members only ever probe L1-0's single L2 cell.
+    // The pinned recall BOUNDARY: y1/y2 are a near-dup pair
+    // (cos ≈ 0.9987) constructed to straddle the L1 split — y1 falls to
+    // L1 cell 0, y2 to L1 cell 1 — so the two-level index never pairs
+    // them: y1 must land in A's component, y2 in B∪C's. That blindness
+    // is the documented trade for linear candidate volume, and this pin
+    // fails if the probe semantics ever widen (or narrow) silently.
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      0L -> vec(0 -> 1f), // v0: L2 + L1 centroid
+      1L -> vec(1 -> 1f), // v1: L2 + L1 centroid
+      2L -> vec(0 -> 0.25f, 1 -> 1f)) ++ // v2: L2 centroid, L1 cell 1
+      (0 until 6).map(j => (3L + j) -> vec(0 -> 1f, (10 + j) -> 0.05f)) ++ // A
+      (0 until 6).map(j => (9L + j) -> vec(1 -> 1f, (10 + j) -> 0.05f)) ++ // B
+      (0 until 4).map(j =>
+        (15L + j) -> vec(0 -> 0.25f, 1 -> 1f, (20 + j) -> 0.05f)) ++ // C
+      Seq(19L -> vec(0 -> 1f, 1 -> 0.95f), // y1 → L1 cell 0
+        20L -> vec(0 -> 0.95f, 1 -> 1f)) // y2 → L1 cell 1
+    // the pair really is a near-dup: cosine well above τ
+    val (ya, yb) = (rows(19)._2, rows(20)._2)
+    val cos = ya.zip(yb).map { case (p, q) => p * q }.sum /
+      (math.sqrt(ya.map(x => x * x).sum) * math.sqrt(yb.map(x => x * x).sum))
+    assert(cos > 0.99, s"fixture drift: cos(y1,y2) = $cos")
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.DedupOps
+      .semanticKeepCellSized(emb, targetCellSize = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val compA = Seq(0L, 3L, 4L, 5L, 6L, 7L, 8L, 19L)
+    val compBC = Seq(1L, 2L, 9L, 10L, 11L, 12L, 13L, 14L,
+      15L, 16L, 17L, 18L, 20L)
+    compA.foreach(id => assert(got(id) == ((0L, id == 0L)),
+      s"A member $id: got ${got(id)}"))
+    compBC.foreach(id => assert(got(id) == ((1L, id == 1L)),
+      s"B∪C member $id: got ${got(id)}"))
+    assert(got.size == rows.size)
+    // the split pair ended in different clusters despite cos ≈ 0.9987
+    assert(got(19L)._1 != got(20L)._1, "L1-split pair was paired anyway")
+  }
+
   test("incremental semantic dedup checks the delta against base only") {
     // Base generation = ids 0..7 (one-hot basis directions): n_base = 8 so
     // the codebook is the first ceil(√8) = 3 base vectors (cells 0/1/2).
