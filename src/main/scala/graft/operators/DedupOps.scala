@@ -974,6 +974,86 @@ object DedupOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Spark-side body of `llm_ivf2_dedup_incremental` (r16) — the
+    * cell-sized twin of [[semanticIncrementalSurvivors]], completing the
+    * two-level family's lifecycle: base generation = vec_id % 10 < 8,
+    * delta = the rest; the TWO-LEVEL index is trained on BASE and FIXED
+    * for the delta batch (the llm_ivf_index_upsert discipline). Codebook
+    * rule is the id THRESHOLD over base rows (the r16 ADVICE clarification
+    * on the √n twin): L2 = base vectors with vec_id < ceil(n_base/C),
+    * L1 = base vectors with vec_id < ceil(√nlist) — base excludes ids ≡
+    * 8,9 (mod 10), so ~80% of those counts at scale, applied identically
+    * in the DuckDB twin. Base rows assign through L1 → nearest L2 in
+    * their L1 cell; delta rows probe their L1 cell's top-2 L2 cells;
+    * exact round(cos,4) ≥ τ against the base members there through keyed
+    * cell/id joins; survivors anti-joined out. Delta×delta pairs are the
+    * next generation's pass. Only the L1 codebook and the two sizing
+    * scalars broadcast — the linearly-growing L2 codebook reaches both
+    * sides through l1-keyed equi-joins, so the per-batch cost is
+    * O(C·|delta|) candidates + ~(|base|+|delta|)·√(nlist) assignment. */
+  def semanticIncrementalCellSized(embDf: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.35, targetCellSize: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    val dot = dotF(embDf.sparkSession) _
+    val emb = embDf.withColumn("norm",
+      sqrt(dot(col("embedding"), col("embedding"))))
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val delta = emb.filter(col("vec_id") % 10 >= 8)
+    val sizes = base.agg(ceil(count(lit(1)) / lit(targetCellSize.toDouble))
+      .cast("long").as("nlist"))
+      .withColumn("m", ceil(sqrt(col("nlist"))).cast("long"))
+    val c2 = base.crossJoin(broadcast(sizes))
+      .filter(col("vec_id") < col("nlist"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val c1 = base.crossJoin(broadcast(sizes))
+      .filter(col("vec_id") < col("m"))
+      .select(col("vec_id").as("l1id"), col("embedding").as("l1emb"),
+        col("norm").as("l1norm"))
+    def nearestL1(side: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = side
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("l1id"),
+        (dot(col("embedding"), col("l1emb")) / (col("norm") * col("l1norm")))
+          .as("l1sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("l1sim").desc, col("l1id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("l1id").as("l1"))
+    val c2full = c2.join(
+      nearestL1(c2.select(col("cid").as("vec_id"), col("cemb").as("embedding"),
+        col("cnorm").as("norm"))).withColumnRenamed("vec_id", "cid"),
+      Seq("cid"))
+    def rankedIn(side: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = side
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .join(nearestL1(side), Seq("vec_id"))
+      .join(c2full, Seq("l1"))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
+          .as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cid"))))
+    val assign = rankedIn(base).filter(col("rn") === 1)
+      .select(col("vec_id").as("t_id"), col("cid").as("cell"))
+    val probes = rankedIn(delta).filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val cand = probes.join(assign, Seq("cell"))
+      .select(col("q_id"), col("t_id")).distinct()
+    val qe = delta.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val te = base.select(col("vec_id").as("t_id"),
+      col("embedding").as("t_emb"), col("norm").as("t_norm"))
+    val dupIds = cand.join(qe, "q_id").join(te, "t_id")
+      .filter(round(dot(col("q_emb"), col("t_emb")) /
+        (col("q_norm") * col("t_norm")), 4) >= tau)
+      .select(col("q_id").as("vec_id")).distinct()
+    delta.select(col("vec_id"))
+      .join(dupIds, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
   /** Shared Spark-side body of the cluster keys: every document joined to
     * its jaccard≥0.5 component label (singletons label themselves). ONE
     * definition so the threshold and labeling rules cannot drift between
@@ -1958,6 +2038,66 @@ object DedupOps {
         "sqrt(list_inner_product(t.emb, t.emb))), 4) >= 0.35) " +
         "SELECT vec_id FROM nw WHERE NOT EXISTS " +
         "(SELECT 1 FROM dup WHERE dup.q_id = nw.vec_id) ORDER BY vec_id"),
+
+    // Incremental dedup over the CELL-SIZED two-level index (r16) — the
+    // delta-batch lifecycle for the linear-candidate index, completing
+    // the two-level family (ann + recall + dedup chain + incremental)
+    // the way the √n family carries llm_semantic_dedup_incremental:
+    // base-trained FIXED codebooks (id-threshold rule over BASE rows),
+    // base assigns through L1 → nearest L2 in its L1 cell, delta probes
+    // its L1 cell's top-2 L2 cells, exact cosine against base members
+    // there, survivors anti-joined out. Per-batch cost O(C·|delta|)
+    // candidates — the maintenance shape a 100 TB corpus actually pays
+    // per ingest batch, constant per delta row regardless of corpus
+    // growth (the √n twin's per-row cost grows as √n_base).
+    "llm_ivf2_dedup_incremental" -> Q(
+      (s, d) => semanticIncrementalCellSized(T(s, d, "embeddings")),
+      {
+        def cos(a: String, b: String): String =
+          s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) " +
+            s"* sqrt(list_inner_product($b, $b)))"
+        "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+          "FROM embeddings WHERE vec_id % 10 < 8), " +
+          "nw AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+          "FROM embeddings WHERE vec_id % 10 >= 8), " +
+          "sz AS (SELECT CAST(ceil(COUNT(*) / 64.0) AS BIGINT) AS nlist, " +
+          "CAST(ceil(sqrt(ceil(COUNT(*) / 64.0))) AS BIGINT) AS m FROM b), " +
+          "c2 AS (SELECT vec_id AS cid, emb AS cemb FROM b " +
+          "WHERE vec_id < (SELECT nlist FROM sz)), " +
+          "c1 AS (SELECT vec_id AS l1id, emb AS l1emb FROM b " +
+          "WHERE vec_id < (SELECT m FROM sz)), " +
+          "c2l1 AS (SELECT cid, l1id AS l1 FROM (SELECT c2.cid, c1.l1id, " +
+          s"row_number() OVER (PARTITION BY c2.cid ORDER BY ${cos("c2.cemb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
+          "FROM c2 CROSS JOIN c1) t WHERE rn = 1), " +
+          "bl1 AS (SELECT vec_id, l1id AS l1 FROM (SELECT b.vec_id, c1.l1id, " +
+          s"row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cos("b.emb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
+          "FROM b CROSS JOIN c1) t WHERE rn = 1), " +
+          "dl1 AS (SELECT vec_id, l1id AS l1 FROM (SELECT nw.vec_id, c1.l1id, " +
+          s"row_number() OVER (PARTITION BY nw.vec_id ORDER BY ${cos("nw.emb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
+          "FROM nw CROSS JOIN c1) t WHERE rn = 1), " +
+          "rb AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+          "ORDER BY sim DESC, cid) AS rn FROM (SELECT b.vec_id, c2.cid, " +
+          s"${cos("b.emb", "c2.cemb")} AS sim FROM b " +
+          "JOIN bl1 ON bl1.vec_id = b.vec_id " +
+          "JOIN c2l1 ON c2l1.l1 = bl1.l1 " +
+          "JOIN c2 ON c2.cid = c2l1.cid) s0), " +
+          "rd AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+          "ORDER BY sim DESC, cid) AS rn FROM (SELECT nw.vec_id, c2.cid, " +
+          s"${cos("nw.emb", "c2.cemb")} AS sim FROM nw " +
+          "JOIN dl1 ON dl1.vec_id = nw.vec_id " +
+          "JOIN c2l1 ON c2l1.l1 = dl1.l1 " +
+          "JOIN c2 ON c2.cid = c2l1.cid) s0), " +
+          "assign AS (SELECT vec_id AS t_id, cid AS cell FROM rb WHERE rn = 1), " +
+          "probes AS (SELECT vec_id AS q_id, cid AS cell FROM rd WHERE rn <= 2), " +
+          "cand AS (SELECT DISTINCT p.q_id, a.t_id " +
+          "FROM probes p JOIN assign a USING (cell)), " +
+          "dup AS (SELECT DISTINCT cand.q_id FROM cand " +
+          "JOIN nw q ON q.vec_id = cand.q_id " +
+          "JOIN b t ON t.vec_id = cand.t_id " +
+          s"WHERE round(${cos("q.emb", "t.emb")}, 4) >= 0.35) " +
+          "SELECT vec_id FROM nw WHERE NOT EXISTS " +
+          "(SELECT 1 FROM dup WHERE dup.q_id = nw.vec_id) ORDER BY vec_id"
+      }),
 
     // The similarity-search APPLICATION layer: k-NN label voting (label
     // propagation / weak supervision) on the shared IVF candidate

@@ -193,6 +193,36 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(38L, 48L), s"survivors: $got")
   }
 
+  test("cell-sized incremental dedup: fixed base index, base-only checks") {
+    // Same planted fixture as the √n incremental pin, run through the
+    // TWO-LEVEL base-trained index at targetCellSize = 2: n_base = 8 ⇒
+    // nlist = 4 L2 cells (base ids 0..3), m = 2 L1 cells (ids 0/1).
+    // One-hots orthogonal to both L1 centroids fall to L1 cell 0 by the
+    // l1id tie-break, whose L2 set is {0,2,3} (v1 keeps its own cell in
+    // L1-1) — so delta 18 reaches base 1 through L1-1's single cell,
+    // delta 28 reaches its copy base 6 through the L1-0 tie-break
+    // fallback, and the no-neighbor pair 38/48 BOTH survive (delta×delta
+    // stays the next generation's pass — base-only semantics carry over
+    // to the cell-sized family unchanged).
+    def oneHot(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); a(i) = 1f; a
+    }
+    def jittered(dir: Int): Array[Float] = {
+      val a = oneHot(dir); a(10) = 0.05f; a
+    }
+    val rows: Seq[(Long, Array[Float])] =
+      (0 until 8).map(i => (i.toLong, oneHot(i))) ++ Seq(
+        (18L, jittered(1)), // near-dup of base 1 (via L1-1's cell) -> drop
+        (28L, oneHot(6)), // copy of base 6 (via the L1-0 tie-break) -> drop
+        (38L, oneHot(40)), // no base neighbor anywhere -> survives
+        (48L, oneHot(40))) // identical to 38: delta-delta out of scope
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.DedupOps
+      .semanticIncrementalCellSized(emb, targetCellSize = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(38L, 48L), s"survivors: $got")
+  }
+
   test("lsh signer rejects non-64-dim embeddings loudly") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val impl = graft.functions.LshSigsImpl
