@@ -223,6 +223,69 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(38L, 48L), s"survivors: $got")
   }
 
+  test("cell-sized dedup: randomized parity vs exhaustive reference (10 runs)") {
+    // The planted pins prove designed routes; this proves the WHOLE
+    // two-level pipeline (L1 assign → c2→L1 map → in-cell L2 rank →
+    // top-2 probes → candidates → τ edges → components → keep) against
+    // an independent exhaustive Scala reference on seeded RANDOM data —
+    // any silent drift in a tie-break, probe width, or rounding mode
+    // diverges some seed. The reference mirrors the engine's arithmetic
+    // domain exactly: left-to-right float→double dot (DotProductF's
+    // loop), HALF_UP 4dp rounding (Spark round()).
+    val C = 4
+    val tau = 0.5
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosd(a: Array[Float], b: Array[Float]): Double =
+      dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val n = 30 + rnd.nextInt(31)
+      val vecs = Array.fill(n)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+      val nlist = math.ceil(n / C.toDouble).toInt
+      val m = math.ceil(math.sqrt(nlist.toDouble)).toInt
+      // rank-1 under (sim desc, id asc): ascending scan, strict improve
+      def best(ids: Seq[Int], v: Array[Float]): Int =
+        ids.map(i => (i, cosd(v, vecs(i))))
+          .reduceLeft((p, q) => if (q._2 > p._2) q else p)._1
+      val c2l1 = (0 until nlist).map(cid => cid -> best(0 until m, vecs(cid))).toMap
+      def top2(v: Array[Float], l1: Int): Seq[Int] =
+        (0 until nlist).filter(c2l1(_) == l1)
+          .sortBy(cid => (-cosd(v, vecs(cid)), cid)).take(2)
+      val probes = (0 until n).map { i =>
+        i -> top2(vecs(i), best(0 until m, vecs(i)))
+      }.toMap
+      val assign = probes.map { case (i, cells) => i -> cells.head }
+      val edges = for {
+        q <- 0 until n; t <- 0 until n
+        if q != t && probes(q).contains(assign(t))
+        if BigDecimal(cosd(vecs(q), vecs(t)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= tau
+      } yield (math.min(q, t), math.max(q, t))
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val label = (0 until n).groupBy(find).values
+        .flatMap(comp => comp.map(_ -> comp.min)).toMap
+      val emb = (0 until n).map(i => (i.toLong, vecs(i))).toDF("vec_id", "embedding")
+      val got = graft.operators.DedupOps
+        .semanticKeepCellSized(emb, tau, C).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      (0 until n).foreach { i =>
+        val want = (label(i).toLong, label(i) == i)
+        assert(got(i.toLong) == want,
+          s"seed $seed n $n vec $i: got ${got(i.toLong)}, want $want")
+      }
+      assert(got.size == n)
+    }
+  }
+
   test("lsh signer rejects non-64-dim embeddings loudly") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val impl = graft.functions.LshSigsImpl
