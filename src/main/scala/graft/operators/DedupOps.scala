@@ -599,6 +599,57 @@ object DedupOps {
       "FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id)"
   }
 
+  /** DuckDB chain of the cell-sized INCREMENTAL core
+    * ([[cellSizedDupFlags]] on the %10 generation split): base/delta
+    * frames, base-trained two-level codebooks, base assignment, delta
+    * top-2 probes, candidates, and the `dup(q_id)` verdict CTE. Two
+    * finals share it: `llm_ivf2_dedup_incremental` (survivors) and
+    * `stream_semantic_dedup` (per-row is_dup flags). */
+  private val ivf2IncCteSql: String = {
+    def cos(a: String, b: String): String =
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) " +
+        s"* sqrt(list_inner_product($b, $b)))"
+    "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+      "FROM embeddings WHERE vec_id % 10 < 8), " +
+      "nw AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+      "FROM embeddings WHERE vec_id % 10 >= 8), " +
+      "sz AS (SELECT CAST(ceil(COUNT(*) / 64.0) AS BIGINT) AS nlist, " +
+      "CAST(ceil(sqrt(ceil(COUNT(*) / 64.0))) AS BIGINT) AS m FROM b), " +
+      "c2 AS (SELECT vec_id AS cid, emb AS cemb FROM b " +
+      "WHERE vec_id < (SELECT nlist FROM sz)), " +
+      "c1 AS (SELECT vec_id AS l1id, emb AS l1emb FROM b " +
+      "WHERE vec_id < (SELECT m FROM sz)), " +
+      "c2l1 AS (SELECT cid, l1id AS l1 FROM (SELECT c2.cid, c1.l1id, " +
+      s"row_number() OVER (PARTITION BY c2.cid ORDER BY ${cos("c2.cemb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
+      "FROM c2 CROSS JOIN c1) t WHERE rn = 1), " +
+      "bl1 AS (SELECT vec_id, l1id AS l1 FROM (SELECT b.vec_id, c1.l1id, " +
+      s"row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cos("b.emb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
+      "FROM b CROSS JOIN c1) t WHERE rn = 1), " +
+      "dl1 AS (SELECT vec_id, l1id AS l1 FROM (SELECT nw.vec_id, c1.l1id, " +
+      s"row_number() OVER (PARTITION BY nw.vec_id ORDER BY ${cos("nw.emb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
+      "FROM nw CROSS JOIN c1) t WHERE rn = 1), " +
+      "rb AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY sim DESC, cid) AS rn FROM (SELECT b.vec_id, c2.cid, " +
+      s"${cos("b.emb", "c2.cemb")} AS sim FROM b " +
+      "JOIN bl1 ON bl1.vec_id = b.vec_id " +
+      "JOIN c2l1 ON c2l1.l1 = bl1.l1 " +
+      "JOIN c2 ON c2.cid = c2l1.cid) s0), " +
+      "rd AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY sim DESC, cid) AS rn FROM (SELECT nw.vec_id, c2.cid, " +
+      s"${cos("nw.emb", "c2.cemb")} AS sim FROM nw " +
+      "JOIN dl1 ON dl1.vec_id = nw.vec_id " +
+      "JOIN c2l1 ON c2l1.l1 = dl1.l1 " +
+      "JOIN c2 ON c2.cid = c2l1.cid) s0), " +
+      "assign AS (SELECT vec_id AS t_id, cid AS cell FROM rb WHERE rn = 1), " +
+      "probes AS (SELECT vec_id AS q_id, cid AS cell FROM rd WHERE rn <= 2), " +
+      "cand AS (SELECT DISTINCT p.q_id, a.t_id " +
+      "FROM probes p JOIN assign a USING (cell)), " +
+      "dup AS (SELECT DISTINCT cand.q_id FROM cand " +
+      "JOIN nw q ON q.vec_id = cand.q_id " +
+      "JOIN b t ON t.vec_id = cand.t_id " +
+      s"WHERE round(${cos("q.emb", "t.emb")}, 4) >= 0.35) "
+  }
+
   /** Shared IVF tail: assign every vector to its nearest cell of `cents`,
     * probe each query's top-2 cells, emit candidate (q_id, t_id) pairs.
     * The top-2 frame is pinned — probes and assignment are two plan
@@ -993,12 +1044,31 @@ object DedupOps {
     * O(C·|delta|) candidates + ~(|base|+|delta|)·√(nlist) assignment. */
   def semanticIncrementalCellSized(embDf: org.apache.spark.sql.DataFrame,
       tau: Double = 0.35, targetCellSize: Int = 64)
+      : org.apache.spark.sql.DataFrame =
+    cellSizedDupFlags(embDf.filter(col("vec_id") % 10 < 8),
+      embDf.filter(col("vec_id") % 10 >= 8), tau, targetCellSize)
+      .filter(!col("is_dup"))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+
+  /** The (base, delta) core of the cell-sized incremental chain,
+    * returning a PER-DELTA-ROW verdict frame (vec_id, is_dup) — shared
+    * by [[semanticIncrementalCellSized]] (the %10 generation split),
+    * the `stream_semantic_dedup` batch twin, and the streaming path
+    * (graft.streaming.StreamOps.semanticDedupStream checks each
+    * micro-batch as the delta against the SAME static base — dedup
+    * against the committed golden corpus, the production ingest
+    * shape). Base and delta arrive as raw embedding frames; the
+    * two-level index is trained on base only and fixed. */
+  def cellSizedDupFlags(baseDf: org.apache.spark.sql.DataFrame,
+      deltaDf: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.35, targetCellSize: Int = 64)
       : org.apache.spark.sql.DataFrame = {
-    val dot = dotF(embDf.sparkSession) _
-    val emb = embDf.withColumn("norm",
+    val dot = dotF(baseDf.sparkSession) _
+    def normed(df: org.apache.spark.sql.DataFrame) = df.withColumn("norm",
       sqrt(dot(col("embedding"), col("embedding"))))
-    val base = emb.filter(col("vec_id") % 10 < 8)
-    val delta = emb.filter(col("vec_id") % 10 >= 8)
+    val base = normed(baseDf)
+    val delta = normed(deltaDf)
     val sizes = base.agg(ceil(count(lit(1)) / lit(targetCellSize.toDouble))
       .cast("long").as("nlist"))
       .withColumn("m", ceil(sqrt(col("nlist"))).cast("long"))
@@ -1050,7 +1120,8 @@ object DedupOps {
         (col("q_norm") * col("t_norm")), 4) >= tau)
       .select(col("q_id").as("vec_id")).distinct()
     delta.select(col("vec_id"))
-      .join(dupIds, Seq("vec_id"), "left_anti")
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
       .orderBy(col("vec_id"))
   }
 
@@ -2052,52 +2123,33 @@ object DedupOps {
     // growth (the √n twin's per-row cost grows as √n_base).
     "llm_ivf2_dedup_incremental" -> Q(
       (s, d) => semanticIncrementalCellSized(T(s, d, "embeddings")),
-      {
-        def cos(a: String, b: String): String =
-          s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) " +
-            s"* sqrt(list_inner_product($b, $b)))"
-        "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
-          "FROM embeddings WHERE vec_id % 10 < 8), " +
-          "nw AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
-          "FROM embeddings WHERE vec_id % 10 >= 8), " +
-          "sz AS (SELECT CAST(ceil(COUNT(*) / 64.0) AS BIGINT) AS nlist, " +
-          "CAST(ceil(sqrt(ceil(COUNT(*) / 64.0))) AS BIGINT) AS m FROM b), " +
-          "c2 AS (SELECT vec_id AS cid, emb AS cemb FROM b " +
-          "WHERE vec_id < (SELECT nlist FROM sz)), " +
-          "c1 AS (SELECT vec_id AS l1id, emb AS l1emb FROM b " +
-          "WHERE vec_id < (SELECT m FROM sz)), " +
-          "c2l1 AS (SELECT cid, l1id AS l1 FROM (SELECT c2.cid, c1.l1id, " +
-          s"row_number() OVER (PARTITION BY c2.cid ORDER BY ${cos("c2.cemb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
-          "FROM c2 CROSS JOIN c1) t WHERE rn = 1), " +
-          "bl1 AS (SELECT vec_id, l1id AS l1 FROM (SELECT b.vec_id, c1.l1id, " +
-          s"row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cos("b.emb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
-          "FROM b CROSS JOIN c1) t WHERE rn = 1), " +
-          "dl1 AS (SELECT vec_id, l1id AS l1 FROM (SELECT nw.vec_id, c1.l1id, " +
-          s"row_number() OVER (PARTITION BY nw.vec_id ORDER BY ${cos("nw.emb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
-          "FROM nw CROSS JOIN c1) t WHERE rn = 1), " +
-          "rb AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
-          "ORDER BY sim DESC, cid) AS rn FROM (SELECT b.vec_id, c2.cid, " +
-          s"${cos("b.emb", "c2.cemb")} AS sim FROM b " +
-          "JOIN bl1 ON bl1.vec_id = b.vec_id " +
-          "JOIN c2l1 ON c2l1.l1 = bl1.l1 " +
-          "JOIN c2 ON c2.cid = c2l1.cid) s0), " +
-          "rd AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
-          "ORDER BY sim DESC, cid) AS rn FROM (SELECT nw.vec_id, c2.cid, " +
-          s"${cos("nw.emb", "c2.cemb")} AS sim FROM nw " +
-          "JOIN dl1 ON dl1.vec_id = nw.vec_id " +
-          "JOIN c2l1 ON c2l1.l1 = dl1.l1 " +
-          "JOIN c2 ON c2.cid = c2l1.cid) s0), " +
-          "assign AS (SELECT vec_id AS t_id, cid AS cell FROM rb WHERE rn = 1), " +
-          "probes AS (SELECT vec_id AS q_id, cid AS cell FROM rd WHERE rn <= 2), " +
-          "cand AS (SELECT DISTINCT p.q_id, a.t_id " +
-          "FROM probes p JOIN assign a USING (cell)), " +
-          "dup AS (SELECT DISTINCT cand.q_id FROM cand " +
-          "JOIN nw q ON q.vec_id = cand.q_id " +
-          "JOIN b t ON t.vec_id = cand.t_id " +
-          s"WHERE round(${cos("q.emb", "t.emb")}, 4) >= 0.35) " +
-          "SELECT vec_id FROM nw WHERE NOT EXISTS " +
-          "(SELECT 1 FROM dup WHERE dup.q_id = nw.vec_id) ORDER BY vec_id"
-      }),
+      ivf2IncCteSql +
+        "SELECT vec_id FROM nw WHERE NOT EXISTS " +
+        "(SELECT 1 FROM dup WHERE dup.q_id = nw.vec_id) ORDER BY vec_id"),
+
+    // STREAMING semantic dedup (r16) — the vector twin of
+    // stream_near_dedup, completing the streaming story for the vector
+    // family: an ingest stream of embeddings checked per micro-batch
+    // against the COMMITTED base corpus's fixed two-level index (the
+    // golden-table dedup pattern — every production ingest pipe runs
+    // exactly this against its published generation). The batch twin
+    // here is the per-delta-row VERDICT frame (vec_id, is_dup) over the
+    // same (base, delta) core the incremental key proves; the real
+    // streaming path is StreamOps.semanticDedupStream (foreachBatch —
+    // each micro-batch is the delta, windows and keyed joins run as
+    // batch plans per trigger, idempotent per-batch output), and
+    // StreamingSpec pins stream ≡ batch across 3 micro-batch seams:
+    // verdicts are row-local vs the static base, so batch boundaries
+    // cannot change them — which is precisely what makes the shape safe
+    // at 100 TB ingest rates (no cross-batch state at all; the state is
+    // the committed index).
+    "stream_semantic_dedup" -> Q(
+      (s, d) => cellSizedDupFlags(
+        T(s, d, "embeddings").filter(col("vec_id") % 10 < 8),
+        T(s, d, "embeddings").filter(col("vec_id") % 10 >= 8)),
+      ivf2IncCteSql +
+        "SELECT vec_id, EXISTS (SELECT 1 FROM dup WHERE dup.q_id = nw.vec_id) " +
+        "AS is_dup FROM nw ORDER BY vec_id"),
 
     // The similarity-search APPLICATION layer: k-NN label voting (label
     // propagation / weak supervision) on the shared IVF candidate

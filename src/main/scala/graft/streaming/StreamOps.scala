@@ -948,6 +948,35 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** STREAMING semantic dedup (r16) — the vector twin of
+    * [[nearDedupStream]]: an ingest stream of (vec_id, embedding) rows
+    * checked per micro-batch against a STATIC base corpus's cell-sized
+    * two-level index (graft.operators.DedupOps.cellSizedDupFlags — the
+    * same (base, delta) core `llm_ivf2_dedup_incremental` proves under
+    * the oracle). foreachBatch is the deliberate shape, not a fallback:
+    * each trigger's batch IS the delta, so the window ranks and keyed
+    * joins of the two-level assignment run as ordinary batch plans per
+    * trigger, and per-batch output lands idempotently (batch-id
+    * directory overwrite — the Sinks.foreachBatchParquet replay
+    * discipline). Verdicts are row-local against the committed base, so
+    * micro-batch boundaries cannot change them (StreamingSpec pins
+    * stream ≡ batch across 3 seams) and there is ZERO cross-batch
+    * streaming state — the only state is the published index
+    * generation, which is what makes the shape safe at 100 TB ingest:
+    * a new base generation is a republish + restart, never a state
+    * migration. */
+  def semanticDedupStream(vecs: DataFrame, base: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        // the micro-batch executes under a CLONED session state — the
+        // graft expression registry must exist there too, or the
+        // call_function("graft_dot_f") nodes fail analysis
+        graft.functions.GraftFunctions.registerAll(batch.sparkSession)
+        graft.operators.DedupOps.cellSizedDupFlags(base, batch)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+    }
+
   /** Stream–stream interval join (the reference's cross-stream correlation
     * signal [PK]): each purchase joined to the same user's clicks in the
     * preceding hour. Both sides carry watermarks and the join condition

@@ -87,6 +87,8 @@ class PlanAuditSpec extends SparkSpec {
       "broadcast L1 codebook scan + 1-row sizing scalar above the top-2 pin",
     "llm_ivf2_dedup_incremental" -> // base-trained L1 codebook + scalars
       "broadcast L1 codebook scan + 1-row sizing scalar above the top-2 pin",
+    "stream_semantic_dedup" -> // same (base, delta) core, verdict output
+      "broadcast L1 codebook scan + 1-row sizing scalar above the top-2 pin",
     "llm_ivf2_recall" -> // two-level stage + the 5-query exact baseline
       "labeled brute-force recall baseline over a bounded query sample",
     "llm_semantic_dedup_incremental" -> ivfCodebook, // + 1-row nlist scalar

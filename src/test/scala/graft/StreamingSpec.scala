@@ -907,6 +907,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream semantic dedup == batch twin across 3 micro-batch seams") {
+    // The vector twin of the near-dedup stream pin: delta embeddings
+    // arrive in 3 micro-batches and are checked per batch against the
+    // STATIC base generation's two-level index (foreachBatch — the
+    // golden-table ingest shape, zero cross-batch state). Verdicts are
+    // row-local vs the base, so the union of per-batch outputs must
+    // equal the batch twin EXACTLY regardless of where the seams fall.
+    implicit val sqlCtx = spark.sqlContext
+    val emb = T(spark, sf001, "embeddings")
+    val base = emb.filter($"vec_id" % 10 < 8)
+    val deltas = emb.filter($"vec_id" % 10 >= 8)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = java.nio.file.Files.createTempDirectory("ssd_out").toString
+    val q = StreamOps.semanticDedupStream(
+      mem.toDF().toDF("vec_id", "embedding"), base, out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ssd_cp").toString)
+      .start()
+    try {
+      deltas.grouped(math.max(1, deltas.size / 3)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_")).map(_.getPath)
+    assert(dirs.length >= 3, s"expected >=3 batch dirs, got ${dirs.length}")
+    val got = spark.read.parquet(dirs.toIndexedSeq: _*)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    val want = SparkEntry.queries("stream_semantic_dedup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    assert(want.exists(_._2) && want.exists(!_._2),
+      "fixture should produce both dups and survivors")
+    assert(got == want)
+  }
+
   test("stream-stream interval join == batch formulation (3 batches)") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
