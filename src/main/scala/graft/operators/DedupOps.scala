@@ -1063,12 +1063,29 @@ object DedupOps {
   def cellSizedDupFlags(baseDf: org.apache.spark.sql.DataFrame,
       deltaDf: org.apache.spark.sql.DataFrame,
       tau: Double = 0.35, targetCellSize: Int = 64)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    cellSizedDupFlagsOn(cellSizedBaseIndex(baseDf, targetCellSize),
+      baseDf, deltaDf, tau)
+
+  /** The PINNED base-side index of the cell-sized incremental chain
+    * (r16 plan-read follow-up): (c1, c2full, assign) — the L1 codebook,
+    * the L2 codebook with its L1 assignment, and every base vector's
+    * cell. Built ONCE and lineage-cut (the unpinned core replayed these
+    * small scans per plan branch — ~6 extra base scans per delta
+    * batch). c1/c2full are codebook-sized; assign is (t_id, cell) — two
+    * longs per base row, the FAISS-style resident index a production
+    * ingest pipe keeps hot. The streaming path builds this OUTSIDE
+    * foreachBatch, so micro-batches reuse one cached index and the pin
+    * count stays CONSTANT over an unbounded stream (pinning per batch
+    * would grow the persistent-RDD registry forever — the exact leak
+    * shape the soak tests exist to catch). */
+  def cellSizedBaseIndex(baseDf: org.apache.spark.sql.DataFrame,
+      targetCellSize: Int = 64)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val dot = dotF(baseDf.sparkSession) _
-    def normed(df: org.apache.spark.sql.DataFrame) = df.withColumn("norm",
+    val base = baseDf.withColumn("norm",
       sqrt(dot(col("embedding"), col("embedding"))))
-    val base = normed(baseDf)
-    val delta = normed(deltaDf)
     val sizes = base.agg(ceil(count(lit(1)) / lit(targetCellSize.toDouble))
       .cast("long").as("nlist"))
       .withColumn("m", ceil(sqrt(col("nlist"))).cast("long"))
@@ -1080,9 +1097,26 @@ object DedupOps {
       .filter(col("vec_id") < col("m"))
       .select(col("vec_id").as("l1id"), col("embedding").as("l1emb"),
         col("norm").as("l1norm"))
-    def nearestL1(side: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = side
-      .select(col("vec_id"), col("embedding"), col("norm"))
+      .pinned
+    val c2full = c2.join(
+      nearestL1Of(c1)(c2.select(col("cid").as("vec_id"),
+        col("cemb").as("embedding"), col("cnorm").as("norm")))
+        .withColumnRenamed("vec_id", "cid"),
+      Seq("cid"))
+      .pinned
+    val assign = rankedInCells(c1, c2full)(base).filter(col("rn") === 1)
+      .select(col("vec_id").as("t_id"), col("cid").as("cell"))
+      .pinned
+    (c1, c2full, assign)
+  }
+
+  /** Nearest-L1-cell lookup against a (possibly pinned) L1 codebook —
+    * broadcast scan over ≤ ceil(√nlist) rows, rank 1 under
+    * (sim desc, id). */
+  private def nearestL1Of(c1: org.apache.spark.sql.DataFrame)(
+      side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dot = dotF(side.sparkSession) _
+    side.select(col("vec_id"), col("embedding"), col("norm"))
       .crossJoin(broadcast(c1))
       .select(col("vec_id"), col("l1id"),
         (dot(col("embedding"), col("l1emb")) / (col("norm") * col("l1norm")))
@@ -1091,29 +1125,47 @@ object DedupOps {
         .orderBy(col("l1sim").desc, col("l1id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("l1id").as("l1"))
-    val c2full = c2.join(
-      nearestL1(c2.select(col("cid").as("vec_id"), col("cemb").as("embedding"),
-        col("cnorm").as("norm"))).withColumnRenamed("vec_id", "cid"),
-      Seq("cid"))
-    def rankedIn(side: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = side
-      .select(col("vec_id"), col("embedding"), col("norm"))
-      .join(nearestL1(side), Seq("vec_id"))
+  }
+
+  /** Rank the L2 centroids of `side`'s L1 cell — the l1-KEYED equi-join
+    * (the linearly-growing L2 codebook is never broadcast against the
+    * corpus). */
+  private def rankedInCells(c1: org.apache.spark.sql.DataFrame,
+      c2full: org.apache.spark.sql.DataFrame)(
+      side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dot = dotF(side.sparkSession) _
+    side.select(col("vec_id"), col("embedding"), col("norm"))
+      .join(nearestL1Of(c1)(side), Seq("vec_id"))
       .join(c2full, Seq("l1"))
       .select(col("vec_id"), col("cid"),
         (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
           .as("sim"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("cid"))))
-    val assign = rankedIn(base).filter(col("rn") === 1)
-      .select(col("vec_id").as("t_id"), col("cid").as("cell"))
-    val probes = rankedIn(delta).filter(col("rn") <= 2)
+  }
+
+  /** Delta-side verdicts against a prebuilt [[cellSizedBaseIndex]] —
+    * the per-micro-batch body of the streaming path and the tail of the
+    * batch keys. Only delta-sized work plus one keyed base-embedding
+    * join (the exact-cosine stage) happens here. */
+  def cellSizedDupFlagsOn(
+      index: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame),
+      baseDf: org.apache.spark.sql.DataFrame,
+      deltaDf: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.35): org.apache.spark.sql.DataFrame = {
+    val (c1, c2full, assign) = index
+    val dot = dotF(baseDf.sparkSession) _
+    def normed(df: org.apache.spark.sql.DataFrame) = df.withColumn("norm",
+      sqrt(dot(col("embedding"), col("embedding"))))
+    val delta = normed(deltaDf)
+    val probes = rankedInCells(c1, c2full)(delta).filter(col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("cid").as("cell"))
     val cand = probes.join(assign, Seq("cell"))
       .select(col("q_id"), col("t_id")).distinct()
     val qe = delta.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("norm").as("q_norm"))
-    val te = base.select(col("vec_id").as("t_id"),
+    val te = normed(baseDf).select(col("vec_id").as("t_id"),
       col("embedding").as("t_emb"), col("norm").as("t_norm"))
     val dupIds = cand.join(qe, "q_id").join(te, "t_id")
       .filter(round(dot(col("q_emb"), col("t_emb")) /

@@ -966,16 +966,23 @@ object StreamOps {
     * a new base generation is a republish + restart, never a state
     * migration. */
   def semanticDedupStream(vecs: DataFrame, base: DataFrame, outDir: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the RESIDENT index: built and pinned ONCE at stream setup, reused
+    // by every micro-batch — per-batch work is delta-sized + one keyed
+    // base join, and the pin count stays constant over an unbounded
+    // stream (building it inside foreachBatch would localCheckpoint new
+    // RDDs every trigger: the monotone-registry leak the soaks catch)
+    val index = graft.operators.DedupOps.cellSizedBaseIndex(base)
     vecs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         // the micro-batch executes under a CLONED session state — the
         // graft expression registry must exist there too, or the
         // call_function("graft_dot_f") nodes fail analysis
         graft.functions.GraftFunctions.registerAll(batch.sparkSession)
-        graft.operators.DedupOps.cellSizedDupFlags(base, batch)
+        graft.operators.DedupOps.cellSizedDupFlagsOn(index, base, batch)
           .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
     }
+  }
 
   /** Stream–stream interval join (the reference's cross-stream correlation
     * signal [PK]): each purchase joined to the same user's clicks in the
