@@ -534,4 +534,76 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(triangles == Seq((1L, 2L, 3L)), s"wrong triangle set: $triangles")
   }
+
+  test("FixedIvfDemoCap is inert at every graded scale factor") {
+    // The cap changes llm_ivf_ann's OUTPUT above it, not just its cost
+    // (r17, ADVICE): rows with vec_id >= the cap disappear from the demo
+    // key's result. This pin makes a future testdata bump that crosses
+    // the cap a DELIBERATE decision (this test fails) instead of a
+    // silent truncation.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val mx = graft.T(spark, s"/root/testdata/$sf", "embeddings")
+        .agg(max(col("vec_id"))).collect()(0).getLong(0)
+      assert(mx < graft.operators.DedupOps.FixedIvfDemoCap,
+        s"$sf: max vec_id $mx reaches FixedIvfDemoCap — the demo cap is " +
+          "no longer inert at a graded scale; bump the cap deliberately " +
+          "or re-adjudicate llm_ivf_ann's declared truncation semantics")
+    }
+  }
+
+  test("adaptive ANN equals the √n twin below the crossover (graded sf)") {
+    // Every graded sf sits below IvfAutoCrossover, so the adaptive key's
+    // oracle results are by construction the √n regime's — pinned here
+    // Spark-side too (a selection-rule bug that flipped the gate at
+    // small n would diverge from the regime-pinned twin).
+    val a = SparkEntry.queries("llm_ann_adaptive")(spark, sf001)
+      .collect().toSeq
+    val b = SparkEntry.queries("llm_ivf_scaled_ann")(spark, sf001)
+      .collect().toSeq
+    assert(a.nonEmpty)
+    assert(a == b, "adaptive ANN diverged from the √n regime below the crossover")
+  }
+
+  test("adaptive index switches to the cell-sized regime above the crossover") {
+    // A planted corpus PAST IvfAutoCrossover (4 200 signed-random 8-dim
+    // vectors): the adaptive keep-list must equal the cell-sized twin's
+    // row for row — the √n branch's gated input is empty, so any
+    // divergence means the gate leaked or the regimes drifted. The
+    // below-crossover side is pinned by the planted √n fixture test
+    // above (n = 21) and the graded-sf parity test.
+    val n = graft.operators.DedupOps.IvfAutoCrossover.toInt + 104
+    val rnd = new scala.util.Random(1234)
+    val emb = (0 until n)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val auto = graft.operators.DedupOps.semanticKeep(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val cell = graft.operators.DedupOps.semanticKeepCellSized(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(auto.size == n)
+    assert(auto == cell,
+      "adaptive keep-list diverged from the cell-sized regime above the crossover")
+  }
+
+  test("adaptive incremental switches by BASE size, same shared verdict core") {
+    // Base past the crossover (5 200 rows → 4 160 base ≥ 4 096): the
+    // adaptive survivors must equal the cell-pinned twin's. The flat
+    // regime below the crossover is pinned by the planted incremental
+    // fixture test above (n_base = 8).
+    // 64-dim signed-random vectors: random cosines concentrate near 0
+    // (std ~1/8), so the tau = 0.35 verdict flags SOME but not all delta
+    // rows — both survivor lists are non-trivial
+    val n = 5200
+    val rnd = new scala.util.Random(5678)
+    val emb = (0 until n)
+      .map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val auto = graft.operators.DedupOps.semanticIncrementalSurvivors(emb)
+      .collect().map(_.getLong(0)).toSeq
+    val cell = graft.operators.DedupOps.semanticIncrementalCellSized(emb)
+      .collect().map(_.getLong(0)).toSeq
+    assert(auto.nonEmpty)
+    assert(auto == cell,
+      "adaptive incremental survivors diverged from the cell-sized regime")
+  }
 }

@@ -77,6 +77,10 @@ class PlanAuditSpec extends SparkSpec {
       "labeled brute-force recall baseline over a bounded query sample",
     "llm_ivf_ann" -> ivfCodebook,
     "llm_ivf_scaled_ann" -> ivfCodebook,
+    "llm_ann_adaptive" -> // r17: both gated branches' codebook scans +
+      // the 1-row corpus-count gate are broadcast-tiny BNLJ sides; the
+      // inactive branch's scans run over empty gated frames
+      ivfCodebook,
     "llm_ivf_index_upsert" -> ivfCodebook,
     "llm_semantic_dedup_keep" -> ivfCodebook,
     "llm_semantic_dedup_cellsized" -> // two-level IVF: only the L1
