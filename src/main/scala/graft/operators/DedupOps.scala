@@ -857,18 +857,20 @@ object DedupOps {
       "WHERE rn <= 3 ORDER BY a_id, rn"
 
   /** Exact-cosine top-3 ranking of IVF-probed candidates — the shared
-    * body of `llm_ivf_ann` (all queries) and `llm_ivf_recall` (the 5
-    * eval queries): (q_id, rn, t_id, rawsim), rn ≤ 3 per query. Ranking
+    * body of `llm_ivf_ann` (all queries) and `llm_ivf_recall` (the
+    * sampled eval queries): (q_id, rn, t_id, rawsim), rn ≤ 3 per query. Ranking
     * on the RAW double with t_id tie-break is the cross-engine-proven
     * discipline (identical expression trees ⇒ identical doubles). */
   private def ivfRankedTop3(s: org.apache.spark.sql.SparkSession, d: String,
       onlyEvalQueries: Boolean = false, scaled: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val (cand0, e) = ivfCandidates(s, d, scaled)
-    // recall QC only ranks the 5 eval queries — filter the candidate set
-    // BEFORE the rank window (per-query partitions make it result-
-    // identical; ranking everything first shuffled >99% discarded work)
-    rankTop3(if (onlyEvalQueries) cand0.filter(col("q_id") < 5) else cand0, e)
+    // recall QC only ranks the sampled eval queries — filter the
+    // candidate set BEFORE the rank window (per-query partitions make it
+    // result-identical; ranking everything first shuffled >95% of the
+    // work to be discarded)
+    rankTop3(
+      if (onlyEvalQueries) evalSampled(s, d, cand0, "q_id") else cand0, e)
   }
 
   /** Exact-cosine top-3 over a (q_id, t_id) candidate frame against the
@@ -947,7 +949,7 @@ object DedupOps {
     val buckets = lshBucketsOf(s, e, e)
       .pinned // one signer pass feeds both self-join sides
     val probeSide =
-      if (onlyEvalQueries) buckets.filter(col("vec_id") < 5) else buckets
+      if (onlyEvalQueries) evalSampled(s, d, buckets, "vec_id") else buckets
     val cand = probeSide.withColumnRenamed("vec_id", "a_id")
       .join(buckets.withColumnRenamed("vec_id", "b_id"), Seq("tbl", "bucket"))
       .filter(col("a_id") =!= col("b_id"))
@@ -968,18 +970,42 @@ object DedupOps {
       .filter(col("rn") <= 3)
   }
 
-  /** EXACT cosine top-3 for the 5 fixed eval queries (vec_id < 5) — the
-    * recall ground truth shared by `llm_ivf_recall` / `llm_lsh_recall`:
-    * the labeled brute-force pattern (queries broadcast against the
-    * corpus — a production recall QC samples queries exactly like this,
-    * never all-pairs; the llm_pq_recall discipline on the cosine
-    * metric). */
+  /** Deterministic recall-QC eval sample (r17 verdict #3, replacing the
+    * 5 fixed queries): ids with vec_id % max(1, n div 100) == 0 — ~100
+    * queries at EVERY corpus size (exactly 100 on the graded fixtures),
+    * enough to catch an assignment-quality regression a 5-query panel
+    * sails past (a two-level index can lose 10% recall and still go
+    * 5/5). The step rides a broadcast 1-row aggregate over the CORPUS
+    * (in-plan, never collected), and the identical
+    * `% (SELECT greatest(COUNT(*) // 100, 1) ...)` scalar appears in
+    * every recall oracle ([[evalSampleSqlPred]]), so the sample set
+    * itself is hash-checked. */
+  private def evalSampled(s: org.apache.spark.sql.SparkSession, d: String,
+      df: org.apache.spark.sql.DataFrame, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val step = broadcast(T(s, d, "embeddings")
+      .agg(expr("greatest(count(1) div 100, 1)").as("eval_step")))
+    df.crossJoin(step)
+      .filter(col(idCol) % col("eval_step") === 0)
+      .drop("eval_step")
+  }
+
+  /** DuckDB twin of [[evalSampled]]'s predicate. */
+  private def evalSampleSqlPred(idExpr: String): String =
+    s"$idExpr % (SELECT greatest(COUNT(*) // 100, 1) FROM embeddings) = 0"
+
+  /** EXACT cosine top-3 for the sampled eval queries ([[evalSampled]])
+    * — the recall ground truth shared by `llm_ivf_recall` /
+    * `llm_lsh_recall` / `llm_ivf2_recall`: the labeled brute-force
+    * pattern (queries broadcast against the corpus — a production
+    * recall QC samples queries exactly like this, never all-pairs; the
+    * llm_pq_recall discipline on the cosine metric). */
   private def exactCosineTop3(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val dot = dotF(s) _
     val e = T(s, d, "embeddings")
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-    val qs = e.filter(col("vec_id") < 5)
+    val qs = evalSampled(s, d, e, "vec_id")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
     val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
@@ -996,17 +1022,18 @@ object DedupOps {
   }
 
   /** recall@3 report for an ANN top-3 frame (q_id, t_id) against an
-    * exact-baseline top-3 frame of the same shape: per eval query
-    * hits ∈ 0..3 and recall in exact integer micro-units. ONE definition
-    * of the recall contract, shared by all three index families
-    * (llm_pq_recall passes its quantized-L2 baseline, the cosine keys
-    * pass [[exactCosineTop3]]). */
+    * exact-baseline top-3 frame of the same shape: per SAMPLED eval
+    * query ([[evalSampled]], ~100 ids) hits ∈ 0..3 and recall in exact
+    * integer micro-units. ONE definition of the recall contract, shared
+    * by all five index families (llm_pq_recall passes its quantized-L2
+    * baseline, the cosine keys pass [[exactCosineTop3]]); DedupSpec
+    * gates the aggregate recall per key against a pinned threshold. */
   private def recallReport(s: org.apache.spark.sql.SparkSession, d: String,
       exact: org.apache.spark.sql.DataFrame,
       ann: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val hits = exact.join(ann, Seq("q_id", "t_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
-    T(s, d, "embeddings").filter(col("vec_id") < 5)
+    evalSampled(s, d, T(s, d, "embeddings"), "vec_id")
       .select(col("vec_id").as("q_id"))
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
@@ -1015,21 +1042,24 @@ object DedupOps {
   }
 
   /** DuckDB twins of [[exactCosineTop3]] (CTE `ex` over `v`) and the
-    * [[recallReport]] tail (requires an `ann(q_id, t_id)` CTE). */
-  private val exCosCte: String =
+    * [[recallReport]] tail (requires an `ann(q_id, t_id)` CTE); both
+    * carry the [[evalSampleSqlPred]] sampled eval set. */
+  private lazy val exCosCte: String =
     "ex AS (SELECT q_id, t_id FROM (SELECT q.vec_id AS q_id, " +
       "t.vec_id AS t_id, row_number() OVER (PARTITION BY q.vec_id " +
       "ORDER BY list_inner_product(q.emb, t.emb) / " +
       "(sqrt(list_inner_product(q.emb, q.emb)) * " +
       "sqrt(list_inner_product(t.emb, t.emb))) DESC, t.vec_id) AS rn " +
       "FROM v q CROSS JOIN v t " +
-      "WHERE q.vec_id < 5 AND q.vec_id <> t.vec_id) z WHERE rn <= 3)"
-  private val recallTailSql: String =
+      s"WHERE ${evalSampleSqlPred("q.vec_id")} AND q.vec_id <> t.vec_id) z " +
+      "WHERE rn <= 3)"
+  private lazy val recallTailSql: String =
     "h AS (SELECT ex.q_id, COUNT(*)::BIGINT AS hits FROM ex " +
       "JOIN ann ON ex.q_id = ann.q_id AND ex.t_id = ann.t_id GROUP BY 1) " +
       "SELECT q.vec_id AS q_id, COALESCE(h.hits, 0)::BIGINT AS hits, " +
       "(COALESCE(h.hits, 0) * 1000000) // 3 AS recall_micro " +
-      "FROM v q LEFT JOIN h ON q.vec_id = h.q_id WHERE q.vec_id < 5 " +
+      "FROM v q LEFT JOIN h ON q.vec_id = h.q_id " +
+      s"WHERE ${evalSampleSqlPred("q.vec_id")} " +
       "ORDER BY q_id"
 
   /** Spark-side body of `llm_semantic_dedup_keep`, parameterized on the
@@ -2535,16 +2565,17 @@ object DedupOps {
         .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
           col("adist_u"))
         .orderBy(col("a_id"), col("rn")),
-      pqAdcCte +
+      pqAdcCte() +
         " SELECT q_id AS a_id, rn, t_id AS b_id, adist_u FROM ranked " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
 
     // Index-QC companion: recall@3 of the PQ-compressed search against the
     // EXACT full-dimension L2 top-3 — the number an index owner watches
     // before trusting ADC answers at scale. The exact baseline is the
-    // labeled brute-force pattern (5 fixed eval queries broadcast against
-    // the corpus — the llm_cosine_topk discipline; a production run
-    // samples queries exactly like this, never all-pairs), ranked on the
+    // labeled brute-force pattern (the SAMPLED ~100-query eval set since
+    // r17 — evalSampled's deterministic % rule, wide enough to catch a
+    // quality regression a 5-query panel sails past — broadcast against
+    // the corpus; never all-pairs), ranked on the
     // same floor-quantized integer distances so both engines agree
     // bit-for-bit. Output per query: hits ∈ 0..3 and recall in exact
     // integer micro-units.
@@ -2552,9 +2583,10 @@ object DedupOps {
       (s, d) => {
         val dot = dotF(s) _
         val e = T(s, d, "embeddings")
-        val ann = pqAdcRanked(s, d).filter(col("rn") <= 3)
+        val ann = pqAdcRanked(s, d, sampledQueries = true)
+          .filter(col("rn") <= 3)
           .select(col("q_id"), col("t_id"))
-        val qs = e.filter(col("vec_id") < 5)
+        val qs = evalSampled(s, d, e, "vec_id")
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"))
         // PQ's exact baseline is quantized L2 (the metric ADC compresses),
@@ -2572,7 +2604,7 @@ object DedupOps {
           .select(col("q_id"), col("t_id"))
         recallReport(s, d, exact, ann)
       },
-      pqAdcCte +
+      pqAdcCte(sampledQueries = true) +
         ", ann AS (SELECT q_id, t_id FROM ranked WHERE rn <= 3), " +
         "ex AS (SELECT q_id, t_id FROM (SELECT q.vec_id AS q_id, " +
         "t.vec_id AS t_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
@@ -2580,7 +2612,7 @@ object DedupOps {
         "2.0 * list_inner_product(q.emb, t.emb) + " +
         "list_inner_product(t.emb, t.emb)) * 1000000.0)::BIGINT, t.vec_id) " +
         "AS rn FROM v q CROSS JOIN v t " +
-        "WHERE q.vec_id < 5 AND q.vec_id <> t.vec_id) z WHERE rn <= 3), " +
+        s"WHERE ${evalSampleSqlPred("q.vec_id")} AND q.vec_id <> t.vec_id) z WHERE rn <= 3), " +
         recallTailSql),
 
     // Two-stage PQ retrieval with EXACT RE-RANKING (r15) — the refine
@@ -2615,7 +2647,7 @@ object DedupOps {
             col("d2u"))
           .orderBy(col("a_id"), col("rn"))
       },
-      pqAdcCte +
+      pqAdcCte() +
         ", sl AS (SELECT q_id, t_id FROM ranked WHERE rn <= 10), " +
         "rr AS (SELECT sl.q_id, sl.t_id, " +
         "FLOOR((list_inner_product(q.emb, q.emb) - " +
@@ -2648,7 +2680,7 @@ object DedupOps {
         .select(col("q_id").as("a_id"), col("rn"), col("t_id").as("b_id"),
           col("adist_u"))
         .orderBy(col("a_id"), col("rn")),
-      ivfPqCte +
+      ivfPqCte() +
         " SELECT q_id AS a_id, rn, t_id AS b_id, adist_u FROM pranked " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
 
@@ -2658,15 +2690,17 @@ object DedupOps {
     // key under one contract. The composed index has BOTH loss sources
     // (IVF candidate misses + PQ quantization error), which is exactly
     // why its recall is the number a deployment watches; the exact
-    // baseline is the labeled 5-query brute-force discipline ranked on
-    // the same floor-quantized integer distances as llm_pq_recall.
+    // baseline is the labeled brute-force discipline over the sampled
+    // ~100-query eval set (r17), ranked on the same floor-quantized
+    // integer distances as llm_pq_recall.
     "llm_ivfpq_recall" -> Q(
       (s, d) => {
         val dot = dotF(s) _
         val e = T(s, d, "embeddings")
-        val ann = ivfPqRanked(s, d).filter(col("rn") <= 3)
+        val ann = ivfPqRanked(s, d, sampledQueries = true)
+          .filter(col("rn") <= 3)
           .select(col("q_id"), col("t_id"))
-        val qs = e.filter(col("vec_id") < 5)
+        val qs = evalSampled(s, d, e, "vec_id")
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val ts = e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"))
         val exact = ts.crossJoin(broadcast(qs))
@@ -2682,7 +2716,7 @@ object DedupOps {
           .select(col("q_id"), col("t_id"))
         recallReport(s, d, exact, ann)
       },
-      ivfPqCte +
+      ivfPqCte(sampledQueries = true) +
         ", ann AS (SELECT q_id, t_id FROM pranked WHERE rn <= 3), " +
         "ex AS (SELECT q_id, t_id FROM (SELECT q.vec_id AS q_id, " +
         "t.vec_id AS t_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
@@ -2690,18 +2724,20 @@ object DedupOps {
         "2.0 * list_inner_product(q.emb, t.emb) + " +
         "list_inner_product(t.emb, t.emb)) * 1000000.0)::BIGINT, t.vec_id) " +
         "AS rn FROM v q CROSS JOIN v t " +
-        "WHERE q.vec_id < 5 AND q.vec_id <> t.vec_id) z WHERE rn <= 3), " +
+        s"WHERE ${evalSampleSqlPred("q.vec_id")} AND q.vec_id <> t.vec_id) z WHERE rn <= 3), " +
         recallTailSql),
 
     // recall@3 QC for the IVF path (r13 — llm_pq_recall's pattern applied
     // so ALL THREE vector-index families carry a graded recall key): the
-    // √n-codebook IVF top-3 (r15 — the recall number must grade the
-    // PRODUCTION index, which is llm_ivf_scaled_ann's codebook, not the
-    // fixed demo) for the 5 fixed eval queries vs the exact cosine top-3
-    // (the labeled 5-query brute-force baseline — a production QC samples
-    // queries exactly like this, never all-pairs). The number an index
-    // owner watches before widening probes: hits ∈ 0..3 and recall in
-    // exact integer micro-units per query.
+    // √n-codebook IVF top-3 (r15 — grades the BELOW-CROSSOVER regime
+    // llm_ann_adaptive selects at small n, not the fixed demo) for the
+    // SAMPLED ~100-query eval set (r17, widened from 5 fixed queries —
+    // wide enough to catch an assignment-quality regression) vs the
+    // exact cosine top-3 (labeled brute-force baseline over the sample —
+    // a production QC samples queries exactly like this, never
+    // all-pairs). The number an index owner watches before widening
+    // probes: hits ∈ 0..3 and recall in exact integer micro-units per
+    // query; DedupSpec gates the aggregate against a pinned threshold.
     "llm_ivf_recall" -> Q(
       (s, d) => recallReport(s, d, exactCosineTop3(s, d),
         ivfRankedTop3(s, d, onlyEvalQueries = true, scaled = true)
@@ -2713,7 +2749,7 @@ object DedupOps {
         "(sqrt(list_inner_product(x.emb, x.emb)) * " +
         "sqrt(list_inner_product(y.emb, y.emb))) DESC, t_id) AS rn " +
         "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id " +
-        "WHERE q_id < 5) z WHERE rn <= 3), " +
+        s"WHERE ${evalSampleSqlPred("q_id")}) z WHERE rn <= 3), " +
         exCosCte + ", " + recallTailSql),
 
     // ANN top-3 over the CELL-SIZED two-level index (r16) — the
@@ -2731,16 +2767,17 @@ object DedupOps {
 
     // recall@3 QC for the cell-sized index (r16) — the r13/r15 policy
     // that EVERY index shape carries a graded recall key (LSH, √n IVF,
-    // PQ, IVFADC, and now the two-level cell-sized index): 5 fixed eval
-    // queries, candidates filtered BEFORE the rank window (per-query
-    // partitions make it result-identical; ranking all queries first
-    // shuffles >99% discarded work), vs the shared exact-cosine
-    // baseline. Recall in exact integer micro-units.
+    // PQ, IVFADC, and the two-level cell-sized index): the sampled
+    // ~100-query eval set (r17), candidates filtered BEFORE the rank
+    // window (per-query partitions make it result-identical; ranking
+    // all queries first shuffles >95% discarded work), vs the shared
+    // exact-cosine baseline. Recall in exact integer micro-units;
+    // DedupSpec gates the aggregate against a pinned threshold.
     "llm_ivf2_recall" -> Q(
       (s, d) => {
         val (cand, e) = ivfCandidatesCellSizedOf(T(s, d, "embeddings"))
         recallReport(s, d, exactCosineTop3(s, d),
-          rankTop3(cand.filter(col("q_id") < 5), e, hinted = false)
+          rankTop3(evalSampled(s, d, cand, "q_id"), e, hinted = false)
             .select(col("q_id"), col("t_id")))
       },
       ivf2CandCte() +
@@ -2750,11 +2787,11 @@ object DedupOps {
         "(sqrt(list_inner_product(x.emb, x.emb)) * " +
         "sqrt(list_inner_product(y.emb, y.emb))) DESC, t_id) AS rn " +
         "FROM cand JOIN v x ON x.vec_id = q_id JOIN v y ON y.vec_id = t_id " +
-        "WHERE q_id < 5) z WHERE rn <= 3), " +
+        s"WHERE ${evalSampleSqlPred("q_id")}) z WHERE rn <= 3), " +
         exCosCte + ", " + recallTailSql),
 
-    // recall@3 QC for the hyperplane-LSH path (r13): same 5-query exact
-    // baseline, ANN side = llm_ann_lsh's banded top-3 (recomputed in the
+    // recall@3 QC for the hyperplane-LSH path (r13): same sampled
+    // exact baseline (r17), ANN side = llm_ann_lsh's banded top-3 (recomputed in the
     // oracle from the emitted plane literals — the duckBucketExprs
     // discipline, so the whole signer→bucket→rank→recall chain is under
     // the hash). Retires DedupSpec's assertion-only recall check: the
@@ -2774,7 +2811,7 @@ object DedupOps {
         "(sqrt(list_inner_product(xa.emb, xa.emb)) * " +
         "sqrt(list_inner_product(xb.emb, xb.emb))), 4) DESC, b_id) AS rn " +
         "FROM cand JOIN v xa ON xa.vec_id = a_id JOIN v xb ON xb.vec_id = b_id " +
-        "WHERE a_id < 5) z WHERE rn <= 3), " +
+        s"WHERE ${evalSampleSqlPred("a_id")}) z WHERE rn <= 3), " +
         exCosCte + ", " + recallTailSql),
 
     // Persisted + incremental PQ CODES table (round-12) — the third
@@ -2871,10 +2908,13 @@ object DedupOps {
     .filter(col("rn") === 1)
     .select(col("vec_id"), col("m"), col("cid"))
 
-  private def pqAdcRanked(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+  private def pqAdcRanked(s: org.apache.spark.sql.SparkSession, d: String,
+      sampledQueries: Boolean = false): org.apache.spark.sql.DataFrame = {
     val scored = pqScored(s, d)
-    val lut = scored.filter(col("vec_id") < 5)
+    // demo keys keep the 5 fixed queries (bounded LUT broadcast);
+    // llm_pq_recall grades the sampled ~100-query eval set (r17)
+    val lut = (if (sampledQueries) evalSampled(s, d, scored, "vec_id")
+      else scored.filter(col("vec_id") < 5))
       .select(col("vec_id").as("q_id"), col("m"), col("cid"), col("d2u"))
     pqCodes(scored).join(broadcast(lut), Seq("m", "cid"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -2907,28 +2947,32 @@ object DedupOps {
 
   /** DuckDB twin of [[pqAdcRanked]] — extends [[pqCodesCte]] to
     * `ranked(q_id, t_id, adist_u, rn)`. */
-  private lazy val pqAdcCte: String = pqCodesCte +
+  private def pqAdcCte(sampledQueries: Boolean = false): String = pqCodesCte +
     ", lut AS (SELECT vec_id AS q_id, m, cid, d2u FROM scored " +
-    "WHERE vec_id < 5), " +
+    s"WHERE ${if (sampledQueries) evalSampleSqlPred("vec_id")
+      else "vec_id < 5"}), " +
     "adc AS (SELECT l.q_id, c.vec_id AS t_id, SUM(l.d2u)::BIGINT " +
     "AS adist_u FROM codes c JOIN lut l USING (m, cid) " +
     "WHERE l.q_id <> c.vec_id GROUP BY 1, 2), " +
     "ranked AS (SELECT q_id, t_id, adist_u, row_number() OVER " +
     "(PARTITION BY q_id ORDER BY adist_u, t_id)::BIGINT AS rn FROM adc)"
 
-  /** Composed IVFADC ranked frame shared by `llm_ivfpq_ann` /
-    * `llm_ivfpq_recall`: the √n-codebook IVF stage supplies candidate
-    * (q, t) pairs for the 5 eval queries, the PQ-ADC stage prices each
+  /** Composed IVFADC ranked frame shared by `llm_ivfpq_ann` (the 5
+    * fixed demo queries) and `llm_ivfpq_recall` (the sampled ~100-query
+    * eval set, r17): the √n-codebook IVF stage supplies candidate
+    * (q, t) pairs for the eval queries, the PQ-ADC stage prices each
     * from codes + the broadcast per-query LUT (raw vectors never touched
     * past the pinned scoring pass), ranked per query on the all-integer
     * ADC sum with t_id tie-break. */
-  private def ivfPqRanked(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+  private def ivfPqRanked(s: org.apache.spark.sql.SparkSession, d: String,
+      sampledQueries: Boolean = false): org.apache.spark.sql.DataFrame = {
     val (cand, _) = ivfCandidatesScaledOf(T(s, d, "embeddings"))
     val scored = pqScored(s, d)
-    val lut = scored.filter(col("vec_id") < 5)
+    val lut = (if (sampledQueries) evalSampled(s, d, scored, "vec_id")
+      else scored.filter(col("vec_id") < 5))
       .select(col("vec_id").as("q_id"), col("m"), col("cid"), col("d2u"))
-    cand.filter(col("q_id") < 5)
+    (if (sampledQueries) evalSampled(s, d, cand, "q_id")
+      else cand.filter(col("q_id") < 5))
       .join(pqCodes(scored).withColumnRenamed("vec_id", "t_id"), Seq("t_id"))
       .join(broadcast(lut), Seq("q_id", "m", "cid"))
       .groupBy(col("q_id"), col("t_id"))
@@ -2942,7 +2986,7 @@ object DedupOps {
     * (any drift between the two texts breaks the composed keys' hashes,
     * so the duplication is self-policing), ending in
     * `pranked(q_id, t_id, adist_u, rn)`. */
-  private lazy val ivfPqCte: String =
+  private def ivfPqCte(sampledQueries: Boolean = false): String =
     ivfSqrtCandCte() +
       ", pms AS (SELECT unnest(range(4)) AS m), " +
       "psubs AS (SELECT vec_id, m, " +
@@ -2959,11 +3003,13 @@ object DedupOps {
       "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2u, cid) AS rn " +
       "FROM pscored) z WHERE rn = 1), " +
       "plut AS (SELECT vec_id AS q_id, m, cid, d2u FROM pscored " +
-      "WHERE vec_id < 5), " +
+      s"WHERE ${if (sampledQueries) evalSampleSqlPred("vec_id")
+        else "vec_id < 5"}), " +
       "padc AS (SELECT cd.q_id, cd.t_id, SUM(l.d2u)::BIGINT AS adist_u " +
       "FROM cand cd JOIN pcodes pc ON pc.vec_id = cd.t_id " +
       "JOIN plut l ON l.q_id = cd.q_id AND l.m = pc.m AND l.cid = pc.cid " +
-      "WHERE cd.q_id < 5 GROUP BY 1, 2), " +
+      s"WHERE ${if (sampledQueries) evalSampleSqlPred("cd.q_id")
+        else "cd.q_id < 5"} GROUP BY 1, 2), " +
       "pranked AS (SELECT q_id, t_id, adist_u, row_number() OVER " +
       "(PARTITION BY q_id ORDER BY adist_u, t_id)::BIGINT AS rn FROM padc)"
 }

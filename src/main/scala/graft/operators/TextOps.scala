@@ -436,15 +436,23 @@ object TextOps {
 
     // BPE training, first merge step: the top-5 most frequent adjacent
     // character pairs per lang stratum (what byte-pair encoding would
-    // merge first). One explode chain + keyed count + ranked top-k —
-    // each BPE iteration at corpus scale is exactly this shape.
+    // merge first). ONE explode + keyed count + ranked top-k — each BPE
+    // iteration at corpus scale is exactly this shape. r17: the pair
+    // stream comes straight off `text` (adjacent char pairs, minus the
+    // ones containing the space separator) instead of exploding to words
+    // first — result-identical (a within-word pair never contains ' ';
+    // a cross-word or padding pair always does; 1-char words contribute
+    // nothing either way) and it drops the intermediate word-row
+    // explosion (~20% of the generated rows) from the hot path. The
+    // oracle keeps the word-based formulation — an independent spelling
+    // of the same set, so the rewrite itself is hash-checked.
     "llm_bpe_pairs" -> Q(
       (s, d) => T(s, d, "documents")
-        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) >= 2)
+        .filter(length(col("text")) >= 2)
         .select(col("lang"), explode(expr(
-          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
           .as("pair"))
+        .filter(!col("pair").contains(" "))
         .groupBy(col("lang"), col("pair"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rn", big(row_number().over(

@@ -366,13 +366,33 @@ class DedupSpec extends SparkSpec {
   // instead of merely floor-asserted here. This spec keeps only the
   // invariants the oracle cannot express: the report covers exactly the
   // 5 eval queries and recall is a valid micro-unit fraction of 3.
-  test("lsh/ivf recall keys: 5 eval queries, micro-unit recall well-formed") {
-    for (k <- Seq("llm_lsh_recall", "llm_ivf_recall")) {
+  test("recall keys: ~100-query sampled eval set, aggregate recall gated") {
+    // r17 verdict #3 (widened from the 5 fixed queries — a panel that
+    // small can lose 10% recall and still go 5/5): every recall key
+    // grades the deterministic evalSampled set (vec_id % max(1, n div
+    // 100) == 0 — exactly 100 ids on this fixture), and the AGGREGATE
+    // recall@3 is gated per index shape. Thresholds are pinned ~35%
+    // under the measured sf0.001 values (lsh 330k / ivf 313k / ivf2
+    // 490k / pq 40k / ivfpq 83k micro) — low absolute numbers are a
+    // property of near-uniform synthetic embeddings (neighbors are
+    // barely separated; the demo-sized PQ codebook quantizes hardest),
+    // and the gate exists to catch a REGRESSION (probe-width loss,
+    // assignment drift), not to certify the fixture's geometry.
+    val thresholds = Map(
+      "llm_lsh_recall" -> 250000L,
+      "llm_ivf_recall" -> 230000L,
+      "llm_ivf2_recall" -> 350000L,
+      "llm_pq_recall" -> 20000L,
+      "llm_ivfpq_recall" -> 50000L)
+    for ((k, floor) <- thresholds) {
       val r = SparkEntry.queries(k)(spark, sf001)
         .as[(Long, Long, Long)].collect()
-      assert(r.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L), s"$k queries")
+      assert(r.length >= 100, s"$k eval sample too small: ${r.length}")
       assert(r.forall { case (_, h, m) =>
-        h >= 0 && h <= 3 && m == h * 1000000L / 3 }, s"$k malformed: ${r.toSeq}")
+        h >= 0 && h <= 3 && m == h * 1000000L / 3 }, s"$k malformed rows")
+      val mean = r.map(_._3).sum / r.length
+      assert(mean >= floor,
+        s"$k aggregate recall ${mean}µ under the pinned ${floor}µ floor")
     }
   }
 
