@@ -436,25 +436,30 @@ object TextOps {
 
     // BPE training, first merge step: the top-5 most frequent adjacent
     // character pairs per lang stratum (what byte-pair encoding would
-    // merge first). ONE explode + keyed count + ranked top-k — each BPE
-    // iteration at corpus scale is exactly this shape. r17: the pair
-    // stream comes straight off `text` (adjacent char pairs, minus the
-    // ones containing the space separator) instead of exploding to words
-    // first — result-identical (a within-word pair never contains ' ';
-    // a cross-word or padding pair always does; 1-char words contribute
-    // nothing either way) and it drops the intermediate word-row
-    // explosion (~20% of the generated rows) from the hot path. The
-    // oracle keeps the word-based formulation — an independent spelling
-    // of the same set, so the rewrite itself is hash-checked.
+    // merge first). r17 (verdict #5): the pair explode runs over the
+    // DISTINCT (lang, word) vocabulary with a carried multiplicity, not
+    // over every word occurrence — a natural-language corpus repeats its
+    // vocabulary heavily (Zipf), so the word-dedup hash aggregate
+    // (map-side partial, the cheapest shuffle in the plan) shrinks the
+    // expensive stage (per-character explode + substring) by the
+    // repetition factor, and the pair count becomes sum(multiplicity).
+    // This is exactly how production BPE trainers batch their pair
+    // counts. Result-identical; the oracle keeps the direct
+    // one-row-per-occurrence formulation, so the rewrite itself is
+    // hash-checked. Words stay short (space tokens), so the
+    // substring-from-index scans stay O(word) — a text-direct variant
+    // measured O(len^2) per document and was discarded in-round.
     "llm_bpe_pairs" -> Q(
       (s, d) => T(s, d, "documents")
-        .filter(length(col("text")) >= 2)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("wn"))
+        .select(col("lang"), col("wn"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
           .as("pair"))
-        .filter(!col("pair").contains(" "))
         .groupBy(col("lang"), col("pair"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("wn")).as("n"))
         .withColumn("rn", big(row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
             .orderBy(col("n").desc, col("pair")))))
