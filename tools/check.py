@@ -7,6 +7,7 @@ query order, exact value equality (bit-exact for floats).
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -21,7 +22,12 @@ def main(sf, outdir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # testdata ships single parquet FILES; ScaleProbe fixtures are
+        # Spark-style parquet DIRECTORIES — glob the parts in that case
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = []
     for name, sql in sorted(oracle.items()):
