@@ -364,8 +364,9 @@ class DedupSpec extends SparkSpec {
   // now a GRADED, oracled output (`llm_lsh_recall` / `llm_ivf_recall`,
   // the llm_pq_recall pattern), so the number is hash-pinned per round
   // instead of merely floor-asserted here. This spec keeps only the
-  // invariants the oracle cannot express: the report covers exactly the
-  // 5 eval queries and recall is a valid micro-unit fraction of 3.
+  // invariants the oracle cannot express: the sampled eval set is big
+  // enough, rows are well-formed, and the AGGREGATE recall clears each
+  // index shape's pinned floor.
   test("recall keys: ~100-query sampled eval set, aggregate recall gated") {
     // r17 verdict #3 (widened from the 5 fixed queries — a panel that
     // small can lose 10% recall and still go 5/5): every recall key

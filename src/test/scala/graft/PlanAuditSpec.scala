@@ -71,9 +71,9 @@ class PlanAuditSpec extends SparkSpec {
     "llm_cosine_topk" -> pairCap,
     "llm_domain_token_mix" -> scalar, // corpus-total token count
     "llm_emb_near_dedup" -> pairCap,
-    "llm_pq_recall" -> // 5 fixed eval queries broadcast vs the corpus:
+    "llm_pq_recall" -> // sampled ~100 eval queries broadcast vs corpus:
       "labeled brute-force recall baseline over a bounded query sample",
-    "llm_ivf_recall" -> // same 5-query exact baseline, IVF under test
+    "llm_ivf_recall" -> // same sampled exact baseline, IVF under test
       "labeled brute-force recall baseline over a bounded query sample",
     "llm_ivf_ann" -> ivfCodebook,
     "llm_ivf_scaled_ann" -> ivfCodebook,
@@ -93,15 +93,15 @@ class PlanAuditSpec extends SparkSpec {
       "broadcast L1 codebook scan + 1-row sizing scalar above the top-2 pin",
     "stream_semantic_dedup" -> // same (base, delta) core, verdict output
       "broadcast L1 codebook scan + 1-row sizing scalar above the top-2 pin",
-    "llm_ivf2_recall" -> // two-level stage + the 5-query exact baseline
+    "llm_ivf2_recall" -> // two-level stage + the sampled exact baseline
       "labeled brute-force recall baseline over a bounded query sample",
     "llm_semantic_dedup_incremental" -> ivfCodebook, // + 1-row nlist scalar
     "llm_ivfpq_ann" -> ivfCodebook, // IVF candidate stage above the PQ ADC
-    "llm_ivfpq_recall" -> // same IVF stage + the 5-query exact baseline
+    "llm_ivfpq_recall" -> // same IVF stage + the sampled exact baseline
       "labeled brute-force recall baseline over a bounded query sample",
     "llm_cluster_purity" -> ivfCodebook,
     "llm_knn_classify" -> ivfCodebook,
-    "llm_lsh_recall" -> // same 5-query exact baseline, LSH under test
+    "llm_lsh_recall" -> // same sampled exact baseline, LSH under test
       "labeled brute-force recall baseline over a bounded query sample",
     "llm_kmeans_step" -> centroids,
     "llm_shard_balance" -> scalar, // corpus-total byte count
