@@ -58,6 +58,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      // clear any snapshot-read residue from the previous key so the
+      // per-key snapshot_backed flag below is this key's alone
+      graft.operators.Scale.drainSnapshotReads(): Unit
+      var snapshotServed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -66,6 +70,13 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // snapshot labeling (r17 verdict #2): a rep that READ a committed
+        // snapshot (marker hit, zero compute) timed read-back, not the
+        // derivation — the artifact records the key so exponent readers
+        // know. Rep 1 of a cold run publishes (flag stays false there);
+        // any later rep flips it, which is exactly when the MEDIAN stops
+        // measuring compute.
+        snapshotServed |= graft.operators.Scale.drainSnapshotReads()
         // pin lifecycle (r13 verdict #2): release the rep's pinned scratch
         // blocks as soon as its clock stops — without this a full-session
         // run accumulates localCheckpoint storage until pin-heavy keys
@@ -83,12 +94,14 @@ object Bench {
       // must neither mark a runnable key FAILED nor mix its fast-fail
       // duration into the timing. FAILED = zero successful reps.
       val okTimes = times.collect { case (t, true) => t }.sorted
-      if (okTimes.nonEmpty) (name, okTimes(okTimes.length / 2), true)
-      else (name, times.map(_._1).min, false)
+      if (okTimes.nonEmpty) (name, okTimes(okTimes.length / 2), true, snapshotServed)
+      else (name, times.map(_._1).min, false, snapshotServed)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val snap = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Round-ritual red gate: a key that fails every rep is a broken
@@ -97,7 +110,7 @@ object Bench {
     if (failed != "[]")
       System.err.println(s"[bench] RED GATE — keys failed all reps: $failed")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"snapshot_backed":$snap,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full per-query JSON beside the stdout line (r12
     // verdict item 8): the driver's BENCH_r{N}.json capture truncates to a

@@ -13,6 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * | SQL name | signature | backing |
   * |---|---|---|
   * | `graft_dot_f(a, b)` | array<float> × array<float> → double | [[DotProductF]] codegen |
+  * | `graft_dot_a(a, b)` | array<float|double> × array<float|double> → double | [[DotProductAny]] codegen |
   * | `graft_simhash64(words)` | array<string> → bigint | [[SimHash64]] codegen |
   * | `graft_lsh_sigs(emb)` | array<float> → array<int> | [[LshSigs]] codegen |
   * | `graft_grok_capture(s, 'expr')` | string × grok-literal → array<string> | [[GrokCapture]] (grok compiled at plan time) |
@@ -62,6 +63,7 @@ object GraftFunctions {
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
     Seq(
       "graft_dot_f" -> (exprs => DotProductF(exprs(0), exprs(1))),
+      "graft_dot_a" -> (exprs => DotProductAny(exprs(0), exprs(1))),
       "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
       "graft_lsh_sigs" -> (exprs => LshSigs(exprs.head)),
       // grok from SQL: the %{NAME:field} expression compiles at plan time;

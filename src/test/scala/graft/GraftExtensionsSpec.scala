@@ -86,6 +86,8 @@ class GraftExtensionsSpec extends SparkSpec {
     val smoke = Map(
       "graft_dot_f" ->
         "graft_dot_f(array(float(1), float(2)), array(float(3), float(4)))",
+      "graft_dot_a" ->
+        "graft_dot_a(array(float(1), float(2)), array(double(3), double(4)))",
       "graft_simhash64" -> "graft_simhash64(split('a b c d', ' '))",
       "graft_lsh_sigs" -> "graft_lsh_sigs(transform(sequence(1, 64), i -> float(i)))",
       "graft_grok_capture" ->

@@ -77,6 +77,12 @@ class PlanAuditSpec extends SparkSpec {
       "labeled brute-force recall baseline over a bounded query sample",
     "llm_ivf_ann" -> ivfCodebook,
     "llm_ivf_scaled_ann" -> ivfCodebook,
+    "llm_ivf_trained_ann" -> // r18: the Lloyd iterations re-score the
+      // corpus against the broadcast (≤ ceil(√n)-row) codebook once per
+      // iteration — same shape as the final assignment scan, ×TrainIters
+      ivfCodebook,
+    "llm_ann_adaptive_recall" -> // adaptive stage + the sampled baseline
+      "labeled brute-force recall baseline over a bounded query sample",
     "llm_ann_adaptive" -> // r17: both gated branches' codebook scans +
       // the 1-row corpus-count gate are broadcast-tiny BNLJ sides; the
       // inactive branch's scans run over empty gated frames
