@@ -152,10 +152,16 @@ object FnOps {
             lit("."), (col("user_id") % 10).cast("string")))
           .otherwise(concat(lit("!!corrupt record "),
             col("event_id").cast("string"), lit("!!")))
+        // r18 OPTIMIZATION: one-pass dispatch — a single GrokDispatch per
+        // row (first-match-wins short circuit) replaces the N rlike + N
+        // capture-array evaluations, all of which codegen subexpression
+        // elimination ran eagerly per row. Same fmt/caps semantics
+        // (GrokSpec parity pin); oracle unchanged.
         T(s, d, "events").withColumn("msg", msg)
-          .withColumn("format_id", Grok.dispatchFormatId(GrokFormats)(col("msg")))
+          .withColumn("dx", Grok.dispatchStruct(s)(col("msg"), GrokFormats))
+          .withColumn("format_id", col("dx.fmt"))
           .select(col("event_id") +: col("format_id") +:
-            Grok.dispatchFields(s)(col("msg"), col("format_id"), GrokFormats): _*)
+            Grok.dispatchFieldsFromStruct(col("dx"), GrokFormats): _*)
           .orderBy(col("event_id"))
       },
       usEvents("SELECT event_id, fmt::BIGINT AS format_id, " +

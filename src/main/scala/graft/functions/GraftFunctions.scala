@@ -85,6 +85,19 @@ object GraftFunctions {
       "graft_jpeg_meta" -> (exprs => JpegMeta(exprs.head)),
       "graft_gray_hist16" -> (exprs => GrayHist16(exprs.head)),
       "graft_wav_decode" -> (exprs => WavDecode(exprs.head)),
+      // single-pass pixel/sample feature folds (r18 optimization round):
+      // the native replacements for the mm_* keys' interpreted HOF chains,
+      // exposed through the same two registration doors
+      "graft_int_csv_md5" -> (exprs => IntCsvMd5(exprs.head)),
+      "graft_int_sum_long" -> (exprs => IntSumLong(exprs.head)),
+      "graft_wav_feats" -> (exprs => WavFeats(exprs.head)),
+      "graft_frame_feats" -> (exprs => FrameFeats(exprs.head)),
+      "graft_tile_sums" -> (exprs => TileSums(exprs(0), exprs(1), exprs(2))),
+      "graft_edge_energy" -> (exprs => EdgeEnergy(exprs(0), exprs(1))),
+      "graft_downsample2x" -> (exprs =>
+        Downsample2x(exprs(0), exprs(1), exprs(2), exprs(3))),
+      "graft_shingles3" -> (exprs => Shingles3(exprs.head)),
+      "graft_span_md5s" -> (exprs => SpanMd5s(exprs.head)),
     )
 
   def registerAll(spark: SparkSession): Unit = {

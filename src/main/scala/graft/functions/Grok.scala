@@ -70,6 +70,77 @@ case class GrokCapture(child: org.apache.spark.sql.catalyst.expressions.Expressi
     copy(child = newChild)
 }
 
+/** One-pass multi-format dispatch impl (r18 optimization round, guide
+  * §1.2 step 2): tries each compiled regex in ORDER with one Matcher.find
+  * per attempted format and stops at the first match — struct(fmt BIGINT,
+  * caps ARRAY<STRING>): fmt = winning format index (-1 when none), caps =
+  * the winner's capture groups (unmatched groups "", exactly
+  * [[RegexGroupsImpl]]), null caps when no format matches. The two-step
+  * shape it replaces (N rlike dispatches + N full GrokCapture arrays, all
+  * evaluated EAGERLY per row by codegen subexpression elimination) paid
+  * ~2N regex passes per row; this pays matched-index + 1 (first-match-wins
+  * short circuit), identical results. */
+final class GrokDispatchImpl(regexes: Seq[String]) extends Serializable {
+  @transient private lazy val patterns =
+    regexes.map(java.util.regex.Pattern.compile).toArray
+  @transient private lazy val nGroups =
+    patterns.map(_.matcher("").groupCount())
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    var i = 0
+    while (i < patterns.length) {
+      val m = patterns(i).matcher(str)
+      if (m.find()) {
+        val n = nGroups(i)
+        val out = new Array[Any](n)
+        var g = 0
+        while (g < n) {
+          val v = m.group(g + 1)
+          out(g) = org.apache.spark.unsafe.types.UTF8String
+            .fromString(if (v == null) "" else v)
+          g += 1
+        }
+        return org.apache.spark.sql.catalyst.InternalRow(i.toLong,
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(-1L, null)
+  }
+}
+
+/** string → struct(fmt, caps) via [[GrokDispatchImpl]] (codegen'd). */
+case class GrokDispatch(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    regexes: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("fmt", LongType, nullable = false),
+    StructField("caps", ArrayType(StringType, containsNull = false),
+      nullable = true)))
+
+  @transient private lazy val impl = new GrokDispatchImpl(regexes)
+
+  override protected def nullSafeEval(a: Any): Any =
+    impl.compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("grokDispatchImpl", impl,
+        classOf[GrokDispatchImpl].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}
+
 object Grok {
 
   /** Core pattern dictionary — the patterns a log pipeline uses daily.
@@ -280,6 +351,36 @@ object Grok {
     unionFields(compiled).map { case (name, co, defs) =>
       val raw = defs.foldRight(lit(null).cast("string")) { case ((i, g), acc) =>
         when(fmtId === i.toLong, element_at(captures(i), g)).otherwise(acc)
+      }
+      coerced(raw, Field(name, co, 0))
+    }
+  }
+
+  /** ONE-PASS dispatch column (r18 optimization): struct(fmt, caps) from a
+    * single [[GrokDispatch]] evaluation — project it once with withColumn,
+    * then take format_id from `.getField("fmt")` and the union fields from
+    * [[dispatchFieldsFromStruct]]. Replaces the dispatchFormatId +
+    * dispatchFields pair on the hot path (still spec-pinned equal to them;
+    * both remain for the pinned semantics tests). */
+  def dispatchStruct(spark: SparkSession)(c: Column,
+      expressions: Seq[String]): Column = {
+    val res = expressions.map(compile).map(_._1)
+    val fname = "graft_grok_dx_" + graft.Dsl.md5Hex(res.mkString(" "))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => GrokDispatch(exprs.head, res), "built-in")
+    org.apache.spark.sql.functions.call_function(fname, c)
+  }
+
+  /** The union-of-fields columns off a [[dispatchStruct]] column: same
+    * per-field when-chain and coercions as [[dispatchFields]], but reading
+    * the ONE winning capture array instead of N per-format arrays. */
+  def dispatchFieldsFromStruct(dx: Column,
+      expressions: Seq[String]): Seq[Column] = {
+    val compiled = expressions.map(compile)
+    unionFields(compiled).map { case (name, co, defs) =>
+      val raw = defs.foldRight(lit(null).cast("string")) { case ((i, g), acc) =>
+        when(dx.getField("fmt") === i.toLong,
+          element_at(dx.getField("caps"), g)).otherwise(acc)
       }
       coerced(raw, Field(name, co, 0))
     }

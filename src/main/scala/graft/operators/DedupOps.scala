@@ -18,7 +18,6 @@ import graft.functions.VectorExpressions.{dotA, dotF}
   */
 object DedupOps {
 
-  private val shingleExpr = Shingles.sparkExpr
 
   /** Hot-shingle document-frequency cap for the EXACT-jaccard candidate
     * builders: a shingle present in k documents emits C(k,2) pairs from
@@ -117,7 +116,8 @@ object DedupOps {
     val hashed = docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+      .select(col("doc_id"), explode(graft.functions.TextFeatureExpressions.shingles3(
+        docs.sparkSession)(col("words"))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val sigCols = (0 until nSig).map { k =>
       val rotated = shiftrightunsigned(col("h"), rot(k))
@@ -156,7 +156,8 @@ object DedupOps {
     val sh = docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+      .select(col("doc_id"), explode(graft.functions.TextFeatureExpressions.shingles3(
+        docs.sparkSession)(col("words"))).as("s"))
       .distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= MaxShingleDf).drop("df")
@@ -185,11 +186,13 @@ object DedupOps {
     * self-join consumes next. */
   private[graft] def spanEdges(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // r18 OPTIMIZATION: per-span slice+concat+md5 HOF → one native SpanMd5s
+    // pass (identical strings hashed; TextFeatureSpec parity).
     val spans = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(toks) - 7, 1)), " +
-          "i -> md5(concat_ws(' ', slice(toks, i, 8))))")).as("h"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFeatureExpressions.spanMd5s(docs.sparkSession)(
+          col("toks"))).as("h"))
       .distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= MaxShingleDf).drop("df")
@@ -324,7 +327,8 @@ object DedupOps {
     docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+      .select(col("doc_id"), explode(graft.functions.TextFeatureExpressions.shingles3(
+        docs.sparkSession)(col("words"))).as("s"))
       .distinct()
       .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
@@ -2022,7 +2026,8 @@ object DedupOps {
         val sh = docs
           .withColumn("words", split(col("text"), " "))
           .filter(size(col("words")) >= 3)
-          .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+          .select(col("doc_id"), explode(graft.functions.TextFeatureExpressions.shingles3(
+        docs.sparkSession)(col("words"))).as("s"))
           .distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val inter = cand

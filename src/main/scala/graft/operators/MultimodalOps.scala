@@ -167,6 +167,8 @@ object MultimodalOps {
     // container — the hash certifies filter→deflate→chunk→parse exactly.
     // Same scale shape as mm_decode_real: one codegen projection, only
     // digests leave it.
+    // r18 OPTIMIZATION: interpreted sum fold + per-pixel string array →
+    // native IntSumLong / IntCsvMd5 single passes (same bytes hashed).
     "mm_png_decode_real" -> Q(
       (s, d) => {
         val img = PngExpressions.pngDecode(s)(
@@ -177,11 +179,10 @@ object MultimodalOps {
             big(col("img.width")).as("width"),
             big(col("img.height")).as("height"),
             big(size(col("img.pixels"))).as("n_pixels"),
-            big(expr("aggregate(img.pixels, 0L, (a, x) -> a + x)"))
-              .as("sum_gray"),
-            md5(concat_ws(",",
-              transform(col("img.pixels"), c => c.cast("string"))))
-              .as("pixels_md5"))
+            graft.functions.PixelFeatureExpressions.intSumLong(s)(
+              col("img.pixels")).as("sum_gray"),
+            graft.functions.PixelFeatureExpressions.intCsvMd5(s)(
+              col("img.pixels")).as("pixels_md5"))
           .orderBy(col("doc_id"))
       },
       "WITH dims AS (SELECT doc_id, text, strlen(text) AS len, " +
@@ -207,6 +208,7 @@ object MultimodalOps {
     // trip byte-for-byte. Both expressions are native codegen'd Catalyst
     // Expressions (no UDF — PlanAuditSpec enforced); per-row O(pixels)
     // work, and only doc-sized digests (sum, md5) leave the projection.
+    // r18 OPTIMIZATION: same native-fold rewiring as mm_png_decode_real.
     "mm_decode_real" -> Q(
       (s, d) => {
         val img = BmpExpressions.bmpDecode(s)(
@@ -217,11 +219,10 @@ object MultimodalOps {
             big(col("img.width")).as("width"),
             big(col("img.height")).as("height"),
             big(size(col("img.pixels"))).as("n_pixels"),
-            big(expr("aggregate(img.pixels, 0L, (a, x) -> a + x)"))
-              .as("sum_gray"),
-            md5(concat_ws(",",
-              transform(col("img.pixels"), c => c.cast("string"))))
-              .as("pixels_md5"))
+            graft.functions.PixelFeatureExpressions.intSumLong(s)(
+              col("img.pixels")).as("sum_gray"),
+            graft.functions.PixelFeatureExpressions.intCsvMd5(s)(
+              col("img.pixels")).as("pixels_md5"))
           .orderBy(col("doc_id"))
       },
       "WITH dims AS (SELECT doc_id, text, strlen(text) AS len, " +
@@ -284,6 +285,12 @@ object MultimodalOps {
     // recomputes every sample from the generator formula — a sign error
     // in the int16 reassembly or a mis-skipped chunk breaks the hash.
     // One codegen projection; samples never shuffle.
+    // r18 OPTIMIZATION (guide §1.2 step 2): the three amplitude folds were
+    // interpreted `aggregate` HOFs (three boxed passes over every sample)
+    // and the md5 materialized a per-sample string array + one giant
+    // concat; now ONE native pass (PixelFeatureExpressions.wavFeats)
+    // computes (sum_abs, peak, energy) and IntCsvMd5 streams the digest —
+    // identical integer arithmetic, oracle unchanged.
     "mm_wav_decode_real" -> Q(
       (s, d) => {
         val au = WavExpressions.wavDecode(s)(
@@ -293,15 +300,13 @@ object MultimodalOps {
           .select(col("doc_id"),
             big(col("au.sample_rate")).as("sample_rate"),
             big(col("au.n_samples")).as("n_samples"),
-            big(expr("aggregate(au.samples, 0L, (a, x) -> a + abs(x))"))
-              .as("sum_abs"),
-            big(expr("aggregate(au.samples, 0L, (a, x) -> greatest(a, cast(abs(x) as bigint)))"))
-              .as("peak"),
-            big(expr("aggregate(au.samples, 0L, (a, x) -> a + cast(x as bigint) * x)"))
-              .as("energy"),
-            md5(concat_ws(",",
-              transform(col("au.samples"), c => c.cast("string"))))
-              .as("samples_md5"))
+            graft.functions.PixelFeatureExpressions.wavFeats(s)(
+              col("au.samples")).as("wf"),
+            graft.functions.PixelFeatureExpressions.intCsvMd5(s)(
+              col("au.samples")).as("samples_md5"))
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+            col("wf.sum_abs").as("sum_abs"), col("wf.peak").as("peak"),
+            col("wf.energy").as("energy"), col("samples_md5"))
           .orderBy(col("doc_id"))
       },
       "WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents), " +
@@ -323,23 +328,26 @@ object MultimodalOps {
     // by n/64 per doc; slices happen in-row (slice HOF over the decoded
     // array), only frame digests reach the sort. The audio sibling of
     // mm_tile_stats.
+    // r18 OPTIMIZATION (guide §2.3 — project before the row multiply): the
+    // old shape exploded a frame-index sequence and carried the WHOLE
+    // sample array through the Generate (every frame row re-materialized
+    // its document's n samples, O(n²/64) bytes per doc), then sliced and
+    // folded interpreted HOFs per frame. Now ONE native pre-explode pass
+    // (FrameFeats) reduces the samples to a frames-sized digest array and
+    // the Generate explodes only (frame_n, energy, peak) triples —
+    // identical integer arithmetic per frame, oracle unchanged.
     "mm_wav_frame_energy" -> Q(
       (s, d) => {
         val au = WavExpressions.wavDecode(s)(
           WavExpressions.wavSynth(s)(col("text").cast("binary")))
         docs(s, d)
-          .select(col("doc_id"), au.getField("n_samples").as("n"),
-            au.getField("samples").as("samples"))
-          .withColumn("frame_idx",
-            explode(sequence(lit(0), expr("(n + 63) div 64") - 1)))
-          .withColumn("frame_n", least(lit(64), col("n") - col("frame_idx") * 64))
-          .withColumn("w", expr("slice(samples, frame_idx * 64 + 1, frame_n)"))
+          .select(col("doc_id"),
+            graft.functions.PixelFeatureExpressions.frameFeats(s)(
+              au.getField("samples")).as("ff"))
+          .select(col("doc_id"), posexplode(col("ff")).as(Seq("frame_idx", "f")))
           .select(col("doc_id"), big(col("frame_idx")).as("frame_idx"),
-            big(col("frame_n")).as("frame_n"),
-            big(expr("aggregate(w, 0L, (a, x) -> a + cast(x as bigint) * x)"))
-              .as("energy"),
-            big(expr("aggregate(w, 0L, (a, x) -> greatest(a, cast(abs(x) as bigint)))"))
-              .as("peak"))
+            col("f.frame_n").as("frame_n"), col("f.energy").as("energy"),
+            col("f.peak").as("peak"))
           .orderBy(col("doc_id"), col("frame_idx"))
       },
       "WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents), " +
@@ -364,6 +372,13 @@ object MultimodalOps {
     // vision pipeline runs before embedding. All math is integer (sum and
     // ONE floor division per tile), the tile explode is bounded by the
     // grid size, and only tile digests — never pixels — reach the sort.
+    // r18 OPTIMIZATION (guide §2.3 — same pre-explode discipline as
+    // mm_wav_frame_energy): the tile explode used to carry the whole pixel
+    // array per tile row and fold an interpreted aggregate over a
+    // generated index sequence per tile; now ONE native pass (TileSums)
+    // reduces the image to a grid-sized array<long> BEFORE the Generate,
+    // and the geometry columns derive from the exploded position exactly
+    // as before — identical integer arithmetic, oracle unchanged.
     "mm_tile_stats" -> Q(
       (s, d) => {
         val img = BmpExpressions.bmpDecode(s)(
@@ -371,19 +386,17 @@ object MultimodalOps {
         docs(s, d)
           .select(col("doc_id"), img.as("img"))
           .select(col("doc_id"), col("img.width").as("width"),
-            col("img.height").as("height"), col("img.pixels").as("pixels"))
+            col("img.height").as("height"),
+            graft.functions.PixelFeatureExpressions.tileSums(s)(
+              col("img.pixels"), col("img.width"), col("img.height"))
+              .as("tsums"))
           .withColumn("tiles_x", expr("(width + 7) div 8"))
-          .withColumn("tiles_y", expr("(height + 7) div 8"))
-          .withColumn("tile_id",
-            explode(sequence(lit(0), col("tiles_x") * col("tiles_y") - 1)))
+          .select(col("doc_id"), col("width"), col("height"), col("tiles_x"),
+            posexplode(col("tsums")).as(Seq("tile_id", "tile_sum_gray")))
           .withColumn("off_x", pmod(col("tile_id"), col("tiles_x")) * 8)
           .withColumn("off_y", expr("(tile_id div tiles_x) * 8"))
           .withColumn("tile_w", least(lit(8), col("width") - col("off_x")))
           .withColumn("tile_h", least(lit(8), col("height") - col("off_y")))
-          .withColumn("tile_sum_gray", expr(
-            "aggregate(sequence(0, tile_w * tile_h - 1), 0L, (a, j) -> " +
-              "a + element_at(pixels, cast((off_y + j div tile_w) * width " +
-              "+ off_x + j % tile_w + 1 as int)))"))
           .select(col("doc_id"), big(col("tile_id")).as("tile_id"),
             big(col("off_x")).as("off_x"), big(col("off_y")).as("off_y"),
             big(col("tile_w")).as("tile_w"), big(col("tile_h")).as("tile_h"),
@@ -456,6 +469,11 @@ object MultimodalOps {
     // stops row-wrap artifacts) and vertical gradient (across rows),
     // exact integers off the decoded array. The same shape a Sobel/
     // Laplacian sharpness score takes; one projection, digest-only output.
+    // r18 OPTIMIZATION: the two gradient folds each materialized a
+    // pixel-count index sequence (the h-pass additionally a filtered copy)
+    // and folded it interpreted; now ONE native pass (EdgeEnergy) computes
+    // both totals straight off the decoded array — identical 0-based
+    // neighbor arithmetic, oracle unchanged.
     "mm_edge_energy" -> Q(
       (s, d) => {
         val img = BmpExpressions.bmpDecode(s)(
@@ -464,15 +482,10 @@ object MultimodalOps {
           .select(col("doc_id"), img.getField("width").as("width"),
             img.getField("pixels").as("pixels"))
           .select(col("doc_id"),
-            big(expr(
-              "aggregate(filter(sequence(0, size(pixels) - 2), " +
-                "k -> (k + 1) % width != 0), 0L, (a, k) -> " +
-                "a + abs(element_at(pixels, k + 2) - element_at(pixels, k + 1)))"))
-              .as("h_energy"),
-            big(expr(
-              "aggregate(sequence(0, size(pixels) - width - 1), 0L, (a, k) -> " +
-                "a + abs(element_at(pixels, k + width + 1) - element_at(pixels, k + 1)))"))
-              .as("v_energy"))
+            graft.functions.PixelFeatureExpressions.edgeEnergy(s)(
+              col("pixels"), col("width")).as("ee"))
+          .select(col("doc_id"), col("ee.h_energy").as("h_energy"),
+            col("ee.v_energy").as("v_energy"))
           .orderBy(col("doc_id"))
       },
       "WITH dims AS (SELECT doc_id, text, strlen(text) AS len, " +
@@ -573,9 +586,10 @@ object MultimodalOps {
               "cast(i * fsize + 1 as int), cast(fsize as int)))"))
             .as(Seq("frame_idx", "frame")))
           .withColumn("img", BmpExpressions.bmpDecode(s)(col("frame")))
+          // r18 OPTIMIZATION: interpreted sum fold → native IntSumLong.
           .select(col("doc_id"), big(col("frame_idx")).as("frame_idx"),
-            big(expr("aggregate(img.pixels, 0L, (a, x) -> a + x)"))
-              .as("frame_sum_gray"))
+            graft.functions.PixelFeatureExpressions.intSumLong(s)(
+              col("img.pixels")).as("frame_sum_gray"))
           .orderBy(col("doc_id"), col("frame_idx"))
       },
       "WITH dims AS (SELECT doc_id, text, strlen(text) AS len, " +
@@ -643,16 +657,19 @@ object MultimodalOps {
             col("img.height").as("height"), col("img.pixels").as("pixels"))
           .withColumn("w2", expr("(width + 1) div 2"))
           .withColumn("h2", expr("(height + 1) div 2"))
-          .withColumn("resized", expr(
-            "transform(sequence(0, w2 * h2 - 1), k -> " +
-              "element_at(pixels, cast((k div w2) * 2 * width " +
-              "+ (k % w2) * 2 + 1 as int)))"))
+          // r18 OPTIMIZATION: the sampling transform, sum fold and
+          // per-pixel string array were interpreted HOF passes — now
+          // native Downsample2x + IntSumLong/IntCsvMd5 (same strides,
+          // same bytes hashed).
+          .withColumn("resized",
+            graft.functions.PixelFeatureExpressions.downsample2x(s)(
+              col("pixels"), col("width"), col("w2"), col("h2")))
           .select(col("doc_id"),
             big(col("w2")).as("out_w"), big(col("h2")).as("out_h"),
-            big(expr("aggregate(resized, 0L, (a, x) -> a + x)"))
-              .as("sum_gray"),
-            md5(concat_ws(",", transform(col("resized"),
-              c => c.cast("string")))).as("resized_md5"))
+            graft.functions.PixelFeatureExpressions.intSumLong(s)(
+              col("resized")).as("sum_gray"),
+            graft.functions.PixelFeatureExpressions.intCsvMd5(s)(
+              col("resized")).as("resized_md5"))
           .orderBy(col("doc_id"))
       },
       "WITH dims AS (SELECT doc_id, text, strlen(text) AS len, " +

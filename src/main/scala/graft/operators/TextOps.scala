@@ -29,8 +29,6 @@ object TextOps {
   private val lexiconSqlValues: String =
     lexicon.map { case (w, l) => s"('$w','$l')" }.mkString(", ")
 
-  // 3-word shingles from the single-space tokenized text (shared machinery).
-  private val shingleExpr = Shingles.sparkExpr
   private val shingleCte = Shingles.duckCte(distinct = false, carryText = true)
 
   /** Gopher rule flags per document — ONE definition shared by
@@ -161,7 +159,7 @@ object TextOps {
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) >= 3)
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
-          explode(expr(shingleExpr)).as("sh"))
+          explode(graft.functions.TextFeatureExpressions.shingles3(s)(col("words"))).as("sh"))
         .groupBy(col("doc_id"), col("text_md5"))
         .agg(min(md5(col("sh"))).as("min_shingle_md5"),
           max(md5(col("sh"))).as("max_shingle_md5"))
@@ -180,7 +178,7 @@ object TextOps {
       (s, d) => T(s, d, "documents")
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) >= 3)
-        .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+        .select(col("doc_id"), explode(graft.functions.TextFeatureExpressions.shingles3(s)(col("words"))).as("s"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           countDistinct(col("s")).as("n_distinct"))
@@ -204,7 +202,7 @@ object TextOps {
         val sh = T(s, d, "documents")
           .withColumn("words", split(col("text"), " "))
           .filter(size(col("words")) >= 3)
-          .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+          .select(col("doc_id"), explode(graft.functions.TextFeatureExpressions.shingles3(s)(col("words"))).as("s"))
           .distinct()
         val bench = sh.filter(col("doc_id") < 25).select(col("s")).distinct()
         val cand = sh.filter(col("doc_id") >= 25)
@@ -636,11 +634,13 @@ object TextOps {
     // back, both keyed on the digest.
     "llm_span_dedup" -> Q(
       (s, d) => {
+        // r18 OPTIMIZATION: the per-span slice+concat+md5 HOF → one native
+        // SpanMd5s pass (identical strings hashed; TextFeatureSpec parity).
         val spans = T(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, greatest(size(toks) - 7, 1)), " +
-              "i -> md5(concat_ws(' ', slice(toks, i, 8))))")).as("h"))
+          .select(col("doc_id"), explode(
+            graft.functions.TextFeatureExpressions.spanMd5s(s)(col("toks")))
+            .as("h"))
         val firstDoc = spans.groupBy(col("h"))
           .agg(min(col("doc_id")).as("first_doc"))
         spans.join(firstDoc, "h")

@@ -825,7 +825,11 @@ object StreamOps {
     val signed = docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
-      .withColumn("shingles", expr(graft.operators.Shingles.sparkExpr))
+      // r18 OPTIMIZATION: interpreted shingle transform → native Shingles3
+      // (same arrays; TextFeatureSpec parity)
+      .withColumn("shingles",
+        graft.functions.TextFeatureExpressions.shingles3(docs.sparkSession)(
+          col("words")))
       .select(col("doc_id") +: col("ts") +: sigCols: _*)
     val bandCol = explode(array((0 until 4).map { b =>
       struct(lit(b.toLong).as("band"),

@@ -124,6 +124,25 @@ class GrokSpec extends SparkSpec {
       rows(2).isNullAt(2) && rows(2).isNullAt(3))
   }
 
+  test("one-pass dispatchStruct equals the two-step dispatch (r18 opt)") {
+    val fmts = Seq(
+      "^err code=%{INT:code:int} user=%{USERNAME:user}$",
+      "^ok user=%{USERNAME:user} ms=%{NUMBER:ms:float}$",
+      "^warn host=%{WORD:host} code=%{INT:code:int}$")
+    val df = Seq("err code=7 user=bob", "ok user=eve ms=1.5", "nonsense",
+      "warn host=h9 code=42", "err code=1 user=x", "").toDF("msg")
+    val twoStep = df
+      .withColumn("fmt", Grok.dispatchFormatId(fmts)(col("msg")))
+      .select(col("fmt") +:
+        Grok.dispatchFields(spark)(col("msg"), col("fmt"), fmts): _*)
+    val onePass = df
+      .withColumn("dx", Grok.dispatchStruct(spark)(col("msg"), fmts))
+      .select(col("dx.fmt").as("fmt") +:
+        Grok.dispatchFieldsFromStruct(col("dx"), fmts): _*)
+    assert(onePass.columns.toSeq == twoStep.columns.toSeq)
+    assert(onePass.collect().toSeq == twoStep.collect().toSeq)
+  }
+
   test("dispatch: conflicting coercions for one field name are rejected") {
     val e = intercept[IllegalArgumentException] {
       Grok.dispatchFields(spark)(col("msg"), lit(0L), Seq(
