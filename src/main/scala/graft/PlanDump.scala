@@ -28,15 +28,24 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Preflight(spark, sfDir)
+    // capture pre-pin segment plans too: a pinned chain's real plan shape
+    // lives in the segments the lineage cuts hide from the final explain
+    spark.conf.set("spark.graft.plan.audit", "true")
     new java.io.File(outDir).mkdirs()
     keys.foreach { name =>
       try {
+        graft.operators.Scale.drainAuditPlans(): Unit
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         val planned = df.queryExecution.executedPlan // forces analysis+optimization+planning
         val t1 = System.nanoTime()
+        val segs = graft.operators.Scale.drainAuditPlans()
         val txt = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+          org.apache.spark.sql.execution.FormattedMode) +
+          segs.zipWithIndex.map { case (p, i) =>
+            s"\n===== pinned segment ${i + 1}/${segs.size} (pre-cut plan) =====\n" +
+              p.treeString
+          }.mkString
         Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), txt)
         df.write.format("noop").mode("overwrite").save()
         val t2 = System.nanoTime()

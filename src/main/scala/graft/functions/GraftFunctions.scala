@@ -98,6 +98,8 @@ object GraftFunctions {
         Downsample2x(exprs(0), exprs(1), exprs(2), exprs(3))),
       "graft_shingles3" -> (exprs => Shingles3(exprs.head)),
       "graft_span_md5s" -> (exprs => SpanMd5s(exprs.head)),
+      "graft_quant_sum_vec" -> (exprs =>
+        QuantSumVec(exprs.head).toAggregateExpression()),
     )
 
   def registerAll(spark: SparkSession): Unit = {

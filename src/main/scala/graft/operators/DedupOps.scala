@@ -214,7 +214,7 @@ object DedupOps {
     * sides consume it. */
   private[graft] def trianglesOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val e0 = spanEdges(docs).pinned
+    val e0 = spanEdges(docs).pinnedLazy
     val deg = e0.select(col("a").as("v"))
       .union(e0.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -229,7 +229,7 @@ object DedupOps {
           .as("r"))
       .select(col("r.lo").as("lo"), col("r.hi").as("hi"),
         col("r.dhi").as("dhi"))
-      .pinned
+      .pinnedLazy
     // wedge (lo, u, v) with lo ≺ u ≺ v in (deg, id) order; triangle iff
     // the u–v edge exists, which the orientation stores as lo=u, hi=v
     val wedges = e.select(col("lo"), col("hi").as("u"), col("dhi").as("du"))
@@ -548,18 +548,42 @@ object DedupOps {
     * per-cell reassembly buffer is one 64-struct list. */
   private def quantCentroidsOf(assign: org.apache.spark.sql.DataFrame,
       corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // r18 optimization (guide §2.3 — aggregate before you shuffle): ONE
+    // typed-imperative per-dim quantized sum replaces the posexplode (64×
+    // row blowup) → (cell, pos) SUM → collect_list/array_sort reassembly
+    // chain — identical order-free integer math (QuantSumSpec parity),
+    // one exchange of nlist long-arrays instead of two of (cell, pos)
+    // triples.
     corpus.join(assign, Seq("vec_id"))
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(sum(floor(col("x").cast("double") * lit(1e7)).cast("long")).as("sq"))
       .groupBy(col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, sq))), " +
-        "p -> CAST(p.sq AS DOUBLE))").as("cemb"))
-      .select(col("cell").as("cid"), col("cemb"))
+      .agg(graft.functions.QuantSumVecExpr.quantSumVec(corpus.sparkSession)(
+        col("embedding")).as("sums"))
+      .select(col("cell").as("cid"),
+        expr("transform(sums, s -> CAST(s AS DOUBLE))").as("cemb"))
 
   private def withCNorm(c: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     c.withColumn("cnorm", sqrt(dotA(c.sparkSession)(col("cemb"), col("cemb"))))
+
+  /** Deterministic argmax cell assignment (r18 optimization round, guide
+    * §2.3 "aggregate before you shuffle"): the rank-1 row of a scored
+    * (vec_id, `idCol`, `simCol`) frame, selected by ONE map-side-combinable
+    * hash aggregate instead of a vec_id-partitioned window sort — the
+    * window shape exchanges ALL n×nlist scored rows and sorts them; this
+    * shuffles at most one partial row per (vec_id, map partition).
+    * Selection is identical to row_number over (sim desc, id asc)
+    * filter rn=1 including edge orderings: max over struct(sim, -id)
+    * replicates NaN-first descending sim (NaN is the largest double in
+    * Spark's total order for BOTH window sorts and max) and the min-id
+    * tie-break (ids are non-negative). DedupSpec's randomized trained
+    * parity and the planted routing pins cover the selection. */
+  private def argmax1(scored: org.apache.spark.sql.DataFrame,
+      idCol: String, simCol: String, outCol: String)
+      : org.apache.spark.sql.DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col(simCol).as("s"), (-col(idCol)).as("neg"),
+        col(idCol).as("picked"))).as("m"))
+      .select(col("vec_id"), col("m.picked").as(outCol))
 
   /** Id-threshold seed codebook in the DOUBLE domain (cemb = exact
     * float→double widening — the same ::DOUBLE[] the oracles cast), so
@@ -589,21 +613,23 @@ object DedupOps {
       seed: org.apache.spark.sql.DataFrame, iters: Int)
       : org.apache.spark.sql.DataFrame = {
     val dot = dotA(e.sparkSession) _
-    var c = if (iters == 0) seed else seed.pinned
+    // r18 optimization: the seed is an id-threshold pushdown filter — the
+    // duplicated-subtree protection a pin buys costs more (an extra
+    // plan+job cycle per chain) than re-planning the filter twice inside
+    // iteration 1's segment; later iterations reference the PINNED c.
+    var c = seed
     for (_ <- 1 to iters) {
-      val assign = e.select(col("vec_id"), col("embedding"), col("norm"))
-        .crossJoin(broadcast(c))
-        .select(col("vec_id"), col("cid"),
-          (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
-            .as("sim"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
+      val assign = argmax1(
+        e.select(col("vec_id"), col("embedding"), col("norm"))
+          .crossJoin(broadcast(c))
+          .select(col("vec_id"), col("cid"),
+            (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
+              .as("sim")),
+        "cid", "sim", "cell")
       c = withCNorm(c.select(col("cid"), col("cemb").as("prev_cemb"))
         .join(quantCentroidsOf(assign, e), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cemb"), col("prev_cemb")).as("cemb")))
-        .pinned
+        .pinnedLazy
     }
     c
   }
@@ -621,6 +647,7 @@ object DedupOps {
     val e = embDf.withColumn("norm",
       sqrt(dotF(embDf.sparkSession)(col("embedding"), col("embedding"))))
     val nl = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nlist"))
+      .pinnedLazy // r18: re-broadcast per training segment otherwise
     val seed = seedCents(e)(df => df.crossJoin(broadcast(nl))
       .filter(col("vec_id") < col("nlist")).drop("nlist"))
     ivfCandFromCents(e, trainFlat(e, seed, iters), probe)
@@ -663,7 +690,7 @@ object DedupOps {
       trainIters = trainIters)
     val topP = rankedInCells(c1, c2full, l1Probes)(e)
       .filter(col("rn") <= probe)
-      .pinned
+      .pinnedLazy
     val assign = topP.filter(col("rn") === 1)
       .select(col("vec_id").as("t_id"), col("cid").as("cell"))
     val probes = topP
@@ -698,11 +725,13 @@ object DedupOps {
     * rides a broadcast 1-row aggregate into a gate filter on EACH
     * branch's input, so the inactive branch sees an empty frame and its
     * whole chain — including the superlinear √n scan — degenerates to
-    * empty-partition overhead. Cost of adaptivity (r17, ADVICE — the
-    * honest count): gated() evaluates once per branch and each branch
-    * recomputes its own sizing scalars over the gated frame, so the gate
-    * adds ~4 extra linear corpus scans, not 2 — a deliberate, documented
-    * trade for no-collected-literals determinism; nothing superlinear.
+    * empty-partition overhead. Cost of adaptivity (r18 — the honest
+    * count, twice revised): the gate count itself is now PINNED below, so
+    * it is ONE corpus scan per key (the r17 shape re-ran it inside every
+    * pinned training segment — ~10 scans on the trained chains); what
+    * remains per branch is its own sizing scalar over the gated frame
+    * (also pinned) — 2 more linear scans. A deliberate, documented trade
+    * for no-collected-literals determinism; nothing superlinear.
     * Both branches emit (q_id, t_id); exactly one is ever non-empty, so
     * the union is the selected branch verbatim. */
   private[operators] def ivfCandidatesAutoOf(
@@ -710,7 +739,14 @@ object DedupOps {
       trainIters: Int = TrainIters, probe: Int = ProbeCells,
       l1Probes: Int = L1Probes)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val n = broadcast(embDf.agg(count(lit(1)).as("ivf_auto_n")))
+    // r18 optimization: the gate count is PINNED (lazily) before the
+    // broadcast — every pinned training segment downstream otherwise
+    // re-executes its own copy of this corpus-count aggregate (one full
+    // corpus scan per segment, ~10 segments per adaptive key; the r17
+    // ADVICE under-counted exactly this). The count still rides a
+    // broadcast 1-row frame in-plan — no collected literal.
+    val n = broadcast(
+      embDf.agg(count(lit(1)).as("ivf_auto_n")).pinnedLazy)
     def gated(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
         : org.apache.spark.sql.DataFrame =
       embDf.crossJoin(n).filter(pred(col("ivf_auto_n"))).drop("ivf_auto_n")
@@ -1066,7 +1102,7 @@ object DedupOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
       .filter(col("rn") <= probe)
-      .pinned
+      .pinnedLazy
     val assign = topP.filter(col("rn") === 1)
       .select(col("vec_id").as("t_id"), col("cid").as("cell"))
     val probes = topP
@@ -1283,6 +1319,14 @@ object DedupOps {
     * seeds. Kept on the raw id rather than an in-plan row_number because
     * that window would shuffle the full corpus per recall key to buy a
     * property the fixture already guarantees and the spec pins. */
+  /** DENSE-ID ASSUMPTION (r17 ADVICE, documented r18): the sample is
+    * vec_id % max(1, n div 100) == 0, which yields ~100 eval queries only
+    * when vec_ids are dense from 0 (the TESTDATA.md embeddings contract —
+    * vec_id = row_number-1, verified by PreflightSpec's contiguity pin).
+    * On a sparse/offset id space the sample silently shrinks and every
+    * recall key would go vacuous on BOTH engines (the oracle replays the
+    * same predicate, so no hash can catch it) — port corpora by re-keying
+    * vec_id densely, or switch this to a row_number first. */
   private def evalSampled(s: org.apache.spark.sql.SparkSession, d: String,
       df: org.apache.spark.sql.DataFrame, idCol: String)
       : org.apache.spark.sql.DataFrame = {
@@ -1476,7 +1520,8 @@ object DedupOps {
       tau: Double = 0.35, targetCellSize: Int = 64,
       trainIters: Int = TrainIters, probe: Int = ProbeCells,
       l1Probes: Int = L1Probes): org.apache.spark.sql.DataFrame = {
-    val n = broadcast(baseDf.agg(count(lit(1)).as("ivf_auto_n")))
+    val n = broadcast(
+      baseDf.agg(count(lit(1)).as("ivf_auto_n")).pinnedLazy) // r18: see ivfCandidatesAutoOf
     def gated(df: org.apache.spark.sql.DataFrame,
         pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
         : org.apache.spark.sql.DataFrame =
@@ -1512,23 +1557,26 @@ object DedupOps {
     val base = normed(baseDf)
     val delta = normed(deltaDf)
     val nl = base.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nlist"))
+      .pinnedLazy // r18: see ivfCandidatesAutoOf
     // codebook seeded by id threshold over BASE and Lloyd-TRAINED on base
     // only (r18) — then FIXED for the delta batch (the
     // llm_ivf_index_upsert discipline)
     val cents = trainFlat(base, seedCents(base)(df =>
       df.crossJoin(broadcast(nl)).filter(col("vec_id") < col("nlist"))),
       trainIters)
-    def ranked(side: org.apache.spark.sql.DataFrame)
+    def scored(side: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = side
       .select(col("vec_id"), col("embedding"), col("norm"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
           .as("sim"))
+    def ranked(side: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = scored(side)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
-    val assign = ranked(base).filter(col("rn") === 1)
-      .select(col("vec_id").as("t_id"), col("cid").as("cell"))
+    val assign = argmax1(scored(base), "cid", "sim", "cell")
+      .select(col("vec_id").as("t_id"), col("cell"))
     val probes = ranked(delta).filter(col("rn") <= probe)
       .select(col("vec_id").as("q_id"), col("cid").as("cell"))
     val cand = probes.join(assign, Seq("cell"))
@@ -1602,7 +1650,11 @@ object DedupOps {
       trainIters: Int = TrainIters, probe: Int = ProbeCells,
       l1Probes: Int = L1Probes): org.apache.spark.sql.DataFrame =
     cellSizedDupFlagsOn(
-      cellSizedBaseIndex(baseDf, targetCellSize, trainIters, l1Probes),
+      // r18 optimization: the BATCH chains take the index with LAZY pins
+      // (one pipelined job); the streaming resident index keeps eager —
+      // it is pinned once outside foreachBatch and the soak counts it
+      cellSizedBaseIndex(baseDf, targetCellSize, trainIters, l1Probes,
+        eager = false),
       baseDf, deltaDf, tau, probe, l1Probes)
 
   /** The PINNED base-side index of the cell-sized incremental chain
@@ -1619,17 +1671,16 @@ object DedupOps {
     * shape the soak tests exist to catch). */
   def cellSizedBaseIndex(baseDf: org.apache.spark.sql.DataFrame,
       targetCellSize: Int = 64, trainIters: Int = TrainIters,
-      l1Probes: Int = L1Probes)
+      l1Probes: Int = L1Probes, eager: Boolean = true)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
     val base = baseDf.withColumn("norm",
       sqrt(dotF(baseDf.sparkSession)(col("embedding"), col("embedding"))))
     val (c1, c2full) = cellSizedCodebooks(base, targetCellSize,
-      pinEach = true, trainIters = trainIters)
-    val assign = rankedInCells(c1, c2full, l1Probes)(base)
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("t_id"), col("cid").as("cell"))
-      .pinned
+      pinEach = true, trainIters = trainIters, pinEager = eager)
+    val assign = Scale.pin(
+      argmax1(scoredInCells(c1, c2full, l1Probes)(base), "cid", "sim", "cell")
+        .select(col("vec_id").as("t_id"), col("cell")), eager)
     (c1, c2full, assign)
   }
 
@@ -1644,11 +1695,13 @@ object DedupOps {
     * `pinEach = true` lineage-cuts each codebook (the resident-index
     * shape); the self-join path pins only its downstream top-2 frame. */
   private def cellSizedCodebooks(base: org.apache.spark.sql.DataFrame,
-      targetCellSize: Int, pinEach: Boolean = false, trainIters: Int = 0)
+      targetCellSize: Int, pinEach: Boolean = false, trainIters: Int = 0,
+      pinEager: Boolean = true)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val sizes = base.agg(ceil(count(lit(1)) / lit(targetCellSize.toDouble))
       .cast("long").as("nlist"))
       .withColumn("m", ceil(sqrt(col("nlist"))).cast("long"))
+      .pinnedLazy // r18: see ivfCandidatesAutoOf
     if (trainIters == 0) {
       val c2 = base.crossJoin(broadcast(sizes))
         .filter(col("vec_id") < col("nlist"))
@@ -1658,8 +1711,9 @@ object DedupOps {
         .filter(col("vec_id") < col("m"))
         .select(col("vec_id").as("l1id"), col("embedding").as("l1emb"),
           col("norm").as("l1norm"))
-      val c1 = if (pinEach) c1raw.pinned else c1raw
-      (c1, if (pinEach) withL1(c1, c2).pinned else withL1(c1, c2))
+      val c1 = if (pinEach) Scale.pin(c1raw, pinEager) else c1raw
+      (c1, if (pinEach) Scale.pin(withL1(c1, c2), pinEager)
+        else withL1(c1, c2))
     } else {
       // TRAINED (r18): L1 = flat Lloyd over the m id-threshold seeds
       // (n × m per iteration — the same exponent as the assignment pass);
@@ -1680,17 +1734,16 @@ object DedupOps {
         col("cnorm").as("l1norm"))
       var c2 = seedCents(base)(df =>
         df.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("nlist")))
-        .pinned
       for (_ <- 1 to trainIters) {
-        val assign = rankedInCells(c1, withL1(c1, c2))(base)
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid").as("cell"))
+        val assign = argmax1(scoredInCells(c1, withL1(c1, c2))(base),
+          "cid", "sim", "cell")
         c2 = withCNorm(c2.select(col("cid"), col("cemb").as("prev_cemb"))
           .join(quantCentroidsOf(assign, base), Seq("cid"), "left")
           .select(col("cid"), coalesce(col("cemb"), col("prev_cemb")).as("cemb")))
-          .pinned
+          .pinnedLazy
       }
-      (c1, if (pinEach) withL1(c1, c2).pinned else withL1(c1, c2))
+      (c1, if (pinEach) Scale.pin(withL1(c1, c2), pinEager)
+        else withL1(c1, c2))
     }
   }
 
@@ -1709,6 +1762,14 @@ object DedupOps {
     * (assignment) or the top-[[L1Probes]] (the trained index's widened
     * probe reach). */
   private def rankedL1Of(c1: org.apache.spark.sql.DataFrame)(
+      side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scoredL1Of(c1)(side)
+      .withColumn("l1rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("l1sim").desc, col("l1id"))))
+
+  /** The scored (vec_id, l1id, l1sim) frame behind [[rankedL1Of]] —
+    * argmax sites aggregate it directly (no window). */
+  private def scoredL1Of(c1: org.apache.spark.sql.DataFrame)(
       side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dot = dotA(side.sparkSession) _
     side.select(col("vec_id"), col("embedding"), col("norm"))
@@ -1716,15 +1777,14 @@ object DedupOps {
       .select(col("vec_id"), col("l1id"),
         (dot(col("embedding"), col("l1emb")) / (col("norm") * col("l1norm")))
           .as("l1sim"))
-      .withColumn("l1rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("l1sim").desc, col("l1id"))))
   }
 
-  /** Nearest-L1-cell lookup: rank 1 of [[rankedL1Of]]. */
+  /** Nearest-L1-cell lookup — rank 1 of the [[rankedL1Of]] ordering, via
+    * the [[argmax1]] hash aggregate (r18: identical selection, no
+    * vec_id-partitioned window sort of the n×m scored rows). */
   private def nearestL1Of(c1: org.apache.spark.sql.DataFrame)(
       side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    rankedL1Of(c1)(side).filter(col("l1rn") === 1)
-      .select(col("vec_id"), col("l1id").as("l1"))
+    argmax1(scoredL1Of(c1)(side), "l1id", "l1sim", "l1")
 
   /** Rank the L2 centroids of `side`'s top-`l1Probes` L1 cells — the
     * l1-KEYED equi-join (the linearly-growing L2 codebook is never
@@ -1736,17 +1796,30 @@ object DedupOps {
     * L2 sets, so no (vec, cid) pair is scored twice. */
   private def rankedInCells(c1: org.apache.spark.sql.DataFrame,
       c2full: org.apache.spark.sql.DataFrame, l1Probes: Int = 1)(
+      side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scoredInCells(c1, c2full, l1Probes)(side)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cid"))))
+
+  /** The scored (vec_id, cid, sim) frame behind [[rankedInCells]] —
+    * assignment sites take its [[argmax1]] instead of ranking (r18: the
+    * n-side window sort exists only where a top-k probe genuinely needs
+    * it). The L1 ranking keeps its window when l1Probes > 1 (a real
+    * top-k); the nearest-cell case goes through [[nearestL1Of]]'s
+    * aggregate. */
+  private def scoredInCells(c1: org.apache.spark.sql.DataFrame,
+      c2full: org.apache.spark.sql.DataFrame, l1Probes: Int = 1)(
       side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dot = dotA(side.sparkSession) _
+    val l1s = if (l1Probes == 1) nearestL1Of(c1)(side)
+      else rankedL1Of(c1)(side).filter(col("l1rn") <= l1Probes)
+        .select(col("vec_id"), col("l1id").as("l1"))
     side.select(col("vec_id"), col("embedding"), col("norm"))
-      .join(rankedL1Of(c1)(side).filter(col("l1rn") <= l1Probes)
-        .select(col("vec_id"), col("l1id").as("l1")), Seq("vec_id"))
+      .join(l1s, Seq("vec_id"))
       .join(c2full, Seq("l1"))
       .select(col("vec_id"), col("cid"),
         (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
           .as("sim"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cid"))))
   }
 
   /** Delta-side verdicts against a prebuilt [[cellSizedBaseIndex]] —
@@ -1952,7 +2025,7 @@ object DedupOps {
         // are cheap enough that the duplicated subplans running
         // CONCURRENTLY beat a serializing eager materialization — pin
         // only when the duplicated work dominates the blocking cost.
-        val sigs = md5SimhashSigs(s, d).pinned
+        val sigs = md5SimhashSigs(s, d).pinnedLazy // r18: cut, no pin job
         val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
           col("band0").as("a0"), col("band1").as("a1"),
           col("band2").as("a2"), col("band3").as("a3"))
@@ -2103,7 +2176,7 @@ object DedupOps {
             explode(expr("transform(sequence(1, greatest(length(title) - 4, 1)), " +
               "i -> substring(title, i, 5))")).as("q"))
           .distinct()
-          .pinned
+          .pinnedLazy // r18: cut, no pin job
         val f2 = g.groupBy(col("q")).agg(count(lit(1)).as("df_s"))
           .filter(col("df_s") >= 2)
         // df >= 2 prune AFTER the top-11 prefix selection (the prefix must
@@ -2124,7 +2197,7 @@ object DedupOps {
           .select(col("doc_id"), col("title"), explode(col("top")).as("e"))
           .filter(col("e.df") >= 2)
           .select(col("doc_id"), col("title"), col("e.q").as("q"))
-          .pinned
+          .pinnedLazy // r18: cut, no pin job
         // Candidate dedup carries IDS + title lengths only — the 4M-pair
         // distinct must never shuffle the title strings themselves; titles
         // rejoin after the pair set is deduped. ed<=2 bounds the length
@@ -3314,17 +3387,20 @@ object DedupOps {
         floor((dot(col("sub"), col("sub")) -
           lit(2.0) * dot(col("sub"), col("csub")) +
           dot(col("csub"), col("csub"))) * lit(1000000.0)).as("d2u"))
-      .pinned
+      .pinnedLazy
   }
 
-  /** Argmin codes (vec_id, m, cid) from a [[pqScored]] frame. */
+  /** Argmin codes (vec_id, m, cid) from a [[pqScored]] frame — the
+    * (d2u asc, cid asc) rank-1 row via one map-side-combinable hash
+    * aggregate (r18, the argmax1 discipline: min over struct(d2u, cid)
+    * picks the identical row with no (vec_id, m)-partitioned window sort
+    * of the 4n×8 scored rows; both fields are longs, so the struct order
+    * IS the window order). */
   private def pqCodes(scored: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = scored
-    .withColumn("rn", row_number().over(
-      Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d2u"), col("cid"))))
-    .filter(col("rn") === 1)
-    .select(col("vec_id"), col("m"), col("cid"))
+    .groupBy(col("vec_id"), col("m"))
+    .agg(min(struct(col("d2u"), col("cid"))).as("mn"))
+    .select(col("vec_id"), col("m"), col("mn.cid").as("cid"))
 
   private def pqAdcRanked(s: org.apache.spark.sql.SparkSession, d: String,
       sampledQueries: Boolean = false): org.apache.spark.sql.DataFrame = {

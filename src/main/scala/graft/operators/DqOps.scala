@@ -52,7 +52,9 @@ object DqOps {
           min(expr("unix_micros(ts) div 1000000")).as("mn_ts"),
           max(expr("unix_micros(ts) div 1000000")).as("mx_ts"))
         // one corpus pass: pin the 1-row profile before the 5-way unpivot
-        val a = a0.pinned
+        // (r18: LAZY — the five branches dedupe through the checkpoint
+        // cache inside the one consuming job; no separate pin job)
+        val a = a0.pinnedLazy
         val nullStr = lit(null).cast("string")
         def num(name: String, nn: String, nd: String, mn: String, mx: String) =
           a.select(lit(name).as("column_name"), col("n").as("n_rows"),

@@ -2764,9 +2764,9 @@ object EventOps {
         // pin the |E|-sized edge frame: three iterations consume it, and
         // without the pin each re-derives the corpus window pass (the
         // fuzzy-join lesson; Scale.pin honors spark.graft.pin.mode)
-        val e = edges.join(outc, "src").pinned
+        val e = edges.join(outc, "src").pinnedLazy // r18: cut, no pin job
         val nodes = T(s, d, "events")
-          .select(col("event_type").as("node")).distinct().pinned
+          .select(col("event_type").as("node")).distinct().pinnedLazy
         // |V| rides as a broadcast 1-row aggregate (the scalar-broadcast
         // pattern — LAZY, unlike a driver-side count() at plan-build
         // time): seed = floor(1e6/N) micro-units, base = floor(0.15e6/N),

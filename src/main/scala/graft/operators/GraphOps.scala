@@ -227,7 +227,10 @@ object GraphOps {
     * Factored out so GraphSpec drives planted cascades through the exact
     * graded code path. */
   private[graft] def kcorePeel(sym: DataFrame, nodes: DataFrame): DataFrame = {
-    var e = sym.pinned
+    // r18: LAZY pins — each round's frame is still lineage-cut (3 plan
+    // branches reference it) but materializes inside the one consuming
+    // job instead of 7 serial pin jobs; no observe rides these.
+    var e = sym.pinnedLazy
     var prev = e
     for (_ <- 1 to KcoreRounds) {
       prev = e
@@ -235,7 +238,7 @@ object GraphOps {
         .filter(col("deg") >= 3).select(col("src"))
       e = e.join(surv, "src")
         .join(surv.withColumnRenamed("src", "dst"), "dst")
-        .select(col("src"), col("dst")).pinned
+        .select(col("src"), col("dst")).pinnedLazy
     }
     // monotone shrink ⇒ count equality is set equality; both counts are
     // 1-row aggregates riding one broadcast, never a driver-side action
@@ -335,12 +338,12 @@ object GraphOps {
           // so the pin is cheap and the lineage stays flat
           frontier = frontier
             .join(sym, frontier("user_id") === sym("src"))
-            .select(col("dst").as("user_id")).distinct().pinned
+            .select(col("dst").as("user_id")).distinct().pinnedLazy
           levels = levels.unionByName(
             frontier.select(col("user_id"), lit(h.toLong).as("hop")))
         }
         val hops = levels.groupBy(col("user_id")).agg(min(col("hop")).as("hops"))
-          .pinned
+          .pinnedLazy
         val h4new = frontier
           .join(sym, frontier("user_id") === sym("src"))
           .select(col("dst").as("user_id")).distinct()
@@ -551,8 +554,14 @@ object GraphOps {
     "graph_pagerank" -> Q(
       (s, d) => {
         val sym = symEdges(s, d)
+        // r18 optimization: deg is referenced 4× (init + 3 contribs) — a
+        // LAZY pin keeps the dedup without its own plan+job cycle; the
+        // per-round rank pin is GONE: each round's rank is referenced
+        // exactly once (the next round's contrib join), so the unpinned
+        // chain is a linear 3-round plan in one job — no duplicated
+        // subtree for a pin to protect. Same joins/aggregates per round.
         val deg = sym.groupBy(col("src").as("u"))
-          .agg(count(lit(1)).as("d")).pinned
+          .agg(count(lit(1)).as("d")).pinnedLazy
         var rank = deg.select(col("u"), lit(1000000L).as("pr"))
         for (_ <- 1 to 3) {
           val contrib = rank.join(deg, "u")
@@ -562,7 +571,6 @@ object GraphOps {
             .agg(sum(col("c")).as("s"))
             .select(col("u"),
               (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
-            .pinned
         }
         rank.select(col("u").as("user_id"), col("pr").as("rank_micro"))
           .orderBy(col("user_id"))

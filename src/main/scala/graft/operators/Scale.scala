@@ -127,22 +127,62 @@ object Scale {
     *
     * One switch for every pin site (MIGRATION.md documents the cluster
     * guidance); PinModeSpec runs a pinned key under each mode. */
-  def pin(df: DataFrame): DataFrame = {
+  def pin(df: DataFrame): DataFrame = pin(df, eager = true)
+
+  /** `eager = false` (r18 optimization round, guide §1.2 step 1 — remove
+    * unnecessary passes): the lineage cut happens at PLAN time either way
+    * (downstream plans see a leaf), but a lazy pin materializes its blocks
+    * inside the FIRST consuming job instead of scheduling its own
+    * plan+execute cycle per pin. A chain of k lazy pins collapses k
+    * barrier jobs into one pipelined job while keeping the
+    * duplicated-subtree protection (blocks cache on first compute; later
+    * plan branches read the cache). Measured on the trained-codebook
+    * chains: llm_ivf2_ann construction+planning 8.5 s → see
+    * OPTIMIZATION_r18.md. NOT for pins whose job carries an `observe()`
+    * checksum an iterate loop blocks on (connectedComponents — `ob.get`
+    * would never fire), nor for the streaming resident index (pinned ONCE
+    * outside foreachBatch by design; the soak counts those pins). */
+  def pin(df: DataFrame, eager: Boolean): DataFrame = {
+    // optimization-round diagnostics: per-pin wall time to stderr
+    if (df.sparkSession.conf.getOption("spark.graft.pin.timing")
+        .contains("true")) {
+      def ms[A](f: => A): (A, Long) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1000000)
+      }
+      val (_, tA) = ms(df.queryExecution.analyzed)
+      val (_, tO) = ms(df.queryExecution.optimizedPlan)
+      val (_, tP) = ms(df.queryExecution.executedPlan)
+      val (_, tR) = ms(df.queryExecution.toRdd)
+      val (r, tC) = ms(pinInner(df, eager))
+      System.err.println(s"[pin] eager=$eager analyze=${tA} optimize=${tO} " +
+        s"plan=${tP} rdd=${tR} checkpoint=${tC} ms")
+      return r
+    }
+    pinInner(df, eager)
+  }
+
+  private def pinInner(df: DataFrame, eager: Boolean): DataFrame = {
     recordForAudit(df)
     df.sparkSession.conf.getOption("spark.graft.pin.mode")
       .getOrElse("local") match {
       case "none" => df
+      // (r18 note: a persist()-based lazy pin was measured here and
+      // REJECTED — without lineage truncation the downstream Datasets
+      // re-analyze exponentially larger trees and CacheManager dedup did
+      // not hold on this shape: construct 3.9 s → 11 s, exec 1.5 s → 6.6 s
+      // on llm_ivf2_ann. localCheckpoint(eager=false) keeps the plan-time
+      // truncation and only defers the materialization job.)
       case mode => pinIds.synchronized {
         val sc = df.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet
         val p = mode match {
-          case "local"    => df.localCheckpoint()
+          case "local"    => df.localCheckpoint(eager)
           case "persist"  =>
             val q = df.persist(
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            q.count() // eager, like the checkpoint modes: pin NOW, not on first use
+            if (eager) q.count(): Unit // pin NOW, not on first use
             q
-          case "reliable" => df.checkpoint()
+          case "reliable" => df.checkpoint(eager)
           case other => sys.error(
             s"spark.graft.pin.mode must be local|persist|reliable|none, got '$other'")
         }
@@ -226,7 +266,16 @@ object Scale {
       reg.get(id).foreach(_.unpersist(blocking))
       it.remove() // released, or from a stopped context — either way dead
     }
-    pinRefs.synchronized { pinRefs.clear() }
+    pinRefs.synchronized {
+      // lazy cache-pins registered no RDD id at pin time — release them
+      // through the tracked frame (uncaches via CacheManager; a no-op for
+      // the checkpoint-backed frames whose ids were just unpersisted)
+      pinRefs.foreach { p =>
+        try p.unpersist(blocking)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      pinRefs.clear()
+    }
   }
 
   /** Compute-once COMMITTED snapshot of an expensive shared frame, via

@@ -41,6 +41,9 @@ object Shingles {
 object PinSyntax {
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     def pinned: DataFrame = Scale.pin(df)
+    /** Lazy lineage cut (r18): plan truncation now, block materialization
+      * inside the first consuming job — see Scale.pin's eager note. */
+    def pinnedLazy: DataFrame = Scale.pin(df, eager = false)
   }
 }
 

@@ -99,7 +99,24 @@ class GraftExtensionsSpec extends SparkSpec {
       "graft_bmp_decode" -> "graft_bmp_decode(bin_bmp).width",
       "graft_jpeg_meta" -> "graft_jpeg_meta(bin_jpg).width",
       "graft_gray_hist16" -> "element_at(graft_gray_hist16(array(0, 17, 255)), 1)",
-      "graft_wav_decode" -> "graft_wav_decode(bin_wav).sample_rate")
+      "graft_wav_decode" -> "graft_wav_decode(bin_wav).sample_rate",
+      // r18 optimization round: the single-pass native folds
+      "graft_int_csv_md5" -> "graft_int_csv_md5(array(1, 2, 3))",
+      "graft_int_sum_long" -> "graft_int_sum_long(array(1, 2, 3))",
+      "graft_wav_feats" -> "graft_wav_feats(array(-3, 4, 5)).energy",
+      "graft_frame_feats" ->
+        "element_at(graft_frame_feats(array(-3, 4, 5)), 1).energy",
+      "graft_tile_sums" ->
+        "element_at(graft_tile_sums(sequence(1, 80), 10, 8), 1)",
+      "graft_edge_energy" ->
+        "graft_edge_energy(sequence(1, 80), 10).h_energy",
+      "graft_downsample2x" ->
+        ("element_at(graft_downsample2x(sequence(1, 80), 10, " +
+          "bigint(5), bigint(4)), 1)"),
+      "graft_shingles3" -> "element_at(graft_shingles3(split('a b c d', ' ')), 1)",
+      "graft_span_md5s" -> "element_at(graft_span_md5s(split('a b c', ' ')), 1)",
+      "graft_quant_sum_vec" ->
+        "element_at(graft_quant_sum_vec(array(float(0.5), float(1))), 1)")
     val names = graft.functions.GraftFunctions.builders.map(_._1)
     assert(names.distinct.size == names.size, "duplicate registry names")
     assert(names.toSet == smoke.keySet,
