@@ -561,9 +561,33 @@ object DedupOps {
       .select(col("cell").as("cid"),
         expr("transform(sums, s -> CAST(s AS DOUBLE))").as("cemb"))
 
+  /** Centroid update over an (cell, embedding) assignment frame that
+    * already CARRIES each member's embedding ([[argmax1Emb]]) — the
+    * [[quantCentroidsOf]] math without the corpus re-join (r18 batch 3,
+    * guide §1.2 step 1 / §2.4): the training iteration otherwise
+    * re-scanned and re-exchanged the corpus by vec_id solely to fetch
+    * back the embeddings the argmax pass just aggregated over. */
+  private def quantCentroidsOfE(assignE: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    assignE.groupBy(col("cell"))
+      .agg(graft.functions.QuantSumVecExpr.quantSumVec(assignE.sparkSession)(
+        col("embedding")).as("sums"))
+      .select(col("cell").as("cid"),
+        expr("transform(sums, s -> CAST(s AS DOUBLE))").as("cemb"))
+
   private def withCNorm(c: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     c.withColumn("cnorm", sqrt(dotA(c.sparkSession)(col("cemb"), col("cemb"))))
+
+  /** Idempotent float-norm column — a no-op when the frame already
+    * carries `norm` (a pinned pre-normed corpus passed down a chain), so
+    * one pinned corpus can serve an index builder AND the verdict tail
+    * without double-norming or double-pinning (r18 batch 3). */
+  private[graft] def ensureNormed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.columns.contains("norm")) df
+    else df.withColumn("norm",
+      sqrt(dotF(df.sparkSession)(col("embedding"), col("embedding"))))
 
   /** Deterministic argmax cell assignment (r18 optimization round, guide
     * §2.3 "aggregate before you shuffle"): the rank-1 row of a scored
@@ -584,6 +608,23 @@ object DedupOps {
       .agg(max(struct(col(simCol).as("s"), (-col(idCol)).as("neg"),
         col(idCol).as("picked"))).as("m"))
       .select(col("vec_id"), col("m.picked").as(outCol))
+
+  /** [[argmax1]] that also carries the vector's own `embedding` column to
+    * the centroid update (r18 batch 3). Selection is bit-identical: the
+    * struct comparison decides on (sim, -id, id) exactly as [[argmax1]]
+    * does, and `picked` (the id) is UNIQUE within a vec_id group, so the
+    * trailing embedding field can never be reached by a tie — it is
+    * payload, not ordering. Every row of a group carries the same
+    * embedding (it is the group's own vector), so which row wins cannot
+    * change the carried value either. */
+  private def argmax1Emb(scored: org.apache.spark.sql.DataFrame,
+      idCol: String, simCol: String, outCol: String)
+      : org.apache.spark.sql.DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col(simCol).as("s"), (-col(idCol)).as("neg"),
+        col(idCol).as("picked"), col("embedding").as("emb"))).as("m"))
+      .select(col("vec_id"), col("m.picked").as(outCol),
+        col("m.emb").as("embedding"))
 
   /** Id-threshold seed codebook in the DOUBLE domain (cemb = exact
     * float→double widening — the same ::DOUBLE[] the oracles cast), so
@@ -619,15 +660,19 @@ object DedupOps {
     // iteration 1's segment; later iterations reference the PINNED c.
     var c = seed
     for (_ <- 1 to iters) {
-      val assign = argmax1(
+      // r18 batch 3: the assignment carries the embedding (argmax1Emb),
+      // so the update aggregates it directly — no corpus re-join/re-scan
+      // per iteration (the scored rows already had the embedding in
+      // scope; the exchange moves it once either way).
+      val assignE = argmax1Emb(
         e.select(col("vec_id"), col("embedding"), col("norm"))
           .crossJoin(broadcast(c))
           .select(col("vec_id"), col("cid"),
             (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
-              .as("sim")),
+              .as("sim"), col("embedding")),
         "cid", "sim", "cell")
       c = withCNorm(c.select(col("cid"), col("cemb").as("prev_cemb"))
-        .join(quantCentroidsOf(assign, e), Seq("cid"), "left")
+        .join(quantCentroidsOfE(assignE), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cemb"), col("prev_cemb")).as("cemb")))
         .pinnedLazy
     }
@@ -644,8 +689,13 @@ object DedupOps {
       embDf: org.apache.spark.sql.DataFrame,
       iters: Int = TrainIters, probe: Int = ProbeCells)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val e = embDf.withColumn("norm",
-      sqrt(dotF(embDf.sparkSession)(col("embedding"), col("embedding"))))
+    // r18 batch 3 (guide §1.2 step 1): the normed corpus is consumed by
+    // ~6 serialized segments (sizing, seed, each Lloyd assignment, the
+    // final probe/assign scan) — pin it lazily so each segment reads the
+    // checkpoint instead of re-running the parquet scan + gate filter +
+    // norm projection. On the adaptive keys this also collapses the
+    // INACTIVE gated branch to one empty scan.
+    val e = ensureNormed(embDf).pinnedLazy
     val nl = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nlist"))
       .pinnedLazy // r18: re-broadcast per training segment otherwise
     val seed = seedCents(e)(df => df.crossJoin(broadcast(nl))
@@ -677,8 +727,8 @@ object DedupOps {
       trainIters: Int = TrainIters, probe: Int = ProbeCells,
       l1Probes: Int = L1Probes)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val e = embDf.withColumn("norm",
-      sqrt(dotF(embDf.sparkSession)(col("embedding"), col("embedding"))))
+    // r18 batch 3: pinned corpus — see ivfCandidatesTrainedOf
+    val e = ensureNormed(embDf).pinnedLazy
     // ONE definition of the two-level assignment semantics (r17, ADVICE):
     // codebook construction and probe/tie-break rules come from the SAME
     // cellSizedCodebooks/rankedInCells helpers the incremental and
@@ -750,6 +800,11 @@ object DedupOps {
     def gated(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
         : org.apache.spark.sql.DataFrame =
       embDf.crossJoin(n).filter(pred(col("ivf_auto_n"))).drop("ivf_auto_n")
+    // (r18 batch 3 A/B, REJECTED: constructing the two branches on two
+    // driver threads — guide §2.6 — measured NO gain at local[4], 32.8 s
+    // family total either way; AQE's per-segment stage materialization
+    // still serializes, and the threads only added nondeterministic
+    // construction order. Sequential kept.)
     val cand = ivfCandidatesTrainedOf(gated(_ < lit(IvfAutoCrossover)),
         trainIters, probe)._1
       .unionByName(ivfCandidatesCellSizedOf(
@@ -1552,10 +1607,11 @@ object DedupOps {
       tau: Double = 0.35, trainIters: Int = TrainIters,
       probe: Int = ProbeCells): org.apache.spark.sql.DataFrame = {
     val dot = dotA(baseDf.sparkSession) _
-    def normed(df: org.apache.spark.sql.DataFrame) = df.withColumn("norm",
-      sqrt(dotF(baseDf.sparkSession)(col("embedding"), col("embedding"))))
-    val base = normed(baseDf)
-    val delta = normed(deltaDf)
+    // r18 batch 3: pinned corpora — see ivfCandidatesTrainedOf (base
+    // feeds ~6 serialized segments; delta feeds the probe scan and both
+    // verdict-tail sides)
+    val base = ensureNormed(baseDf).pinnedLazy
+    val delta = ensureNormed(deltaDf).pinnedLazy
     val nl = base.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nlist"))
       .pinnedLazy // r18: see ivfCandidatesAutoOf
     // codebook seeded by id threshold over BASE and Lloyd-TRAINED on base
@@ -1648,14 +1704,23 @@ object DedupOps {
       deltaDf: org.apache.spark.sql.DataFrame,
       tau: Double = 0.35, targetCellSize: Int = 64,
       trainIters: Int = TrainIters, probe: Int = ProbeCells,
-      l1Probes: Int = L1Probes): org.apache.spark.sql.DataFrame =
+      l1Probes: Int = L1Probes): org.apache.spark.sql.DataFrame = {
+    // r18 batch 3: ONE pinned normed corpus per side serves the index
+    // build AND the verdict tail (ensureNormed makes the downstream norm
+    // steps no-ops). Pinned HERE, not in cellSizedDupFlagsOn — that body
+    // runs once per micro-batch on the streaming path, where a per-batch
+    // pin would grow the persistent-RDD registry forever (the soak's
+    // leak shape).
+    val base = ensureNormed(baseDf).pinnedLazy
+    val delta = ensureNormed(deltaDf).pinnedLazy
     cellSizedDupFlagsOn(
       // r18 optimization: the BATCH chains take the index with LAZY pins
       // (one pipelined job); the streaming resident index keeps eager —
       // it is pinned once outside foreachBatch and the soak counts it
-      cellSizedBaseIndex(baseDf, targetCellSize, trainIters, l1Probes,
+      cellSizedBaseIndex(base, targetCellSize, trainIters, l1Probes,
         eager = false),
-      baseDf, deltaDf, tau, probe, l1Probes)
+      base, delta, tau, probe, l1Probes)
+  }
 
   /** The PINNED base-side index of the cell-sized incremental chain
     * (r16 plan-read follow-up): (c1, c2full, assign) — the L1 codebook,
@@ -1674,8 +1739,7 @@ object DedupOps {
       l1Probes: Int = L1Probes, eager: Boolean = true)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
-    val base = baseDf.withColumn("norm",
-      sqrt(dotF(baseDf.sparkSession)(col("embedding"), col("embedding"))))
+    val base = ensureNormed(baseDf)
     val (c1, c2full) = cellSizedCodebooks(base, targetCellSize,
       pinEach = true, trainIters = trainIters, pinEager = eager)
     val assign = Scale.pin(
@@ -1735,10 +1799,13 @@ object DedupOps {
       var c2 = seedCents(base)(df =>
         df.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("nlist")))
       for (_ <- 1 to trainIters) {
-        val assign = argmax1(scoredInCells(c1, withL1(c1, c2))(base),
+        // r18 batch 3: embedding rides the argmax to the update — no
+        // corpus re-join per iteration (see trainFlat)
+        val assignE = argmax1Emb(
+          scoredInCells(c1, withL1(c1, c2), keepEmb = true)(base),
           "cid", "sim", "cell")
         c2 = withCNorm(c2.select(col("cid"), col("cemb").as("prev_cemb"))
-          .join(quantCentroidsOf(assign, base), Seq("cid"), "left")
+          .join(quantCentroidsOfE(assignE), Seq("cid"), "left")
           .select(col("cid"), coalesce(col("cemb"), col("prev_cemb")).as("cemb")))
           .pinnedLazy
       }
@@ -1808,18 +1875,20 @@ object DedupOps {
     * top-k); the nearest-cell case goes through [[nearestL1Of]]'s
     * aggregate. */
   private def scoredInCells(c1: org.apache.spark.sql.DataFrame,
-      c2full: org.apache.spark.sql.DataFrame, l1Probes: Int = 1)(
+      c2full: org.apache.spark.sql.DataFrame, l1Probes: Int = 1,
+      keepEmb: Boolean = false)(
       side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dot = dotA(side.sparkSession) _
     val l1s = if (l1Probes == 1) nearestL1Of(c1)(side)
       else rankedL1Of(c1)(side).filter(col("l1rn") <= l1Probes)
         .select(col("vec_id"), col("l1id").as("l1"))
+    val out = Seq(col("vec_id"), col("cid"),
+      (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
+        .as("sim")) ++ (if (keepEmb) Seq(col("embedding")) else Nil)
     side.select(col("vec_id"), col("embedding"), col("norm"))
       .join(l1s, Seq("vec_id"))
       .join(c2full, Seq("l1"))
-      .select(col("vec_id"), col("cid"),
-        (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
-          .as("sim"))
+      .select(out: _*)
   }
 
   /** Delta-side verdicts against a prebuilt [[cellSizedBaseIndex]] —
@@ -1836,16 +1905,16 @@ object DedupOps {
       tau: Double = 0.35, probe: Int = ProbeCells,
       l1Probes: Int = L1Probes): org.apache.spark.sql.DataFrame = {
     val (c1, c2full, assign) = index
-    val dot = dotF(baseDf.sparkSession) _
-    def normed(df: org.apache.spark.sql.DataFrame) = df.withColumn("norm",
-      sqrt(dot(col("embedding"), col("embedding"))))
-    val delta = normed(deltaDf)
+    // r18 batch 3: ensureNormed — no-ops on the batch twins' pinned
+    // pre-normed corpora; norms as before on the streaming path's raw
+    // per-batch frames (never pinned here: this body runs per micro-batch)
+    val delta = ensureNormed(deltaDf)
     val probes = rankedInCells(c1, c2full, l1Probes)(delta)
       .filter(col("rn") <= probe)
       .select(col("vec_id").as("q_id"), col("cid").as("cell"))
     val cand = probes.join(assign, Seq("cell"))
       .select(col("q_id"), col("t_id")).distinct()
-    dupFlagsFromCandidates(cand, normed(baseDf), delta, tau)
+    dupFlagsFromCandidates(cand, ensureNormed(baseDf), delta, tau)
       .orderBy(col("vec_id"))
   }
 
