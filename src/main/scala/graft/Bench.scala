@@ -97,7 +97,22 @@ object Bench {
       if (okTimes.nonEmpty) (name, okTimes(okTimes.length / 2), true, snapshotServed)
       else (name, times.map(_._1).min, false, snapshotServed)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    // 3-decimal seconds on the stdout line (r18 verdict #2): the driver's
+    // BENCH capture keeps only a bounded stdout TAIL, and the full-precision
+    // line (390 keys × 9+ digit doubles ≈ 13 KB) has been cut mid-line —
+    // and therefore unparseable — in EVERY round's capture (parsed: null in
+    // r01/r17/r18). 1 ms resolution loses nothing a medians-of-seconds
+    // comparison uses; trailing zeros are trimmed too. The key names alone
+    // are 6.6 KB (the contract forbids renaming), so this is the floor.
+    def fmt3(v: Double): String = {
+      val s = f"$v%.3f"
+      if (!s.contains('.')) s
+      else {
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty) "0" else t
+      }
+    }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -110,8 +125,9 @@ object Bench {
     if (failed != "[]")
       System.err.println(s"[bench] RED GATE — keys failed all reps: $failed")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"snapshot_backed":$snap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"failed":$failed,"snapshot_backed":$snap,"sf":"$sfDir"}"""
     println(line)
+    System.err.println(s"[bench] stdout json line length=${line.length}")
     // Also persist the full per-query JSON beside the stdout line (r12
     // verdict item 8): the driver's BENCH_r{N}.json capture truncates to a
     // ~2000-char tail, which left past judges only an alphabetical suffix

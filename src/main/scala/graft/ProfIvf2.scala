@@ -18,6 +18,8 @@ object ProfIvf2 {
     Preflight(spark, sfDir)
     spark.conf.set("spark.graft.pin.timing", "true")
     sys.env.get("GRAFT_PROF_NOCODEGEN").foreach(_ => spark.conf.set("spark.sql.codegen.wholeStage", "false"))
+    sys.env.get("GRAFT_PROF_PINMODE").foreach(m => spark.conf.set("spark.graft.pin.mode", m))
+    sys.env.get("GRAFT_PROF_NOAQE").foreach(_ => spark.conf.set("spark.sql.adaptive.enabled", "false"))
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f

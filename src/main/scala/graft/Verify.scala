@@ -22,6 +22,29 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Preflight(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // oracle_sql.json is written FIRST (r18 verdict #1a): it used to be the
+    // loop's final act, which made one hang or kill anywhere in the 383-key
+    // loop erase the ENTIRE round's correctness record (no oracle file →
+    // the driver's json.load has nothing → {}). The SQL map is static
+    // (SparkEntry.oracleSql), so writing it before any query runs turns a
+    // worst-case mid-loop death into per-key failures for the keys whose
+    // parquet never landed — every completed key still grades.
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -37,22 +60,6 @@ object Verify {
         // 374-key session never accumulates block-manager storage
         graft.operators.Scale.releasePins(spark)
       }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

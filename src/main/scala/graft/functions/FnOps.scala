@@ -774,18 +774,23 @@ object FnOps {
     // and the packed 32-bit integer form of a synthesized dotted quad.
     "fn_ip_mask" -> Q(
       (s, d) => {
-        val ipped = T(s, d, "events")
+        // r19 (guide §1.2 step 2): subnet and ip_int straight from the
+        // numeric octets — the old path re-parsed the just-built ip string
+        // (a regexp_extract + a split + 4 casts per row). The octet
+        // expressions ARE the string's components, so both outputs are
+        // byte-identical and the string-parsing oracle twin still matches.
+        T(s, d, "events")
           .withColumn("ip", concat_ws(".",
             col("user_id") % 224, col("event_id") % 256,
             (col("user_id") * 7) % 256, (col("event_id") * 13) % 256))
-          .withColumn("oct", split(col("ip"), "\\."))
-        ipped.select(col("event_id"), col("ip"),
-          concat(regexp_extract(col("ip"), "^([0-9]+\\.[0-9]+\\.[0-9]+)\\.", 1),
-            lit(".0/24")).as("subnet"),
-          (col("oct").getItem(0).cast("long") * 16777216L +
-            col("oct").getItem(1).cast("long") * 65536L +
-            col("oct").getItem(2).cast("long") * 256L +
-            col("oct").getItem(3).cast("long")).as("ip_int"))
+          .select(col("event_id"), col("ip"),
+            concat(concat_ws(".",
+              col("user_id") % 224, col("event_id") % 256,
+              (col("user_id") * 7) % 256), lit(".0/24")).as("subnet"),
+            ((col("user_id") % 224).cast("long") * 16777216L +
+              (col("event_id") % 256).cast("long") * 65536L +
+              ((col("user_id") * 7) % 256).cast("long") * 256L +
+              ((col("event_id") * 13) % 256).cast("long")).as("ip_int"))
           .orderBy(col("event_id"))
       },
       "SELECT event_id, ip, " +
@@ -835,12 +840,17 @@ object FnOps {
           .withColumn("ip", concat_ws(".",
             col("user_id") % 224, col("event_id") % 256,
             (col("user_id") * 7) % 256, (col("event_id") * 13) % 256))
-          .withColumn("oct", split(col("ip"), "\\."))
+          // r19 (guide §1.2 step 2 — per-task work): ip_int straight from
+          // the numeric octets — the old string round-trip (split the
+          // just-concatenated ip, cast 4 substrings back) spent the key's
+          // probe-side time re-parsing what the line above computed.
+          // Arithmetically identical (the octets ARE these expressions),
+          // so the oracle twin — which still parses its string — matches.
           .withColumn("ip_int",
-            col("oct").getItem(0).cast("long") * 16777216L +
-              col("oct").getItem(1).cast("long") * 65536L +
-              col("oct").getItem(2).cast("long") * 256L +
-              col("oct").getItem(3).cast("long"))
+            (col("user_id") % 224).cast("long") * 16777216L +
+              (col("event_id") % 256).cast("long") * 65536L +
+              ((col("user_id") * 7) % 256).cast("long") * 256L +
+              ((col("event_id") * 13) % 256).cast("long"))
           .withColumn("bucket", expr("ip_int DIV 65536"))
           .join(dim, Seq("bucket"))
           .filter(col("ip_int").between(col("ip_start"), col("ip_end")))

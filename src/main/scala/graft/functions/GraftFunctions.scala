@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftFunctions {
 
-  private def intLit(e: Expression, what: String): Int = {
+  private[functions] def intLit(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")
     val v = e.eval() match {
       case i: Int => i.toLong
@@ -100,6 +100,12 @@ object GraftFunctions {
       "graft_span_md5s" -> (exprs => SpanMd5s(exprs.head)),
       "graft_quant_sum_vec" -> (exprs =>
         QuantSumVec(exprs.head).toAggregateExpression()),
+      // fused per-row centroid selection (r19 optimization round): the
+      // IVF assignment/probe passes without a vec_id exchange or window
+      "graft_top_cents" -> (exprs => TopCentroids(exprs(0), exprs(1),
+        exprs(2), intLit(exprs(3), "top cents k"))),
+      "graft_nearest_cent" -> (exprs =>
+        NearestCentroid(exprs(0), exprs(1), exprs(2))),
     )
 
   def registerAll(spark: SparkSession): Unit = {

@@ -6,6 +6,7 @@ import graft.{Q, T}
 import graft.operators.PinSyntax._
 import graft.Dsl._
 import graft.functions.VectorExpressions.{dotA, dotF}
+import graft.functions.CentroidExpressions.{nearestCentroid, topCentroids}
 
 /** Near-duplicate detection family beyond MinHash (north star mandate):
   * n-gram Jaccard, SimHash, embedding-cosine near-dup, and the LSH-bucketed
@@ -541,32 +542,15 @@ object DedupOps {
     * keep 1. */
   val L1Probes = 2
 
-  /** Exact-integer centroid update: per (cell, dim) sums of the members'
-    * floor(x·1e7)-quantized coordinates, reassembled into dim-ordered
-    * double arrays. Scale shape: shuffles (cell, pos, partial) triples
-    * only — map-side combinable hash agg over 64·n rows, linear; the
-    * per-cell reassembly buffer is one 64-struct list. */
-  private def quantCentroidsOf(assign: org.apache.spark.sql.DataFrame,
-      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    // r18 optimization (guide §2.3 — aggregate before you shuffle): ONE
-    // typed-imperative per-dim quantized sum replaces the posexplode (64×
-    // row blowup) → (cell, pos) SUM → collect_list/array_sort reassembly
-    // chain — identical order-free integer math (QuantSumSpec parity),
-    // one exchange of nlist long-arrays instead of two of (cell, pos)
-    // triples.
-    corpus.join(assign, Seq("vec_id"))
-      .groupBy(col("cell"))
-      .agg(graft.functions.QuantSumVecExpr.quantSumVec(corpus.sparkSession)(
-        col("embedding")).as("sums"))
-      .select(col("cell").as("cid"),
-        expr("transform(sums, s -> CAST(s AS DOUBLE))").as("cemb"))
-
-  /** Centroid update over an (cell, embedding) assignment frame that
-    * already CARRIES each member's embedding ([[argmax1Emb]]) — the
-    * [[quantCentroidsOf]] math without the corpus re-join (r18 batch 3,
-    * guide §1.2 step 1 / §2.4): the training iteration otherwise
-    * re-scanned and re-exchanged the corpus by vec_id solely to fetch
-    * back the embeddings the argmax pass just aggregated over. */
+  /** Exact-integer centroid update over a (cell, embedding) assignment
+    * frame — one row per corpus vector carrying its own embedding and its
+    * assigned cell (the fused per-row selection, r19): per (cell, dim)
+    * sums of the members' floor(x·1e7)-quantized coordinates via ONE
+    * typed-imperative per-dim aggregate (QuantSumSpec parity), reassembled
+    * into dim-ordered double arrays. Scale shape: the map-side-combined
+    * partials are ≤ nlist long-arrays per map partition — the training
+    * iteration's only exchange. Order-free integer math, so the sums are
+    * bit-identical across engines and partitionings. */
   private def quantCentroidsOfE(assignE: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     assignE.groupBy(col("cell"))
@@ -582,7 +566,17 @@ object DedupOps {
   /** Idempotent float-norm column — a no-op when the frame already
     * carries `norm` (a pinned pre-normed corpus passed down a chain), so
     * one pinned corpus can serve an index builder AND the verdict tail
-    * without double-norming or double-pinning (r18 batch 3). */
+    * without double-norming or double-pinning (r18 batch 3).
+    *
+    * COLUMN CONTRACT (r18 ADVICE, documented): a pre-existing `norm` is
+    * trusted as-is, so it MUST be the canonical float-dot norm
+    * sqrt(dotF(embedding, embedding)) — the public dedup entry points
+    * (cellSizedDupFlags, flatDupFlags, semanticDedupStream's base) accept
+    * arbitrary frames, and a caller shipping a differently-computed
+    * `norm` would silently shift every cosine verdict off the oracle.
+    * Inside this module the only `norm` producers are this function and
+    * the identical withColumn sites, so the invariant holds by
+    * construction; external callers must pass norm-free frames. */
   private[graft] def ensureNormed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     if (df.columns.contains("norm")) df
@@ -609,22 +603,27 @@ object DedupOps {
         col(idCol).as("picked"))).as("m"))
       .select(col("vec_id"), col("m.picked").as(outCol))
 
-  /** [[argmax1]] that also carries the vector's own `embedding` column to
-    * the centroid update (r18 batch 3). Selection is bit-identical: the
-    * struct comparison decides on (sim, -id, id) exactly as [[argmax1]]
-    * does, and `picked` (the id) is UNIQUE within a vec_id group, so the
-    * trailing embedding field can never be reached by a tie — it is
-    * payload, not ordering. Every row of a group carries the same
-    * embedding (it is the group's own vector), so which row wins cannot
-    * change the carried value either. */
-  private def argmax1Emb(scored: org.apache.spark.sql.DataFrame,
-      idCol: String, simCol: String, outCol: String)
+  /** One packed-codebook struct element — field order is the
+    * [[graft.functions.CentroidImpl]] access contract (cid, cemb, cnorm);
+    * cid cast to long so the impl's getLong holds for int-typed ids. */
+  private def centStruct(cid: org.apache.spark.sql.Column,
+      cemb: org.apache.spark.sql.Column, cnorm: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    struct(cid.cast("long").as("cid"), cemb.as("cemb"), cnorm.as("cnorm"))
+
+  /** The codebook collapsed into ONE broadcast row holding
+    * array<struct<cid, cemb, cnorm>> — the input of the fused per-row
+    * selection expressions (r19 optimization round, guide §2.3/§2.4): the
+    * same bytes the broadcast codebook already shipped, but the nearest/
+    * top-k decision now runs inside each corpus row's own projection, so
+    * the corpus never exchanges for an assignment pass. Element order is
+    * whatever collect_list saw — irrelevant, the (sim DESC, cid ASC)
+    * selection order is total (cids unique). */
+  private def packedCents(c: org.apache.spark.sql.DataFrame,
+      cid: String = "cid", cemb: String = "cemb", cnorm: String = "cnorm")
       : org.apache.spark.sql.DataFrame =
-    scored.groupBy(col("vec_id"))
-      .agg(max(struct(col(simCol).as("s"), (-col(idCol)).as("neg"),
-        col(idCol).as("picked"), col("embedding").as("emb"))).as("m"))
-      .select(col("vec_id"), col("m.picked").as(outCol),
-        col("m.emb").as("embedding"))
+    broadcast(c.agg(collect_list(
+      centStruct(col(cid), col(cemb), col(cnorm))).as("cents")))
 
   /** Id-threshold seed codebook in the DOUBLE domain (cemb = exact
     * float→double widening — the same ::DOUBLE[] the oracles cast), so
@@ -653,24 +652,35 @@ object DedupOps {
   private def trainFlat(e: org.apache.spark.sql.DataFrame,
       seed: org.apache.spark.sql.DataFrame, iters: Int)
       : org.apache.spark.sql.DataFrame = {
-    val dot = dotA(e.sparkSession) _
-    // r18 optimization: the seed is an id-threshold pushdown filter — the
-    // duplicated-subtree protection a pin buys costs more (an extra
-    // plan+job cycle per chain) than re-planning the filter twice inside
-    // iteration 1's segment; later iterations reference the PINNED c.
+    // r19 FUSED, PIN-FREE Lloyd chain (guide §1.2 step 1 / §2.3 / §2.4):
+    //
+    //  - nearest-cell is a per-row expression over the packed codebook, so
+    //    the corpus never exchanges for an assignment — the iteration's
+    //    ONLY shuffle is the map-side-combined QuantSumVec centroid
+    //    partials (≤ nlist long-arrays per map partition). Replaces the
+    //    r18 argmax1Emb shape, which exchanged one (vec_id, sim-struct +
+    //    embedding) partial per corpus row. Selection is bit-identical
+    //    (TopCentroids/CentroidImpl: same DotProductAny fold, Spark's
+    //    double total order, min-cid ties); each row contributes its own
+    //    embedding once, exactly as the argmax group did, so the quantized
+    //    integer sums are unchanged.
+    //
+    //  - each iteration's codebook stays PINNED (localCheckpoint, lazy):
+    //    iteration i+1 references c_i twice (the packed aggregate and the
+    //    empty-cell coalesce), and an A/B of the pin-free chain measured
+    //    WORSE (llm_ivf2_ann warm construct 2.4 s pinned → 3.5 s unpinned
+    //    + optimizer time growing per iteration) — column pruning rewrites
+    //    the two references differently, so their exchanges do not
+    //    canonicalize equal and exchange reuse cannot dedupe the
+    //    recompute. The pin IS the reuse mechanism here; numbers in
+    //    OPTIMIZATION_r19.md.
     var c = seed
     for (_ <- 1 to iters) {
-      // r18 batch 3: the assignment carries the embedding (argmax1Emb),
-      // so the update aggregates it directly — no corpus re-join/re-scan
-      // per iteration (the scored rows already had the embedding in
-      // scope; the exchange moves it once either way).
-      val assignE = argmax1Emb(
-        e.select(col("vec_id"), col("embedding"), col("norm"))
-          .crossJoin(broadcast(c))
-          .select(col("vec_id"), col("cid"),
-            (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
-              .as("sim"), col("embedding")),
-        "cid", "sim", "cell")
+      val assignE = e.select(col("embedding"), col("norm"))
+        .crossJoin(packedCents(c))
+        .select(nearestCentroid(e.sparkSession)(
+          col("embedding"), col("norm"), col("cents")).as("cell"),
+          col("embedding"))
       c = withCNorm(c.select(col("cid"), col("cemb").as("prev_cemb"))
         .join(quantCentroidsOfE(assignE), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cemb"), col("prev_cemb")).as("cemb")))
@@ -696,8 +706,10 @@ object DedupOps {
     // norm projection. On the adaptive keys this also collapses the
     // INACTIVE gated branch to one empty scan.
     val e = ensureNormed(embDf).pinnedLazy
+    // r19: nl unpinned — the training chain is one pipelined plan now
+    // (no per-segment pin jobs re-running the count), and nl has a single
+    // reference (the seed filter).
     val nl = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nlist"))
-      .pinnedLazy // r18: re-broadcast per training segment otherwise
     val seed = seedCents(e)(df => df.crossJoin(broadcast(nl))
       .filter(col("vec_id") < col("nlist")).drop("nlist"))
     ivfCandFromCents(e, trainFlat(e, seed, iters), probe)
@@ -738,8 +750,7 @@ object DedupOps {
     // L2 cells; (0, 2, 1) reproduces the historical untrained chain.
     val (c1, c2full) = cellSizedCodebooks(e, targetCellSize,
       trainIters = trainIters)
-    val topP = rankedInCells(c1, c2full, l1Probes)(e)
-      .filter(col("rn") <= probe)
+    val topP = rankedInCells(c1, c2full, l1Probes, probe)(e)
       .pinnedLazy
     val assign = topP.filter(col("rn") === 1)
       .select(col("vec_id").as("t_id"), col("cid").as("cell"))
@@ -789,14 +800,13 @@ object DedupOps {
       trainIters: Int = TrainIters, probe: Int = ProbeCells,
       l1Probes: Int = L1Probes)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    // r18 optimization: the gate count is PINNED (lazily) before the
-    // broadcast — every pinned training segment downstream otherwise
-    // re-executes its own copy of this corpus-count aggregate (one full
-    // corpus scan per segment, ~10 segments per adaptive key; the r17
-    // ADVICE under-counted exactly this). The count still rides a
-    // broadcast 1-row frame in-plan — no collected literal.
-    val n = broadcast(
-      embDf.agg(count(lit(1)).as("ivf_auto_n")).pinnedLazy)
+    // r19: the gate count rides ONE broadcast 1-row aggregate (in-plan,
+    // no collected literal); both gated branches reference the same
+    // canonical broadcast, and with the training chains now pipelined
+    // (no per-segment pin jobs) broadcast reuse computes it once — the
+    // r18 lazy pin protected against per-JOB recomputation that no
+    // longer exists.
+    val n = broadcast(embDf.agg(count(lit(1)).as("ivf_auto_n")))
     def gated(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
         : org.apache.spark.sql.DataFrame =
       embDf.crossJoin(n).filter(pred(col("ivf_auto_n"))).drop("ivf_auto_n")
@@ -823,7 +833,7 @@ object DedupOps {
 
   /** The corpus CTE every vector oracle starts from. */
   private val vCteSql: String =
-    "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+    "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
 
   /** CTE fragments of `iters` exact-integer Lloyd refinements over
     * `$corpus(vec_id, emb)`, starting from the codebook CTE
@@ -852,7 +862,7 @@ object DedupOps {
             s"generate_subscripts(v.emb, 1) AS pos) u GROUP BY a.cid, u.pos)",
           s"${p}g$i AS (SELECT cid, list(CAST(sq AS DOUBLE) ORDER BY pos) " +
             s"AS cemb FROM ${p}s$i GROUP BY cid)",
-          s"${p}c$i AS (SELECT c.cid, COALESCE(g.cemb, c.cemb) AS cemb " +
+          s"${p}c$i AS MATERIALIZED (SELECT c.cid, COALESCE(g.cemb, c.cemb) AS cemb " +
             s"FROM $prev c LEFT JOIN ${p}g$i g USING (cid))")
       }
       (parts.mkString(", ") + ", ", s"${p}c$iters")
@@ -870,12 +880,12 @@ object DedupOps {
   private def sqrtCandChain(p: String, corpus: String, iters: Int = 0,
       probe: Int = 2): String = {
     val (train, cbook) = trainChainSql(p, corpus, s"${p}c0", iters)
-    s"${p}c0 AS (SELECT vec_id AS cid, emb AS cemb FROM $corpus " +
+    s"${p}c0 AS MATERIALIZED (SELECT vec_id AS cid, emb AS cemb FROM $corpus " +
       s"WHERE vec_id < (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM $corpus)), " +
       train +
       s"${p}asim AS (SELECT v.vec_id, c.cid, " +
       s"${cosSql("v.emb", "c.cemb")} AS sim FROM $corpus v CROSS JOIN $cbook c), " +
-      s"${p}ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+      s"${p}ranked AS MATERIALIZED (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
       s"ORDER BY sim DESC, cid) AS rn FROM ${p}asim), " +
       s"${p}assign AS (SELECT vec_id, cid AS cell FROM ${p}ranked WHERE rn = 1), " +
       s"${p}probes AS (SELECT vec_id, cid AS cell FROM ${p}ranked WHERE rn <= $probe), " +
@@ -900,18 +910,18 @@ object DedupOps {
       targetCellSize: Int = 64, iters: Int = 0, probe: Int = 2,
       l1Probes: Int = 1): String = {
     val sz =
-      s"${p}sz AS (SELECT CAST(ceil(COUNT(*) / $targetCellSize.0) AS BIGINT) AS nlist, " +
+      s"${p}sz AS MATERIALIZED (SELECT CAST(ceil(COUNT(*) / $targetCellSize.0) AS BIGINT) AS nlist, " +
         s"CAST(ceil(sqrt(ceil(COUNT(*) / $targetCellSize.0))) AS BIGINT) AS m " +
         s"FROM $corpus)"
     val l1seed = s"${p}l0 AS (SELECT vec_id AS cid, emb AS cemb FROM $corpus " +
       s"WHERE vec_id < (SELECT m FROM ${p}sz))"
     val (l1train, l1fin) = trainChainSql(s"${p}x", corpus, s"${p}l0", iters)
-    val c1 = s"${p}c1 AS (SELECT cid AS l1id, cemb AS l1emb FROM $l1fin)"
-    val vl1r = s"${p}vl1r AS (SELECT vec_id, l1id AS l1, rn FROM " +
+    val c1 = s"${p}c1 AS MATERIALIZED (SELECT cid AS l1id, cemb AS l1emb FROM $l1fin)"
+    val vl1r = s"${p}vl1r AS MATERIALIZED (SELECT vec_id, l1id AS l1, rn FROM " +
       s"(SELECT v.vec_id, c1.l1id, row_number() OVER (PARTITION BY v.vec_id " +
       s"ORDER BY ${cosSql("v.emb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
       s"FROM $corpus v CROSS JOIN ${p}c1 c1) t WHERE rn <= $l1Probes)"
-    val vl1 = s"${p}vl1 AS (SELECT vec_id, l1 FROM ${p}vl1r WHERE rn = 1)"
+    val vl1 = s"${p}vl1 AS MATERIALIZED (SELECT vec_id, l1 FROM ${p}vl1r WHERE rn = 1)"
     val l2seed = s"${p}yk0 AS (SELECT vec_id AS cid, emb AS cemb FROM $corpus " +
       s"WHERE vec_id < (SELECT nlist FROM ${p}sz))"
     val l2parts = (1 to iters).flatMap { i =>
@@ -934,16 +944,16 @@ object DedupOps {
           s"generate_subscripts(v.emb, 1) AS pos) u GROUP BY a.cid, u.pos)",
         s"${p}yg$i AS (SELECT cid, list(CAST(sq AS DOUBLE) ORDER BY pos) " +
           s"AS cemb FROM ${p}ys$i GROUP BY cid)",
-        s"${p}yk$i AS (SELECT c.cid, COALESCE(g.cemb, c.cemb) AS cemb " +
+        s"${p}yk$i AS MATERIALIZED (SELECT c.cid, COALESCE(g.cemb, c.cemb) AS cemb " +
           s"FROM $prev c LEFT JOIN ${p}yg$i g USING (cid))")
     }
     val l2fin = if (iters == 0) s"${p}yk0" else s"${p}yk$iters"
     val tail =
-      s"${p}c2 AS (SELECT cid, cemb FROM $l2fin), " +
-        s"${p}c2l1 AS (SELECT cid, l1id AS l1 FROM (SELECT c2.cid, c1.l1id, " +
+      s"${p}c2 AS MATERIALIZED (SELECT cid, cemb FROM $l2fin), " +
+        s"${p}c2l1 AS MATERIALIZED (SELECT cid, l1id AS l1 FROM (SELECT c2.cid, c1.l1id, " +
         s"row_number() OVER (PARTITION BY c2.cid ORDER BY ${cosSql("c2.cemb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
         s"FROM ${p}c2 c2 CROSS JOIN ${p}c1 c1) t WHERE rn = 1), " +
-        s"${p}cranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        s"${p}cranked AS MATERIALIZED (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
         s"ORDER BY sim DESC, cid) AS rn FROM (SELECT v.vec_id, c2.cid, " +
         s"${cosSql("v.emb", "c2.cemb")} AS sim FROM $corpus v " +
         s"JOIN ${p}vl1r vl1 ON vl1.vec_id = v.vec_id " +
@@ -988,8 +998,8 @@ object DedupOps {
     s"WITH ${if (recursive) "RECURSIVE " else ""}" +
       "an AS (SELECT COUNT(*) AS n FROM embeddings), " +
       s"$vCteSql, " +
-      s"sv AS (SELECT vec_id, emb FROM v WHERE (SELECT n FROM an) < $IvfAutoCrossover), " +
-      s"lv AS (SELECT vec_id, emb FROM v WHERE (SELECT n FROM an) >= $IvfAutoCrossover), " +
+      s"sv AS MATERIALIZED (SELECT vec_id, emb FROM v WHERE (SELECT n FROM an) < $IvfAutoCrossover), " +
+      s"lv AS MATERIALIZED (SELECT vec_id, emb FROM v WHERE (SELECT n FROM an) >= $IvfAutoCrossover), " +
       sqrtCandChain("s", "sv", TrainIters, ProbeCells) + ", " +
       cellCandChain("l", "lv", targetCellSize, TrainIters, ProbeCells, L1Probes) + ", " +
       "cand AS (SELECT q_id, t_id FROM scand UNION ALL SELECT q_id, t_id FROM lcand)"
@@ -997,9 +1007,9 @@ object DedupOps {
   /** Base/delta corpus CTEs of every incremental-dedup oracle: the %10
     * generation split, cast to DOUBLE[]. */
   private val incBaseDeltaCtes: String =
-    "b AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+    "b AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb " +
       "FROM embeddings WHERE vec_id % 10 < 8), " +
-      "nw AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+      "nw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb " +
       "FROM embeddings WHERE vec_id % 10 >= 8)"
 
   /** CELL-SIZED incremental chain over base/delta CTEs — the DuckDB twin
@@ -1013,20 +1023,20 @@ object DedupOps {
       targetCellSize: Int = 64, iters: Int = 0, probe: Int = 2,
       l1Probes: Int = 1): String = {
     val sz =
-      s"${p}sz AS (SELECT CAST(ceil(COUNT(*) / $targetCellSize.0) AS BIGINT) AS nlist, " +
+      s"${p}sz AS MATERIALIZED (SELECT CAST(ceil(COUNT(*) / $targetCellSize.0) AS BIGINT) AS nlist, " +
         s"CAST(ceil(sqrt(ceil(COUNT(*) / $targetCellSize.0))) AS BIGINT) AS m FROM $baseCte)"
     // L1 trained on BASE only (the llm_ivf_index_upsert discipline: the
     // index trains on base and is FIXED for the delta batch)
     val l1seed = s"${p}l0 AS (SELECT vec_id AS cid, emb AS cemb FROM $baseCte " +
       s"WHERE vec_id < (SELECT m FROM ${p}sz))"
     val (l1train, l1fin) = trainChainSql(s"${p}x", baseCte, s"${p}l0", iters)
-    val c1 = s"${p}c1 AS (SELECT cid AS l1id, cemb AS l1emb FROM $l1fin)"
-    val bl1r = s"${p}bl1r AS (SELECT vec_id, l1id AS l1, rn FROM " +
+    val c1 = s"${p}c1 AS MATERIALIZED (SELECT cid AS l1id, cemb AS l1emb FROM $l1fin)"
+    val bl1r = s"${p}bl1r AS MATERIALIZED (SELECT vec_id, l1id AS l1, rn FROM " +
       s"(SELECT b.vec_id, c1.l1id, row_number() OVER (PARTITION BY b.vec_id " +
       s"ORDER BY ${cosSql("b.emb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
       s"FROM $baseCte b CROSS JOIN ${p}c1 c1) t WHERE rn <= $l1Probes)"
-    val bl1 = s"${p}bl1 AS (SELECT vec_id, l1 FROM ${p}bl1r WHERE rn = 1)"
-    val dl1r = s"${p}dl1r AS (SELECT vec_id, l1id AS l1, rn FROM " +
+    val bl1 = s"${p}bl1 AS MATERIALIZED (SELECT vec_id, l1 FROM ${p}bl1r WHERE rn = 1)"
+    val dl1r = s"${p}dl1r AS MATERIALIZED (SELECT vec_id, l1id AS l1, rn FROM " +
       s"(SELECT nw.vec_id, c1.l1id, row_number() OVER (PARTITION BY nw.vec_id " +
       s"ORDER BY ${cosSql("nw.emb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
       s"FROM $deltaCte nw CROSS JOIN ${p}c1 c1) t WHERE rn <= $l1Probes)"
@@ -1055,22 +1065,22 @@ object DedupOps {
           s"generate_subscripts(b.emb, 1) AS pos) u GROUP BY a.cid, u.pos)",
         s"${p}yg$i AS (SELECT cid, list(CAST(sq AS DOUBLE) ORDER BY pos) " +
           s"AS cemb FROM ${p}ys$i GROUP BY cid)",
-        s"${p}yk$i AS (SELECT c.cid, COALESCE(g.cemb, c.cemb) AS cemb " +
+        s"${p}yk$i AS MATERIALIZED (SELECT c.cid, COALESCE(g.cemb, c.cemb) AS cemb " +
           s"FROM $prev c LEFT JOIN ${p}yg$i g USING (cid))")
     }
     val l2fin = if (iters == 0) s"${p}yk0" else s"${p}yk$iters"
     val tail =
-      s"${p}c2 AS (SELECT cid, cemb FROM $l2fin), " +
-        s"${p}c2l1 AS (SELECT cid, l1id AS l1 FROM (SELECT c2.cid, c1.l1id, " +
+      s"${p}c2 AS MATERIALIZED (SELECT cid, cemb FROM $l2fin), " +
+        s"${p}c2l1 AS MATERIALIZED (SELECT cid, l1id AS l1 FROM (SELECT c2.cid, c1.l1id, " +
         s"row_number() OVER (PARTITION BY c2.cid ORDER BY ${cosSql("c2.cemb", "c1.l1emb")} DESC, c1.l1id) AS rn " +
         s"FROM ${p}c2 c2 CROSS JOIN ${p}c1 c1) t WHERE rn = 1), " +
-        s"${p}rb AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        s"${p}rb AS MATERIALIZED (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
         s"ORDER BY sim DESC, cid) AS rn FROM (SELECT b.vec_id, c2.cid, " +
         s"${cosSql("b.emb", "c2.cemb")} AS sim FROM $baseCte b " +
         s"JOIN ${p}bl1r bl1 ON bl1.vec_id = b.vec_id " +
         s"JOIN ${p}c2l1 c2l1 ON c2l1.l1 = bl1.l1 " +
         s"JOIN ${p}c2 c2 ON c2.cid = c2l1.cid) s0), " +
-        s"${p}rd AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        s"${p}rd AS MATERIALIZED (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
         s"ORDER BY sim DESC, cid) AS rn FROM (SELECT nw.vec_id, c2.cid, " +
         s"${cosSql("nw.emb", "c2.cemb")} AS sim FROM $deltaCte nw " +
         s"JOIN ${p}dl1r dl1 ON dl1.vec_id = nw.vec_id " +
@@ -1094,15 +1104,15 @@ object DedupOps {
     * oracle unions the two verdicts. */
   private def flatIncChain(p: String, baseCte: String,
       deltaCte: String, iters: Int = 0, probe: Int = 2): String = {
-    val seed = s"${p}c0 AS (SELECT vec_id AS cid, emb AS cemb FROM $baseCte " +
+    val seed = s"${p}c0 AS MATERIALIZED (SELECT vec_id AS cid, emb AS cemb FROM $baseCte " +
       s"WHERE vec_id < (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM $baseCte))"
     val (train, cbook) = trainChainSql(p, baseCte, s"${p}c0", iters)
     seed + ", " + train +
-      s"${p}bs AS (SELECT b.vec_id, c.cid, row_number() OVER " +
+      s"${p}bs AS MATERIALIZED (SELECT b.vec_id, c.cid, row_number() OVER " +
       s"(PARTITION BY b.vec_id ORDER BY ${cosSql("b.emb", "c.cemb")} DESC, c.cid) AS rn " +
       s"FROM $baseCte b CROSS JOIN $cbook c), " +
       s"${p}fassign AS (SELECT vec_id AS t_id, cid AS cell FROM ${p}bs WHERE rn = 1), " +
-      s"${p}ds AS (SELECT nw.vec_id, c.cid, row_number() OVER " +
+      s"${p}ds AS MATERIALIZED (SELECT nw.vec_id, c.cid, row_number() OVER " +
       s"(PARTITION BY nw.vec_id ORDER BY ${cosSql("nw.emb", "c.cemb")} DESC, c.cid) AS rn " +
       s"FROM $deltaCte nw CROSS JOIN $cbook c), " +
       s"${p}fprobes AS (SELECT vec_id AS q_id, cid AS cell FROM ${p}ds WHERE rn <= $probe), " +
@@ -1130,10 +1140,10 @@ object DedupOps {
   private val ivfAutoIncCteSql: String =
     s"WITH $incBaseDeltaCtes, " +
       "bn AS (SELECT COUNT(*) AS n FROM b), " +
-      s"sb AS (SELECT vec_id, emb FROM b WHERE (SELECT n FROM bn) < $IvfAutoCrossover), " +
-      s"snw AS (SELECT vec_id, emb FROM nw WHERE (SELECT n FROM bn) < $IvfAutoCrossover), " +
-      s"lb AS (SELECT vec_id, emb FROM b WHERE (SELECT n FROM bn) >= $IvfAutoCrossover), " +
-      s"lnw AS (SELECT vec_id, emb FROM nw WHERE (SELECT n FROM bn) >= $IvfAutoCrossover), " +
+      s"sb AS MATERIALIZED (SELECT vec_id, emb FROM b WHERE (SELECT n FROM bn) < $IvfAutoCrossover), " +
+      s"snw AS MATERIALIZED (SELECT vec_id, emb FROM nw WHERE (SELECT n FROM bn) < $IvfAutoCrossover), " +
+      s"lb AS MATERIALIZED (SELECT vec_id, emb FROM b WHERE (SELECT n FROM bn) >= $IvfAutoCrossover), " +
+      s"lnw AS MATERIALIZED (SELECT vec_id, emb FROM nw WHERE (SELECT n FROM bn) >= $IvfAutoCrossover), " +
       flatIncChain("s", "sb", "snw", TrainIters, ProbeCells) + ", " +
       cellIncChain("l", "lb", "lnw", 64, TrainIters, ProbeCells, L1Probes) + ", " +
       "dup AS (SELECT q_id FROM sdup UNION ALL SELECT q_id FROM ldup) "
@@ -1148,15 +1158,17 @@ object DedupOps {
   private def ivfCandFromCents(e: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame, probe: Int = 2)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val dot = dotA(e.sparkSession) _
+    // r19 FUSED probe pass (guide §2.4 — remove shuffles outright): the
+    // top-probe cells per vector come from ONE per-row expression over the
+    // packed codebook — no n × nlist scored-row materialization and no
+    // vec_id window exchange+sort. rn = array position + 1; the selection
+    // order is identical to the window's (sim DESC, cid ASC) — see
+    // TopCentroids.
     val topP = e.select(col("vec_id"), col("embedding"), col("norm"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
-          .as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
-      .filter(col("rn") <= probe)
+      .crossJoin(packedCents(cents))
+      .select(col("vec_id"), posexplode(topCentroids(e.sparkSession)(
+        col("embedding"), col("norm"), col("cents"), probe)).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.cid").as("cid"), (col("pos") + 1).as("rn"))
       .pinnedLazy
     val assign = topP.filter(col("rn") === 1)
       .select(col("vec_id").as("t_id"), col("cid").as("cell"))
@@ -1199,13 +1211,19 @@ object DedupOps {
     * edges → recursive-CTE reachability → min-label components → keep.
     * ONE definition shared by the √n-codebook and cell-sized keys. */
   private val semanticKeepSqlTail: String =
-    ", pairs AS (SELECT least(q_id, t_id) AS a, greatest(q_id, t_id) AS b " +
+    // r19 (verdict #1c): MATERIALIZED — DuckDB 1.0 INLINES CTEs, so the
+    // recursive walk re-evaluated `edges` (and the whole trained candidate
+    // chain under it) once per recursion step: llm_semantic_dedup_cellsized
+    // measured 152 s → 13.5 s at sf0.01 with these two hints, results
+    // bit-identical (hints change evaluation strategy only). This is what
+    // made the driver-shaped DuckDB check blow its window.
+    ", pairs AS MATERIALIZED (SELECT least(q_id, t_id) AS a, greatest(q_id, t_id) AS b " +
       "FROM cand JOIN v x ON x.vec_id = least(q_id, t_id) " +
       "JOIN v y ON y.vec_id = greatest(q_id, t_id) " +
       "WHERE round(list_inner_product(x.emb, y.emb) / " +
       "(sqrt(list_inner_product(x.emb, x.emb)) * " +
       "sqrt(list_inner_product(y.emb, y.emb))), 4) >= 0.35), " +
-      "edges AS (SELECT DISTINCT a, b FROM pairs " +
+      "edges AS MATERIALIZED (SELECT DISTINCT a, b FROM pairs " +
       "UNION SELECT b, a FROM pairs), " +
       "walk(id, label) AS (SELECT vec_id, vec_id FROM embeddings " +
       "UNION SELECT e.a, w.label FROM edges e JOIN walk w ON w.id = e.b) " +
@@ -1373,27 +1391,16 @@ object DedupOps {
     * id (row_number) first, exactly like the id-threshold codebook
     * seeds. Kept on the raw id rather than an in-plan row_number because
     * that window would shuffle the full corpus per recall key to buy a
-    * property the fixture already guarantees and the spec pins. */
-  /** DENSE-ID ASSUMPTION (r17 ADVICE, documented r18): the sample is
-    * vec_id % max(1, n div 100) == 0, which yields ~100 eval queries only
-    * when vec_ids are dense from 0 (the TESTDATA.md embeddings contract —
-    * vec_id = row_number-1, verified by PreflightSpec's contiguity pin).
-    * On a sparse/offset id space the sample silently shrinks and every
-    * recall key would go vacuous on BOTH engines (the oracle replays the
-    * same predicate, so no hash can catch it) — port corpora by re-keying
-    * vec_id densely, or switch this to a row_number first. */
-  /** DENSE-ID ASSUMPTION (r17 ADVICE, documented): `vec_id % step == 0`
-    * samples ~100 eval queries only because the fixture's vec_ids are a
-    * dense 0-based range (ScaleProbe preserves this at every factor). On
-    * a corpus with sparse or offset ids the sample would silently shrink
-    * — possibly to zero, making every recall key and the DedupSpec
-    * aggregate-recall gate vacuous with BOTH engines agreeing (the
-    * oracle hash cannot catch it). A deployment over non-dense ids must
-    * swap in a row_number-over-vec_id sample (a one-line change here and
-    * in [[evalSampleSqlPred]]); changing it NOW would change every
-    * recall key's graded result, so the assumption is pinned instead:
-    * DedupSpec's recall gates fail loudly if the sample count collapses
-    * (the gated aggregates divide by the sampled-query count). */
+    * property the fixture already guarantees and the spec pins
+    * (ScaleProbe preserves the dense range at every factor; PreflightSpec
+    * pins the vec_id = row_number − 1 contiguity contract; DedupSpec's
+    * recall gates divide by the sampled-query count, so a collapsed
+    * sample fails loudly rather than going vacuous). A deployment over
+    * non-dense ids must swap in a row_number-over-vec_id sample — a
+    * one-line change here and in [[evalSampleSqlPred]]; changing it NOW
+    * would change every recall key's graded result. (r19: the three
+    * stacked r17/r18 doc comments merged into this one block — only the
+    * nearest doc comment attaches to the definition.) */
   private def evalSampled(s: org.apache.spark.sql.SparkSession, d: String,
       df: org.apache.spark.sql.DataFrame, idCol: String)
       : org.apache.spark.sql.DataFrame = {
@@ -1618,35 +1625,33 @@ object DedupOps {
       deltaDf: org.apache.spark.sql.DataFrame,
       tau: Double = 0.35, trainIters: Int = TrainIters,
       probe: Int = ProbeCells): org.apache.spark.sql.DataFrame = {
-    val dot = dotA(baseDf.sparkSession) _
+    val sp = baseDf.sparkSession
     // r18 batch 3: pinned corpora — see ivfCandidatesTrainedOf (base
     // feeds ~6 serialized segments; delta feeds the probe scan and both
     // verdict-tail sides)
     val base = ensureNormed(baseDf).pinnedLazy
     val delta = ensureNormed(deltaDf).pinnedLazy
+    // r19: nl unpinned — single reference, pipelined chain (see
+    // ivfCandidatesTrainedOf)
     val nl = base.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nlist"))
-      .pinnedLazy // r18: see ivfCandidatesAutoOf
     // codebook seeded by id threshold over BASE and Lloyd-TRAINED on base
     // only (r18) — then FIXED for the delta batch (the
     // llm_ivf_index_upsert discipline)
     val cents = trainFlat(base, seedCents(base)(df =>
       df.crossJoin(broadcast(nl)).filter(col("vec_id") < col("nlist"))),
       trainIters)
-    def scored(side: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = side
-      .select(col("vec_id"), col("embedding"), col("norm"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
-          .as("sim"))
-    def ranked(side: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = scored(side)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
-    val assign = argmax1(scored(base), "cid", "sim", "cell")
-      .select(col("vec_id").as("t_id"), col("cell"))
-    val probes = ranked(delta).filter(col("rn") <= probe)
-      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    // r19 fused assignment/probe passes — see ivfCandFromCents: neither
+    // side exchanges for its ranking any more.
+    val cArr = packedCents(cents)
+    val assign = base.select(col("vec_id"), col("embedding"), col("norm"))
+      .crossJoin(cArr)
+      .select(col("vec_id").as("t_id"), nearestCentroid(sp)(
+        col("embedding"), col("norm"), col("cents")).as("cell"))
+    val probes = delta.select(col("vec_id"), col("embedding"), col("norm"))
+      .crossJoin(cArr)
+      .select(col("vec_id").as("q_id"), explode(topCentroids(sp)(
+        col("embedding"), col("norm"), col("cents"), probe)).as("t"))
+      .select(col("q_id"), col("t.cid").as("cell"))
     val cand = probes.join(assign, Seq("cell"))
       .select(col("q_id"), col("t_id")).distinct()
     dupFlagsFromCandidates(cand, base, delta, tau)
@@ -1755,7 +1760,10 @@ object DedupOps {
     val (c1, c2full) = cellSizedCodebooks(base, targetCellSize,
       pinEach = true, trainIters = trainIters, pinEager = eager)
     val assign = Scale.pin(
-      argmax1(scoredInCells(c1, c2full, l1Probes)(base), "cid", "sim", "cell")
+      // r19: argmax over the ≤ l1Probes LOCAL winners per vector (tiny
+      // (sim, cid) rows) instead of the full n × ~√nlist scored join
+      argmax1(localTopInCells(c1, c2full, l1Probes, 1)(base),
+        "cid", "sim", "cell")
         .select(col("vec_id").as("t_id"), col("cell")), eager)
     (c1, c2full, assign)
   }
@@ -1774,10 +1782,13 @@ object DedupOps {
       targetCellSize: Int, pinEach: Boolean = false, trainIters: Int = 0,
       pinEager: Boolean = true)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // r19: sizes UNPINNED — every reference rides the same broadcast
+    // 1-row aggregate, and with the training chain now one pipelined plan
+    // (no per-iteration pin jobs) broadcast reuse computes it once; the
+    // r18 pin existed to stop each SEPARATE pin job re-running the count.
     val sizes = base.agg(ceil(count(lit(1)) / lit(targetCellSize.toDouble))
       .cast("long").as("nlist"))
       .withColumn("m", ceil(sqrt(col("nlist"))).cast("long"))
-      .pinnedLazy // r18: see ivfCandidatesAutoOf
     if (trainIters == 0) {
       val c2 = base.crossJoin(broadcast(sizes))
         .filter(col("vec_id") < col("nlist"))
@@ -1799,23 +1810,30 @@ object DedupOps {
       // each update the exact-integer quantized sum. L1 trains first and
       // is then FIXED, so the vector→L1 ranking is computed once per
       // consumer, not once per L2 iteration.
-      // every per-iteration codebook is pinned inside trainFlat / this
-      // loop (see trainFlat's note — the unpinned chain re-executed
-      // duplicated subtrees 4–9× at sf0.1), so the pinEach distinction
-      // only governs the FINAL composite frames the resident index keeps
       val l1t = trainFlat(base, seedCents(base)(df =>
         df.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("m"))),
         trainIters)
+      // c1 is backed by trainFlat's final-iteration pin; no second pin.
       val c1 = l1t.select(col("cid").as("l1id"), col("cemb").as("l1emb"),
         col("cnorm").as("l1norm"))
       var c2 = seedCents(base)(df =>
         df.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("nlist")))
       for (_ <- 1 to trainIters) {
-        // r18 batch 3: embedding rides the argmax to the update — no
-        // corpus re-join per iteration (see trainFlat)
-        val assignE = argmax1Emb(
-          scoredInCells(c1, withL1(c1, c2), keepEmb = true)(base),
-          "cid", "sim", "cell")
+        // r19 FUSED, PIN-FREE two-level Lloyd iteration (see trainFlat):
+        // the vector's L1 cell and its nearest in-cell L2 centroid are
+        // both per-row expressions; the l1-keyed equi-join stays (the L2
+        // codebook is never broadcast against the corpus by hint), so
+        // the iteration's exchanges are the l1 join and the QuantSumVec
+        // centroid partials — no vec_id argmax aggregate at all.
+        // Training assignment is rank 1 of the vector's TOP-1 L1 cell
+        // (l1Probes is a probe-time widening only), unchanged from r18.
+        // Each iteration's c2 stays pinned — see trainFlat's A/B note
+        // (the pin-free chain measured worse; pruning defeats reuse).
+        val assignE = withL1Cells(c1, 1)(base)
+          .join(packedByL1(withL1(c1, c2)), Seq("l1"))
+          .select(nearestCentroid(base.sparkSession)(
+            col("embedding"), col("norm"), col("cents")).as("cell"),
+            col("embedding"))
         c2 = withCNorm(c2.select(col("cid"), col("cemb").as("prev_cemb"))
           .join(quantCentroidsOfE(assignE), Seq("cid"), "left")
           .select(col("cid"), coalesce(col("cemb"), col("prev_cemb")).as("cemb")))
@@ -1827,80 +1845,93 @@ object DedupOps {
   }
 
   /** L2 codebook joined to its nearest-L1 assignment — ONE definition of
-    * the c2→l1 mapping, shared by the untrained and trained builders. */
+    * the c2→l1 mapping, shared by the untrained and trained builders.
+    * r19: the mapping is the fused per-row expression over the packed L1
+    * codebook — no argmax aggregate, no join back by cid. */
   private def withL1(c1: org.apache.spark.sql.DataFrame,
       c2: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    c2.join(
-      nearestL1Of(c1)(c2.select(col("cid").as("vec_id"),
-        col("cemb").as("embedding"), col("cnorm").as("norm")))
-        .withColumnRenamed("vec_id", "cid"),
-      Seq("cid"))
+    c2.crossJoin(packedCents(c1, "l1id", "l1emb", "l1norm"))
+      .withColumn("l1", nearestCentroid(c2.sparkSession)(
+        col("cemb"), col("cnorm"), col("cents")))
+      .drop("cents")
 
-  /** Ranked L1 cells of `side` — broadcast scan over ≤ ceil(√nlist)
-    * centroid rows, (l1sim desc, l1id) order; callers keep rank 1
-    * (assignment) or the top-[[L1Probes]] (the trained index's widened
-    * probe reach). */
-  private def rankedL1Of(c1: org.apache.spark.sql.DataFrame)(
-      side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    scoredL1Of(c1)(side)
-      .withColumn("l1rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("l1sim").desc, col("l1id"))))
-
-  /** The scored (vec_id, l1id, l1sim) frame behind [[rankedL1Of]] —
-    * argmax sites aggregate it directly (no window). */
-  private def scoredL1Of(c1: org.apache.spark.sql.DataFrame)(
-      side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val dot = dotA(side.sparkSession) _
-    side.select(col("vec_id"), col("embedding"), col("norm"))
-      .crossJoin(broadcast(c1))
-      .select(col("vec_id"), col("l1id"),
-        (dot(col("embedding"), col("l1emb")) / (col("norm") * col("l1norm")))
-          .as("l1sim"))
+  /** `side` rows annotated with their probed L1 cells — ONE row per
+    * (vector, probed cell), embedding and norm kept in the projection.
+    * l1Probes = 1 rides [[NearestCentroid]] (no row growth at all);
+    * wider probes explode the [[TopCentroids]] array. Replaces the
+    * r18 shape (argmax/window aggregate of the n × m scored cross-join
+    * + a join back by vec_id): the corpus no longer exchanges to learn
+    * its L1 cells (r19, guide §2.4). */
+  private def withL1Cells(c1: org.apache.spark.sql.DataFrame,
+      l1Probes: Int)(side: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = side.sparkSession
+    val s1 = side.select(col("vec_id"), col("embedding"), col("norm"))
+      .crossJoin(packedCents(c1, "l1id", "l1emb", "l1norm"))
+    if (l1Probes == 1)
+      s1.select(col("vec_id"), col("embedding"), col("norm"),
+        nearestCentroid(sp)(col("embedding"), col("norm"), col("cents"))
+          .as("l1"))
+    else
+      s1.select(col("vec_id"), col("embedding"), col("norm"),
+        explode(topCentroids(sp)(col("embedding"), col("norm"), col("cents"),
+          l1Probes)).as("lt"))
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("lt.cid").as("l1"))
   }
 
-  /** Nearest-L1-cell lookup — rank 1 of the [[rankedL1Of]] ordering, via
-    * the [[argmax1]] hash aggregate (r18: identical selection, no
-    * vec_id-partitioned window sort of the n×m scored rows). */
-  private def nearestL1Of(c1: org.apache.spark.sql.DataFrame)(
-      side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    argmax1(scoredL1Of(c1)(side), "l1id", "l1sim", "l1")
+  /** The L2 codebook packed per L1 cell: (l1, array<struct<cid, cemb,
+    * cnorm>>) — ≤ ceil(√nlist) centroids per row on average. The corpus
+    * reaches it through the l1-keyed equi-join exactly as it reached
+    * c2full (the linearly-growing L2 codebook is never broadcast against
+    * the corpus by hint; the planner may still broadcast the ≤ m packed
+    * rows when they fit, which removes the corpus exchange outright). */
+  private def packedByL1(c2full: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    c2full.groupBy(col("l1"))
+      .agg(collect_list(centStruct(col("cid"), col("cemb"), col("cnorm")))
+        .as("cents"))
 
-  /** Rank the L2 centroids of `side`'s top-`l1Probes` L1 cells — the
-    * l1-KEYED equi-join (the linearly-growing L2 codebook is never
-    * broadcast against the corpus). With l1Probes = 1 this is the
-    * historical single-cell ranking; the trained production index widens
-    * to [[L1Probes]] and takes assignment as rank 1 OF THE WIDENED
-    * ranking (the best L2 cell any probed L1 cell offers — strictly
-    * closer to the true nearest centroid). Probed L1 cells own disjoint
-    * L2 sets, so no (vec, cid) pair is scored twice. */
-  private def rankedInCells(c1: org.apache.spark.sql.DataFrame,
-      c2full: org.apache.spark.sql.DataFrame, l1Probes: Int = 1)(
-      side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    scoredInCells(c1, c2full, l1Probes)(side)
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cid"))))
-
-  /** The scored (vec_id, cid, sim) frame behind [[rankedInCells]] —
-    * assignment sites take its [[argmax1]] instead of ranking (r18: the
-    * n-side window sort exists only where a top-k probe genuinely needs
-    * it). The L1 ranking keeps its window when l1Probes > 1 (a real
-    * top-k); the nearest-cell case goes through [[nearestL1Of]]'s
-    * aggregate. */
-  private def scoredInCells(c1: org.apache.spark.sql.DataFrame,
-      c2full: org.apache.spark.sql.DataFrame, l1Probes: Int = 1,
-      keepEmb: Boolean = false)(
+  /** Per-(vector, probed-L1-cell) LOCAL top-`k` L2 candidates
+    * (vec_id, sim, cid) — ≤ l1Probes·k rows per vector, each cell's list
+    * computed by the fused expression inside the row's own projection.
+    * The global (sim DESC, cid ASC) rank over these rows equals the rank
+    * over the full scored join: any global top-k candidate is inside its
+    * own cell's local top-k, and probed cells own disjoint L2 sets. */
+  private def localTopInCells(c1: org.apache.spark.sql.DataFrame,
+      c2full: org.apache.spark.sql.DataFrame, l1Probes: Int, k: Int)(
       side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val dot = dotA(side.sparkSession) _
-    val l1s = if (l1Probes == 1) nearestL1Of(c1)(side)
-      else rankedL1Of(c1)(side).filter(col("l1rn") <= l1Probes)
-        .select(col("vec_id"), col("l1id").as("l1"))
-    val out = Seq(col("vec_id"), col("cid"),
-      (dot(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
-        .as("sim")) ++ (if (keepEmb) Seq(col("embedding")) else Nil)
-    side.select(col("vec_id"), col("embedding"), col("norm"))
-      .join(l1s, Seq("vec_id"))
-      .join(c2full, Seq("l1"))
-      .select(out: _*)
+    val sp = side.sparkSession
+    withL1Cells(c1, l1Probes)(side)
+      .join(packedByL1(c2full), Seq("l1"))
+      .select(col("vec_id"), explode(topCentroids(sp)(
+        col("embedding"), col("norm"), col("cents"), k)).as("t"))
+      .select(col("vec_id"), col("t.sim").as("sim"), col("t.cid").as("cid"))
+  }
+
+  /** Global top-`k` L2 candidates of `side`'s top-`l1Probes` L1 cells,
+    * with rn — the window now sorts ≤ l1Probes·k tiny (sim, cid) rows per
+    * vector instead of the n × ~√nlist scored join (r19). With
+    * l1Probes = 1 the locals ARE the global ranking and no window runs at
+    * all. Probed L1 cells own disjoint L2 sets, so no (vec, cid) pair is
+    * scored twice. */
+  private def rankedInCells(c1: org.apache.spark.sql.DataFrame,
+      c2full: org.apache.spark.sql.DataFrame, l1Probes: Int, k: Int)(
+      side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sp = side.sparkSession
+    if (l1Probes == 1)
+      withL1Cells(c1, 1)(side)
+        .join(packedByL1(c2full), Seq("l1"))
+        .select(col("vec_id"), posexplode(topCentroids(sp)(
+          col("embedding"), col("norm"), col("cents"), k)).as(Seq("pos", "t")))
+        .select(col("vec_id"), col("t.cid").as("cid"),
+          (col("pos") + 1).as("rn"))
+    else
+      localTopInCells(c1, c2full, l1Probes, k)(side)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cid"))))
+        .filter(col("rn") <= k)
+        .select(col("vec_id"), col("cid"), col("rn"))
   }
 
   /** Delta-side verdicts against a prebuilt [[cellSizedBaseIndex]] —
@@ -1921,8 +1952,7 @@ object DedupOps {
     // pre-normed corpora; norms as before on the streaming path's raw
     // per-batch frames (never pinned here: this body runs per micro-batch)
     val delta = ensureNormed(deltaDf)
-    val probes = rankedInCells(c1, c2full, l1Probes)(delta)
-      .filter(col("rn") <= probe)
+    val probes = rankedInCells(c1, c2full, l1Probes, probe)(delta)
       .select(col("vec_id").as("q_id"), col("cid").as("cell"))
     val cand = probes.join(assign, Seq("cell"))
       .select(col("q_id"), col("t_id")).distinct()

@@ -18,9 +18,20 @@ object Scale {
     * a stale on-disk table from a previous run. */
   private val scratchDone = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
-  /** Runs `write` once per memoKey per JVM (thread-safe, exceptions retryable). */
-  def writeOnce(memoKey: String)(write: => Unit): Unit =
-    scratchDone.computeIfAbsent(memoKey, _ => { write; true }): Unit
+  /** Runs `write` once per memoKey per JVM (thread-safe, exceptions retryable).
+    *
+    * A memo HIT counts as a snapshot read (r18 verdict #3): every writeOnce
+    * caller reads the materialized layout back as its input, so a rep whose
+    * write was skipped timed read-back, not the derivation — exactly what
+    * the `snapshot_backed` bench flag exists to label. snapshotOnce already
+    * counted its marker hits; this closes the ScaleOps-private gap (sorted/
+    * zorder/compact/evolve/manifest layouts, dpp fixtures, schema_evo,
+    * timetravel, snapexpire, partitioned-scan, cbo/bucketed tables). */
+  def writeOnce(memoKey: String)(write: => Unit): Unit = {
+    var wrote = false
+    scratchDone.computeIfAbsent(memoKey, _ => { write; wrote = true; true }): Unit
+    if (!wrote) snapshotReads.incrementAndGet(): Unit
+  }
 
   /** Stable short suffix tying a scratch resource NAME to its input: the
     * memo is per (input, name), so the materialized table/path must be

@@ -116,7 +116,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "graft_shingles3" -> "element_at(graft_shingles3(split('a b c d', ' ')), 1)",
       "graft_span_md5s" -> "element_at(graft_span_md5s(split('a b c', ' ')), 1)",
       "graft_quant_sum_vec" ->
-        "element_at(graft_quant_sum_vec(array(float(0.5), float(1))), 1)")
+        "element_at(graft_quant_sum_vec(array(float(0.5), float(1))), 1)",
+      // r19 optimization round: the fused per-row centroid selection
+      "graft_nearest_cent" ->
+        ("graft_nearest_cent(array(float(1), float(0)), double(1), " +
+          "array(named_struct('cid', bigint(7), 'cemb', " +
+          "array(double(1), double(0)), 'cnorm', double(1))))"),
+      "graft_top_cents" ->
+        ("element_at(graft_top_cents(array(float(1), float(0)), double(1), " +
+          "array(named_struct('cid', bigint(7), 'cemb', " +
+          "array(double(1), double(0)), 'cnorm', double(1))), 2), 1).cid"))
     val names = graft.functions.GraftFunctions.builders.map(_._1)
     assert(names.distinct.size == names.size, "duplicate registry names")
     assert(names.toSet == smoke.keySet,

@@ -8,7 +8,9 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import json
 import os
+import shutil
 import sys
+import tempfile
 
 import duckdb
 import numpy as np
@@ -26,8 +28,12 @@ def main(sf, outdir):
     # the 10x/20x PROBE fixtures (20k+ vectors) legitimately exceed RAM —
     # they hit "Out of Memory Error: Failed to allocate" instead of
     # spilling. A spill dir changes resource behavior only, never results;
-    # the driver's own graded check (sf <= 0.1) never comes near the limit.
-    con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
+    # the driver's own graded check (sf <= 0.1) never comes near the limit
+    # (r19: re-verified unpatched at sf0.01 — see OPTIMIZATION_r19.md).
+    # r19 (r18 ADVICE): per-process dir, so concurrent check.py runs (e.g.
+    # parallel PROBE fixtures) cannot contend on one shared spill path.
+    spill = tempfile.mkdtemp(prefix="duckdb_check_spill_")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         # testdata ships single parquet FILES; ScaleProbe fixtures are
         # Spark-style parquet DIRECTORIES — glob the parts in that case
@@ -91,6 +97,8 @@ def main(sf, outdir):
         else:
             note = f"  [dtype note: {dt}]" if dt else ""
             print(f"PASS {name} ({len(exp)} rows){note}")
+    con.close()
+    shutil.rmtree(spill, ignore_errors=True)
     print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracled queries pass")
     return 1 if failures else 0
 
